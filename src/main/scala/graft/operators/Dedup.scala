@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Scale design: every variant produces candidates via hash-bucket joins
+  * (groupBy/equi-join on a signature), never an all-pairs comparison — the
+  * shuffle volume is O(corpus + candidate pairs), so the same plan holds at
+  * 100 TB where an O(n²) cross join would not.
+  *
+  * Hashing uses md5 (same bytes in any engine) so results are reproducible
+  * and oracle-checkable; a keyed xxhash64 would be the cheaper production
+  * choice and is a drop-in swap.
+  */
+object Dedup {
+
+  /** Split into whitespace tokens (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Overlapping n-word shingles as an array<string>; empty below n words.
+    * 1-based `element_at` so the definition is position-stable. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: content-hash groupBy; a row is a duplicate iff it is not
+    * the minimum id in its hash bucket. */
+  def exactDupFlags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("is_dup",
+        col(idCol) =!= min(col(idCol)).over(Window.partitionBy("h")))
+  }
+
+  /** Distinct (id, shingle) pairs. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: one min-hash per band, where band b's hash of a
+    * shingle is md5("b:" + shingle). Banding makes near-dups collide in at
+    * least one band with high probability while each band's signature is a
+    * single value — LSH. */
+  def minhashSignatures(shingles: DataFrame, idCol: String,
+                        bands: Int = 4): DataFrame = {
+    val bandCol = explode(sequence(lit(0), lit(bands - 1))).as("band")
+    shingles.select(col(idCol), col("sh"), bandCol)
+      .groupBy(col(idCol), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh"))
+        .cast("binary"))).as("mh"))
+  }
+
+  /** LSH candidate pairs: equi-join on (band, signature) — the scale path.
+    * Never an all-pairs product; only docs sharing a bucket meet. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String): DataFrame = {
+    val a = sig.select(col(idCol).as("doc_a"), col("band"), col("mh"))
+    val b = sig.select(col(idCol).as("doc_b"), col("band"), col("mh"))
+    a.join(b, Seq("band", "mh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|),
+    * computed set-wise via a shingle equi-join restricted to candidates. */
+  def jaccardOnCandidates(cand: DataFrame, shingles: DataFrame,
+                          idCol: String): DataFrame = {
+    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val x = shingles.select(col(idCol).as("doc_a"), col("sh"))
+    val y = shingles.select(col(idCol).as("doc_b"), col("sh"))
+    val shared = cand.join(x, "doc_a").join(y, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+  }
+
+  /** 32-bit tf-weighted SimHash over whitespace tokens. Token hash = first
+    * 8 hex chars of md5 as a 32-bit int; per bit, sum +tf/−tf by bit value;
+    * simhash bit = (sum > 0). Pure expression pipeline — no UDF. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+    tf.select(col(idCol), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("contrib",
+        when(expr("(shiftright(h, b) & 1) = 1"), col("tf"))
+          .otherwise(-col("tf")))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum("contrib").as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum("bitval").as("simhash"))
+  }
+}

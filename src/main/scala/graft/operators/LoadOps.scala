@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DateFns
+
+/** Load-layer operators: the reference pushes these into Postgres SQL
+  * (ON CONFLICT, DELETE+reload, CTE guards); here each is a pure
+  * `DataFrame => DataFrame` rewrite, designed so the dominant join/dedup
+  * shuffles prune by the `date` partition column at scale.
+  */
+object LoadOps {
+
+  /** K1 — PK-dedup append: `INSERT … ON CONFLICT (pk) DO NOTHING`
+    * (`estimate-transform-load.rkt:195` et al.).
+    *
+    * Existing rows always win; among duplicate incoming rows one survives
+    * deterministically (min over remaining columns). Scale note: at 100 TB
+    * the anti-join must not scan the whole `existing` table — callers pass
+    * only the date partitions the incoming batch touches (the PK always
+    * contains `date`), making the shuffle proportional to the batch.
+    */
+  def dedupAppend(existing: DataFrame, incoming: DataFrame,
+                  pk: Seq[String]): DataFrame = {
+    val cols = existing.columns.toSeq
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(cols.filterNot(pk.contains).map(col): _*)
+    val incomingDedup = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh = incomingDedup.join(existing.select(pk.map(col): _*),
+      pk, "left_anti")
+    existing.unionByName(fresh.select(cols.map(col): _*))
+  }
+
+  /** K4 — delete-future-then-reload: calendars retract everything at/after
+    * the folder date before re-inserting the fresh horizon
+    * (`earnings-calendar-transform-load.rkt:45-51`). */
+  def overwriteFutureSlice(existing: DataFrame, fresh: DataFrame,
+                           dateCol: String,
+                           folderDate: java.sql.Date): DataFrame =
+    existing.filter(col(dateCol) < lit(folderDate)).unionByName(fresh)
+
+  /** K5 — 7-day slide-forward retraction: before inserting a calendar row,
+    * delete any stored row for the same symbol within the trailing week —
+    * "the event moved forward" (`earnings-calendar-transform-load.rkt:79-87`).
+    */
+  def slideForward(existing: DataFrame, incoming: DataFrame,
+                   symCol: String, dateCol: String,
+                   windowDays: Int = 7): DataFrame = {
+    val in = incoming.select(
+      col(symCol).as("__sym"),
+      date_sub(col(dateCol), windowDays).as("__start"),
+      col(dateCol).as("__end"))
+    val retracted = existing.join(broadcast(in),
+      existing(symCol) === col("__sym") &&
+        existing(dateCol) >= col("__start") &&
+        existing(dateCol) < col("__end"),
+      "left_anti")
+    retracted.unionByName(incoming)
+  }
+
+  /** J1 — prior-period poison guard: drop an incoming statement row when the
+    * stored row one fiscal period back (1 year for annual, 1 quarter for
+    * quarterly) has *identical* facts — Zacks' fiscal-year copy bug
+    * (`income-statement-transform-load.rkt:116-227`,
+    * `balance-sheet-transform-load.rkt:139-217`).
+    *
+    * Null semantics follow the reference's `bool_and(a = b)`: a NULL on
+    * either side makes the conjunct NULL, the `bool_and` non-TRUE, and the
+    * insert *proceed* — replicated here with null-safe `<=>` negated per the
+    * quarterly `is null` special cases only when `nullSafe` is set.
+    */
+  def priorPeriodGuard(existing: DataFrame, incoming: DataFrame,
+                       facts: Seq[String], nullSafeFacts: Seq[String] = Nil)
+                      : DataFrame = {
+    val prior = existing.select(
+      col("act_symbol").as("__sym"), col("date").as("__pdate"),
+      col("period").as("__pper"),
+      struct((facts ++ nullSafeFacts).map(col): _*).as("__pfacts"))
+    val withPrior = incoming.withColumn("__prior_date",
+      when(col("period") === "Year", DateFns.priorYear(col("date")))
+        .otherwise(DateFns.priorQuarter(col("date"))))
+    val joined = withPrior.join(prior,
+      withPrior("act_symbol") === col("__sym") &&
+        withPrior("__prior_date") === col("__pdate") &&
+        withPrior("period") === col("__pper"),
+      "left")
+    // bool_and over plain `=`: any NULL conjunct → guard does not fire.
+    val eqs = facts.map(f => col(f) === col("__pfacts").getField(f)) ++
+      nullSafeFacts.map(f => col(f) <=> col("__pfacts").getField(f))
+    val allEqual = eqs.reduce(_ && _)
+    joined.filter(col("__pdate").isNull || !coalesce(allEqual, lit(false)))
+      .drop("__prior_date", "__sym", "__pdate", "__pper", "__pfacts")
+  }
+
+  /** J2+J3 — superseded-calendar cleanup: earnings dates estimated into the
+    * future collapse onto the newest entry per (symbol, quarter window)
+    * (`earnings-calendar-transform-load.rkt:109-148`).
+    *
+    * `windows` = distinct (symbol, statement date) UNION the projected next
+    * quarter end per symbol (J3); each window spans
+    * `(w, w + 1 day + 3 months - 1 day]`. Any calendar row that falls inside
+    * a window but is not the window's max date is deleted.
+    *
+    * The join is equi-keyed on `act_symbol` with the range as residual and
+    * the derived window side broadcast — never a pure inequality join.
+    */
+  def supersededCleanup(calendar: DataFrame, stmtDates: DataFrame): DataFrame = {
+    val distinctDates = stmtDates
+      .select(col("act_symbol"), col("date")).distinct()
+    val projectedNext = stmtDates.groupBy("act_symbol")
+      .agg(max("date").as("date"))
+      .select(col("act_symbol"), DateFns.nextQuarterEnd(col("date")).as("date"))
+    val windows = distinctDates.union(projectedNext).distinct()
+      .select(col("act_symbol").as("__wsym"), col("date").as("__wstart"),
+        DateFns.nextQuarterEnd(col("date")).as("__wend"))
+
+    val joined = calendar.join(broadcast(windows),
+      calendar("act_symbol") === col("__wsym") &&
+        calendar("date") > col("__wstart") &&
+        calendar("date") <= col("__wend"))
+    val w = Window.partitionBy(col("__wsym"), col("__wstart"))
+      .orderBy(col("date").desc)
+    val victims = joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("act_symbol"), col("date")).distinct()
+    calendar.join(victims, Seq("act_symbol", "date"), "left_anti")
+  }
+
+  /** J4 — FK validation: rows whose symbol is missing from the dimension
+    * (`schema.sql:37-40`); must be empty for a clean load. */
+  def fkViolations(facts: DataFrame, dim: DataFrame,
+                   key: String = "act_symbol"): DataFrame =
+    facts.join(broadcast(dim.select(key).distinct()), Seq(key), "left_anti")
+
+  /** P1 — the symbol-universe predicate (`estimate-extract.rkt:57-85`):
+    * not ETF/test/NextShares, no ETN, no special chars, 5-letter suffix
+    * classes imply no Note/Preferred/Right/Unit/Warrant names. The
+    * `last_seen = (select max(last_seen) …)` scalar subquery is applied by
+    * [[latestGeneration]] since it needs the DataFrame, not just a Column. */
+  def universePredicate: Column =
+    !col("is_etf") && !col("is_test_issue") && !col("is_next_shares") &&
+      !col("security_name").rlike("ETN") &&
+      !col("nasdaq_symbol").rlike("[-\\$\\+\\*#!@%\\^=~]") &&
+      (!col("nasdaq_symbol").rlike("[A-Z]{4}[L-Z]") ||
+        !col("security_name").rlike("(Note|Preferred|Right|Unit|Warrant)"))
+
+  /** Scalar-subquery half of P1 / J5: keep only the latest `last_seen`
+    * generation of the symbol file. Broadcast 1-row cross join — the Spark
+    * shape of a scalar subquery. */
+  def latestGeneration(symbols: DataFrame): DataFrame = {
+    val maxSeen = symbols.agg(max("last_seen").as("__max_seen"))
+    symbols.crossJoin(broadcast(maxSeen))
+      .filter(col("last_seen") === col("__max_seen"))
+      .drop("__max_seen")
+  }
+
+  def universe(symbols: DataFrame,
+               range: Option[(String, String)] = None): DataFrame = {
+    val filtered = latestGeneration(symbols).filter(universePredicate)
+    val ranged = range match {
+      case Some((first, last)) =>
+        filtered.filter(col("act_symbol").between(first, last))
+      case None => filtered
+    }
+    ranged.orderBy("act_symbol")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine against a broadcast query vector —
+  *    one scan, no shuffle besides the final top-k; the correctness
+  *    baseline.
+  *  - [[bucketedTopK]]: sign-bit LSH (axis-aligned hyperplanes) — vectors
+  *    are pre-bucketed, the query probes only its own bucket. At 100 TB
+  *    the bucket column is a partition/cluster key so a probe prunes to
+  *    1/2^bits of the data; recall is traded via multi-probe (flip bits).
+  *
+  * All arithmetic in double (floats widened first) so scores are engine-
+  * reproducible to ~1e-15 and stable under a round(…, 6).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Sign-bit bucket over the first `bits` dimensions (1-based), MSB first. */
+  def signBucket(v: Column, bits: Int = 4): Column =
+    (1 to bits).map(i =>
+      when(element_at(v, i) > 0.0, lit(1 << (bits - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def widened(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+
+  /** Exact cosine top-k for the embedding of `queryId`. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+    val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed cosine top-k: probe only the query's sign-bit bucket. */
+  def bucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryId: Long, k: Int, bits: Int = 4): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    e.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expressions for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure codegen'd
+  * expression chains — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (split convention: single spaces). */
+  def tokenCount(text: Column): Column =
+    size(split(text, " ")).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Marker-word sets per language for the n-gram/stopword heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"),
+    "de" -> Seq("der", "und", "die"))
+
+  private def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(split(text, " "), t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Heuristic language ID: argmax of marker-word counts, 'und' when all
+    * zero; ties break in declaration order. */
+  def langId(text: Column): Column = {
+    val counts = langMarkers.map { case (l, ms) => l -> markerCount(text, ms) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und")) { case ((l, c), acc) =>
+      when(c > 0 && c === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: rewards stopword presence, penalizes
+    * punctuation density. Deterministic double arithmetic, round(4). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val punct = regexp_count(text, lit("[^a-zA-Z0-9 ]")).cast("double")
+    val toks = split(text, " ")
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val stop = size(filter(toks, t =>
+      Seq("the", "a", "of", "and", "to", "in").map(m => t === m)
+        .reduce(_ || _))).cast("double")
+    round((stop / nTok) * lit(0.5) +
+      (lit(1.0) - punct / greatest(nChars, lit(1.0))) * lit(0.5), 4)
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+}

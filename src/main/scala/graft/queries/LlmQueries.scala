@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import Tables.t
+
+/** Training-data-pipeline operators over `documents` / `embeddings`, each
+  * with a DuckDB oracle where the semantics are SQL-expressible. Hashing is
+  * md5 end-to-end so both engines see identical bytes.
+  */
+object LlmQueries {
+
+  /** Shared oracle CTE: distinct 3-word shingles per doc (1-based slices,
+    * trailing empty token kept — mirrors Spark split(text, ' ')). */
+  private val ShingleCte = """
+      docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3)"""
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: content-hash bucket, min-id wins.
+    Q("dd1_exact_dedup", (s, dir) =>
+      Dedup.exactDupFlags(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id, md5(text) AS h,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      FROM documents ORDER BY doc_id""")),
+
+    // MinHash + LSH banding: candidate pairs via (band, signature) buckets.
+    Q("dd2_minhash_lsh", (s, dir) => {
+      val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+      Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $ShingleCte,
+      sig AS (
+        SELECT doc_id, band,
+               min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS mh
+        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
+
+    // Exact n-gram Jaccard on LSH candidates (bottom-1 sketch, 1 band).
+    Q("dd3_ngram_jaccard", (s, dir) => {
+      val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 1)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id")
+      Dedup.jaccardOnCandidates(cand, sh, "doc_id")
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $ShingleCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, min(md5('0:' || sh)) AS mh FROM sh GROUP BY doc_id),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.doc_a
+      JOIN cnt cb ON cb.doc_id = i.doc_b
+      ORDER BY doc_a, doc_b""")),
+
+    // 32-bit tf-weighted SimHash — pure expression pipeline in both engines.
+    Q("dd4_simhash", (s, dir) =>
+      Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok),
+      hashed AS (
+        SELECT doc_id, tf,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) AS h
+        FROM tf),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+        FROM hashed, UNNEST(generate_series(0, 31)) AS t(b)
+        GROUP BY doc_id, b)
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Brute-force cosine top-k against the vec_id=0 embedding (exact path).
+    Q("sim1_cosine_topk", (s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, k = 20),
+      Some("""
+      WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = 0),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                     i -> v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                   6) AS score
+      FROM e, q ORDER BY score DESC, vec_id LIMIT 20""")),
+
+    // Sign-bit LSH-bucketed ANN: probe only the query's bucket (scale path).
+    Q("sim2_lsh_bucketed_ann", (s, dir) =>
+      Similarity.bucketedTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, k = 10, bits = 4),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                     i -> v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                   6) AS score
+      FROM e, q WHERE bucket = qbucket
+      ORDER BY score DESC, vec_id LIMIT 10""")),
+
+    // Language ID via marker-word heuristic.
+    Q("tx1_lang_id", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH c AS (
+        SELECT doc_id,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'of', 'and'))) AS c_en,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('le', 'et', 'les'))) AS c_fr,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('el', 'y', 'los'))) AS c_es,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('der', 'und', 'die'))) AS c_de
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+             WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+             WHEN c_es > 0 AND c_es >= greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+             WHEN c_de > 0 AND c_de >= greatest(c_en, c_fr, c_es, c_de) THEN 'de'
+             ELSE 'und' END AS pred_lang
+      FROM c ORDER BY doc_id""")),
+
+    // Quality score: stopword ratio + punctuation density.
+    Q("tx2_quality_score", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+        round((CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+               / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.5
+              + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5,
+              4) AS quality
+      FROM documents ORDER BY doc_id""")),
+
+    // Token counting: whitespace + BPE-ish regex.
+    Q("tx3_token_count", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("ws_tokens"),
+          TA.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS bpeish_tokens
+      FROM documents ORDER BY doc_id""")),
+
+    // Fingerprint: md5 of normalized text.
+    Q("tx4_fingerprint", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    // Multimodal plumbing: binary payload + typed metadata (the decode step
+    // itself is the stubbed FakeCodec, exercised in MultimodalSpec).
+    Q("mm1_binary_meta", (s, dir) =>
+      Multimodal.packBinary(t(s, dir, "documents"), "doc_id", "text",
+        mime = "text/plain")
+        .select(col("media_id"), col("mime"), col("nbytes"), col("digest"),
+          hex(substring(col("payload"), 1, 8)).as("head8"))
+        .orderBy("media_id"),
+      Some("""
+      SELECT doc_id AS media_id, 'text/plain' AS mime,
+             octet_length(encode(text)) AS nbytes, md5(text) AS digest,
+             hex(substring(encode(text), 1, 8)) AS head8
+      FROM documents ORDER BY media_id"""))
+  )
+}

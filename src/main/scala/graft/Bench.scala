@@ -14,6 +14,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,7 +28,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\n\\r\\t]", " ").take(160)
+            .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160)
       }
     }
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -21,8 +21,10 @@ object SparkEntry {
     val c = t(spark, dir, "customer"); val n = t(spark, dir, "nation")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    // customer is fact-scale (grows with SF) — no broadcast hint, AQE picks;
+    // nation is a genuinely bounded dim, broadcast is safe at any scale.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .filter(!col("c_name").rlike("000$"))
       .groupBy("n_name", "o_custkey", "o_orderkey", "o_orderdate")

@@ -53,7 +53,10 @@ object LoadOps {
       col(symCol).as("__sym"),
       date_sub(col(dateCol), windowDays).as("__start"),
       col(dateCol).as("__end"))
-    val retracted = existing.join(broadcast(in),
+    // No broadcast hint: the retraction set is one row per incoming calendar
+    // entry — small today, but unbounded in principle. AQE broadcasts it when
+    // it actually fits and falls back to a shuffled join when it doesn't.
+    val retracted = existing.join(in,
       existing(symCol) === col("__sym") &&
         existing(dateCol) >= col("__start") &&
         existing(dateCol) < col("__end"),
@@ -104,8 +107,12 @@ object LoadOps {
     * `(w, w + 1 day + 3 months - 1 day]`. Any calendar row that falls inside
     * a window but is not the window's max date is deleted.
     *
-    * The join is equi-keyed on `act_symbol` with the range as residual and
-    * the derived window side broadcast — never a pure inequality join.
+    * The join is equi-keyed on `act_symbol` with the range as residual —
+    * never a pure inequality join. The derived window side is distinct
+    * (symbol, statement-date) over full history, i.e. unbounded as history
+    * grows, so it carries no broadcast hint: AQE broadcasts it while it is
+    * small and switches to a shuffled join past the threshold instead of
+    * OOMing the driver.
     */
   def supersededCleanup(calendar: DataFrame, stmtDates: DataFrame): DataFrame = {
     val distinctDates = stmtDates
@@ -117,7 +124,7 @@ object LoadOps {
       .select(col("act_symbol").as("__wsym"), col("date").as("__wstart"),
         DateFns.nextQuarterEnd(col("date")).as("__wend"))
 
-    val joined = calendar.join(broadcast(windows),
+    val joined = calendar.join(windows,
       calendar("act_symbol") === col("__wsym") &&
         calendar("date") > col("__wstart") &&
         calendar("date") <= col("__wend"))

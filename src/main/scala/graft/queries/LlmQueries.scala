@@ -98,7 +98,8 @@ object LlmQueries {
         FROM hashed, UNNEST(generate_series(0, 31)) AS t(b)
         GROUP BY doc_id, b)
       SELECT doc_id,
-             sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                  AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
     // Brute-force cosine top-k against the vec_id=0 embedding (exact path).
@@ -215,7 +216,7 @@ object LlmQueries {
       Some("""
       SELECT doc_id AS media_id, 'text/plain' AS mime,
              octet_length(encode(text)) AS nbytes, md5(text) AS digest,
-             hex(substring(encode(text), 1, 8)) AS head8
+             substr(hex(encode(text)), 1, 16) AS head8
       FROM documents ORDER BY media_id"""))
   )
 }

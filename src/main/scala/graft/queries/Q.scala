@@ -13,7 +13,19 @@ final case class Q(
     oracle: Option[String])
 
 object Tables {
-  /** Read one TESTDATA table from the given scale-factor dir. */
+  /** Read one TESTDATA table from the given scale-factor dir.
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * refuses by default (PARQUET_TYPE_ILLEGAL). We read it as a long via the
+    * legacy conf and rebuild the timestamp with *integer* division — nanos
+    * since epoch (~1.7e18) exceed a double's 53-bit mantissa, so `ts / 1000`
+    * through double arithmetic would corrupt the low digits.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 }

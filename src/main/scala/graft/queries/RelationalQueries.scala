@@ -239,8 +239,10 @@ object RelationalQueries {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
+      // customer grows with the fact tables — let AQE choose its join;
+      // nation/region are bounded dims, broadcast unconditionally.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -45,17 +45,41 @@ object Dedup {
     docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sh"))
       .distinct()
 
-  /** MinHash signatures: one min-hash per band, where band b's hash of a
-    * shingle is md5("b:" + shingle). Banding makes near-dups collide in at
-    * least one band with high probability while each band's signature is a
-    * single value — LSH. */
+  /** (id, shingle) pairs WITH duplicates — for consumers that are
+    * multiset-insensitive (min/max aggregates). Skipping the `distinct`
+    * removes an entire shuffle of the largest intermediate in the minhash
+    * path: the downstream `groupBy(id).min(...)` gets the same answer from
+    * the multiset, with map-side combine collapsing rows before exchange. */
+  def shingleMultiset(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sh"))
+
+  /** MinHash signatures: one min-hash per band. Band b's hash of a shingle
+    * is the b-th disjoint 8-hex-char slice of md5(shingle) — md5 runs ONCE
+    * per shingle and yields up to four independent 32-bit hash functions
+    * (lexicographic min on fixed-width hex = numeric min). Banding makes
+    * near-dups collide in at least one band with high probability while each
+    * band's signature is a single value — LSH.
+    *
+    * All `bands` minima are computed as parallel aggregates of a single
+    * `groupBy(id)` (then unpivoted with `stack`), instead of exploding every
+    * shingle ×bands before the shuffle: one row per (id, shingle) reaches
+    * the exchange with map-side-combined partial minima, and the agg values
+    * are 8-char slices rather than 32-char digests — at 100 TB the explode
+    * variant moves `bands`× the data through the shuffle for the same
+    * answer. */
   def minhashSignatures(shingles: DataFrame, idCol: String,
                         bands: Int = 4): DataFrame = {
-    val bandCol = explode(sequence(lit(0), lit(bands - 1))).as("band")
-    shingles.select(col(idCol), col("sh"), bandCol)
-      .groupBy(col(idCol), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh"))
-        .cast("binary"))).as("mh"))
+    require(bands >= 1 && bands <= 4, "md5 yields four 8-hex-char slices")
+    val hashed = shingles.select(col(idCol),
+      md5(col("sh").cast("binary")).as("__h"))
+    val aggs = (0 until bands).map { b =>
+      min(substring(col("__h"), b * 8 + 1, 8)).as(s"__mh$b")
+    }
+    val wide = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val unpivot = (0 until bands).map(b => s"$b, __mh$b").mkString(", ")
+    wide.select(col(idCol),
+      expr(s"stack($bands, $unpivot) AS (band, mh)"))
   }
 
   /** LSH candidate pairs: equi-join on (band, signature) — the scale path.

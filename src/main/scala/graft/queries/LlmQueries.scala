@@ -31,15 +31,17 @@ object LlmQueries {
       FROM documents ORDER BY doc_id""")),
 
     // MinHash + LSH banding: candidate pairs via (band, signature) buckets.
+    // The signature table feeds both sides of the candidate self-join —
+    // cache it so the shingle explode + groupBy runs once, not twice.
     Q("dd2_minhash_lsh", (s, dir) => {
-      val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text")
-      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+      // multiset: min-per-band doesn't need the distinct's extra shuffle
+      val sh = Dedup.shingleMultiset(t(s, dir, "documents"), "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4).cache()
       Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
     }, Some(s"""
       WITH $ShingleCte,
       sig AS (
-        SELECT doc_id, band,
-               min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS mh
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
         FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
         GROUP BY doc_id, band),
       pairs AS (
@@ -49,8 +51,11 @@ object LlmQueries {
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
     // Exact n-gram Jaccard on LSH candidates (bottom-1 sketch, 1 band).
+    // The shingle set is consumed four times (signature, counts, both join
+    // sides) — cache it once instead of re-running tokenize+explode+distinct.
     Q("dd3_ngram_jaccard", (s, dir) => {
       val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text")
+        .cache()
       val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 1)
       val cand = Dedup.lshCandidatePairs(sig, "doc_id")
       Dedup.jaccardOnCandidates(cand, sh, "doc_id")
@@ -59,7 +64,7 @@ object LlmQueries {
       WITH $ShingleCte,
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       sig AS (
-        SELECT doc_id, min(md5('0:' || sh)) AS mh FROM sh GROUP BY doc_id),
+        SELECT doc_id, min(substr(md5(sh), 1, 8)) AS mh FROM sh GROUP BY doc_id),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.mh = b.mh AND a.doc_id < b.doc_id),

@@ -16,7 +16,9 @@ object DateFns {
     * `to_date('01/'+MM/YYYY) + 1 month - 1 day` ≡ last day of that month
     * (`estimate-transform-load.rkt:226,253`). */
   def endOfMonthFromHeader(mmYYYY: Column): Column =
-    last_day(to_date(concat(lit("01/"), trim(mmYYYY)), "dd/MM/yyyy"))
+    // pattern M (1-2 digits): Zacks headers print single-digit months
+    // ("3/2025"); Postgres to_date('DD/MM/YYYY') is lenient the same way.
+    last_day(to_date(concat(lit("01/"), trim(mmYYYY)), "dd/M/yyyy"))
 
   /** D2 — prior-year date `date - interval '1 year'`
     * (`income-statement-transform-load.rkt:160`). */
@@ -47,6 +49,11 @@ object DateFns {
   /** D6 — 7-day slide-forward retraction window start
     * (`earnings-calendar-transform-load.rkt:84`). */
   def slideBackWindowStart(d: Column): Column = date_sub(d, 7)
+
+  /** D8 — posix timestamp at 6am UTC of the given date — the calendar
+    * request key (`earnings-calendar-extract.rkt:25`). */
+  def posixAt6am(d: Column): Column =
+    d.cast("timestamp").cast("long") + lit(6L * 3600)
 
   /** D9 — 6-month export lookback (`dump-dolt-estimates.rkt:212`). */
   def sixMonthsBack(d: Column): Column = add_months(d, -6)

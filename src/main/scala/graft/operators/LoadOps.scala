@@ -42,27 +42,36 @@ object LoadOps {
                            folderDate: java.sql.Date): DataFrame =
     existing.filter(col(dateCol) < lit(folderDate)).unionByName(fresh)
 
+  /** K5 retraction half: drop stored rows for a symbol within the trailing
+    * week of an incoming row, WITHOUT unioning the incoming rows — pipelines
+    * compose this with [[dedupAppend]] so the insert keeps ON-CONFLICT
+    * semantics (`earnings-calendar-transform-load.rkt:79-87`). */
+  def slideForwardRetract(existing: DataFrame, incoming: DataFrame,
+                          symCol: String, dateCol: String,
+                          windowDays: Int = 7): DataFrame = {
+    val in = incoming.select(
+      col(symCol).as("__sym"),
+      date_sub(col(dateCol), windowDays).as("__start"),
+      col(dateCol).as("__end"))
+    existing.join(in,
+      existing(symCol) === col("__sym") &&
+        existing(dateCol) >= col("__start") &&
+        existing(dateCol) < col("__end"),
+      "left_anti")
+  }
+
   /** K5 — 7-day slide-forward retraction: before inserting a calendar row,
     * delete any stored row for the same symbol within the trailing week —
     * "the event moved forward" (`earnings-calendar-transform-load.rkt:79-87`).
     */
   def slideForward(existing: DataFrame, incoming: DataFrame,
                    symCol: String, dateCol: String,
-                   windowDays: Int = 7): DataFrame = {
-    val in = incoming.select(
-      col(symCol).as("__sym"),
-      date_sub(col(dateCol), windowDays).as("__start"),
-      col(dateCol).as("__end"))
-    // No broadcast hint: the retraction set is one row per incoming calendar
+                   windowDays: Int = 7): DataFrame =
+    // No broadcast hint on the retraction set: one row per incoming calendar
     // entry — small today, but unbounded in principle. AQE broadcasts it when
     // it actually fits and falls back to a shuffled join when it doesn't.
-    val retracted = existing.join(in,
-      existing(symCol) === col("__sym") &&
-        existing(dateCol) >= col("__start") &&
-        existing(dateCol) < col("__end"),
-      "left_anti")
-    retracted.unionByName(incoming)
-  }
+    slideForwardRetract(existing, incoming, symCol, dateCol, windowDays)
+      .unionByName(incoming)
 
   /** J1 — prior-period poison guard: drop an incoming statement row when the
     * stored row one fiscal period back (1 year for annual, 1 quarter for

@@ -80,24 +80,37 @@ object ExtractQueries {
        |</tbody></table>""".stripMargin
   }
 
-  private def buildEstimatesHtml(pk: Long): String =
-    s"""<!DOCTYPE html><html><body id="home"><!-- fixture $pk -->
-       |<div id="main_content"><div id="right_content">
-       |<section id="detailed_earnings_estimates">
+  private def estSections(pk: Long): String =
+    s"""<section id="detailed_earnings_estimates">
        |${estTable(pk, 0, 5)}
        |${estTable(pk, 1, 6)}
        |</section>
        |<section id="agreement_estimate">${estTable(pk, 2, 6)}</section>
        |<section id="quote_upside">${estTable(pk, 3, 1)}</section>
-       |<section id="surprised_reported">${estTable(pk, 4, 2)}</section>
+       |<section id="surprised_reported">${estTable(pk, 4, 2)}</section>""".stripMargin
+
+  private def buildEstimatesHtml(pk: Long): String =
+    s"""<!DOCTYPE html><html><body id="home"><!-- fixture $pk -->
+       |<div id="main_content"><div id="right_content">
+       |${estSections(pk)}
+       |</div></div></body></html>""".stripMargin
+
+  /** Full detailed-estimates document: hero-era ribbon (rank + styles) AND
+    * the five table sections — what [[graft.pipelines.EstimatesPipeline]]
+    * consumes. */
+  private[queries] def buildFullEstimateDoc(pk: Long): String =
+    s"""<!DOCTYPE html><html><body id="home">
+       |<div id="main_content"><div id="right_content">
+       |<section class="quote_page_hero_section">${ribbonSection(pk, pipes = true)}</section>
+       |${estSections(pk)}
        |</div></div></body></html>""".stripMargin
 
   private val RankNames =
     Seq("Strong Buy", "Buy", "Hold", "Sell", "Strong Sell")
 
-  /** Quote-ribbon fixture for one of the five layout eras
-    * (`estimate-transform-load.rkt:14-76`). */
-  private def buildRibbonHtml(pk: Long, era: Int): String = {
+  /** The quote-ribbon section alone (hero-shaped span layout when `pipes`). */
+  private def ribbonSection(pk: Long, pipes: Boolean,
+                            styleDiv3: Boolean = false): String = {
     val d = (pk % 5) + 1
     val rankP =
       s"""<p>\n  <span class="rank_chip"></span>\n  $d-${RankNames((d - 1).toInt)}\n</p>"""
@@ -105,16 +118,19 @@ object ExtractQueries {
     val plainSpans = (1 to 4).map(n => s"<span>${letter(n)}</span>").mkString
     val pipeSpans = (1 to 4).map(n => s"<span> ${letter(n)} </span>")
       .mkString("<span> | </span>")
-    val styleP =
-      if (era <= 1) s"<p>$plainSpans</p>" else s"<p>$pipeSpans</p>"
-    val innerDivs = era match {
-      case 1 | 2 => // style scores at div 3
+    val styleP = if (pipes) s"<p>$pipeSpans</p>" else s"<p>$plainSpans</p>"
+    val innerDivs =
+      if (styleDiv3)
         s"<div>$rankP</div><div><p>filler</p></div><div>$styleP</div>"
-      case _ => // style scores at div 2
-        s"<div>$rankP</div><div>$styleP</div>"
-    }
-    val ribbon =
-      s"""<section id="quote_ribbon_v2"><div><p>price</p></div><div>$innerDivs</div></section>"""
+      else s"<div>$rankP</div><div>$styleP</div>"
+    s"""<section id="quote_ribbon_v2"><div><p>price</p></div><div>$innerDivs</div></section>"""
+  }
+
+  /** Quote-ribbon fixture for one of the five layout eras
+    * (`estimate-transform-load.rkt:14-76`). */
+  private def buildRibbonHtml(pk: Long, era: Int): String = {
+    val ribbon = ribbonSection(pk, pipes = era >= 2,
+      styleDiv3 = era == 1 || era == 2)
     val content =
       if (era == 4)
         s"""<section class="quote_page_hero_section banner">$ribbon</section>"""
@@ -131,15 +147,17 @@ object ExtractQueries {
   private def stIdx(pk: Long, per: Int, tbl: Int, r: Int, c: Int): Long =
     pk * 11 + per * 13 + tbl * 17 + r * 7 + c
 
-  private def stDateHeader(pk: Long, per: Int, c: Int): String = {
+  private def stDateHeader(pk: Long, per: Int, c: Int,
+                           yy2: Boolean = false): String = {
     val m = ((pk + c) % 12) + 1
     val dd = 10 + ((pk + per) % 15)
     val y = 2015 + ((pk + c) % 8)
-    s"$m/$dd/$y"
+    if (yy2) s"$m/$dd/${y - 2000}" else s"$m/$dd/$y"
   }
 
-  private def stmtTable(pk: Long, per: Int, tbl: Int, nRows: Int): String = {
-    val thead = (2 to 6).map(c => s"<th>${stDateHeader(pk, per, c)}</th>")
+  private def stmtTable(pk: Long, per: Int, tbl: Int, nRows: Int,
+                        yy2: Boolean = false): String = {
+    val thead = (2 to 6).map(c => s"<th>${stDateHeader(pk, per, c, yy2)}</th>")
       .mkString
     val body = (1 to nRows).map { r =>
       val tds = (2 to 6).map(c =>
@@ -162,17 +180,22 @@ object ExtractQueries {
     s"<html><body id=home>\n$divs\n</body></html>"
   }
 
-  private def buildIncomeHtml(pk: Long): String = {
+  private def buildIncomeHtml(pk: Long): String = buildIncomeDoc(pk, yy2 = false)
+
+  /** Income-statement fixture; `yy2` renders the reference's 2-digit-year
+    * headers ("M/dd/yy", `income-statement-transform-load.rkt:100-102`) for
+    * pipeline-level tests that parse the dates. */
+  private[queries] def buildIncomeDoc(pk: Long, yy2: Boolean): String = {
     val annual =
       s"""<div id="annual_income_statement">
-         |${stmtTable(pk, 0, 1, 15)}
-         |${stmtTable(pk, 0, 2, 2)}
-         |${stmtTable(pk, 0, 3, 3)}
+         |${stmtTable(pk, 0, 1, 15, yy2)}
+         |${stmtTable(pk, 0, 2, 2, yy2)}
+         |${stmtTable(pk, 0, 3, 3, yy2)}
          |</div>""".stripMargin
     val quarterly =
       s"""<div id="quarterly_income_statement">
-         |${stmtTable(pk, 1, 1, 15)}
-         |${stmtTable(pk, 1, 2, 3)}
+         |${stmtTable(pk, 1, 1, 15, yy2)}
+         |${stmtTable(pk, 1, 2, 3, yy2)}
          |</div>""".stripMargin
     s"<html><body id=home>\n$annual\n$quarterly\n</body></html>"
   }
@@ -457,14 +480,18 @@ object ExtractQueries {
         lit(".25\", \"c\", \""), exDate,
         lit("\", \"d\", \""), payable, lit("\"]]}"))
       val df = t(s, dir, "customer").select(ck, raw.as("raw"))
-      CalendarExtract.dividendRows(df, col("raw")).orderBy("act_symbol")
+      CalendarExtract.dividendRows(df, col("raw"))
+        // amount graded as double — the harness coerces DuckDB decimals to
+        // float64 and exact Decimal-vs-float compares would false-negative
+        .withColumn("amount", col("amount").cast("double"))
+        .orderBy("act_symbol")
     }, Some("""
       SELECT 'D' || CAST(c_custkey AS VARCHAR) AS act_symbol,
              CAST(('2024-' || lpad(CAST((c_custkey % 12) + 1 AS VARCHAR), 2, '0')
                    || '-' || lpad(CAST((c_custkey % 28) + 1 AS VARCHAR), 2, '0'))
                   AS DATE) AS ex_date,
              CAST(CAST((c_custkey % 9) + 1 AS VARCHAR) || '.25'
-                  AS DECIMAL(38,4)) AS amount,
+                  AS DOUBLE) AS amount,
              CASE WHEN c_custkey % 2 = 0 THEN NULL
                   ELSE DATE '2024-12-15' END AS payable_date
       FROM customer ORDER BY act_symbol"""))

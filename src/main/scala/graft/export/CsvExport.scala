@@ -29,7 +29,9 @@ object CsvExport {
     projectForCsv(df.orderBy(pk.map(col): _*))
       .coalesce(1)
       .sortWithinPartitions(pk.map(col): _*)
-      .write.mode("overwrite").option("header", true).csv(path)
+      .write.mode("overwrite").option("header", true)
+      // bare empty for NULL, like the reference's coalesce(col::text, '')
+      .option("emptyValue", "").csv(path)
 
   /** A3 + P2 — distinct dates drive one filtered export each; returns the
     * exported dates. The per-date filter prunes partitions when the source
@@ -52,5 +54,6 @@ object CsvExport {
     projectForCsv(df.repartition(col(dateCol))
       .sortWithinPartitions(pk.map(col): _*))
       .write.mode("overwrite").option("header", true)
+      .option("emptyValue", "")
       .partitionBy(dateCol).csv(baseDir)
 }

@@ -162,7 +162,7 @@ object PipelineQueries {
 
     // S5 — raw-zone scan: dated fixture folder + suffix glob + symbol from
     // filename. No DuckDB oracle (the fixture folder is outside its reach):
-    // the driver records a rows-only check; ScanSpec asserts the content.
+    // the driver records a rows-only check; PipelinesSpec asserts content.
     Q("s5_raw_zone_scan", (s, dir) => {
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_s5_fixture")

@@ -1,0 +1,48 @@
+package graft.sinks
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** K3 (date-partitioned snapshot model) + K6 (compaction rewrite). */
+class SnapshotStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("partitioned write round-trips and prunes by date") {
+    val path = Files.createTempDirectory("graft_store").toString + "/t"
+    val df = Seq(
+      ("AAPL", Date.valueOf("2024-01-01"), 1.0),
+      ("MSFT", Date.valueOf("2024-01-01"), 2.0),
+      ("AAPL", Date.valueOf("2024-01-02"), 3.0))
+      .toDF("act_symbol", "date", "v")
+    SnapshotStore.write(df, path)
+    assert(new java.io.File(path).listFiles()
+      .exists(_.getName == "date=2024-01-01")) // partition dir per date
+    val back = SnapshotStore.read(spark, path)
+    assert(back.count() === 3)
+    val pruned = back.filter($"date" === Date.valueOf("2024-01-02"))
+    assert(pruned.count() === 1)
+    // partition pruning visible in the plan, not a full scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("date=2024-01-01"))
+  }
+
+  test("compact rewrites each date partition to the target file count") {
+    val path = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 40).map(i =>
+      (s"S$i", Date.valueOf("2024-01-01"), i.toDouble))
+      .toDF("act_symbol", "date", "v")
+    df.repartition(8).write.partitionBy("date").parquet(path)
+    val before = new java.io.File(path + "/date=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before > 1)
+    SnapshotStore.compact(spark, path)
+    val after = new java.io.File(path + "/date=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === 1)
+    assert(SnapshotStore.read(spark, path).count() === 40)
+  }
+}

@@ -127,38 +127,39 @@ object EstimateExtract {
     s.getOrElse("")
   }
 
-  /** U1 — one table cell: section's n-th table (sales/eps share a section,
-    * `first`/`second` table, `estimate-transform-load.rkt:81-86`), row in
-    * thead (date) or tbody, 1-based column. */
-  private def cell(root: HElem, spec: SectionSpec, rowGroup: String, row: Int,
-                   col: Int): String = {
-    val v = for {
-      sec <- root.byId("section", spec.id)
-      table <- sec.nthDescendant("table", spec.tableOrdinal)
-      group <- table.kid(rowGroup).orElse(table.nthDescendant(rowGroup, 1))
-      tr <- group.kid("tr", row)
-      cellEl <- tr.kid(if (rowGroup == "thead") "th" else "td", col)
-    } yield cellEl.lastText
-    sanitizeCell(v.getOrElse(""))
-  }
-
-  /** Parse everything the loader needs from one detailed-estimates page. */
+  /** Parse everything the loader needs from one detailed-estimates page.
+    * Each section's n-th table (sales/eps share a section — `first`/`second`
+    * table, `estimate-transform-load.rkt:81-86`) is materialized to a
+    * [[TableGrid]] in one walk; the hundreds of per-cell lookups are then
+    * O(1) — the reference re-runs an sxpath per cell instead
+    * (`estimate-transform-load.rkt:113-114`). */
   def parse(html: String, folderDate: LocalDate): EstimatesParsed = {
     val root = Html.parse(html)
+    val gridCache = scala.collection.mutable.Map[(String, Int), TableGrid]()
+    def gridFor(spec: SectionSpec): TableGrid =
+      gridCache.getOrElseUpdate((spec.id, spec.tableOrdinal),
+        root.byId("section", spec.id)
+          .flatMap(_.nthDescendant("table", spec.tableOrdinal))
+          .map(TableGrid.of)
+          .getOrElse(TableGrid(Vector.empty, Vector.empty)))
+    def cell(spec: SectionSpec, rowGroup: String, row: Int,
+             col: Int): String =
+      sanitizeCell(gridFor(spec).cell(rowGroup, row, col))
+
     val periodCells = Periods.zipWithIndex.map { case (period, i) =>
       val col = i + 2
       Sections.map { case (name, spec) =>
         val entries = spec.entries.map { case (entry, row) =>
-          entry -> cell(root, spec, "tbody", row, col)
-        } :+ ("date" -> cell(root, spec, "thead", 1, col))
+          entry -> cell(spec, "tbody", row, col)
+        } :+ ("date" -> cell(spec, "thead", 1, col))
         CellRow(name, period, entries.toMap)
       }
     }
     val historyCells = HistoryQuarters.zipWithIndex.map { case (q, i) =>
       val col = i + 2
       val entries = SurpriseSpec.entries.map { case (entry, row) =>
-        entry -> cell(root, SurpriseSpec, "tbody", row, col)
-      } :+ ("date" -> cell(root, SurpriseSpec, "thead", 1, col))
+        entry -> cell(SurpriseSpec, "tbody", row, col)
+      } :+ ("date" -> cell(SurpriseSpec, "thead", 1, col))
       Seq(CellRow("eps-surprise", q, entries.toMap))
     }
     EstimatesParsed(

@@ -91,6 +91,34 @@ final case class HElem(tag: String, attrs: Map[String, String],
   }
 }
 
+/** A table materialized to text in ONE tree walk: `head`/`body` are
+  * row-major cell grids (th-only for head rows, td-only for body rows,
+  * `lastText` per cell). Extractors address hundreds of cells per document;
+  * re-walking the DOM per cell is what made the reference re-traverse per
+  * sxpath — the grid makes every lookup O(1) after one walk. */
+final case class TableGrid(head: Vector[Vector[String]],
+                           body: Vector[Vector[String]]) {
+  /** 1-based (row, col) in the given group; "" when absent. */
+  def cell(group: String, row: Int, col: Int): String = {
+    val rows = if (group == "thead") head else body
+    if (row < 1 || row > rows.size) ""
+    else {
+      val r = rows(row - 1)
+      if (col < 1 || col > r.size) "" else r(col - 1)
+    }
+  }
+}
+
+object TableGrid {
+  def of(table: HElem): TableGrid = {
+    def rows(groupTag: String, cellTag: String): Vector[Vector[String]] =
+      table.kid(groupTag).orElse(table.nthDescendant(groupTag, 1)).toVector
+        .flatMap(_.kids("tr"))
+        .map(tr => tr.kids(cellTag).map(_.lastText))
+    TableGrid(rows("thead", "th"), rows("tbody", "td"))
+  }
+}
+
 object Html {
 
   /** Elements that never have children. */

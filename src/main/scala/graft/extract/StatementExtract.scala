@@ -103,30 +103,31 @@ object StatementExtract {
 
   private val DateCols = 1 to 5 // table columns 2..6, newest first
 
-  /** Generic cell: n-th table under a container element, thead/tbody row,
-    * 1-based column (column = dateIdx + 1). */
-  private def cellIn(container: HElem, tableOrdinal: Int, rowGroup: String,
-                     row: Int, col: Int): String = {
-    val v = for {
-      table <- container.nthDescendant("table", tableOrdinal)
-      group <- table.kid(rowGroup).orElse(table.nthDescendant(rowGroup, 1))
-      tr <- group.kid("tr", row)
-      cellEl <- tr.kid(if (rowGroup == "thead") "th" else "td", col)
-    } yield cellEl.lastText
-    sanitizeStatementCell(v.getOrElse(""))
-  }
+  /** All tables under a container, each materialized to a [[TableGrid]] in
+    * one walk — per-cell lookups are O(1) afterwards (the per-cell DOM
+    * re-traversal is what the reference pays per sxpath). */
+  private def gridsUnder(container: HElem): Vector[TableGrid] =
+    container.descendants.filter(_.tag == "table").map(TableGrid.of).toVector
+
+  private def cellOf(grids: Vector[TableGrid], tableOrdinal: Int,
+                     rowGroup: String, row: Int, col: Int): String =
+    sanitizeStatementCell(
+      if (tableOrdinal < 1 || tableOrdinal > grids.size) ""
+      else grids(tableOrdinal - 1).cell(rowGroup, row, col))
 
   private def sliceRows(container: HElem, period: String,
                         entries: Seq[(String, (Int, Int))],
-                        periodOffset: Int): Seq[StmtRow] =
+                        periodOffset: Int): Seq[StmtRow] = {
+    val grids = gridsUnder(container)
     DateCols.map { dateIdx =>
       val col = dateIdx + 1
       val m = entries.map { case (name, (tbl0, row)) =>
         val tbl = if (tbl0 == 0) 2 + periodOffset else tbl0
-        name -> cellIn(container, tbl, "tbody", row, col)
-      } :+ ("date" -> cellIn(container, 1, "thead", 1, col))
+        name -> cellOf(grids, tbl, "tbody", row, col)
+      } :+ ("date" -> cellOf(grids, 1, "thead", 1, col))
       StmtRow(period, dateIdx, m.toMap)
     }
+  }
 
   /** U4 — both balance-sheet periods live under *income-statement* section
     * ids (a quirk the reference preserves,
@@ -159,15 +160,15 @@ object StatementExtract {
     * the entry spec map to the two sections. */
   def parseCashFlowLegacy(html: String): StmtParsed = {
     val root = Html.parse(html)
-    val ops = root.byId("section", "cash_flow_operation")
-    val uses = root.byId("section", "cash_flow_use")
+    val ops = root.byId("section", "cash_flow_operation").map(gridsUnder)
+    val uses = root.byId("section", "cash_flow_use").map(gridsUnder)
     val rows = DateCols.flatMap { dateIdx =>
       val col = dateIdx + 1
       val sections = Map(1 -> ops, 2 -> uses)
       val cells = CashFlowEntries.flatMap { case (name, (tbl, row)) =>
-        sections(tbl).map(sec => name -> cellIn(sec, 1, "tbody", row, col))
+        sections(tbl).map(g => name -> cellOf(g, 1, "tbody", row, col))
       }
-      val date = ops.map(sec => "date" -> cellIn(sec, 1, "thead", 1, col))
+      val date = ops.map(g => "date" -> cellOf(g, 1, "thead", 1, col))
       if (cells.isEmpty && date.isEmpty) Nil
       else Seq(StmtRow("annual", dateIdx, (cells ++ date).toMap))
     }
@@ -181,13 +182,16 @@ object StatementExtract {
     val root = Html.parse(html)
     val rows = Seq("annual", "quarterly").flatMap { period =>
       root.byId("div", s"${period}_cash_flow_statement").toSeq.flatMap { sec =>
+        val divGrids: Map[Int, Vector[TableGrid]] =
+          Seq(1, 2).flatMap(i => sec.kid("div", i).map(i -> gridsUnder(_)))
+            .toMap
         DateCols.flatMap { dateIdx =>
           val col = dateIdx + 1
           val cells = CashFlowEntries.flatMap { case (name, (tbl, row)) =>
-            sec.kid("div", tbl).map(d => name -> cellIn(d, 1, "tbody", row, col))
+            divGrids.get(tbl).map(g => name -> cellOf(g, 1, "tbody", row, col))
           }
-          val date = sec.kid("div", 1)
-            .map(d => "date" -> cellIn(d, 1, "thead", 1, col))
+          val date = divGrids.get(1)
+            .map(g => "date" -> cellOf(g, 1, "thead", 1, col))
           if (cells.isEmpty) Nil
           else Seq(StmtRow(period, dateIdx, (cells ++ date).toMap))
         }

@@ -17,6 +17,16 @@ import Tables.t
   */
 object ExtractQueries {
 
+  /** Document-parse inputs come from ONE small parquet file, i.e. one input
+    * split — without an explicit repartition every CPU-heavy parse would run
+    * on a single core. Spreading to the default parallelism is the same
+    * move a real ingest makes when a date folder arrives as few large
+    * files. */
+  private[queries] def spread(s: org.apache.spark.sql.SparkSession,
+                              df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   // ---------------------------------------------------------------- fixtures
 
   /** Estimate-cell vocabulary covering every F1 sanitizer shape
@@ -273,7 +283,7 @@ object ExtractQueries {
     // U1 — estimate table cells across all five sections, all periods, with
     // the F1 sanitize chain, via the one-parse-per-document UDF.
     Q("u1_estimate_cells", (s, dir) => {
-      val parsed = t(s, dir, "part").select(col("p_partkey"))
+      val parsed = spread(s, t(s, dir, "part").select(col("p_partkey")))
         .withColumn("p", parseEstimatesUdf(
           buildEstimatesUdf(col("p_partkey")), lit("2025-01-01")))
       parsed.select(col("p_partkey"),
@@ -307,7 +317,7 @@ object ExtractQueries {
     // U2+U3 — rank + four style scores across ALL five date-gated layout
     // eras (era = pk % 5 picks both the DOM shape and the folder date).
     Q("u2_u3_rank_style_layouts", (s, dir) => {
-      val base = t(s, dir, "part").select(col("p_partkey"))
+      val base = spread(s, t(s, dir, "part").select(col("p_partkey")))
         .withColumn("era", (col("p_partkey") % 5).cast("int"))
       val folderDate = element_at(
         array(EraDates.map(lit): _*), col("era") + 1)
@@ -335,7 +345,7 @@ object ExtractQueries {
     // U4 — balance-sheet figures: 3 tables × (2 periods × 5 date columns),
     // including the row-9-skip in the equity table.
     Q("u4_balance_sheet_cells", (s, dir) => {
-      val parsed = t(s, dir, "part").select(col("p_partkey"))
+      val parsed = spread(s, t(s, dir, "part").select(col("p_partkey")))
         .withColumn("p", parseBalanceUdf(buildBalanceUdf(col("p_partkey"))))
         .select(col("p_partkey"), explode(col("p").getField("rows")).as("r"))
       parsed.select(col("p_partkey"),
@@ -359,7 +369,7 @@ object ExtractQueries {
     // U5 — income-statement figures incl. the annual period-offset quirk:
     // per-share entries read table 3 on annual pages, table 2 on quarterly.
     Q("u5_income_statement_cells", (s, dir) => {
-      val parsed = t(s, dir, "part").select(col("p_partkey"))
+      val parsed = spread(s, t(s, dir, "part").select(col("p_partkey")))
         .withColumn("p", parseIncomeUdf(buildIncomeUdf(col("p_partkey"))))
         .select(col("p_partkey"), explode(col("p").getField("rows")).as("r"))
       parsed.select(col("p_partkey"),
@@ -382,7 +392,7 @@ object ExtractQueries {
 
     // U6 — legacy cash-flow layout: two section ids, annual only.
     Q("u6_cash_flow_legacy_cells", (s, dir) => {
-      val parsed = t(s, dir, "part").select(col("p_partkey"))
+      val parsed = spread(s, t(s, dir, "part").select(col("p_partkey")))
         .withColumn("p", parseCfLegacyUdf(buildCfLegacyUdf(col("p_partkey"))))
         .select(col("p_partkey"), explode(col("p").getField("rows")).as("r"))
       parsed.select(col("p_partkey"),
@@ -412,7 +422,7 @@ object ExtractQueries {
     // U7 — 2024-02-01 cash-flow layout: per-period div wrappers with inner
     // div[1|2] table containers (the variant in production).
     Q("u7_cash_flow_2024_cells", (s, dir) => {
-      val parsed = t(s, dir, "part").select(col("p_partkey"))
+      val parsed = spread(s, t(s, dir, "part").select(col("p_partkey")))
         .withColumn("p", parseCf2024Udf(buildCf2024Udf(col("p_partkey"))))
         .select(col("p_partkey"), explode(col("p").getField("rows")).as("r"))
       parsed.select(col("p_partkey"),

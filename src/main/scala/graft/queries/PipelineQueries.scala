@@ -53,7 +53,7 @@ object PipelineQueries {
     // the rest are "rolled back" like the reference's failed transactions),
     // D1 period-end synthesis, NA→NULL casts, K1 dedup-append.
     Q("pipe1_estimates_eps_load", (s, dir) => {
-      val docs = t(s, dir, "part").select(
+      val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
         concat(lit("P"), col("p_partkey")).as("act_symbol"),
         buildFullEstimateUdf(col("p_partkey")).as("html"),
         lit("2025-01-01").cast("date").as("folder_date"))
@@ -93,7 +93,7 @@ object PipelineQueries {
     // enum, ×1e6 scaling with per-share exemptions, quarterly D&A NULLs,
     // J1 guard + K1 append against an empty store.
     Q("pipe2_income_stmt_load", (s, dir) => {
-      val docs = t(s, dir, "part").select(
+      val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
         concat(lit("P"), col("p_partkey")).as("act_symbol"),
         buildIncomeYYUdf(col("p_partkey")).as("html"),
         lit("2025-06-01").cast("date").as("folder_date"))

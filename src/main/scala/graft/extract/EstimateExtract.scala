@@ -19,15 +19,19 @@ import java.time.LocalDate
   */
 object EstimateExtract {
 
-  /** Sanitized cell group: one period row for one section. `entries`
-    * includes the raw `date` header "(MM/YYYY)" under key "date"; all other
-    * values are post-F1 strings ("NA" or numeric text). */
-  final case class CellRow(section: String, period: String,
-                           entries: Map[String, String])
-
+  /** Parsed document: rank + style scores, and every table cell keyed
+    * `"<section>|<period>" -> (entry -> value)`. Entry maps include the raw
+    * `date` header "(MM/YYYY)" under key "date"; all other values are
+    * post-F1 strings ("NA" or numeric text). A flat two-level map (rather
+    * than an array of rows) keeps downstream Column lookups at one
+    * `element_at` each instead of an interpreted array filter per
+    * projection. */
   final case class EstimatesParsed(rank: String, value: String, growth: String,
                                    momentum: String, vgm: String,
-                                   cells: Seq[CellRow])
+                                   cells: Map[String, Map[String, String]])
+
+  /** Key of one section's cells for one period in [[EstimatesParsed.cells]]. */
+  def cellKey(section: String, period: String): String = s"$section|$period"
 
   val HeroCutoff: LocalDate = LocalDate.of(2024, 11, 10)
   private val StyleCut1 = LocalDate.of(2018, 10, 7)
@@ -146,21 +150,22 @@ object EstimateExtract {
              col: Int): String =
       sanitizeCell(gridFor(spec).cell(rowGroup, row, col))
 
-    val periodCells = Periods.zipWithIndex.map { case (period, i) =>
+    val periodCells = for {
+      (period, i) <- Periods.zipWithIndex
+      (name, spec) <- Sections
+    } yield {
       val col = i + 2
-      Sections.map { case (name, spec) =>
-        val entries = spec.entries.map { case (entry, row) =>
-          entry -> cell(spec, "tbody", row, col)
-        } :+ ("date" -> cell(spec, "thead", 1, col))
-        CellRow(name, period, entries.toMap)
-      }
+      val entries = spec.entries.map { case (entry, row) =>
+        entry -> cell(spec, "tbody", row, col)
+      } :+ ("date" -> cell(spec, "thead", 1, col))
+      cellKey(name, period) -> entries.toMap
     }
     val historyCells = HistoryQuarters.zipWithIndex.map { case (q, i) =>
       val col = i + 2
       val entries = SurpriseSpec.entries.map { case (entry, row) =>
         entry -> cell(SurpriseSpec, "tbody", row, col)
       } :+ ("date" -> cell(SurpriseSpec, "thead", 1, col))
-      Seq(CellRow("eps-surprise", q, entries.toMap))
+      cellKey("eps-surprise", q) -> entries.toMap
     }
     EstimatesParsed(
       rank = rank(root, folderDate),
@@ -168,6 +173,6 @@ object EstimateExtract {
       growth = styleScore(root, folderDate, 2),
       momentum = styleScore(root, folderDate, 3),
       vgm = styleScore(root, folderDate, 4),
-      cells = (periodCells ++ historyCells).flatten)
+      cells = (periodCells ++ historyCells).toMap)
   }
 }

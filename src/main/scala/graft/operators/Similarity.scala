@@ -60,4 +60,24 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucketing, exact
+    * cosine only WITHIN a bucket, keep pairs at/above the threshold.
+    *
+    * Scale shape: the only join is the bucket equi-join, so comparison count
+    * is Σ bucket² rather than n² — at 100 TB `bits` grows with the corpus
+    * (and skewed buckets split by salting a secondary hash) to bound bucket
+    * size; recall is traded via multi-probe exactly like [[bucketedTopK]].
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 4): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val a = e.select(col(idCol).as("id_a"), col("v").as("va"), col("bucket"))
+    val b = e.select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

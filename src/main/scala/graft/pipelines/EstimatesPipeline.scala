@@ -59,10 +59,8 @@ object EstimatesPipeline {
   }
 
   private def cellFor(section: String, entry: String): Column =
-    element_at(element_at(filter(col("p").getField("cells"), x =>
-      x.getField("section") === section &&
-        x.getField("period") === col("zper")), 1)
-      .getField("entries"), entry)
+    element_at(element_at(col("p").getField("cells"),
+      concat(lit(section + "|"), col("zper"))), entry)
 
   /** One row per (doc, estimate period), with the enum period label. */
   private def byPeriod(parsedDocs: DataFrame): DataFrame =

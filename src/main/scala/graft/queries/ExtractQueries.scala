@@ -254,9 +254,8 @@ object ExtractQueries {
 
   private def cellOf(parsed: Column, section: String, period: String,
                      entry: String): Column =
-    element_at(element_at(filter(parsed.getField("cells"), x =>
-      x.getField("section") === section && x.getField("period") === period), 1)
-      .getField("entries"), entry)
+    element_at(element_at(parsed.getField("cells"),
+      EstimateExtract.cellKey(section, period)), entry)
 
   private def entryOf(row: Column, name: String): Column =
     element_at(row.getField("entries"), name)

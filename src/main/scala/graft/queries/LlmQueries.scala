@@ -107,6 +107,31 @@ object LlmQueries {
                   AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Embedding-cosine near-dup pairs: sign-LSH bucket, exact cosine within
+    // bucket, threshold filter (on the rounded score in both engines).
+    Q("dd5_embedding_neardup", (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, bits = 4)
+        .orderBy("id_a", "id_b"),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x)))),
+                     6) AS cos
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
+      ORDER BY id_a, id_b""")),
+
     // Brute-force cosine top-k against the vec_id=0 embedding (exact path).
     Q("sim1_cosine_topk", (s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",

@@ -81,8 +81,7 @@ class ExtractorsSpec extends AnyFunSuite {
   test("U1 sales/eps share a section: first vs second table, row offsets") {
     val p = EstimateExtract.parse(estimateDoc, LocalDate.of(2025, 1, 1))
     def cell(section: String, period: String, entry: String): String =
-      p.cells.find(c => c.section == section && c.period == period)
-        .get.entries(entry)
+      p.cells(EstimateExtract.cellKey(section, period))(entry)
     // sales = 1st table, offset 0: high is row 3
     assert(cell("sales-estimates", "current-quarter", "consensus") === "10.5")
     assert(cell("sales-estimates", "current-quarter", "high") === "1000.5e6")

@@ -698,15 +698,15 @@ object RelationalQueries {
       ORDER BY d""")),
 
     // ------------------------------------------------------------------
-    // §2.8 streaming-shaped: tumbling-window aggregation (batch form; the
-    // Structured Streaming form is exercised in StreamingSpec).
+    // §2.8 streaming-shaped: tumbling-window aggregation via the streaming
+    // module's batch form (the Structured Streaming form — same function on
+    // a streaming frame plus foreachBatch loaders — is exercised in
+    // StreamingSpec).
     // ------------------------------------------------------------------
     Q("st1_tumbling_hourly", (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
-        .select(col("window.start").as("ws"), col("event_type"),
-          col("n"), col("sv"))
+      graft.streaming.StreamingLoad.tumblingCounts(
+        t(s, dir, "events"), "ts", col("event_type"),
+        valueCol = col("value"))
         .orderBy("ws", "event_type"),
       Some("""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.operators.LoadOps
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
 /** SURVEY §2.8 stretch: daily folder arrival as a Structured Streaming file
   * source, with `foreachBatch` reusing the SAME batch load operators (K1
@@ -67,5 +68,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.count() === 2)
     assert(store.filter(col("act_symbol") === "MSFT")
       .head().getDate(1) === Date.valueOf("2024-02-20"))
+  }
+
+  test("StreamingLoad.foreachFolderBatch carries the snapshot across batches") {
+    val inDir = Files.createTempDirectory("graft_sload").toFile
+    val initial = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("AAPL", Date.valueOf("2024-01-10"), null))), schema)
+    val (query, snapshot) = StreamingLoad.foreachFolderBatch(
+      spark, inDir.getAbsolutePath, schema, initial,
+      (store, batch) => LoadOps.dedupAppend(
+        store, batch.select(store.columns.map(col).toSeq: _*),
+        Seq("act_symbol", "date")))
+    Files.writeString(new java.io.File(inDir, "f1.json").toPath,
+      """{"act_symbol":"NVDA","date":"2024-02-01","when":"After market close"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    assert(snapshot().count() === 2)
+    Files.writeString(new java.io.File(inDir, "f2.json").toPath,
+      """{"act_symbol":"NVDA","date":"2024-02-01","when":"Before market open"}
+        |{"act_symbol":"AMZN","date":"2024-02-02","when":null}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    // NVDA re-arrival is a PK duplicate: existing row wins (ON CONFLICT
+    // DO NOTHING), AMZN appends
+    val s = snapshot()
+    assert(s.count() === 3)
+    assert(s.filter(col("act_symbol") === "NVDA").head().getString(2) ===
+      "After market close")
+  }
+
+  test("tumblingCounts on a stream applies the watermark") {
+    val inDir = Files.createTempDirectory("graft_tumble").toFile
+    val evSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(evSchema)
+      .json(inDir.getAbsolutePath)
+    val agg = StreamingLoad.tumblingCounts(stream, "ts", col("event_type"),
+      windowLen = "1 hour", watermark = "2 hours", valueCol = col("value"))
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumble").start()
+    Files.writeString(new java.io.File(inDir, "e1.json").toPath,
+      """{"ts":"2024-01-01T10:15:00.000Z","event_type":"click","value":1.5}
+        |{"ts":"2024-01-01T10:45:00.000Z","event_type":"click","value":2.0}
+        |{"ts":"2024-01-01T11:05:00.000Z","event_type":"view","value":1.0}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("tumble").orderBy("ws", "event_type").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq(("click", 2L, 3.5), ("view", 1L, 1.0)))
   }
 }

@@ -61,6 +61,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe variant of [[bucketedTopK]]: also probe every bucket at
+    * Hamming distance 1 from the query's (flip each sign bit once). Recall
+    * recovers most of what single-bucket probing loses — a vector near a
+    * hyperplane lands on the other side of exactly that bit — while still
+    * pruning to (bits+1)/2^bits of the data. */
+  def bucketedTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+                             queryId: Long, k: Int,
+                             bits: Int = 4): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val probeSet = array(
+      col("qbucket") +:
+        (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1 << b))): _*)
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("probe", explode(probeSet))
+    e.join(broadcast(q), col("bucket") === col("probe"))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucketing, exact
     * cosine only WITHIN a bucket, keep pairs at/above the threshold.
     *

@@ -65,20 +65,34 @@ object StatementsPipeline {
       mostRecent.isNull || !DateFns.isStale(col("folder_date"), mostRecent))
   }
 
-  private def explodeRows(parsedDocs: DataFrame): DataFrame =
-    parsedDocs.select(col("act_symbol"), col("folder_date"),
+  /** Strict mode — the reference's actual behavior: statement inserts have
+    * NO 'NA'-to-NULL mapping, so ANY cell that fails `::decimal` (including
+    * 'NA' and blank) aborts that (doc, period, date) insert
+    * (`income-statement-transform-load.rkt:201-226` casts directly). When
+    * `strict`, such rows are dropped instead of carrying NULLs. */
+  private def strictRowOk: Column =
+    !exists(
+      map_values(map_filter(col("r").getField("entries"),
+        (k, _) => k =!= "date")),
+      v => v.try_cast("double").isNull)
+
+  private def explodeRows(parsedDocs: DataFrame,
+                          strict: Boolean = false): DataFrame = {
+    val rows = parsedDocs.select(col("act_symbol"), col("folder_date"),
       explode(col("p").getField("rows")).as("r"))
+    if (strict) rows.filter(strictRowOk) else rows
+  }
 
   /** Income statement → `income_statement` rows
     * (`income-statement-transform-load.rkt:106-277`). Quarterly documents
     * store NULL for the two D&A columns (`:219-226`), and those columns are
     * null-compared in the J1 guard (`:141-148`). */
-  def incomeStatement(docs: DataFrame): DataFrame = {
+  def incomeStatement(docs: DataFrame, strict: Boolean = false): DataFrame = {
     val parsedDocs = staleGuard(
       docs.withColumn("p", parseIncomeUdf(col("html"))),
       guardPeriod = "quarterly", twoDigitYear = true)
     val annual = col("r").getField("period") === "annual"
-    explodeRows(parsedDocs).select(
+    explodeRows(parsedDocs, strict).select(
       col("act_symbol"),
       DateFns.parseStatementDate(entry("date"), twoDigitYear = true)
         .as("date"),
@@ -134,11 +148,12 @@ object StatementsPipeline {
     * (`balance-sheet-transform-load.rkt:115-463`, one transaction per
     * document covering assets/liabilities/equity).
     * `book_value_per_share` is the one unscaled column (`:432`). */
-  def balanceSheet(docs: DataFrame): Map[String, DataFrame] = {
+  def balanceSheet(docs: DataFrame,
+                   strict: Boolean = false): Map[String, DataFrame] = {
     val parsedDocs = staleGuard(
       docs.withColumn("p", parseBalanceUdf(col("html"))),
       guardPeriod = "quarterly", twoDigitYear = false).cache()
-    val rows = explodeRows(parsedDocs)
+    val rows = explodeRows(parsedDocs, strict)
     def table(name: String, scaledCols: Seq[String],
               unscaledCols: Seq[String] = Nil): DataFrame =
       rows.select(Seq(
@@ -166,7 +181,8 @@ object StatementsPipeline {
     * the production U7 layout (both periods); the legacy U6 layout is
     * annual-only (`cash-flow-statement-transform-load.rkt:265` vs
     * `.2024-02-01.rkt:104-110`). `diluted_net_eps` unscaled. */
-  def cashFlow(docs: DataFrame, layout2024: Boolean): DataFrame = {
+  def cashFlow(docs: DataFrame, layout2024: Boolean,
+               strict: Boolean = false): DataFrame = {
     val parsed0 = docs.withColumn("p",
       if (layout2024) parseCf2024Udf(col("html"))
       else parseCfLegacyUdf(col("html")))
@@ -174,7 +190,7 @@ object StatementsPipeline {
       guardPeriod = "annual", twoDigitYear = false)
     val scaled = Schemas.cashFlowStatement.fieldNames.toSeq
       .diff(Seq("act_symbol", "date", "period", "diluted_net_eps"))
-    explodeRows(parsedDocs).select(Seq(
+    explodeRows(parsedDocs, strict).select(Seq(
       col("act_symbol"),
       DateFns.parseStatementDate(entry("date"), twoDigitYear = false)
         .as("date"),

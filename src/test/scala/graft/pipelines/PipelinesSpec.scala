@@ -131,6 +131,39 @@ class PipelinesSpec extends AnyFunSuite {
     assert(a1.getAs[java.math.BigDecimal]("sales").doubleValue() === 111e6)
   }
 
+  test("strict mode drops a (period, date) combo with any uncastable cell") {
+    import spark.implicits._
+    // one NA cell in the annual most-recent column (col 2 = dateIdx 1)
+    def tbl(rows: Int, naAt: Option[Int]): String = {
+      val body = (1 to rows).map { r =>
+        val tds = (2 to 6).map { c =>
+          val v = if (naAt.contains(r) && c == 2) "NA" else s"$r$c"
+          s"<td>$v</td>"
+        }.mkString
+        s"<tr><td>l</td>$tds</tr>"
+      }.mkString
+      s"""<table><thead><tr><th>h</th><th>12/31/23</th><th>12/31/22</th><th>12/31/21</th><th>12/31/20</th><th>12/31/19</th></tr></thead><tbody>$body</tbody></table>"""
+    }
+    val doc =
+      s"""<html><body id="home">
+         |<div id="annual_income_statement">${tbl(15, Some(3))}${tbl(2, None)}${tbl(3, None)}</div>
+         |<div id="quarterly_income_statement">${tbl(15, None)}${tbl(3, None)}</div>
+         |</body></html>""".stripMargin
+    val docs = Seq(("ACME", doc, Date.valueOf("2025-06-01")))
+      .toDF("act_symbol", "html", "folder_date")
+    val tolerant = StatementsPipeline.incomeStatement(docs)
+    val strict = StatementsPipeline.incomeStatement(docs, strict = true)
+    assert(tolerant.count() === 10)
+    // only (Year, dateIdx 1) had the NA cell -> exactly that row dropped
+    assert(strict.count() === 9)
+    assert(strict.filter(col("period") === "Year" &&
+      col("date") === lit("2023-12-31").cast("date")).count() === 0)
+    // the tolerant twin keeps it, with gross_profit (row 3) NULL
+    assert(tolerant.filter(col("period") === "Year" &&
+      col("date") === lit("2023-12-31").cast("date"))
+      .head().getAs[java.math.BigDecimal]("gross_profit") === null)
+  }
+
   test("calendar: K4+K5+K1+J2 compose into the next snapshot") {
     import spark.implicits._
     val existing = Seq(

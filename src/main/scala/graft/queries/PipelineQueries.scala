@@ -18,6 +18,7 @@ import Tables.t
   */
 object PipelineQueries {
 
+
   private val buildFullEstimateUdf =
     udf(ExtractQueries.buildFullEstimateDoc _)
   private val buildIncomeYYUdf =

@@ -26,9 +26,11 @@ object CsvExport {
     * no quoting, `dump-dolt-statements.rkt:51-52` — we emit standard quoted
     * CSV and document the divergence). */
   def writeSnapshot(df: DataFrame, pk: Seq[String], path: String): Unit =
+    // sort on the TYPED columns before the all-string projection (string
+    // order would put '10' before '2'); the projection and coalesce(1)
+    // both preserve the global sort order
     projectForCsv(df.orderBy(pk.map(col): _*))
       .coalesce(1)
-      .sortWithinPartitions(pk.map(col): _*)
       .write.mode("overwrite").option("header", true)
       // bare empty for NULL, like the reference's coalesce(col::text, '')
       .option("emptyValue", "").csv(path)

@@ -112,10 +112,17 @@ final case class TableGrid(head: Vector[Vector[String]],
 object TableGrid {
   def of(table: HElem): TableGrid = {
     def rows(groupTag: String, cellTag: String): Vector[Vector[String]] =
-      table.kid(groupTag).orElse(table.nthDescendant(groupTag, 1)).toVector
+      table.kid(groupTag).toVector
         .flatMap(_.kids("tr"))
         .map(tr => tr.kids(cellTag).map(_.lastText))
-    TableGrid(rows("thead", "th"), rows("tbody", "td"))
+    // HTML's implicit tbody: <table><tr>… means direct tr children are body
+    // rows. Do NOT fall back to a descendant search — that would grab a
+    // nested table's tbody and read every cell from the wrong table.
+    val body = rows("tbody", "td") match {
+      case v if v.nonEmpty => v
+      case _ => table.kids("tr").map(tr => tr.kids("td").map(_.lastText))
+    }
+    TableGrid(rows("thead", "th"), body)
   }
 }
 
@@ -159,11 +166,15 @@ object Html {
               case "quot" => Some("\"")
               case "apos" => Some("'")
               case "nbsp" => Some(" ")
+              // Character.toChars: astral codepoints (&#128512;) need a
+              // surrogate pair, toChar would silently truncate them
               case e if e.startsWith("#x") || e.startsWith("#X") =>
-                try Some(Integer.parseInt(e.drop(2), 16).toChar.toString)
+                try Some(new String(
+                  Character.toChars(Integer.parseInt(e.drop(2), 16))))
                 catch { case _: Exception => None }
               case e if e.startsWith("#") =>
-                try Some(Integer.parseInt(e.drop(1)).toChar.toString)
+                try Some(new String(
+                  Character.toChars(Integer.parseInt(e.drop(1)))))
                 catch { case _: Exception => None }
               case _ => None
             }
@@ -188,7 +199,18 @@ object Html {
     val stack = Stack(new Frame("#root", Map.empty))
     var i = 0
     val n = input.length
-    val lower = input.toLowerCase
+    // case-insensitive search without lowercasing the whole input: locale
+    // rules (Turkish dotless-i, U+0130 expanding to two chars) would break
+    // matching or desync offsets
+    def indexOfIgnoreCase(needle: String, from: Int): Int = {
+      var k = from
+      val last = n - needle.length
+      while (k <= last) {
+        if (input.regionMatches(true, k, needle, 0, needle.length)) return k
+        k += 1
+      }
+      -1
+    }
 
     def popFrame(): Unit = {
       val f = stack.pop()
@@ -220,7 +242,8 @@ object Html {
             val end = input.indexOf('>', lt)
             if (end < 0) i = n
             else {
-              val name = input.substring(lt + 2, end).trim.toLowerCase
+              val name = input.substring(lt + 2, end).trim
+                .toLowerCase(java.util.Locale.ROOT)
               if (stack.exists(_.tag == name)) {
                 while (stack.top.tag != name) popFrame()
                 popFrame()
@@ -232,7 +255,8 @@ object Html {
             var j = lt + 1
             while (j < n && (input.charAt(j).isLetterOrDigit ||
               input.charAt(j) == '-' || input.charAt(j) == ':')) j += 1
-            val tag = input.substring(lt + 1, j).toLowerCase
+            val tag = input.substring(lt + 1, j)
+              .toLowerCase(java.util.Locale.ROOT)
             // attributes until '>' or '/>'
             var attrs = Map.empty[String, String]
             var selfClose = false
@@ -251,7 +275,8 @@ object Html {
                   while (j < n && !input.charAt(j).isWhitespace &&
                     input.charAt(j) != '=' && input.charAt(j) != '>' &&
                     input.charAt(j) != '/') j += 1
-                  val name = input.substring(nameStart, j).toLowerCase
+                  val name = input.substring(nameStart, j)
+                    .toLowerCase(java.util.Locale.ROOT)
                   while (j < n && input.charAt(j).isWhitespace) j += 1
                   var value = ""
                   if (j < n && input.charAt(j) == '=') {
@@ -279,7 +304,7 @@ object Html {
             if (Void.contains(tag) || selfClose)
               stack.top.children += HElem(tag, attrs, Vector.empty)
             else if (RawText.contains(tag)) {
-              val endIdx = lower.indexOf(s"</$tag", j)
+              val endIdx = indexOfIgnoreCase(s"</$tag", j)
               val bodyEnd = if (endIdx < 0) n else endIdx
               val body = input.substring(j, bodyEnd)
               val gt = if (endIdx < 0) n else {

@@ -51,9 +51,13 @@ object DateFns {
   def slideBackWindowStart(d: Column): Column = date_sub(d, 7)
 
   /** D8 — posix timestamp at 6am UTC of the given date — the calendar
-    * request key (`earnings-calendar-extract.rkt:25`). */
+    * request key (`earnings-calendar-extract.rkt:25`). Computed from the
+    * day count since epoch so the result is UTC regardless of the session
+    * time zone (a timestamp cast would give local midnight and desync from
+    * [[graft.sources.Fetch.calendarTargets]]' UTC keys). */
   def posixAt6am(d: Column): Column =
-    d.cast("timestamp").cast("long") + lit(6L * 3600)
+    datediff(d, lit("1970-01-01").cast("date")).cast("long") * lit(86400L) +
+      lit(6L * 3600)
 
   /** D9 — 6-month export lookback (`dump-dolt-estimates.rkt:212`). */
   def sixMonthsBack(d: Column): Column = add_months(d, -6)

@@ -26,17 +26,34 @@ object SnapshotStore {
     spark.read.parquet(path)
 
   /** K6 — compaction rewrite: coalesce the accumulated small files of each
-    * date partition. `filesPerPartition` bounds output files per date. */
+    * date partition to at most `filesPerPartition`.
+    *
+    * Shuffle key is (date, salt) with salt < filesPerPartition, so a date's
+    * rows land in at most that many tasks (→ files) while the job itself
+    * still parallelizes across dates × salt — a plain
+    * `repartition(n, date)` would funnel the whole table through n tasks.
+    * The swap is rename-old → rename-new → drop-old, so a crash leaves
+    * either the old or the new directory intact, never neither. */
   def compact(spark: SparkSession, path: String, partitionCol: String = "date",
               filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
     val df = spark.read.parquet(path)
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
+      lit(filesPerPartition.toLong))
     val tmp = path.stripSuffix("/") + ".compact.tmp"
-    df.repartition(filesPerPartition, col(partitionCol))
+    df.repartition(col(partitionCol), salt)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact.old")
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: cannot move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // roll back
+      throw new java.io.IOException(s"compact: cannot install $tmp at $dst")
+    }
+    fs.delete(old, true)
   }
 }

@@ -46,13 +46,14 @@ object Fetch {
                                errors: Seq[(String, String)])
 
   /** Sequential rate-limited sweep; mkdirs parents, replaces existing files
-    * (reference `#:exists 'replace`). */
+    * (reference `#:exists 'replace`). The first request fires immediately —
+    * delays are spacing BETWEEN requests, like the reference's scheduler. */
   def sweep(targets: Seq[Target], transport: Transport,
             sleep: Long => Unit = Thread.sleep): SweepReport = {
     var ok = 0
     val errors = Seq.newBuilder[(String, String)]
-    targets.foreach { t =>
-      if (t.delayMillis > 0) sleep(t.delayMillis)
+    targets.zipWithIndex.foreach { case (t, idx) =>
+      if (t.delayMillis > 0 && idx > 0) sleep(t.delayMillis)
       try {
         Files.createDirectories(t.path.getParent)
         Files.write(t.path, transport(t.url))

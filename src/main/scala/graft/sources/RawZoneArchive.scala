@@ -26,8 +26,11 @@ object RawZoneArchive {
     val dir = Paths.get(baseDir, date)
     require(Files.isDirectory(dir), s"no raw-zone folder $dir")
     val zipPath = Paths.get(baseDir, s"$date.zip")
-    val files = Files.list(dir).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(dir)
+    val files =
+      try listing.iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     val out = new ZipOutputStream(
       new BufferedOutputStream(new FileOutputStream(zipPath.toFile)))
     try files.foreach { f =>
@@ -38,7 +41,10 @@ object RawZoneArchive {
     } finally out.close()
     if (deleteOriginals) {
       files.foreach(Files.delete)
-      Files.delete(dir)
+      // only regular files were archived; leave the folder in place if
+      // something else (a subdirectory) still lives there
+      try Files.delete(dir)
+      catch { case _: java.nio.file.DirectoryNotEmptyException => () }
     }
     files.size
   }

@@ -70,15 +70,16 @@ class FetchSpec extends AnyFunSuite {
     assert(Fetch.calendarHorizon(LocalDate.of(2024, 1, 1)).size === 42)
   }
 
-  test("rate limiter pays the politeness gap before each request") {
+  test("rate limiter spaces requests but fires the first immediately") {
     val slept = scala.collection.mutable.ArrayBuffer[Long]()
     val dir = Files.createTempDirectory("graft_rl")
     val targets = Seq(
       Fetch.Target("u1", dir.resolve("a"), 100),
-      Fetch.Target("u2", dir.resolve("b"), 100))
+      Fetch.Target("u2", dir.resolve("b"), 100),
+      Fetch.Target("u3", dir.resolve("c"), 100))
     val report = Fetch.sweep(targets, _ => Array[Byte](1),
       sleep = ms => slept += ms)
-    assert(report.succeeded === 2)
-    assert(slept.toSeq === Seq(100L, 100L))
+    assert(report.succeeded === 3)
+    assert(slept.toSeq === Seq(100L, 100L)) // no delay before the first
   }
 }

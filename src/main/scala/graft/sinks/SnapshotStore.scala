@@ -25,6 +25,19 @@ object SnapshotStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed variant for co-located joins: two tables bucketed+sorted the
+    * same way on the join key sort-merge-join with NO exchange on either
+    * side — at 100 TB this removes the dominant shuffle from every
+    * fact-to-fact join on the PK prefix (e.g. act_symbol). Bucket metadata
+    * lives in the session catalog, so this writes a managed table rather
+    * than a bare path. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** K6 — compaction rewrite: coalesce the accumulated small files of each
     * date partition to at most `filesPerPartition`.
     *

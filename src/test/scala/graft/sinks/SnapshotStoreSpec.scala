@@ -30,6 +30,27 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || !plan.contains("date=2024-01-01"))
   }
 
+  test("bucketed tables co-locate a join: no exchange on either side") {
+    val left = (1 to 200).map(i => (s"S${i % 40}", i.toDouble))
+      .toDF("act_symbol", "a")
+    val right = (1 to 100).map(i => (s"S${i % 40}", i * 2.0))
+      .toDF("act_symbol", "b")
+    SnapshotStore.writeBucketed(left, "bk_left", Seq("act_symbol"), 4)
+    SnapshotStore.writeBucketed(right, "bk_right", Seq("act_symbol"), 4)
+    // forbid broadcast so the test proves bucket co-location, not smallness
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_left")
+        .join(spark.table("bk_right"), "act_symbol")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // bucket co-location: the join needs no shuffle of either input
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("compact rewrites each date partition to the target file count") {
     val path = Files.createTempDirectory("graft_compact").toString + "/t"
     val df = (1 to 40).map(i =>

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis expressions for training-data pipelines: language ID,
@@ -56,4 +57,35 @@ object TextAnalysis {
   /** Document fingerprint: md5 of case-folded, whitespace-collapsed text. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting,
+    * Schleimer/Wilkerson/Aiken): hash every character k-gram, slide a
+    * w-hash window over the sequence, keep each window's minimum. Any
+    * shared substring of length ≥ w+k-1 between two documents is guaranteed
+    * to contribute at least one common fingerprint — the selection that
+    * makes plagiarism/near-dup detection robust to edits.
+    *
+    * One row per distinct (id, fp). The k-gram "rolling hash" is an md5
+    * prefix per position — reproducible across engines; a true O(1)-update
+    * polynomial hash is a constant-factor swap the oracle can't express.
+    * Scale shape: explode is linear in corpus size, the window partitions
+    * by document (no global shuffle), distinct buckets by (id, fp). */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    val nGrams = docs
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(1),
+          greatest(length(col(textCol)) - (k - 1), lit(0)))).as("__p"))
+      .select(col(idCol), col("__p"), length(col("__t")).as("__len"),
+        substring(md5(col("__t").substr(col("__p"), lit(k)).cast("binary")),
+          1, 8).as("__h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    nGrams
+      .withColumn("__min", min(col("__h")).over(win))
+      // only full windows: start position ≤ (#k-grams) - w + 1
+      .filter(col("__p") <= col("__len") - (k - 1) - (w - 1))
+      .select(col(idCol), col("__min").as("fp"))
+      .distinct()
+  }
 }

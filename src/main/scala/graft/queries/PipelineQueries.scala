@@ -161,6 +161,43 @@ object PipelineQueries {
       FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
       ORDER BY d""")),
 
+    // Salted two-phase aggregation over skewed keys (3x2 distinct values
+    // across 600k rows at sf0.1): identical answer to the plain GROUP BY,
+    // but no single reducer owns a hot key.
+    Q("a8_salted_skew_agg", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.SkewOps.saltedCountSum(li,
+        Seq("l_returnflag", "l_linestatus"), col("l_quantity"), salts = 16)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("s"), 2).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Winnowing fingerprints: rolling k-gram hashes, min per w-window —
+    // any shared substring of length >= w+k-1 yields a common fingerprint.
+    Q("tx5_winnowing", (s, dir) =>
+      graft.operators.TextAnalysis.winnowingFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id", "fp"),
+      Some("""
+      WITH grams AS (
+        SELECT doc_id, p, length(text) AS len,
+               substr(md5(substr(text, CAST(p AS INTEGER), 8)), 1, 8) AS h
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1,
+               greatest(length(text) - 7, 0))) AS p)),
+      wins AS (
+        SELECT doc_id, p, len,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams)
+      SELECT DISTINCT doc_id, fp FROM wins
+      WHERE p <= len - 7 - 3
+      ORDER BY doc_id, fp""")),
+
     // S5 — raw-zone scan: dated fixture folder + suffix glob + symbol from
     // filename. No DuckDB oracle (the fixture folder is outside its reach):
     // the driver records a rows-only check; PipelinesSpec asserts content.

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gates: the optimizations the engine's scale story
+  * depends on must be visible in the physical plan, not assumed. Runs on
+  * sf0.001 — plan shape, not timing. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("P2 date filter pushes down to the parquet scan") {
+    val plan = planOf("p2_date_eq")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      "expected the shipdate predicate in PushedFilters")
+    // column pruning: the scan must not read quantity-unrelated columns
+    assert(!plan.contains("l_extendedprice"))
+  }
+
+  test("sim1 top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("sim1_cosine_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("dd2's signature self-join reuses one exchange, no cross join") {
+    val plan = planOf("dd2_minhash_lsh")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join")
+  }
+
+  test("no unconditional broadcast of fact-scale tables in j6") {
+    val df = SparkEntry.queries("j6_star_join")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString
+    // only the genuinely bounded dims carry hints; customer/orders are
+    // left to AQE (ResolvedHint on them would reintroduce the OOM risk)
+    val hinted = "(?s)hint.*customer".r
+    assert(hinted.findFirstIn(logical.toLowerCase).isEmpty,
+      "customer must not be broadcast-hinted")
+  }
+}

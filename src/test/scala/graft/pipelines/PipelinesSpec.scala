@@ -164,6 +164,29 @@ class PipelinesSpec extends AnyFunSuite {
       .head().getAs[java.math.BigDecimal]("gross_profit") === null)
   }
 
+  test("dividend calendar: $-strip, '--' payable, K4+K5 composition") {
+    import spark.implicits._
+    val existing = Seq(
+      ("AAPL", Date.valueOf("2024-02-16"), new java.math.BigDecimal("0.2500"),
+        Date.valueOf("2024-03-01")),
+      ("MSFT", Date.valueOf("2024-03-10"), new java.math.BigDecimal("0.7500"),
+        null.asInstanceOf[Date])) // future -> K4 retracts
+      .toDF("act_symbol", "ex_date", "amount", "payable_date")
+      .withColumn("amount", col("amount").cast("decimal(38,4)"))
+    val payloads = Seq(
+      """window.app_data = {"data": [["AAPL", "a", "b", "$0.30", "c", "2024-02-21", "d", "--"], ["NVDA", "a", "b", "$1.00", "c", "2024-02-22", "d", "2024-03-15"]]}""")
+      .toDF("raw")
+    val next = CalendarPipeline.runDividends(existing, payloads,
+      Date.valueOf("2024-02-18"))
+    val rows = next.orderBy("act_symbol", "ex_date").collect()
+    // K4 dropped MSFT 03-10; K5 dropped AAPL 02-16 (within 7d of 02-21)
+    assert(rows.map(r => (r.getString(0), r.getDate(1).toString,
+      r.getDecimal(2).doubleValue())).toSeq ===
+      Seq(("AAPL", "2024-02-21", 0.3), ("NVDA", "2024-02-22", 1.0)))
+    assert(rows(0).isNullAt(3)) // '--' payable -> NULL
+    assert(rows(1).getDate(3) === Date.valueOf("2024-03-15"))
+  }
+
   test("calendar: K4+K5+K1+J2 compose into the next snapshot") {
     import spark.implicits._
     val existing = Seq(

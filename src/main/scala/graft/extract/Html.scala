@@ -138,12 +138,18 @@ object Html {
   /** tag → set of open tags it implicitly closes (HTML5 omission rules,
     * restricted to the table/paragraph subset the Zacks pages use). */
   private val ImplicitClose: Map[String, Set[String]] = Map(
-    "tr" -> Set("td", "th", "tr"),
+    "tr" -> Set("td", "th", "tr", "colgroup", "caption"),
     "td" -> Set("td", "th"),
     "th" -> Set("td", "th"),
-    "tbody" -> Set("td", "th", "tr", "tbody", "thead", "tfoot"),
-    "thead" -> Set("td", "th", "tr", "tbody", "thead", "tfoot"),
-    "tfoot" -> Set("td", "th", "tr", "tbody", "thead", "tfoot"),
+    // colgroup/caption end tags are omissible in HTML5: any row-group or
+    // row opener must close them, or thead/tbody nest INSIDE the colgroup
+    // and the table reads empty
+    "tbody" -> Set("td", "th", "tr", "tbody", "thead", "tfoot", "colgroup",
+      "caption"),
+    "thead" -> Set("td", "th", "tr", "tbody", "thead", "tfoot", "colgroup",
+      "caption"),
+    "tfoot" -> Set("td", "th", "tr", "tbody", "thead", "tfoot", "colgroup",
+      "caption"),
     "p" -> Set("p"),
     "li" -> Set("li"),
     "option" -> Set("option"))
@@ -157,7 +163,8 @@ object Html {
         val c = s.charAt(i)
         if (c == '&') {
           val semi = s.indexOf(';', i + 1)
-          if (semi > i && semi - i <= 8) {
+          // 10 covers the longest numeric reference (&#x10FFFF; = body 9)
+          if (semi > i && semi - i <= 10) {
             val ent = s.substring(i + 1, semi)
             val rep: Option[String] = ent match {
               case "amp" => Some("&")

@@ -14,16 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Deterministic row salt from the row's own columns (no rand(): plans
-    * stay replayable and retries produce identical results). */
-  def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong))
+  /** Positional row salt: content hashing would assign IDENTICAL duplicate
+    * rows — the worst hot-key shape — one salt, defeating the split.
+    * `monotonically_increasing_id` is position-derived, so duplicates
+    * spread evenly; it varies with the input partitioning, which is safe
+    * here because the salt only shapes the partial-aggregation layout — the
+    * final re-aggregated answer is salt-invariant. */
+  def rowSalt(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
 
   /** Two-phase count+sum over possibly-skewed keys; decomposable aggregates
     * only (count/sum/min/max re-aggregate losslessly). */
   def saltedCountSum(df: DataFrame, keys: Seq[String], value: Column,
                      salts: Int = 16): DataFrame =
-    df.withColumn("__salt", rowSalt(df, salts))
+    df.withColumn("__salt", rowSalt(salts))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__n"), sum(value).as("__s"))
       .groupBy(keys.map(col): _*)

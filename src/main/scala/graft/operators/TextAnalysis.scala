@@ -72,10 +72,14 @@ object TextAnalysis {
     * by document (no global shuffle), distinct buckets by (id, fp). */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, w: Int = 4): DataFrame = {
+    // guard: sequence(1, 0) would count DOWN ([1, 0]) for docs shorter
+    // than k; emit no positions for them instead
+    val positions = when(length(col(textCol)) >= k,
+      sequence(lit(1), length(col(textCol)) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
     val nGrams = docs
       .select(col(idCol), col(textCol).as("__t"),
-        explode(sequence(lit(1),
-          greatest(length(col(textCol)) - (k - 1), lit(0)))).as("__p"))
+        explode(positions).as("__p"))
       .select(col(idCol), col("__p"), length(col("__t")).as("__len"),
         substring(md5(col("__t").substr(col("__p"), lit(k)).cast("binary")),
           1, 8).as("__h"))

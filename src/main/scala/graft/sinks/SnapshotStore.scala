@@ -49,17 +49,18 @@ object SnapshotStore {
     * either the old or the new directory intact, never neither. */
   def compact(spark: SparkSession, path: String, partitionCol: String = "date",
               filesPerPartition: Int = 1): Unit = {
-    import org.apache.spark.sql.functions._
-    val df = spark.read.parquet(path)
-    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*),
-      lit(filesPerPartition.toLong))
-    val tmp = path.stripSuffix("/") + ".compact.tmp"
-    df.repartition(col(partitionCol), salt)
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact.old")
+    // self-heal a crash between the two renames of a previous run: the data
+    // is intact in .compact.old but nothing sits at the read path
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    df.repartition(col(partitionCol),
+      graft.operators.SkewOps.rowSalt(filesPerPartition))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
     fs.delete(old, true)
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"compact: cannot move $dst aside")

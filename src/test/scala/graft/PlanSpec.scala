@@ -16,8 +16,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("P2 date filter pushes down to the parquet scan") {
     val plan = planOf("p2_date_eq")
-    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
-      "expected the shipdate predicate in PushedFilters")
+    // the predicate must sit INSIDE the pushed list — 'PushedFilters: []'
+    // with the column merely in ReadSchema would be a pushdown regression
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      "expected the shipdate predicate inside PushedFilters")
     // column pruning: the scan must not read quantity-unrelated columns
     assert(!plan.contains("l_extendedprice"))
   }
@@ -37,10 +39,10 @@ class PlanSpec extends AnyFunSuite {
   test("no unconditional broadcast of fact-scale tables in j6") {
     val df = SparkEntry.queries("j6_star_join")(spark, dir)
     val logical = df.queryExecution.optimizedPlan.toString
-    // only the genuinely bounded dims carry hints; customer/orders are
-    // left to AQE (ResolvedHint on them would reintroduce the OOM risk)
-    val hinted = "(?s)hint.*customer".r
-    assert(hinted.findFirstIn(logical.toLowerCase).isEmpty,
-      "customer must not be broadcast-hinted")
+    // exactly the two bounded dims (nation, region) carry broadcast hints;
+    // a third hint means someone re-broadcast a fact-scale side (plans
+    // print no table names, so count hints rather than grep for 'customer')
+    val hints = "strategy=broadcast".r.findAllIn(logical).size
+    assert(hints == 2, s"expected 2 broadcast hints (nation, region), got $hints")
   }
 }

@@ -7,6 +7,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * raw script bodies, entities. */
 class HtmlSpec extends AnyFunSuite {
 
+  test("unclosed colgroup/caption do not swallow the row groups") {
+    val doc = Html.parse(
+      """<table><caption>t<colgroup><col><col>
+        |<thead><tr><th>H1</th><th>H2</th></tr></thead>
+        |<tbody><tr><td>a</td><td>b</td></tr></tbody></table>""".stripMargin)
+    val grid = TableGrid.of(doc.nthDescendant("table", 1).get)
+    assert(grid.head === Vector(Vector("H1", "H2")))
+    assert(grid.body === Vector(Vector("a", "b")))
+  }
+
+  test("astral-plane numeric entities decode to surrogate pairs") {
+    val doc = Html.parse("<p>&#x1F600; and &#x10FFFF;</p>")
+    val t = doc.kid("p").get.allText
+    assert(t.codePointAt(0) === 0x1F600)
+    assert(t.codePointAt(t.length - 2) === 0x10FFFF)
+  }
+
   test("implicit tr/td closes build a correct table") {
     val doc = Html.parse(
       "<table><tbody><tr><td>a<td>b<tr><td>c<td>d</tbody></table>")

@@ -29,6 +29,9 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // queries that cache intermediates (dedup, pipelines) must not leave
+      // storage pinned for their successors — each query is timed standalone
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each probe row, the single fact row with the greatest
+  * fact time at-or-before (or strictly-before) the probe time, within the
+  * same key — the "estimate in effect on this date" lookup the reference's
+  * point-in-time tables imply, and the standard event-enrichment join of a
+  * training-data pipeline.
+  *
+  * Spark shape: no range join at all. Both sides are tagged and UNIONed,
+  * then ONE window pass per key ordered by (time, side) carries the last
+  * fact struct forward onto every probe row — the merge-join plan. Cost is a
+  * single hash exchange on the key plus a sort; at 100 TB that beats a
+  * range-join (candidate blowup) and a per-probe subquery (n² probes) — the
+  * window state is one struct per key, independent of history length.
+  */
+object AsOfJoin {
+
+  /** For each row of `probes`, attach `factPayload` columns from the latest
+    * `facts` row with `factTime` <= the probe's `probeTime` (or strictly <
+    * when `strict`), matching on `keys`.
+    *
+    * Output: every `probes` column, plus `factTime` (the matched fact's
+    * time) and `factPayload`, all NULL when no fact precedes the probe;
+    * `inner = true` drops such probes (DuckDB `ASOF JOIN` semantics,
+    * `inner = false` = `ASOF LEFT JOIN`).
+    *
+    * `factPayload` names must not collide with probe columns.
+    */
+  def asOf(probes: DataFrame, facts: DataFrame, keys: Seq[String],
+           probeTime: String, factTime: String, factPayload: Seq[String],
+           strict: Boolean = false, inner: Boolean = true): DataFrame = {
+    val pCols = probes.columns.toSeq
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    require(!factPayload.exists(pCols.contains),
+      s"fact payload ${factPayload.mkString(",")} collides with probe columns")
+
+    // the carried state: matched fact time + payload, as one struct so all
+    // payload fields come from the SAME fact row (per-column last() could
+    // mix rows when a newer fact holds NULLs)
+    val factStruct = struct(
+      (col(factTime).as("__ft") +: factPayload.map(col)): _*)
+    val factStructType = facts.select(factStruct.as("__f")).schema("__f").dataType
+
+    val pSide = probes.select(
+      pCols.map(col) :+
+        col(probeTime).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(factStructType).as("__f"): _*)
+    val fSide = facts.select(
+      pCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(probes.schema(c).dataType).as(c)) :+
+        col(factTime).as("__t") :+ lit(0).as("__side") :+
+        factStruct.as("__f"): _*)
+
+    // at equal times a fact sorts before the probe (>=) unless strict (>)
+    val sideOrder = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = pSide.unionByName(fSide)
+      .withColumn("__last", last(col("__f"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val matched = if (inner) joined.filter(col("__last").isNotNull) else joined
+    matched.select(
+      pCols.map(col) ++
+        (col("__last").getField("__ft").as(factTime) +:
+          factPayload.map(p => col("__last").getField(p).as(p))): _*)
+  }
+}

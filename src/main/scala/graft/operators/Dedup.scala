@@ -92,13 +92,20 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|),
-    * computed set-wise via a shingle equi-join restricted to candidates. */
+    * computed set-wise via a shingle equi-join restricted to candidates.
+    *
+    * The intersection join runs on `xxhash64(shingle)` rather than the
+    * shingle text: 8-byte shuffle keys instead of ~n-word strings (~4×
+    * less exchange volume, cheaper sort/probe). Distinct-set cardinalities
+    * are preserved up to 64-bit collisions (~|pairs|·|shingles|/2⁶⁴ —
+    * negligible at any corpus size this plan reaches). */
   def jaccardOnCandidates(cand: DataFrame, shingles: DataFrame,
                           idCol: String): DataFrame = {
-    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val x = shingles.select(col(idCol).as("doc_a"), col("sh"))
-    val y = shingles.select(col(idCol).as("doc_b"), col("sh"))
-    val shared = cand.join(x, "doc_a").join(y, Seq("doc_b", "sh"))
+    val hashed = shingles.select(col(idCol), xxhash64(col("sh")).as("shh"))
+    val counts = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val x = hashed.select(col(idCol).as("doc_a"), col("shh"))
+    val y = hashed.select(col(idCol).as("doc_b"), col("shh"))
+    val shared = cand.join(x, "doc_a").join(y, Seq("doc_b", "shh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     shared
       .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")

@@ -83,6 +83,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a fixed set of coarse centroids partitions the
+    * corpus into cells; a query probes only its own cell. Centroids here are
+    * the first `nlist` vectors by id — deterministic, so both engines (and
+    * re-runs) agree; production would k-means them, which only changes the
+    * centroid table, not the plan.
+    *
+    * Scale shape: assignment is a single expression pass over a broadcast
+    * 1-row centroid array (argmin squared-L2 via `array_min` on
+    * (dist, cid) structs — struct order breaks ties by cid), so the corpus
+    * is never shuffled to be assigned; at rest `cell` is the partition
+    * key and a probe prunes to ~1/nlist of the data. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nlist: Int = 8): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val centroids = e.filter(col(idCol) < nlist)
+      .groupBy()
+      .agg(collect_list(struct(col(idCol).as("cid"), col("v").as("cv")))
+        .as("cents"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("cell",
+        array_min(transform(col("cents"), c =>
+          struct(dist2(c.getField("cv"), col("v")).as("d"),
+            c.getField("cid").as("cid")))).getField("cid"))
+      .drop("cents")
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("cell").as("qcell"))
+    assigned.join(broadcast(q), col("cell") === col("qcell"))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucketing, exact
     * cosine only WITHIN a bucket, keep pairs at/above the threshold.
     *

@@ -58,6 +58,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Repetition signals (the Gopher-style quality filters, word-level since
+    * this corpus has no line structure): type-token ratio (distinct words /
+    * words — low = repetitive) and top-bigram fraction (occurrences of the
+    * most frequent word bigram / all bigrams — high = boilerplate loops).
+    *
+    * Scale shape: two explode→agg paths joined on the doc id; both
+    * aggregations are map-side-combinable and partition by document, so the
+    * shuffle is O(distinct (doc, token)) — no per-doc collection, no UDF.
+    * Documents with fewer than two words carry no bigram and drop out, like
+    * a length filter would have removed them anyway. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val wordStats = words.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), count_distinct(col("tok")).as("__nd"))
+    val w = split(col(textCol), " ")
+    val bigrams = docs.select(col(idCol),
+      explode(transform(sequence(lit(1), size(w) - 1), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("bg"))
+    val bigramStats = bigrams.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max("__c").as("__mx"), sum("__c").as("__tot"))
+    wordStats.join(bigramStats, idCol)
+      .select(col(idCol),
+        round(col("__nd").cast("double") / col("__n"), 4).as("ttr"),
+        round(col("__mx").cast("double") / col("__tot"), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting,
     * Schleimer/Wilkerson/Aiken): hash every character k-gram, slide a
     * w-hash window over the sequence, keep each window's minimum. Any

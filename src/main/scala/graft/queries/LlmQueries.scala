@@ -198,6 +198,37 @@ object LlmQueries {
       FROM e JOIN probes ON e.bucket = probes.pb
       ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // IVF ANN: deterministic coarse centroids (first 8 vectors), argmin-L2
+    // cell assignment, probe the query's cell only. Ties in assignment break
+    // by centroid id in both engines (struct min / ORDER BY d2, cid).
+    Q("sim4_ivf_ann", (s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, nlist = 8),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+        FROM e CROSS JOIN c),
+      assign AS (
+        SELECT vec_id, cid AS cell FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cid) = 1),
+      q AS (
+        SELECT e.v AS qv, a.cell AS qcell
+        FROM e JOIN assign a USING (vec_id) WHERE e.vec_id = 0)
+      SELECT e.vec_id,
+             round(list_sum(list_transform(generate_series(1, len(e.v)),
+                     i -> e.v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                   6) AS score
+      FROM e JOIN assign a USING (vec_id) JOIN q ON a.cell = q.qcell
+      ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // Language ID via marker-word heuristic.
     Q("tx1_lang_id", (s, dir) =>
       t(s, dir, "documents")
@@ -261,6 +292,29 @@ object LlmQueries {
       SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id""")),
+
+    // Repetition signals: type-token ratio + top-bigram fraction (word-level
+    // Gopher-style quality filters).
+    Q("tx6_repetition", (s, dir) =>
+      TA.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tw AS (
+        SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
+        FROM (SELECT doc_id, unnest(ws) AS tok FROM w) GROUP BY doc_id),
+      bgc AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2)
+        GROUP BY doc_id, bg),
+      top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc
+              GROUP BY doc_id)
+      SELECT t.doc_id,
+             round(CAST(nd AS DOUBLE) / n, 4) AS ttr,
+             round(CAST(mx AS DOUBLE) / tot, 4) AS top_bigram_frac
+      FROM tw t JOIN top USING (doc_id) ORDER BY doc_id""")),
 
     // Multimodal plumbing: binary payload + typed metadata (the decode step
     // itself is the stubbed FakeCodec, exercised in MultimodalSpec).

@@ -711,6 +711,56 @@ object RelationalQueries {
       Some("""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
              count(*) AS n, round(sum(value), 2) AS sv
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // st2 — session windows per user (gap-merged), batch form of the
+    // streaming `session_window` aggregation (streaming form in
+    // StreamingSpec). Oracle: classic lag→gap-flag→cumsum sessionization.
+    Q("st2_session_windows", (s, dir) =>
+      graft.streaming.StreamingLoad.sessionAggs(
+        t(s, dir, "events"), "ts", col("user_id"),
+        gap = "4 hours", valueCol = col("value"))
+        .orderBy("user_id", "session_start"),
+      Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")),
+
+    // ------------------------------------------------------------------
+    // §2.4 bonus — as-of join (point-in-time enrichment): for each purchase
+    // the user's latest view at-or-before it. Spark side is AsOfJoin's
+    // union + one-window merge plan; the oracle is DuckDB's native ASOF.
+    // ------------------------------------------------------------------
+    Q("j7_asof_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          round(col("value"), 4).as("view_value"))
+      graft.operators.AsOfJoin.asOf(purchases, views, Seq("user_id"),
+        probeTime = "ts", factTime = "view_ts",
+        factPayload = Seq("view_value"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id, p.ts, v.view_ts, v.view_value
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT user_id, ts AS view_ts, round(value, 4) AS view_value
+                 FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.view_ts
+      ORDER BY event_id"""))
   )
 }

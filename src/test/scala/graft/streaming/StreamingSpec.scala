@@ -122,4 +122,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
       === Seq(("click", 2L, 3.5), ("view", 1L, 1.0)))
   }
+
+  test("sessionAggs merges gap-adjacent events on a stream") {
+    val inDir = Files.createTempDirectory("graft_session").toFile
+    val evSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(evSchema)
+      .json(inDir.getAbsolutePath)
+    val agg = StreamingLoad.sessionAggs(stream, "ts", col("user_id"),
+      gap = "30 minutes", watermark = "2 hours", valueCol = col("value"))
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+    // user 7: two events 10 min apart (one session), one 3 h later (second
+    // session); user 8: a single event
+    Files.writeString(new java.io.File(inDir, "s1.json").toPath,
+      """{"ts":"2024-01-01T10:00:00.000Z","user_id":7,"value":1.0}
+        |{"ts":"2024-01-01T10:10:00.000Z","user_id":7,"value":2.0}
+        |{"ts":"2024-01-01T13:30:00.000Z","user_id":7,"value":4.0}
+        |{"ts":"2024-01-01T10:05:00.000Z","user_id":8,"value":8.0}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("sessions").orderBy("user_id", "session_start")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0)))
+  }
 }

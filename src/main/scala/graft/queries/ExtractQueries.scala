@@ -179,7 +179,7 @@ object ExtractQueries {
        |</tbody></table>""".stripMargin
   }
 
-  private def buildBalanceHtml(pk: Long): String = {
+  private[queries] def buildBalanceHtml(pk: Long): String = {
     val divs = Seq("annual" -> 0, "quarterly" -> 1).map { case (pn, per) =>
       s"""<div id="${pn}_income_statement">
          |${stmtTable(pk, per, 1, 14)}
@@ -216,7 +216,7 @@ object ExtractQueries {
        |<section id="cash_flow_use">${stmtTable(pk, 0, 2, 11)}</section>
        |</body></html>""".stripMargin
 
-  private def buildCashFlow2024Html(pk: Long): String = {
+  private[queries] def buildCashFlow2024Html(pk: Long): String = {
     val divs = Seq("annual" -> 0, "quarterly" -> 1).map { case (pn, per) =>
       s"""<div id="${pn}_cash_flow_statement">
          |<div>${stmtTable(pk, per, 1, 12)}</div>

@@ -23,6 +23,8 @@ object PipelineQueries {
     udf(ExtractQueries.buildFullEstimateDoc _)
   private val buildIncomeYYUdf =
     udf((pk: Long) => ExtractQueries.buildIncomeDoc(pk, yy2 = true))
+  private val buildBalanceUdf = udf(ExtractQueries.buildBalanceHtml _)
+  private val buildCf2024Udf = udf(ExtractQueries.buildCashFlow2024Html _)
 
   private def emptyTable(s: SparkSession, name: String): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[Row], Schemas.tables(name))
@@ -127,6 +129,191 @@ object PipelineQueries {
              ${stMoney("p_partkey*11 + per*13 + (CASE period WHEN 'Year' THEN 3 ELSE 2 END)*17 + 3*7 + di + 1")} AS diluted_net_eps
       FROM part CROSS JOIN pp CROSS JOIN dd
       ORDER BY act_symbol, period, date""")),
+
+    // Balance-sheet pipeline end to end into balance_sheet_equity: the
+    // equity table's row-9 skip, the unscaled book_value_per_share, M/dd/yyyy
+    // date parse, J1 guard + K1 append against an empty store.
+    Q("pipe3_balance_equity_load", (s, dir) => {
+      val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
+        concat(lit("P"), col("p_partkey")).as("act_symbol"),
+        buildBalanceUdf(col("p_partkey")).as("html"),
+        lit("2025-06-01").cast("date").as("folder_date"))
+      val fresh = StatementsPipeline.balanceSheet(docs)("balance_sheet_equity")
+      StatementsPipeline.loadStatement(
+        emptyTable(s, "balance_sheet_equity"), fresh, "balance_sheet_equity")
+        .select(Seq(col("act_symbol"), col("date"), col("period")) ++
+          Seq("preferred_stock", "retained_earnings", "total_equity",
+            "shares_outstanding", "book_value_per_share")
+            .map(c => col(c).cast("double").as(c)): _*)
+        .orderBy("act_symbol", "period", "date")
+    }, Some(s"""
+      WITH pp AS (
+        SELECT * FROM (VALUES ('Year', 0), ('Quarter', 1)) AS v(period, per)),
+      dd AS (SELECT unnest(generate_series(1, 5)) AS di)
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             make_date(2015 + CAST((p_partkey + di + 1) % 8 AS INTEGER),
+                       CAST((p_partkey + di + 1) % 12 AS INTEGER) + 1,
+                       10 + CAST((p_partkey + per) % 15 AS INTEGER)) AS date,
+             period,
+             ${stMoneyM("p_partkey*11 + per*13 + 3*17 + 1*7 + di + 1")} AS preferred_stock,
+             ${stMoneyM("p_partkey*11 + per*13 + 3*17 + 4*7 + di + 1")} AS retained_earnings,
+             ${stMoneyM("p_partkey*11 + per*13 + 3*17 + 7*7 + di + 1")} AS total_equity,
+             ${stMoneyM("p_partkey*11 + per*13 + 3*17 + 10*7 + di + 1")} AS shares_outstanding,
+             ${stMoney("p_partkey*11 + per*13 + 3*17 + 11*7 + di + 1")} AS book_value_per_share
+      FROM part CROSS JOIN pp CROSS JOIN dd
+      ORDER BY act_symbol, period, date""")),
+
+    // Cash-flow pipeline end to end (2024-02-01 layout, both periods):
+    // per-period div containers, unscaled diluted_net_eps, J1+K1.
+    Q("pipe4_cash_flow_load", (s, dir) => {
+      val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
+        concat(lit("P"), col("p_partkey")).as("act_symbol"),
+        buildCf2024Udf(col("p_partkey")).as("html"),
+        lit("2025-06-01").cast("date").as("folder_date"))
+      val fresh = StatementsPipeline.cashFlow(docs, layout2024 = true)
+      StatementsPipeline.loadStatement(
+        emptyTable(s, "cash_flow_statement"), fresh, "cash_flow_statement")
+        .select(Seq(col("act_symbol"), col("date"), col("period")) ++
+          Seq("net_income", "net_cash_from_operating_activities",
+            "payment_of_dividends_and_other_distributions",
+            "cash_at_end_of_period", "diluted_net_eps")
+            .map(c => col(c).cast("double").as(c)): _*)
+        .orderBy("act_symbol", "period", "date")
+    }, Some(s"""
+      WITH pp AS (
+        SELECT * FROM (VALUES ('Year', 0), ('Quarter', 1)) AS v(period, per)),
+      dd AS (SELECT unnest(generate_series(1, 5)) AS di)
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             make_date(2015 + CAST((p_partkey + di + 1) % 8 AS INTEGER),
+                       CAST((p_partkey + di + 1) % 12 AS INTEGER) + 1,
+                       10 + CAST((p_partkey + per) % 15 AS INTEGER)) AS date,
+             period,
+             ${stMoneyM("p_partkey*11 + per*13 + 1*17 + 2*7 + di + 1")} AS net_income,
+             ${stMoneyM("p_partkey*11 + per*13 + 1*17 + 7*7 + di + 1")} AS net_cash_from_operating_activities,
+             ${stMoneyM("p_partkey*11 + per*13 + 2*17 + 4*7 + di + 1")} AS payment_of_dividends_and_other_distributions,
+             ${stMoneyM("p_partkey*11 + per*13 + 2*17 + 10*7 + di + 1")} AS cash_at_end_of_period,
+             ${stMoney("p_partkey*11 + per*13 + 2*17 + 11*7 + di + 1")} AS diluted_net_eps
+      FROM part CROSS JOIN pp CROSS JOIN dd
+      ORDER BY act_symbol, period, date""")),
+
+    // Earnings-calendar pipeline end to end against a NON-empty store:
+    // K4 future retraction + U8 JSON parse + K5 slide-forward + K1 append +
+    // J2 superseded-window cleanup, composed exactly as the reference's
+    // daily run (`earnings-calendar-transform-load.rkt:40-157`).
+    // Store fixture per symbol 'S{ck}': a "near" row 3 days before the
+    // incoming event (K5 victim when past, K4 victim when future), a far
+    // future row (K4 victim), and a past November row (J2-window loser
+    // whenever the fresh event also lands in the same statement window).
+    Q("pipe5_earnings_calendar_pipeline", (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ck = col("c_custkey")
+      val when1 = when(ck % 3 === 0, lit("amc"))
+        .when(ck % 3 === 1, lit("bmo")).otherwise(lit("--"))
+      val when2 = when((ck + 1) % 3 === 0, lit("amc"))
+        .when((ck + 1) % 3 === 1, lit("bmo")).otherwise(lit("--"))
+      val raw = concat(
+        lit("window.app_data = {\"data\": [[\"<b>S"), ck,
+        lit("</b>\", \"x\", \"y\", \""), when1,
+        lit("\", \"z\"], [\"NFLX Quick QuoteS"), ck,
+        lit("B\", \"x\", \"y\", \""), when2, lit("\", \"z\"]]}"))
+      val eventDate = date_add(lit("2024-01-01").cast("date"),
+        (ck % 28).cast("int"))
+      val payloads = cust.select(ck, raw.as("raw"),
+        eventDate.as("event_date"))
+      val symA = concat(lit("S"), ck)
+      val existing = cust.select(symA.as("act_symbol"),
+          date_sub(eventDate, 3).as("date"),
+          lit("Before market open").as("when"))
+        .unionByName(cust.select(symA.as("act_symbol"),
+          date_add(lit("2024-02-10").cast("date"), (ck % 7).cast("int"))
+            .as("date"),
+          lit("After market close").as("when")))
+        .unionByName(cust.select(symA.as("act_symbol"),
+          date_add(lit("2023-11-05").cast("date"), (ck % 10).cast("int"))
+            .as("date"),
+          lit(null).cast("string").as("when")))
+      val stmtDates = cust.select(symA.as("act_symbol"))
+        .unionByName(cust.select(concat(lit("S"), ck, lit("B"))
+          .as("act_symbol")))
+        .select(col("act_symbol"),
+          lit("2023-10-15").cast("date").as("date"))
+      graft.pipelines.CalendarPipeline.runEarnings(existing, payloads,
+        java.sql.Date.valueOf("2024-01-15"), stmtDates)
+        .orderBy("act_symbol", "date")
+    }, Some("""
+      WITH fresh AS (
+        SELECT 'S' || CAST(c_custkey AS VARCHAR) AS act_symbol,
+               CAST(DATE '2024-01-01' + INTERVAL (c_custkey % 28) DAY AS DATE)
+                 AS date,
+               CASE CAST(c_custkey % 3 AS INTEGER)
+                 WHEN 0 THEN 'After market close'
+                 WHEN 1 THEN 'Before market open' END AS "when"
+        FROM customer
+        UNION ALL
+        SELECT 'S' || CAST(c_custkey AS VARCHAR) || 'B',
+               CAST(DATE '2024-01-01' + INTERVAL (c_custkey % 28) DAY AS DATE),
+               CASE CAST((c_custkey + 1) % 3 AS INTEGER)
+                 WHEN 0 THEN 'After market close'
+                 WHEN 1 THEN 'Before market open' END
+        FROM customer),
+      ex AS (
+        SELECT 'S' || CAST(c_custkey AS VARCHAR) AS act_symbol,
+               CAST(DATE '2024-01-01' + INTERVAL (c_custkey % 28) DAY
+                    - INTERVAL 3 DAY AS DATE) AS date,
+               'Before market open' AS "when"
+        FROM customer
+        UNION ALL
+        SELECT 'S' || CAST(c_custkey AS VARCHAR),
+               CAST(DATE '2024-02-10' + INTERVAL (c_custkey % 7) DAY AS DATE),
+               'After market close'
+        FROM customer
+        UNION ALL
+        SELECT 'S' || CAST(c_custkey AS VARCHAR),
+               CAST(DATE '2023-11-05' + INTERVAL (c_custkey % 10) DAY AS DATE),
+               NULL
+        FROM customer),
+      sd AS (
+        SELECT DISTINCT act_symbol, DATE '2023-10-15' AS date FROM fresh),
+      k4 AS (SELECT * FROM ex WHERE date < DATE '2024-01-15'),
+      k5 AS (
+        SELECT k.* FROM k4 k
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fresh f
+          WHERE f.act_symbol = k.act_symbol
+            AND k.date >= f.date - INTERVAL 7 DAY AND k.date < f.date)),
+      loaded AS (
+        SELECT * FROM k5
+        UNION ALL
+        SELECT f.* FROM fresh f
+        WHERE NOT EXISTS (SELECT 1 FROM k5 k
+                          WHERE k.act_symbol = f.act_symbol
+                            AND k.date = f.date)),
+      wins0 AS (
+        SELECT act_symbol, date FROM sd
+        UNION
+        SELECT act_symbol,
+               CAST(max(date) + INTERVAL 1 DAY + INTERVAL 3 MONTH
+                    - INTERVAL 1 DAY AS DATE)
+        FROM sd GROUP BY act_symbol),
+      wins AS (
+        SELECT act_symbol AS wsym, date AS wstart,
+               CAST(date + INTERVAL 1 DAY + INTERVAL 3 MONTH
+                    - INTERVAL 1 DAY AS DATE) AS wend
+        FROM wins0),
+      victims AS (
+        SELECT DISTINCT act_symbol, date FROM (
+          SELECT l.act_symbol, l.date,
+                 row_number() OVER (PARTITION BY w.wsym, w.wstart
+                                    ORDER BY l.date DESC) AS rn
+          FROM loaded l
+          JOIN wins w ON l.act_symbol = w.wsym
+            AND l.date > w.wstart AND l.date <= w.wend)
+        WHERE rn > 1)
+      SELECT l.act_symbol, l.date, l."when" FROM loaded l
+      WHERE NOT EXISTS (SELECT 1 FROM victims v
+                        WHERE v.act_symbol = l.act_symbol
+                          AND v.date = l.date)
+      ORDER BY act_symbol, date""")),
 
     // K2 — the export projection: every column `coalesce(cast::string, '')`
     // with header+order handled by the writer (graded on the projection).

@@ -115,6 +115,35 @@ object Dedup {
           (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
   }
 
+  /** Full near-dup pipeline, composed the way a production corpus run is:
+    * exact-dedup FIRST (collapse byte-identical docs onto their min-id
+    * representative), then MinHash/LSH + exact Jaccard over representatives
+    * only, keeping pairs at/above `threshold`.
+    *
+    * The ordering is the skew fix for LSH: boilerplate duplicated thousands
+    * of times is byte-identical, so without the exact pass every copy lands
+    * in the same (band, signature) bucket and the candidate self-join
+    * explodes quadratically in the hottest bucket. Collapsing exact dups is
+    * a cheap hash-groupBy and bounds every LSH bucket by the number of
+    * DISTINCT texts in it — no salting needed because the degenerate mass
+    * is gone before the join. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, bands: Int = 4,
+                   shingleN: Int = 3): DataFrame = {
+    val reps = docs
+      .withColumn("__h", md5(col(textCol).cast("binary")))
+      .withColumn("__minid",
+        min(col(idCol)).over(Window.partitionBy("__h")))
+      .filter(col(idCol) === col("__minid"))
+      .select(col(idCol), col(textCol))
+    val sh = shingleSet(reps, idCol, textCol, shingleN)
+    val sig = minhashSignatures(
+      shingleMultiset(reps, idCol, textCol, shingleN), idCol, bands)
+    val cand = lshCandidatePairs(sig, idCol)
+    jaccardOnCandidates(cand, sh, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 32-bit tf-weighted SimHash over whitespace tokens. Token hash = first
     * 8 hex chars of md5 as a 32-bit int; per bit, sum +tf/−tf by bit value;
     * simhash bit = (sum > 0). Pure expression pipeline — no UDF. */

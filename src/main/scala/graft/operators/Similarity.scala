@@ -128,13 +128,21 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 4): DataFrame = {
+    // norms hoisted out of the self-join: computed once per VECTOR, not once
+    // per pair — within a bucket of size B that's O(B·d) instead of O(B²·d)
+    // norm work, and dot/(na·nb) is the same arithmetic (identical doubles)
+    // as cosine()'s dot/(sqrt·sqrt), so scores don't move
     val e = widened(emb, idCol, vecCol)
       .withColumn("bucket", signBucket(col("v"), bits))
-    val a = e.select(col(idCol).as("id_a"), col("v").as("va"), col("bucket"))
-    val b = e.select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = e.select(col(idCol).as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = e.select(col(idCol).as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

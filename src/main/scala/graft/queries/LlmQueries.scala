@@ -81,6 +81,49 @@ object LlmQueries {
       JOIN cnt cb ON cb.doc_id = i.doc_b
       ORDER BY doc_a, doc_b""")),
 
+    // Full near-dup composition: exact-dedup to representatives FIRST (the
+    // LSH hot-bucket fix), then banded MinHash candidates + exact Jaccard,
+    // thresholded on the rounded score in both engines.
+    Q("dd6_neardup_pipeline", (s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2)
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+      WITH reps AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS m
+          FROM documents) WHERE doc_id = m),
+      docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM reps),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY c.doc_a, c.doc_b),
+      scored AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4)
+                 AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b)
+      SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2
+      ORDER BY doc_a, doc_b""")),
+
     // 32-bit tf-weighted SimHash — pure expression pipeline in both engines.
     Q("dd4_simhash", (s, dir) =>
       Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")

@@ -136,9 +136,10 @@ object Dedup {
         min(col(idCol)).over(Window.partitionBy("__h")))
       .filter(col(idCol) === col("__minid"))
       .select(col(idCol), col(textCol))
-    val sh = shingleSet(reps, idCol, textCol, shingleN)
-    val sig = minhashSignatures(
-      shingleMultiset(reps, idCol, textCol, shingleN), idCol, bands)
+    // the distinct shingle set feeds the signature AND all three Jaccard
+    // consumers — materialize it once instead of re-tokenizing per consumer
+    val sh = shingleSet(reps, idCol, textCol, shingleN).cache()
+    val sig = minhashSignatures(sh, idCol, bands)
     val cand = lshCandidatePairs(sig, idCol)
     jaccardOnCandidates(cand, sh, idCol)
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for dataset curation.
+  *
+  * Everything is keyed on a content/id hash rather than `rand()`: the same
+  * row lands in the same split on every run, on any cluster, in any engine —
+  * the property that makes a train/val/test split reproducible and lets two
+  * pipelines (or an engine migration) agree row-for-row. All expression-only
+  * and embarrassingly parallel: no shuffle, no state, scales linearly.
+  */
+object Sampling {
+
+  /** Uniform [0,1) hash fraction of a key column: first 8 hex chars of md5
+    * as a 32-bit integer over 2³². md5 (not xxhash64) so any engine can
+    * reproduce the exact fraction from the same bytes. */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic train/val/test label from cumulative fraction cutoffs,
+    * e.g. (0.8, 0.1) → 80/10/10. */
+  def splitLabel(key: Column, train: Double = 0.8,
+                 vali: Double = 0.1): Column = {
+    val f = hashFraction(key)
+    when(f < train, lit("train"))
+      .when(f < train + vali, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic per-stratum subsample: keep ~`frac(stratum)` of rows in
+    * each stratum (e.g. downsample an over-represented source). Rows keep /
+    * drop by key hash, so re-runs and incremental loads agree on every row.
+    * Strata missing from `frac` keep everything. */
+  def stratifiedKeep(df: DataFrame, key: Column, stratum: Column,
+                     frac: Map[String, Double]): DataFrame = {
+    val cut = frac.foldLeft(lit(1.0)) { case (acc, (s, f)) =>
+      when(stratum === s, lit(f)).otherwise(acc)
+    }
+    df.filter(hashFraction(key) < cut)
+  }
+}

@@ -359,6 +359,49 @@ object LlmQueries {
              round(CAST(mx AS DOUBLE) / tot, 4) AS top_bigram_frac
       FROM tw t JOIN top USING (doc_id) ORDER BY doc_id""")),
 
+    // Deterministic train/val/test split: md5-fraction of the doc id, same
+    // label for the same row in any engine / any run.
+    Q("sa1_hash_split", (s, dir) => {
+      val key = col("doc_id").cast("string")
+      t(s, dir, "documents").select(col("doc_id"),
+        round(graft.operators.Sampling.hashFraction(key), 6).as("frac"),
+        graft.operators.Sampling.splitLabel(key).as("split"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents)
+      SELECT doc_id, round(frac, 6) AS frac,
+             CASE WHEN frac < 0.8 THEN 'train'
+                  WHEN frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM f ORDER BY doc_id""")),
+
+    // Deterministic stratified downsampling: per-source keep fractions,
+    // keep/drop decided by the id hash so incremental loads agree.
+    Q("sa2_stratified_sample", (s, dir) =>
+      graft.operators.Sampling.stratifiedKeep(
+        t(s, dir, "documents"), col("doc_id").cast("string"), col("source"),
+        Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.0))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents)
+      SELECT doc_id, source FROM f
+      WHERE frac < CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.5
+                               WHEN 'src2' THEN 0.0 ELSE 1.0 END
+      ORDER BY doc_id""")),
+
     // Multimodal plumbing: binary payload + typed metadata (the decode step
     // itself is the stubbed FakeCodec, exercised in MultimodalSpec).
     Q("mm1_binary_meta", (s, dir) =>

@@ -36,6 +36,31 @@ class PlanSpec extends AnyFunSuite {
       "candidate generation must stay an equi-join")
   }
 
+  test("j7 as-of join stays a union+window — no range or nested-loop join") {
+    val plan = planOf("j7_asof_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"),
+      "as-of must not degrade to a join; the window pass IS the join")
+    assert(plan.contains("Window"), "expected the carry-forward window")
+  }
+
+  test("sa1/sa2 sampling is scan-side only — no shuffle before the sort") {
+    // split + stratified-keep are pure row-local expressions; the only
+    // exchange allowed is the final presentation ORDER BY
+    val plan = planOf("sa2_stratified_sample")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"sampling must not shuffle to decide rows, got $exchanges exchanges")
+  }
+
+  test("sim4 IVF assignment broadcasts centroids, never shuffles the corpus") {
+    val plan = planOf("sim4_ivf_ann")
+    assert(plan.contains("BroadcastExchange"),
+      "centroid array + query row must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "cell probe must be a broadcast join, not a corpus shuffle")
+  }
+
   test("no unconditional broadcast of fact-scale tables in j6") {
     val df = SparkEntry.queries("j6_star_join")(spark, dir)
     val logical = df.queryExecution.optimizedPlan.toString

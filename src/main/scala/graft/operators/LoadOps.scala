@@ -123,7 +123,14 @@ object LoadOps {
     * small and switches to a shuffled join past the threshold instead of
     * OOMing the driver.
     */
-  def supersededCleanup(calendar: DataFrame, stmtDates: DataFrame): DataFrame = {
+  def supersededCleanup(calendar0: DataFrame, stmtDates: DataFrame): DataFrame = {
+    // `calendar` feeds BOTH the victim derivation and the final anti-join.
+    // Without persisting, Spark's DAG recomputes the whole upstream lineage
+    // once per consumer — when the input is a composed pipeline (K4→K5→K1,
+    // as in the calendar daily run) that doubles the entire load. A scan
+    // input re-reads at parquet cost either way, but the general contract
+    // here is "safe to pass derived plans", so materialize once.
+    val calendar = calendar0.cache()
     val distinctDates = stmtDates
       .select(col("act_symbol"), col("date")).distinct()
     val projectedNext = stmtDates.groupBy("act_symbol")

@@ -32,9 +32,14 @@ object CalendarPipeline {
     val fresh = CalendarExtract
       .earningsRows(payloads, col("raw"), col("event_date"))
       .filter(col("act_symbol").isNotNull && col("date").isNotNull)
+      .cache() // consumed by K5's retraction probe AND K1's insert
     val afterK4 = existing.filter(col("date") < lit(folderDate))
+    // K1 consumes `existing` twice (PK anti-join probe + the union) — for a
+    // stored-table input that is two cheap pruned scans, but here the
+    // existing side is the derived K4∘K5 plan: materialize it once
     val retracted =
       LoadOps.slideForwardRetract(afterK4, fresh, "act_symbol", "date")
+        .cache()
     val loaded = LoadOps.dedupAppend(retracted, fresh,
       Schemas.primaryKeys("earnings_calendar"))
     LoadOps.supersededCleanup(loaded, stmtDates)
@@ -47,9 +52,11 @@ object CalendarPipeline {
     val fresh = CalendarExtract.dividendRows(payloads, col("raw"))
       .filter(col("act_symbol").isNotNull && col("ex_date").isNotNull &&
         col("amount").isNotNull)
+      .cache() // K5 probe + K1 insert, like the earnings run
     val afterK4 = existing.filter(col("ex_date") < lit(folderDate))
     val retracted =
       LoadOps.slideForwardRetract(afterK4, fresh, "act_symbol", "ex_date")
+        .cache() // K1 reads the derived existing side twice
     LoadOps.dedupAppend(retracted, fresh,
       Schemas.primaryKeys("dividend_calendar"))
   }

@@ -1,0 +1,22 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+import org.apache.spark.sql.functions.sqrt
+
+/** Column-API front for the native vector expressions — usable without any
+  * session configuration (no function-registry dependency). Inputs must
+  * already be `array<double>` (cast `array<float>` embeddings first; there
+  * is deliberately no implicit cast). */
+object VecFns {
+
+  /** Codegen'd dot product of two `array<double>` columns. */
+  def dot(a: Column, b: Column): Column =
+    B.column(VecDot(B.expression(a), B.expression(b)))
+
+  /** Codegen'd squared L2 norm. */
+  def normSq(v: Column): Column =
+    B.column(VecNormSq(B.expression(v)))
+
+  /** L2 norm (`sqrt` of the native squared norm). */
+  def norm(v: Column): Column = sqrt(normSq(v))
+}

@@ -20,15 +20,21 @@ object Dedup {
   /** Split into whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Overlapping n-word shingles as an array<string>; empty below n words.
-    * 1-based `element_at` so the definition is position-stable. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
+  /** Shingle array from an already-materialized token-array column. The
+    * token array MUST be a bound attribute, not an inline `split(...)`:
+    * this expression references it ~n+2 times inside the `transform`
+    * lambda, and an inlined split would re-tokenize the document once per
+    * reference per shingle — a hidden O(words²) blowup. */
+  def shinglesOfTokens(w: Column, n: Int = 3): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Overlapping n-word shingles as an array<string>; empty below n words.
+    * 1-based `element_at` so the definition is position-stable. */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(tokens(text), n)
 
   /** Exact dedup: content-hash groupBy; a row is a duplicate iff it is not
     * the minimum id in its hash bucket. */
@@ -42,8 +48,7 @@ object Dedup {
   /** Distinct (id, shingle) pairs. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sh"))
-      .distinct()
+    shingleMultiset(docs, idCol, textCol, n).distinct()
 
   /** (id, shingle) pairs WITH duplicates — for consumers that are
     * multiset-insensitive (min/max aggregates). Skipping the `distinct`
@@ -52,7 +57,8 @@ object Dedup {
     * the multiset, with map-side combine collapsing rows before exchange. */
   def shingleMultiset(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sh"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(shinglesOfTokens(col("__w"), n)).as("sh"))
 
   /** MinHash signatures: one min-hash per band. Band b's hash of a shingle
     * is the b-th disjoint 8-hex-char slice of md5(shingle) — md5 runs ONCE

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns — the native codegen'd
+    * [[graft.expressions.VecDot]], bit-identical to the declarative
+    * `aggregate(zip_with(a, b, _ * _), 0d, _ + _)` fold it replaces (same
+    * left-to-right summation), but inlined into whole-stage codegen with no
+    * per-row intermediate array. */
+  def dot(a: Column, b: Column): Column = graft.expressions.VecFns.dot(a, b)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  def l2norm(a: Column): Column = graft.expressions.VecFns.norm(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))

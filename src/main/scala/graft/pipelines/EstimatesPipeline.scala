@@ -71,9 +71,13 @@ object EstimatesPipeline {
           case (acc, (k, v)) => when(col("zper") === k, lit(v)).otherwise(acc)
         })
 
-  /** All six target tables from one scan of parsed documents. */
-  def tables(docs: DataFrame): Map[String, DataFrame] = {
-    val base = parsed(docs).cache()
+  /** All six target tables from one scan of parsed documents. `pin` caches
+    * the parsed base so a caller consuming several of the six tables parses
+    * each document once, not once per table; a single-table consumer should
+    * pass `pin = false` — materializing the deeply nested cell struct into
+    * the columnar cache costs more than the one parse it saves. */
+  def tables(docs: DataFrame, pin: Boolean = true): Map[String, DataFrame] = {
+    val base = if (pin) parsed(docs).cache() else parsed(docs)
     val per = byPeriod(base)
 
     val rankScore = base.select(

@@ -60,7 +60,9 @@ object PipelineQueries {
         concat(lit("P"), col("p_partkey")).as("act_symbol"),
         buildFullEstimateUdf(col("p_partkey")).as("html"),
         lit("2025-01-01").cast("date").as("folder_date"))
-      val fresh = EstimatesPipeline.tables(docs)("eps_estimate")
+      // pin=false: this query consumes ONE of the six tables; caching the
+      // nested parsed struct would cost more than the single parse it saves
+      val fresh = EstimatesPipeline.tables(docs, pin = false)("eps_estimate")
       val loaded = LoadOps.dedupAppend(emptyTable(s, "eps_estimate"), fresh,
         Schemas.primaryKeys("eps_estimate"))
       // money columns graded as double: the harness coerces DuckDB decimals

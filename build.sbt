@@ -29,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with every query's caches resident needs headroom — 8g
   // produced multi-second GC pauses in Bench on the 128 GiB test box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

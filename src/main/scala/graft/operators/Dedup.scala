@@ -151,6 +151,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination overlap: for every corpus document, the number
+    * of distinct word n-grams it shares with an evaluation set — the
+    * decontamination primitive of a training-data pipeline (drop or flag
+    * any training doc overlapping held-out benchmarks).
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of docs
+    * against a 100 TB corpus — so its distinct shingle set is broadcast and
+    * the corpus side never shuffles for the join; the per-doc count is a
+    * map-side-combinable aggregate keyed by the corpus doc id. Output has
+    * one row per CONTAMINATED doc (no row = clean), so the result is
+    * proportional to the contamination, not the corpus. */
+  def contaminationOverlap(corpus: DataFrame, evalDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 5): DataFrame = {
+    val corpusSh = shingleSet(corpus, idCol, textCol, n)
+    val evalSh = shingleSet(evalDocs, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    corpusSh.join(broadcast(evalSh), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** 32-bit tf-weighted SimHash over whitespace tokens. Token hash = first
     * 8 hex chars of md5 as a 32-bit int; per bit, sum +tf/−tf by bit value;
     * simhash bit = (sum > 0). Pure expression pipeline — no UDF. */

@@ -74,10 +74,18 @@ object TextAnalysis {
       explode(split(col(textCol), " ")).as("tok"))
     val wordStats = words.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"), count_distinct(col("tok")).as("__nd"))
-    val w = split(col(textCol), " ")
-    val bigrams = docs.select(col(idCol),
-      explode(transform(sequence(lit(1), size(w) - 1), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("bg"))
+    // tokenize into a bound column first: the transform lambda references
+    // the array per bigram, and an inlined split would re-tokenize per
+    // reference (same O(words²) trap as Dedup.shinglesOfTokens documents);
+    // the size guard keeps one-word docs off sequence(1, 0), which counts
+    // DOWN and would index element_at(w, 0)
+    val w = col("__w")
+    val bigrams = docs
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
     val bigramStats = bigrams.groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))

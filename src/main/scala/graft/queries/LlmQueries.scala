@@ -359,6 +359,31 @@ object LlmQueries {
              round(CAST(mx AS DOUBLE) / tot, 4) AS top_bigram_frac
       FROM tw t JOIN top USING (doc_id) ORDER BY doc_id""")),
 
+    // Benchmark decontamination: distinct shared word 5-grams between each
+    // training doc and a pseudo eval set (doc_id % 41 = 0). Eval shingles
+    // broadcast; only contaminated docs emit rows.
+    Q("tx7_contamination", (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminationOverlap(
+        d.filter(col("doc_id") % 41 =!= 0),
+        d.filter(col("doc_id") % 41 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS sh
+        FROM docs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 41 = 0),
+      corp AS (SELECT * FROM sh WHERE doc_id % 41 <> 0)
+      SELECT c.doc_id, count(*) AS shared_ngrams
+      FROM corp c JOIN ev USING (sh)
+      GROUP BY c.doc_id ORDER BY doc_id""")),
+
     // Deterministic train/val/test split: md5-fraction of the doc id, same
     // label for the same row in any engine / any run.
     Q("sa1_hash_split", (s, dir) => {

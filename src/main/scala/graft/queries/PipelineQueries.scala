@@ -140,7 +140,9 @@ object PipelineQueries {
         concat(lit("P"), col("p_partkey")).as("act_symbol"),
         buildBalanceUdf(col("p_partkey")).as("html"),
         lit("2025-06-01").cast("date").as("folder_date"))
-      val fresh = StatementsPipeline.balanceSheet(docs)("balance_sheet_equity")
+      // pin=false: one of the three balance-sheet tables consumed
+      val fresh = StatementsPipeline
+        .balanceSheet(docs, pin = false)("balance_sheet_equity")
       StatementsPipeline.loadStatement(
         emptyTable(s, "balance_sheet_equity"), fresh, "balance_sheet_equity")
         .select(Seq(col("act_symbol"), col("date"), col("period")) ++

@@ -61,6 +61,20 @@ class PlanSpec extends AnyFunSuite {
       "cell probe must be a broadcast join, not a corpus shuffle")
   }
 
+  test("similarity scoring runs the native vec_dot, not an interpreted fold") {
+    val plan = planOf("sim1_cosine_topk")
+    assert(plan.contains("vec_dot") || plan.contains("vec_norm_sq"),
+      "cosine must compile to the codegen'd expressions")
+    assert(!plan.contains("aggregate(zip_with"),
+      "no higher-order-function fold may remain in the hot path")
+  }
+
+  test("tx7 contamination broadcasts the eval shingle set") {
+    val plan = planOf("tx7_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the corpus side must not shuffle for the eval join")
+  }
+
   test("no unconditional broadcast of fact-scale tables in j6") {
     val df = SparkEntry.queries("j6_star_join")(spark, dir)
     val logical = df.queryExecution.optimizedPlan.toString

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** SURVEY §2.8 — the streaming face of the batch loaders.
@@ -55,6 +55,44 @@ object StreamingLoad {
     base.groupBy(window(col(tsCol), windowLen), keyCol)
       .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("sv"))
       .select(col("window.start").as("ws"), keyCol, col("n"), col("sv"))
+  }
+
+  /** Streaming first-seen dedup — K1's `ON CONFLICT (pk) DO NOTHING` as
+    * per-key stream state ([[KeyValueGroupedDataset.flatMapGroupsWithState]]):
+    * the first row of each key passes, every later arrival (same batch or
+    * any later micro-batch) is dropped.
+    *
+    * Scale rationale vs the batch form: `foreachBatch` + anti-join re-scans
+    * the stored table every micro-batch — O(store) per trigger as the store
+    * grows. Here the "have I inserted this PK" bit lives in the state store,
+    * keyed and partitioned by PK hash, so each trigger costs O(batch). With
+    * `ttl` set, keys idle longer than the timeout are evicted — the right
+    * bound for calendar-shaped streams whose keys go cold after their event
+    * date passes (a re-arrival after eviction re-inserts, matching a store
+    * that has been K6-compacted away).
+    */
+  def firstSeenDedup[K, V](grouped: KeyValueGroupedDataset[K, V],
+                           ttl: Option[String] = None)(
+      implicit ev: Encoder[V]): Dataset[V] = {
+    implicit val boolEnc: Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    grouped.flatMapGroupsWithState[Boolean, V](
+      OutputMode.Append(), timeout) {
+      (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else if (state.exists) {
+          Iterator.empty
+        } else {
+          state.update(true)
+          ttl.foreach(state.setTimeoutDuration)
+          rows.take(1)
+        }
+    }
   }
 
   /** Watermarked session windows per key: events closer than `gap` merge

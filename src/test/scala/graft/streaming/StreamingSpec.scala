@@ -123,6 +123,40 @@ class StreamingSpec extends AnyFunSuite {
       === Seq(("click", 2L, 3.5), ("view", 1L, 1.0)))
   }
 
+  test("firstSeenDedup drops re-arrivals across micro-batches via key state") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_fsd").toFile
+    val evSchema = StructType(Seq(
+      StructField("act_symbol", StringType),
+      StructField("date", StringType),
+      StructField("when", StringType)))
+    val stream = spark.readStream.schema(evSchema)
+      .json(inDir.getAbsolutePath)
+      .as[(String, String, String)]
+    val deduped = StreamingLoad.firstSeenDedup(
+      stream.groupByKey { case (s, d, _) => (s, d) })
+    val query = deduped.toDF("act_symbol", "date", "when").writeStream
+      .outputMode("append").format("memory").queryName("fsd").start()
+    // batch 1: one duplicate inside the batch
+    Files.writeString(new java.io.File(inDir, "b1.json").toPath,
+      """{"act_symbol":"AAPL","date":"2024-01-10","when":"bmo"}
+        |{"act_symbol":"AAPL","date":"2024-01-10","when":"amc"}
+        |{"act_symbol":"MSFT","date":"2024-01-11","when":"amc"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    // batch 2: AAPL re-arrives (must be dropped by state), NVDA is new
+    Files.writeString(new java.io.File(inDir, "b2.json").toPath,
+      """{"act_symbol":"AAPL","date":"2024-01-10","when":"changed"}
+        |{"act_symbol":"NVDA","date":"2024-01-12","when":"bmo"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("fsd").orderBy("act_symbol").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("AAPL", "bmo"), ("MSFT", "amc"), ("NVDA", "bmo")),
+      "first arrival wins; re-arrival in a later batch is dropped")
+  }
+
   test("sessionAggs merges gap-adjacent events on a stream") {
     val inDir = Files.createTempDirectory("graft_session").toFile
     val evSchema = StructType(Seq(

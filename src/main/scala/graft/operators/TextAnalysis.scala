@@ -54,6 +54,26 @@ object TextAnalysis {
       (lit(1.0) - punct / greatest(nChars, lit(1.0))) * lit(0.5), 4)
   }
 
+  /** PII patterns for corpus scrubbing — the RE2/Java-regex common subset
+    * so the same pattern text runs in any engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Redact emails/phones/SSNs with typed placeholders. SSN runs before
+    * phone so a 3-2-4 group is never half-eaten by the 3-3-4 pattern. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, SsnRe, "<SSN>"),
+        PhoneRe, "<PHONE>"),
+      EmailRe, "<EMAIL>")
+
+  /** Number of PII matches in the original text (sum over the patterns). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(SsnRe)) + regexp_count(text, lit(PhoneRe)) +
+      regexp_count(text, lit(EmailRe))
+
   /** Document fingerprint: md5 of case-folded, whitespace-collapsed text. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))

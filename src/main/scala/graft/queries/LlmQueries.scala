@@ -10,6 +10,11 @@ import Tables.t
   */
 object LlmQueries {
 
+  // PII regexes shared verbatim with the DuckDB oracle (RE2/Java subset)
+  private val TAEmailRe = TA.EmailRe
+  private val TAPhoneRe = TA.PhoneRe
+  private val TASsnRe = TA.SsnRe
+
   /** Shared oracle CTE: distinct 3-word shingles per doc (1-based slices,
     * trailing empty token kept — mirrors Spark split(text, ' ')). */
   private val ShingleCte = """
@@ -358,6 +363,81 @@ object LlmQueries {
              round(CAST(nd AS DOUBLE) / n, 4) AS ttr,
              round(CAST(mx AS DOUBLE) / tot, 4) AS top_bigram_frac
       FROM tw t JOIN top USING (doc_id) ORDER BY doc_id""")),
+
+    // PII scrubbing: typed redaction of emails/phones/SSNs. The corpus is
+    // synthetic lorem text, so the query plants deterministic PII per doc
+    // (both engines build the identical augmented string) and the scrub is
+    // graded on redacted text + match count.
+    Q("tx8_pii_scrub", (s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@mail.example.org or 555-123-4567"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextAnalysis.piiCount(aug).as("n_pii"),
+        graft.operators.TextAnalysis.piiRedact(aug).as("clean"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.org or 555-123-4567'
+                    || CASE WHEN doc_id % 3 = 0
+                         THEN ' ssn 123-45-' ||
+                              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '${TAEmailRe}'))
+               + len(regexp_extract_all(t, '${TAPhoneRe}'))
+               + len(regexp_extract_all(t, '${TASsnRe}')) AS n_pii,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '${TASsnRe}', '<SSN>', 'g'),
+               '${TAPhoneRe}', '<PHONE>', 'g'),
+               '${TAEmailRe}', '<EMAIL>', 'g') AS clean
+      FROM aug ORDER BY doc_id""")),
+
+    // Corpus rollup: per predicted language, doc count + token-count mean /
+    // exact interpolated median / p95 — the monitoring query a corpus run
+    // reports; exact percentile so both engines agree bit for bit.
+    Q("cs1_corpus_stats", (s, dir) => {
+      val toks = TA.tokenCount(col("text")).cast("double")
+      t(s, dir, "documents")
+        .select(TA.langId(col("text")).as("pred_lang"), toks.as("nt"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nt")), 4).as("avg_tokens"),
+          expr("percentile(nt, 0.5)").as("med_tokens"),
+          expr("percentile(nt, 0.95)").as("p95_tokens"))
+        .orderBy("pred_lang")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'of', 'and'))) AS c_en,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('le', 'et', 'les'))) AS c_fr,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('el', 'y', 'los'))) AS c_es,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('der', 'und', 'die'))) AS c_de
+        FROM documents),
+      l AS (
+        SELECT nt,
+          CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+               WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+               WHEN c_es > 0 AND c_es >= greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+               WHEN c_de > 0 AND c_de >= greatest(c_en, c_fr, c_es, c_de) THEN 'de'
+               ELSE 'und' END AS pred_lang
+        FROM c)
+      SELECT pred_lang, count(*) AS n_docs,
+             round(avg(nt), 4) AS avg_tokens,
+             quantile_cont(nt, 0.5) AS med_tokens,
+             quantile_cont(nt, 0.95) AS p95_tokens
+      FROM l GROUP BY pred_lang ORDER BY pred_lang""")),
 
     // Benchmark decontamination: distinct shared word 5-grams between each
     // training doc and a pseudo eval set (doc_id % 41 = 0). Eval shingles

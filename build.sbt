@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with every query's caches resident needs headroom — 8g
   // produced multi-second GC pauses in Bench on the 128 GiB test box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 85 queries x (warmup + 2 timed runs) of whole-stage-codegen classes
+  // overflow the default 240m JIT code cache; eviction then deoptimizes the
+  // document-parser hot loops and a 2.5s pipeline reads as 15s
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

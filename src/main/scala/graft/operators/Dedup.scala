@@ -151,6 +151,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-dup pairs — the Manku/Jain/Sarma (WWW '07) shape: split
+    * the 32-bit simhash into four 8-bit bands; two hashes within Hamming
+    * distance < 4 must agree on at least one whole band (pigeonhole), so a
+    * (band, value) equi-join finds every such pair without an all-pairs
+    * scan; candidates then take the exact `bit_count(xor)` filter.
+    *
+    * Scale shape: ×4 row expansion on the signature table (one long per
+    * doc — tiny next to the corpus), equi-join on an 8-bit-in-a-long key,
+    * exact filter on the joined pair only. At corpus scale the band tables
+    * are what gets partitioned/bucketed; skew in a hot (band, value) bucket
+    * means that byte of the hash is degenerate across boilerplate — the
+    * exact-dedup-first composition (see [[nearDupPairs]]) removes it. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < $bands byte bands")
+    val sig = simhash32(docs, idCol, textCol)
+    val banded = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bv"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Benchmark-contamination overlap: for every corpus document, the number
     * of distinct word n-grams it shares with an evaluation set — the
     * decontamination primitive of a training-data pipeline (drop or flag

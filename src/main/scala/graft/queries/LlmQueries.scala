@@ -155,6 +155,47 @@ object LlmQueries {
                   AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // SimHash near-dup pairs: byte-band buckets (pigeonhole recall for
+    // Hamming < 4) + exact bit_count(xor) filter on candidates.
+    Q("dd7_simhash_pairs", (s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok),
+      hashed AS (
+        SELECT doc_id, tf,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) AS h
+        FROM tf),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+        FROM hashed, UNNEST(generate_series(0, 31)) AS t(b)
+        GROUP BY doc_id, b),
+      sims AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bv
+        FROM sims, UNNEST([0, 1, 2, 3]) AS t(band)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      ORDER BY id_a, id_b""")),
+
     // Embedding-cosine near-dup pairs: sign-LSH bucket, exact cosine within
     // bucket, threshold filter (on the rounded score in both engines).
     Q("dd5_embedding_neardup", (s, dir) =>

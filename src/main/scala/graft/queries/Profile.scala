@@ -42,6 +42,13 @@ object Profile {
 
     val which = args.drop(1).headOption.getOrElse("all")
 
+    if (which == "q") {
+      // profile any registered query by name, 3 passes
+      val name = args(2)
+      val fn = graft.SparkEntry.queries(name)
+      (1 to 3).foreach(i => time(s"$name pass $i")(fn(spark, sfDir)))
+    }
+
     if (which == "all" || which == "pipe2") {
       val buildUdf = udf((pk: Long) =>
         ExtractQueries.buildIncomeDoc(pk, yy2 = true))

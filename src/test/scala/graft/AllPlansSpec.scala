@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-registry plan sweep: no registered query may degrade to an
+  * unbounded cartesian/nested-loop join. Queries that deliberately cross-
+  * join a bounded broadcast side (a 1-row query vector, a centroid array, a
+  * scalar subquery) are listed with the reason — anything new that shows up
+  * here unreviewed is a scale bug, not a style choice. */
+class AllPlansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** name -> why an NLJ/cross is acceptable there (bounded build side). */
+  private val boundedCrossAllowed: Map[String, String] = Map(
+    "sim1_cosine_topk" -> "1-row query-vector broadcast",
+    "sim2_lsh_bucketed_ann" -> "1-row query-vector broadcast",
+    "sim3_multiprobe_ann" -> "bits+1-row probe-set broadcast",
+    "sim4_ivf_ann" -> "1-row centroid-array + 1-row query broadcast",
+    "j5_scalar_subquery" -> "1-row max(last_seen) scalar broadcast",
+    "p1_universe_filter" -> "1-row max(last_seen) scalar broadcast")
+
+  test("no registered query plans an unbounded cartesian / nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val hasNlj = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (hasNlj && !boundedCrossAllowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unreviewed cartesian/nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+}

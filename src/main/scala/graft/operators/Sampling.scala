@@ -30,6 +30,22 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic k-per-group sample: rank rows inside each group by their
+    * key hash (a uniform pseudo-random order that every engine and re-run
+    * reproduces) and keep the k smallest — the reservoir-sample shape
+    * ("k random docs per source/language") without `rand()`.
+    *
+    * Scale shape: one window keyed by the group; Spark's WindowGroupLimit
+    * pushes the k cutoff below the shuffle (partial top-k per map task), so
+    * the exchange carries O(groups × k), not the corpus. */
+  def groupSample(df: DataFrame, key: Column, group: Column,
+                  k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(hashFraction(key), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Deterministic per-stratum subsample: keep ~`frac(stratum)` of rows in
     * each stratum (e.g. downsample an over-represented source). Rows keep /
     * drop by key hash, so re-runs and incremental loads agree on every row.

@@ -548,6 +548,30 @@ object LlmQueries {
                                WHEN 'src2' THEN 0.0 ELSE 1.0 END
       ORDER BY doc_id""")),
 
+    // Deterministic k-per-group sample: hash-ranked reservoir shape, same
+    // k rows per source in any engine / any run.
+    Q("sa3_group_sample", (s, dir) =>
+      graft.operators.Sampling.groupSample(
+        t(s, dir, "documents"), col("doc_id").cast("string"), col("source"),
+        k = 25)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY frac, CAST(doc_id AS VARCHAR))
+                 AS rk
+        FROM f)
+      SELECT doc_id, source FROM r WHERE rk <= 25 ORDER BY doc_id""")),
+
     // Multimodal plumbing: binary payload + typed metadata (the decode step
     // itself is the stubbed FakeCodec, exercised in MultimodalSpec).
     Q("mm1_binary_meta", (s, dir) =>

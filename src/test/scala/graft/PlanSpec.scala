@@ -75,6 +75,12 @@ class PlanSpec extends AnyFunSuite {
       "the corpus side must not shuffle for the eval join")
   }
 
+  test("sa3 pushes the per-group k below the shuffle (partial WindowGroupLimit)") {
+    val plan = planOf("sa3_group_sample")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      "expected map-side (Partial) + reduce-side (Final) group limits")
+  }
+
   test("no unconditional broadcast of fact-scale tables in j6") {
     val df = SparkEntry.queries("j6_star_join")(spark, dir)
     val logical = df.queryExecution.optimizedPlan.toString

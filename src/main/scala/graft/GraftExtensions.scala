@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{VecDot, VecDotRewrite, VecNormSq}
+import graft.expressions.{KmvDistinct, VecDot, VecDotRewrite, VecNormSq}
 
 /** Session extensions: registers the native vector expressions so SQL users
   * get `vec_dot(a, b)` / `vec_norm_sq(v)` alongside the Column API in
@@ -23,5 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm_sq"),
       new ExpressionInfo(classOf[VecNormSq].getName, "vec_norm_sq"),
       (args: Seq[Expression]) => VecNormSq(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (args: Seq[Expression]) =>
+        KmvDistinct(args.head,
+          args(1).eval().asInstanceOf[Number].intValue)
+          .toAggregateExpression()))
   }
 }

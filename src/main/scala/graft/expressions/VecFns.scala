@@ -19,4 +19,9 @@ object VecFns {
 
   /** L2 norm (`sqrt` of the native squared norm). */
   def norm(v: Column): Column = sqrt(normSq(v))
+
+  /** KMV distinct-count sketch over a [0,1) hash-fraction column — O(k)
+    * mergeable buffer, deterministic estimate (see [[KmvDistinct]]). */
+  def kmvDistinct(hashFrac: Column, k: Int): Column =
+    B.column(KmvDistinct(B.expression(hashFrac), k).toAggregateExpression())
 }

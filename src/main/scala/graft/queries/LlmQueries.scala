@@ -548,6 +548,38 @@ object LlmQueries {
                                WHEN 'src2' THEN 0.0 ELSE 1.0 END
       ORDER BY doc_id""")),
 
+    // KMV distinct sketch vs exact: per source, estimate distinct tokens
+    // from a 25-value mergeable sketch. Deterministic (md5 fractions), so
+    // the oracle reproduces the exact estimate — both sides dedup by the
+    // hash fraction itself.
+    Q("ks1_kmv_distinct", (s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+        .withColumn("frac",
+          graft.operators.Sampling.hashFraction(col("tok")))
+      toks.groupBy("source").agg(
+        countDistinct(col("frac")).as("exact_distinct"),
+        round(graft.expressions.VecFns.kmvDistinct(col("frac"), 25), 4)
+          .as("kmv_estimate"))
+        .orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      f AS (
+        SELECT DISTINCT source,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM toks),
+      st AS (
+        SELECT source, count(*) AS nd, list_sort(list(frac)) AS fr
+        FROM f GROUP BY source)
+      SELECT source, CAST(nd AS BIGINT) AS exact_distinct,
+             round(CASE WHEN nd < 25 THEN CAST(nd AS DOUBLE)
+                        ELSE 24.0 / fr[25] END, 4) AS kmv_estimate
+      FROM st ORDER BY source""")),
+
     // Deterministic k-per-group sample: hash-ranked reservoir shape, same
     // k rows per source in any engine / any run.
     Q("sa3_group_sample", (s, dir) =>

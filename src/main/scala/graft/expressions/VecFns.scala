@@ -24,4 +24,9 @@ object VecFns {
     * mergeable buffer, deterministic estimate (see [[KmvDistinct]]). */
   def kmvDistinct(hashFrac: Column, k: Int): Column =
     B.column(KmvDistinct(B.expression(hashFrac), k).toAggregateExpression())
+
+  /** Elementwise vector sum aggregate — O(groups × dims) through the
+    * shuffle, the centroid-math primitive (see [[VecSumAgg]]). */
+  def vecSum(v: Column): Column =
+    B.column(VecSumAgg(B.expression(v)).toAggregateExpression())
 }

@@ -98,27 +98,85 @@ object Similarity {
     * is never shuffled to be assigned; at rest `cell` is the partition
     * key and a probe prunes to ~1/nlist of the data. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nlist: Int = 8): DataFrame = {
+              queryId: Long, k: Int, nlist: Int = 8,
+              centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val e = widened(emb, idCol, vecCol)
-    def dist2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val centroids = e.filter(col(idCol) < nlist)
-      .groupBy()
-      .agg(collect_list(struct(col(idCol).as("cid"), col("v").as("cv")))
-        .as("cents"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("cell",
-        array_min(transform(col("cents"), c =>
-          struct(dist2(c.getField("cv"), col("v")).as("d"),
-            c.getField("cid").as("cid")))).getField("cid"))
-      .drop("cents")
+    val centroids = centroidsOverride.getOrElse(
+      e.filter(col(idCol) < nlist)
+        .select(col(idCol).cast("int").as("cid"), col("v").as("cv")))
+    val assigned = assignCells(e, centroids)
     val q = assigned.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), col("cell").as("qcell"))
     assigned.join(broadcast(q), col("cell") === col("qcell"))
       .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Squared L2 distance (sequential fold — used inside centroid argmin). */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Argmin-centroid cell id for each vector against a broadcast 1-row
+    * centroid list (struct order breaks distance ties by cid). */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val packed = centroids.groupBy()
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("cell",
+        array_min(transform(col("cents"), c =>
+          struct(dist2(c.getField("cv"), col("v")).as("d"),
+            c.getField("cid").as("cid")))).getField("cid"))
+      .drop("cents")
+  }
+
+  /** Lloyd k-means for IVF centroids, entirely as DataFrame ops: assign via
+    * a broadcast centroid array (the corpus is never shuffled or collected),
+    * recompute each cell's mean with the mergeable
+    * [[graft.expressions.VecSumAgg]] (O(cells × dims) through the exchange —
+    * no posexplode blow-up), and carry forward the old centroid for any
+    * cell that went empty. Deterministic: init = first `nlist` vectors by
+    * id, ties in the argmin break by cid, vector sums are exact doubles per
+    * partition-invariant merge — re-runs and different partition layouts
+    * produce identical centroids (spec-gated).
+    *
+    * Returns (cid, cv). Feed to [[ivfTopK]] via `centroidsOverride`. */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 8, iters: Int = 5): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+    var centroids = e.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cid"), col("v").as("cv"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assignCells(e, centroids)
+      val means = assigned.groupBy(col("cell").as("cid"))
+        .agg(graft.expressions.VecFns.vecSum(col("v")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("cid"),
+          transform(col("__s"), x => x / col("__n")).as("cv"))
+      // empty cells keep their previous centroid; localCheckpoint keeps the
+      // lineage from growing once per iteration (driver-side loop over a
+      // FIXED small iteration count is the standard distributed-k-means
+      // shape — each iteration is one full-parallel pass, nothing per-row
+      // happens on the driver)
+      centroids = centroids.join(means.select(col("cid"), col("cv").as("__nc")),
+          Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__nc"), col("cv")).as("cv"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    centroids
+  }
+
+  /** Mean squared distance of every vector to its assigned centroid — the
+    * k-means objective; used to gate that training actually improves. */
+  def distortion(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+    val assigned = assignCells(e, centroids)
+      .join(centroids, col("cell") === col("cid"))
+    assigned.agg(avg(dist2(col("v"), col("cv"))).as("mean_sq_dist"))
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucketing, exact

@@ -548,6 +548,126 @@ object LlmQueries {
                                WHEN 'src2' THEN 0.0 ELSE 1.0 END
       ORDER BY doc_id""")),
 
+    // The full curation run, composed end to end like pipe5 composes the
+    // calendar lifecycle: quality + language gate -> exact dedup (min-id
+    // representative) -> near-dup drop (higher id of any pair at jaccard
+    // >= 0.5) -> benchmark decontamination (any shared 5-gram with the
+    // doc_id%41 eval set) -> deterministic split label. One graded answer
+    // over every stage's already-proven semantics.
+    Q("pipe6_curation", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val base = d.filter(col("doc_id") % 41 =!= 0)
+      val quality = base.filter(
+        TA.qualityScore(col("text")) >= 0.5 &&
+          TA.langId(col("text")) === "en")
+      val exact = quality
+        .withColumn("__h", md5(col("text").cast("binary")))
+        .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
+        .filter(col("doc_id") === col("__m")).drop("__h", "__m")
+      val losers = Dedup.nearDupPairs(exact, "doc_id", "text",
+        threshold = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val survivors = exact.join(losers, Seq("doc_id"), "left_anti")
+      val cont = Dedup.contaminationOverlap(survivors,
+        d.filter(col("doc_id") % 41 === 0), "doc_id", "text", n = 5)
+      survivors.join(cont.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          graft.operators.Sampling.splitLabel(col("doc_id").cast("string"))
+            .as("split"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 41 <> 0
+          AND round((CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.5
+                + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5,
+                4) >= 0.5
+          AND (SELECT CASE
+                 WHEN c_en > 0 AND c_en >= greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+                 WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+                 WHEN c_es > 0 AND c_es >= greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+                 WHEN c_de > 0 AND c_de >= greatest(c_en, c_fr, c_es, c_de) THEN 'de'
+                 ELSE 'und' END
+               FROM (SELECT
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the', 'of', 'and'))) AS c_en,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('le', 'et', 'les'))) AS c_fr,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('el', 'y', 'los'))) AS c_es,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('der', 'und', 'die'))) AS c_de)) = 'en'),
+      exact AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS m
+          FROM quality) WHERE doc_id = m),
+      docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY c.doc_a, c.doc_b),
+      losers AS (
+        SELECT DISTINCT i.doc_b AS doc_id
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b
+        WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) >= 0.5),
+      survivors AS (
+        SELECT e.doc_id, e.text FROM exact e
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)),
+      sdocs AS (SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
+      s5 AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS sh
+        FROM sdocs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      edocs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 41 = 0),
+      e5 AS (
+        SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                    || w[i+3] || ' ' || w[i+4] AS sh
+        FROM edocs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      contaminated AS (
+        SELECT DISTINCT s5.doc_id FROM s5 JOIN e5 USING (sh)),
+      clean AS (
+        SELECT s.doc_id FROM survivors s
+        WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+                          WHERE c.doc_id = s.doc_id)),
+      f AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM clean)
+      SELECT doc_id,
+             CASE WHEN frac < 0.8 THEN 'train'
+                  WHEN frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM f ORDER BY doc_id""")),
+
     // KMV distinct sketch vs exact: per source, estimate distinct tokens
     // from a 25-value mergeable sketch. Deterministic (md5 fractions), so
     // the oracle reproduces the exact estimate — both sides dedup by the

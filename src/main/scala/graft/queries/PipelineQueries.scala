@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.export.CsvExport
 import graft.functions.{DateFns => D}
@@ -318,6 +318,91 @@ object PipelineQueries {
                         WHERE v.act_symbol = l.act_symbol
                           AND v.date = l.date)
       ORDER BY act_symbol, date""")),
+
+    // Dividend-calendar pipeline end to end against a NON-empty store:
+    // K4 future retraction (on ex_date) + U8 dividend parse (F6 $-strip,
+    // '--'-as-NULL payable) + K5 slide-forward + K1 append — the earnings
+    // run minus J2, exactly `dividend-calendar-transform-load.rkt`.
+    // Store fixture per symbol 'D{ck}': a near row 3 days before the fresh
+    // ex-date (K5 victim when past, K4 victim when future), a far-future
+    // row (K4 victim), and an old November row (survives).
+    Q("pipe7_dividend_calendar_pipeline", (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ck = col("c_custkey")
+      val exDate = date_add(lit("2024-01-01").cast("date"),
+        (ck % 28).cast("int"))
+      val amountTxt = concat(((ck % 9) + 1).cast("string"), lit(".25"))
+      val payable = when(ck % 2 === 0, lit("--")).otherwise(lit("2024-12-15"))
+      val raw = concat(
+        lit("window.app_data = {\"data\": [[\"<b>D"), ck,
+        lit("</b>\", \"a\", \"b\", \"$"), amountTxt,
+        lit("\", \"c\", \""), date_format(exDate, "yyyy-MM-dd"),
+        lit("\", \"d\", \""), payable, lit("\"]]}"))
+      val payloads = cust.select(ck, raw.as("raw"))
+      val symA = concat(lit("D"), ck)
+      def money(c: Column) = c.cast("decimal(38,4)")
+      val existing = cust.select(symA.as("act_symbol"),
+          date_sub(exDate, 3).as("ex_date"),
+          money(lit("9.99")).as("amount"),
+          lit("2024-11-30").cast("date").as("payable_date"))
+        .unionByName(cust.select(symA.as("act_symbol"),
+          date_add(lit("2024-02-10").cast("date"), (ck % 7).cast("int"))
+            .as("ex_date"),
+          money(lit("8.88")).as("amount"),
+          lit(null).cast("date").as("payable_date")))
+        .unionByName(cust.select(symA.as("act_symbol"),
+          date_add(lit("2023-11-05").cast("date"), (ck % 10).cast("int"))
+            .as("ex_date"),
+          money(lit("7.77")).as("amount"),
+          lit("2023-12-20").cast("date").as("payable_date")))
+      graft.pipelines.CalendarPipeline.runDividends(existing, payloads,
+        java.sql.Date.valueOf("2024-01-15"))
+        .withColumn("amount", col("amount").cast("double"))
+        .orderBy("act_symbol", "ex_date")
+    }, Some("""
+      WITH fresh AS (
+        SELECT 'D' || CAST(c_custkey AS VARCHAR) AS act_symbol,
+               CAST(DATE '2024-01-01' + INTERVAL (c_custkey % 28) DAY AS DATE)
+                 AS ex_date,
+               CAST(CAST((c_custkey % 9) + 1 AS VARCHAR) || '.25' AS DOUBLE)
+                 AS amount,
+               CASE WHEN c_custkey % 2 = 0 THEN NULL
+                    ELSE DATE '2024-12-15' END AS payable_date
+        FROM customer),
+      ex AS (
+        SELECT 'D' || CAST(c_custkey AS VARCHAR) AS act_symbol,
+               CAST(DATE '2024-01-01' + INTERVAL (c_custkey % 28) DAY
+                    - INTERVAL 3 DAY AS DATE) AS ex_date,
+               9.99 AS amount, DATE '2024-11-30' AS payable_date
+        FROM customer
+        UNION ALL
+        SELECT 'D' || CAST(c_custkey AS VARCHAR),
+               CAST(DATE '2024-02-10' + INTERVAL (c_custkey % 7) DAY AS DATE),
+               8.88, NULL
+        FROM customer
+        UNION ALL
+        SELECT 'D' || CAST(c_custkey AS VARCHAR),
+               CAST(DATE '2023-11-05' + INTERVAL (c_custkey % 10) DAY AS DATE),
+               7.77, DATE '2023-12-20'
+        FROM customer),
+      k4 AS (SELECT * FROM ex WHERE ex_date < DATE '2024-01-15'),
+      k5 AS (
+        SELECT k.* FROM k4 k
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fresh f
+          WHERE f.act_symbol = k.act_symbol
+            AND k.ex_date >= f.ex_date - INTERVAL 7 DAY
+            AND k.ex_date < f.ex_date))
+      SELECT act_symbol, ex_date, CAST(amount AS DOUBLE) AS amount,
+             payable_date
+      FROM (
+        SELECT * FROM k5
+        UNION ALL
+        SELECT f.* FROM fresh f
+        WHERE NOT EXISTS (SELECT 1 FROM k5 k
+                          WHERE k.act_symbol = f.act_symbol
+                            AND k.ex_date = f.ex_date))
+      ORDER BY act_symbol, ex_date""")),
 
     // K2 — the export projection: every column `coalesce(cast::string, '')`
     // with header+order handled by the writer (graded on the projection).

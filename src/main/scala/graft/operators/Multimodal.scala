@@ -52,6 +52,48 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. `ts_ms` is the stub's fixed
+    * 25fps clock (frame_idx × 40 ms). */
+  final case class FrameRow(media_id: Long, frame_idx: Int, ts_ms: Long,
+                            frame: Array[Byte])
+
+  /** STUB resize: a real implementation decodes, scales to fit `maxBytes`,
+    * and re-encodes; the fake truncates the payload (same 1→1 partition-
+    * local shape, metadata — nbytes, digest — recomputed for the NEW bytes,
+    * which is the part real pipelines get wrong). */
+  def resize(media: DataFrame, maxBytes: Int): Dataset[MediaRow] = {
+    implicit val rowEnc = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val out = if (r.payload.length <= maxBytes) r.payload
+          else java.util.Arrays.copyOf(r.payload, maxBytes)
+        md.reset()
+        val digest = md.digest(out).map("%02x".format(_)).mkString
+        MediaRow(r.media_id, r.mime, out.length.toLong, digest, out)
+      }
+    }
+  }
+
+  /** STUB frame sampling — the 1→N generator shape of video handling: the
+    * payload is treated as fixed-size frames and every `everyNth` frame is
+    * emitted as its own row (a real codec seeks keyframes; the slicing,
+    * fan-out, and per-frame schema are what Spark sees either way). Frames
+    * stay executor-side; the fan-out multiplies rows, never driver state. */
+  def frameSample(media: DataFrame, frameBytes: Int,
+                  everyNth: Int = 1): Dataset[FrameRow] = {
+    implicit val rowEnc = Encoders.product[MediaRow]
+    implicit val frameEnc = Encoders.product[FrameRow]
+    media.as[MediaRow].flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames by everyNth).iterator.map { i =>
+        FrameRow(r.media_id, i, i * 40L,
+          java.util.Arrays.copyOfRange(r.payload, i * frameBytes,
+            (i + 1) * frameBytes))
+      }
+    }
+  }
+
   /** Per-partition batched feature extraction over the binary column —
     * executor-side, codec instantiated once per partition (not per row),
     * mirroring the `mapInPandas` batch shape. */

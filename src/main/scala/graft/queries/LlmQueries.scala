@@ -736,6 +736,26 @@ object LlmQueries {
       SELECT doc_id AS media_id, 'text/plain' AS mime,
              octet_length(encode(text)) AS nbytes, md5(text) AS digest,
              substr(hex(encode(text)), 1, 16) AS head8
-      FROM documents ORDER BY media_id"""))
+      FROM documents ORDER BY media_id""")),
+
+    // Frame sampling (1→N generator over a binary payload): every 2nd
+    // 16-byte frame, graded on the frame text (the corpus is ASCII, so the
+    // oracle slices the string where Spark slices the bytes).
+    Q("mm2_frame_sample", (s, dir) => {
+      val media = Multimodal.packBinary(t(s, dir, "documents"), "doc_id",
+        "text", mime = "text/plain")
+      Multimodal.frameSample(media, frameBytes = 16, everyNth = 2)
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          col("frame").cast("string").as("frame_txt"))
+        .orderBy("media_id", "frame_idx")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, length(text) // 16 AS nf FROM documents)
+      SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+             CAST(fi * 40 AS BIGINT) AS ts_ms,
+             substr(text, CAST(fi * 16 + 1 AS INTEGER), 16) AS frame_txt
+      FROM f, UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS t(fi)
+      WHERE nf >= 1
+      ORDER BY media_id, frame_idx"""))
   )
 }

@@ -37,4 +37,30 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.media_id).map(_.feature.toSeq).toSeq
     assert(a === b)
   }
+
+  test("resize truncates to the cap and recomputes metadata for the NEW bytes") {
+    import spark.implicits._
+    val m = Multimodal.packBinary(
+      Seq((1L, "0123456789abcdef0123"), (2L, "short")).toDF("id", "t"),
+      "id", "t")
+    val out = Multimodal.resize(m, maxBytes = 8).collect().sortBy(_.media_id)
+    assert(out(0).nbytes == 8 && new String(out(0).payload) == "01234567")
+    assert(out(1).nbytes == 5 && new String(out(1).payload) == "short")
+    // digest must describe the truncated payload, not the original
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("01234567".getBytes).map("%02x".format(_)).mkString
+    assert(out(0).digest == expect)
+  }
+
+  test("frameSample fans one payload into every-nth fixed-size frames") {
+    import spark.implicits._
+    val m = Multimodal.packBinary(
+      Seq((7L, "AAAABBBBCCCCDDDDEE")).toDF("id", "t"), "id", "t")
+    val frames = Multimodal.frameSample(m, frameBytes = 4, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    // 18 bytes -> 4 whole frames (trailing 2 bytes dropped), every 2nd
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames.map(f => new String(f.frame)).toSeq == Seq("AAAA", "CCCC"))
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 80L))
+  }
 }

@@ -561,10 +561,14 @@ object LlmQueries {
       val quality = base.filter(
         TA.qualityScore(col("text")) >= 0.5 &&
           TA.langId(col("text")) === "en")
+      // the deduped gate output feeds the near-dup pass, the survivor
+      // anti-join, and (via survivors) decontamination — materialize the
+      // quality+langId+window lineage once
       val exact = quality
         .withColumn("__h", md5(col("text").cast("binary")))
         .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
         .filter(col("doc_id") === col("__m")).drop("__h", "__m")
+        .cache()
       val losers = Dedup.nearDupPairs(exact, "doc_id", "text",
         threshold = 0.5)
         .select(col("doc_b").as("doc_id")).distinct()

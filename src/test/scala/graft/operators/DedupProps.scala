@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Structural laws of the dedup primitives: shingle shape, and the
+  * pigeonhole recall guarantee of simhash byte-banding verified against a
+  * brute-force all-pairs Hamming scan. */
+class DedupProps extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the cat sat on the hat"),          // 1 token from doc 0
+    (2L, "the cat sat on the mat"),          // exact dup of doc 0
+    (3L, "completely different words here today friends"),
+    (4L, "completely different words here today folks"),
+    (5L, "one"),
+    (6L, ""),
+    (7L, "alpha beta gamma delta epsilon zeta eta theta"))
+    .toDF("doc_id", "text")
+
+  test("shingle count and arity laws") {
+    val n = 3
+    val rows = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("w"),
+      Dedup.wordShingles(col("text"), n).as("sh")).collect()
+    rows.foreach { r =>
+      val words = r.getInt(1)
+      val shingles = r.getSeq[String](2)
+      assert(shingles.size == math.max(0, words - n + 1),
+        s"doc ${r.getLong(0)}")
+      shingles.foreach(s => assert(s.split(" ", -1).length == n))
+    }
+  }
+
+  test("shingleSet equals distinct of shingleMultiset") {
+    val a = Dedup.shingleSet(docs, "doc_id", "text").collect().toSet
+    val b = Dedup.shingleMultiset(docs, "doc_id", "text").distinct()
+      .collect().toSet
+    assert(a == b)
+  }
+
+  test("simhash byte-banding finds EVERY pair within Hamming distance 3") {
+    // brute force over all simhash pairs
+    val sims = Dedup.simhash32(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"banding missed ${want -- got}, invented ${got -- want}")
+    // the exact dup pair must be there at distance 0
+    assert(got.contains((0L, 2L)))
+  }
+
+  test("nearDupPairs never pairs a non-representative (exact dups collapse)") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.1)
+      .collect()
+    // doc 2 is an exact dup of doc 0 — only the min id may appear
+    assert(pairs.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
+  }
+}

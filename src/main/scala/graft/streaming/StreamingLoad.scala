@@ -86,6 +86,9 @@ object StreamingLoad {
           state.remove()
           Iterator.empty
         } else if (state.exists) {
+          // re-arrival within the TTL: still a duplicate, and it counts as
+          // activity — push the eviction deadline out so "idle" means idle
+          ttl.foreach(state.setTimeoutDuration)
           Iterator.empty
         } else {
           state.update(true)

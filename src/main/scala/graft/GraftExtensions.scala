@@ -15,20 +15,32 @@ import graft.expressions.{KmvDistinct, VecDot, VecDotRewrite, VecNormSq}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    // arity/foldability checked here so a malformed SQL call surfaces as an
+    // analysis-time error message, not a builder IndexOutOfBounds/eval crash
+    def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("vec_dot", 2, args); VecDot(args(0), args(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_norm_sq"),
       new ExpressionInfo(classOf[VecNormSq].getName, "vec_norm_sq"),
-      (args: Seq[Expression]) => VecNormSq(args.head)))
+      (args: Seq[Expression]) => {
+        arity("vec_norm_sq", 1, args); VecNormSq(args.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
-      (args: Seq[Expression]) =>
-        KmvDistinct(args.head,
-          args(1).eval().asInstanceOf[Number].intValue)
-          .toAggregateExpression()))
+      (args: Seq[Expression]) => {
+        arity("kmv_distinct", 2, args)
+        if (!args(1).foldable) throw new IllegalArgumentException(
+          "kmv_distinct's k must be a literal")
+        KmvDistinct(args.head, args(1).eval().asInstanceOf[Number].intValue)
+          .toAggregateExpression()
+      }))
   }
 }

@@ -38,18 +38,27 @@ object VecDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Positive zero only: Scala's `0.0 == -0.0` is true, but an empty-array
+    * fold over a -0.0 seed returns -0.0 while VecDot returns 0.0 — the
+    * rewrite must not touch that (bit-identity guarantee). */
+  private def isPosZero(e: Expression): Boolean = e match {
+    case Literal(v: Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(v) == 0L
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b,
               LambdaFunction(Multiply(mx, my, _),
                 Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
-            Literal(0.0, DoubleType),
+            zero,
             LambdaFunction(Add(aa, ae, _),
               Seq(macc: NamedLambdaVariable, mel: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fv: NamedLambdaVariable), _))
-          if isDoubleArray(a) && isDoubleArray(b) &&
+          if isPosZero(zero) && isDoubleArray(a) && isDoubleArray(b) &&
             isVars(mx, my, zx, zy) && isVars(aa, ae, macc, mel) &&
             fin.exprId == fv.exprId =>
         if (a.semanticEquals(b)) VecNormSq(a) else VecDot(a, b)

@@ -32,9 +32,15 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
 
   /** Overlapping n-word shingles as an array<string>; empty below n words.
-    * 1-based `element_at` so the definition is position-stable. */
+    * 1-based `element_at` so the definition is position-stable.
+    *
+    * The tokenization is bound ONCE as a lambda variable (a Column-land
+    * "let": wrap the split in a 1-element array and `transform` over it) so
+    * shinglesOfTokens' many references hit the bound variable instead of
+    * re-running split per reference per shingle. */
   def wordShingles(text: Column, n: Int = 3): Column =
-    shinglesOfTokens(tokens(text), n)
+    element_at(
+      transform(array(tokens(text)), w => shinglesOfTokens(w, n)), 1)
 
   /** Exact dedup: content-hash groupBy; a row is a duplicate iff it is not
     * the minimum id in its hash bucket. */

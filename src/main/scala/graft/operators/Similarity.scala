@@ -141,6 +141,13 @@ object Similarity {
     * partition-invariant merge — re-runs and different partition layouts
     * produce identical centroids (spec-gated).
     *
+    * Determinism caveat: "exact doubles" holds while each cell's component
+    * sums stay inside float64's exact-integer window relative to the
+    * summands (true for float32-widened unit-scale embeddings up to very
+    * large cells); past that, addition-order ulps make layout invariance
+    * approximate rather than bit-exact — seed and tie-break stay
+    * deterministic regardless.
+    *
     * Returns (cid, cv). Feed to [[ivfTopK]] via `centroidsOverride`. */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
                      nlist: Int = 8, iters: Int = 5): DataFrame = {

@@ -72,7 +72,8 @@ object StreamingLoad {
     * that has been K6-compacted away).
     */
   def firstSeenDedup[K, V](grouped: KeyValueGroupedDataset[K, V],
-                           ttl: Option[String] = None)(
+                           ttl: Option[String] = None,
+                           pick: (V, V) => V = (a: V, _: V) => a)(
       implicit ev: Encoder[V]): Dataset[V] = {
     implicit val boolEnc: Encoder[Boolean] =
       org.apache.spark.sql.Encoders.scalaBoolean
@@ -93,7 +94,15 @@ object StreamingLoad {
         } else {
           state.update(true)
           ttl.foreach(state.setTimeoutDuration)
-          rows.take(1)
+          // within-batch conflict: the group iterator's order after the
+          // shuffle is fetch-order-dependent, so "first of the iterator" is
+          // NOT reproducible across runs for same-key rows from different
+          // input partitions — callers that can see conflicting duplicates
+          // in one batch pass a commutative-associative `pick` (e.g. min by
+          // a payload field) to keep the run-for-run determinism the batch
+          // dedupAppend provides via its ORDER BY
+          if (rows.hasNext) Iterator.single(rows.reduce(pick))
+          else Iterator.empty
         }
     }
   }

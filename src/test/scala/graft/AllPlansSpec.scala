@@ -23,11 +23,16 @@ class AllPlansSpec extends AnyFunSuite {
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
+        // several queries register cache() points while building their
+        // plans; clear between queries so CacheManager never substitutes an
+        // InMemoryRelation into a later query's (or suite's) inspected plan
+        spark.sharedState.cacheManager.clearCache()
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val hasNlj = plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")
         if (hasNlj && !boundedCrossAllowed.contains(name)) Some(name) else None
     }
+    spark.sharedState.cacheManager.clearCache()
     assert(offenders.isEmpty,
       s"unreviewed cartesian/nested-loop joins in: ${offenders.mkString(", ")}")
   }

@@ -134,7 +134,10 @@ class StreamingSpec extends AnyFunSuite {
       .json(inDir.getAbsolutePath)
       .as[(String, String, String)]
     val deduped = StreamingLoad.firstSeenDedup(
-      stream.groupByKey { case (s, d, _) => (s, d) })
+      stream.groupByKey { case (s, d, _) => (s, d) },
+      // deterministic within-batch winner: min by the payload field
+      pick = (a: (String, String, String), b: (String, String, String)) =>
+        if (a._3 <= b._3) a else b)
     val query = deduped.toDF("act_symbol", "date", "when").writeStream
       .outputMode("append").format("memory").queryName("fsd").start()
     // batch 1: one duplicate inside the batch
@@ -153,8 +156,8 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
     val out = spark.table("fsd").orderBy("act_symbol").collect()
     assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
-      Seq(("AAPL", "bmo"), ("MSFT", "amc"), ("NVDA", "bmo")),
-      "first arrival wins; re-arrival in a later batch is dropped")
+      Seq(("AAPL", "amc"), ("MSFT", "amc"), ("NVDA", "bmo")),
+      "deterministic in-batch winner (min payload); later-batch re-arrival dropped")
   }
 
   test("sessionAggs merges gap-adjacent events on a stream") {

@@ -48,6 +48,22 @@ class VecDotRewriteSpec extends AnyFunSuite {
     assert(q.as[Double].collect().toSeq == Seq(32.0, -2.0))
   }
 
+  test("-0.0 seed is NOT rewritten (empty-array fold keeps its sign bit)") {
+    val q = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(-0.0), (acc, x) => acc + x).as("d"))
+    assert(!optimizedContains(q, "VecDot"))
+  }
+
+  test("malformed SQL calls fail with a clear arity message, not an internal error") {
+    df.createOrReplaceTempView("vecs_arity")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT vec_dot(a) FROM vecs_arity").collect())
+    assert(e1.getMessage.contains("vec_dot expects 2 argument"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT kmv_distinct(1.0, a[1]) FROM vecs_arity").collect())
+    assert(e2.getMessage.contains("literal"))
+  }
+
   test("near-miss patterns are left alone") {
     // wrong zero
     val q1 = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),

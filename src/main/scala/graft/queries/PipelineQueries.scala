@@ -49,6 +49,85 @@ object PipelineQueries {
         WHEN 0 THEN '1234.5' WHEN 1 THEN '567.8' WHEN 2 THEN 'NA'
         ELSE '(9.1)' END AS DOUBLE)"""
 
+  /** The detailed-estimates fixture corpus all six pipe1* loads share: one
+    * full document per part row, folder date 2025-01-01 (hero era). */
+  private def estimateDocs(s: SparkSession, dir: String): DataFrame =
+    ExtractQueries.spread(s, t(s, dir, "part")).select(
+      concat(lit("P"), col("p_partkey")).as("act_symbol"),
+      buildFullEstimateUdf(col("p_partkey")).as("html"),
+      lit("2025-01-01").cast("date").as("folder_date"))
+
+  /** Run the estimates pipeline end to end into ONE of its six tables and
+    * K1-load it against an empty store. `pin = false`: a single-table
+    * consumer re-parses nothing (one parse feeds one projection), and
+    * caching the nested parse struct would cost more than it saves. */
+  private def estLoad(s: SparkSession, dir: String, table: String): DataFrame = {
+    val fresh = EstimatesPipeline.tables(estimateDocs(s, dir),
+      pin = false)(table)
+    LoadOps.dedupAppend(emptyTable(s, table), fresh,
+      Schemas.primaryKeys(table))
+  }
+
+  /** DuckDB period-end synthesis for estimate section `s`: the thead header
+    * is "(m/y)" with m=((pk+c)%12)+1, y=2020+((pk+s+c)%6); D1 end-of-month
+    * turns it into the month's last day. */
+  private def estPeriodEnd(s: Int): String =
+    s"""last_day(make_date(2020 + CAST((p_partkey + $s + c) % 6 AS INTEGER),
+                           CAST((p_partkey + c) % 12 AS INTEGER) + 1, 1))"""
+
+  /** Balance-sheet table → (table ordinal, tbody row) per column, mirroring
+    * `balance-sheet-transform-load.rkt:30-69` (see
+    * StatementExtract.BalanceEntries; the equity row-9 skip is pipe3's). */
+  private val AssetsRows: Seq[(String, Int)] = Seq(
+    "cash_and_equivalents" -> 2, "receivables" -> 3, "notes_receivable" -> 4,
+    "inventories" -> 5, "other_current_assets" -> 6,
+    "total_current_assets" -> 7, "net_property_and_equipment" -> 8,
+    "investments_and_advances" -> 9, "other_non_current_assets" -> 10,
+    "deferred_charges" -> 11, "intangibles" -> 12,
+    "deposits_and_other_assets" -> 13, "total_assets" -> 14)
+
+  private val LiabilitiesRows: Seq[(String, Int)] = Seq(
+    "notes_payable" -> 1, "accounts_payable" -> 2,
+    "current_portion_long_term_debt" -> 3,
+    "current_portion_capital_leases" -> 4, "accrued_expenses" -> 5,
+    "income_taxes_payable" -> 6, "other_current_liabilities" -> 7,
+    "total_current_liabilities" -> 8, "mortgages" -> 9,
+    "deferred_taxes_or_income" -> 10, "convertible_debt" -> 11,
+    "long_term_debt" -> 12, "non_current_capital_leases" -> 13,
+    "other_non_current_liabilities" -> 14, "minority_interest" -> 15,
+    "total_liabilities" -> 16)
+
+  /** One balance-sheet table load graded on EVERY money column (the column
+    * lists are exactly what a hash-match catches — pipe3 grades equity, these
+    * grade assets/liabilities). */
+  private def balanceLoadQ(qname: String, table: String, tbl: Int,
+                           rows: Seq[(String, Int)]): Q =
+    Q(qname, (s, dir) => {
+      val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
+        concat(lit("P"), col("p_partkey")).as("act_symbol"),
+        buildBalanceUdf(col("p_partkey")).as("html"),
+        lit("2025-06-01").cast("date").as("folder_date"))
+      // pin=false: one of the three balance-sheet tables consumed
+      val fresh = StatementsPipeline.balanceSheet(docs, pin = false)(table)
+      StatementsPipeline.loadStatement(emptyTable(s, table), fresh, table)
+        .select(Seq(col("act_symbol"), col("date"), col("period")) ++
+          rows.map { case (c, _) => col(c).cast("double").as(c) }: _*)
+        .orderBy("act_symbol", "period", "date")
+    }, Some(s"""
+      WITH pp AS (
+        SELECT * FROM (VALUES ('Year', 0), ('Quarter', 1)) AS v(period, per)),
+      dd AS (SELECT unnest(generate_series(1, 5)) AS di)
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             make_date(2015 + CAST((p_partkey + di + 1) % 8 AS INTEGER),
+                       CAST((p_partkey + di + 1) % 12 AS INTEGER) + 1,
+                       10 + CAST((p_partkey + per) % 15 AS INTEGER)) AS date,
+             period,
+             ${rows.map { case (c, r) =>
+               s"${stMoneyM(s"p_partkey*11 + per*13 + $tbl*17 + $r*7 + di + 1")} AS $c"
+             }.mkString(",\n             ")}
+      FROM part CROSS JOIN pp CROSS JOIN dd
+      ORDER BY act_symbol, period, date"""))
+
   val all: Seq[Q] = Seq(
 
     // Estimates pipeline end to end into eps_estimate: doc-level enum
@@ -93,6 +172,113 @@ object PipelineQueries {
       FROM part CROSS JOIN pp
       WHERE p_partkey % 5 = 4
       ORDER BY act_symbol, period""")),
+
+    // rank_score load (`estimate-transform-load.rkt:177-196`): the U2 rank +
+    // four U3 style letters, doc-validity enum gate (pk%5=4 keeps every
+    // letter inside A-F), K1 append on PK (date, act_symbol). For valid
+    // fixture docs the hero-era values are rank=5-Strong Sell and letters
+    // A/B/C/D — the gate itself is what this entry grades.
+    Q("pipe1b_rank_score", (s, dir) =>
+      estLoad(s, dir, "rank_score").orderBy("act_symbol"),
+      Some("""
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             DATE '2025-01-01' AS date,
+             'Strong Sell' AS "rank", 'A' AS "value", 'B' AS growth,
+             'C' AS momentum, 'D' AS vgm
+      FROM part WHERE p_partkey % 5 = 4
+      ORDER BY act_symbol""")),
+
+    // sales_estimate load (`estimate-transform-load.rkt:241-270`): section 1
+    // of detailed_earnings_estimates (rows consensus/count/high/low/year-ago)
+    // but the period-end date comes from the EPS section's header — the
+    // reference's own quirk, preserved in EstimatesPipeline.tables.
+    Q("pipe1c_sales_estimate", (s, dir) =>
+      estLoad(s, dir, "sales_estimate")
+        .select(col("act_symbol"), col("date"), col("period"),
+          col("period_end_date"),
+          col("consensus").cast("double").as("consensus"), col("count"),
+          col("high").cast("double").as("high"),
+          col("low").cast("double").as("low"),
+          col("year_ago").cast("double").as("year_ago"))
+        .orderBy("act_symbol", "period"),
+      Some(s"""
+      WITH pp AS (
+        SELECT * FROM (VALUES
+          ('Current Quarter', 2), ('Next Quarter', 3),
+          ('Current Year', 4), ('Next Year', 5)) AS v(period, c))
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             DATE '2025-01-01' AS date, period,
+             ${estPeriodEnd(1)} AS period_end_date,
+             ${estMoney("p_partkey*7 + 1*5 + c")} AS consensus,
+             CAST(NULL AS SMALLINT) AS count,
+             ${estMoney("p_partkey*7 + 3*5 + c")} AS high,
+             ${estMoney("p_partkey*7 + 4*5 + c")} AS low,
+             ${estMoney("p_partkey*7 + 5*5 + c")} AS year_ago
+      FROM part CROSS JOIN pp
+      WHERE p_partkey % 5 = 4
+      ORDER BY act_symbol, period""")),
+
+    // eps_revision load (`estimate-transform-load.rkt:272-305`): the
+    // agreement_estimate section; every up/down cell is an estimate-variant
+    // string, none of which survives a SMALLINT cast — the graded content is
+    // the doc gate, the period axis, and the section's own date header.
+    Q("pipe1d_eps_revision", (s, dir) =>
+      estLoad(s, dir, "eps_revision").orderBy("act_symbol", "period"),
+      Some(s"""
+      WITH pp AS (
+        SELECT * FROM (VALUES
+          ('Current Quarter', 2), ('Next Quarter', 3),
+          ('Current Year', 4), ('Next Year', 5)) AS v(period, c))
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             DATE '2025-01-01' AS date, period,
+             ${estPeriodEnd(2)} AS period_end_date,
+             CAST(NULL AS SMALLINT) AS up_7, CAST(NULL AS SMALLINT) AS up_30,
+             CAST(NULL AS SMALLINT) AS up_60, CAST(NULL AS SMALLINT) AS down_7,
+             CAST(NULL AS SMALLINT) AS down_30,
+             CAST(NULL AS SMALLINT) AS down_60
+      FROM part CROSS JOIN pp
+      WHERE p_partkey % 5 = 4
+      ORDER BY act_symbol, period""")),
+
+    // eps_perception load (`estimate-transform-load.rkt:307-330`): the
+    // quote_upside section's single most-accurate row.
+    Q("pipe1e_eps_perception", (s, dir) =>
+      estLoad(s, dir, "eps_perception")
+        .select(col("act_symbol"), col("date"), col("period"),
+          col("period_end_date"),
+          col("most_accurate").cast("double").as("most_accurate"))
+        .orderBy("act_symbol", "period"),
+      Some(s"""
+      WITH pp AS (
+        SELECT * FROM (VALUES
+          ('Current Quarter', 2), ('Next Quarter', 3),
+          ('Current Year', 4), ('Next Year', 5)) AS v(period, c))
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             DATE '2025-01-01' AS date, period,
+             ${estPeriodEnd(3)} AS period_end_date,
+             ${estMoney("p_partkey*7 + 3*31 + 1*5 + c")} AS most_accurate
+      FROM part CROSS JOIN pp
+      WHERE p_partkey % 5 = 4
+      ORDER BY act_symbol, period""")),
+
+    // eps_history load (`estimate-transform-load.rkt:402-432`): the surprise
+    // section's four TRAILING quarters (not the estimate periods), PK
+    // (act_symbol, period_end_date), no date/period columns.
+    Q("pipe1f_eps_history", (s, dir) =>
+      estLoad(s, dir, "eps_history")
+        .select(col("act_symbol"), col("period_end_date"),
+          col("reported").cast("double").as("reported"),
+          col("estimate").cast("double").as("estimate"))
+        .orderBy("act_symbol", "period_end_date"),
+      Some(s"""
+      WITH cc AS (SELECT unnest(generate_series(2, 5)) AS c)
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             ${estPeriodEnd(4)} AS period_end_date,
+             ${estMoney("p_partkey*7 + 4*31 + 1*5 + c")} AS reported,
+             ${estMoney("p_partkey*7 + 4*31 + 2*5 + c")} AS estimate
+      FROM part CROSS JOIN cc
+      WHERE p_partkey % 5 = 4
+      ORDER BY act_symbol, period_end_date""")),
 
     // Income-statement pipeline end to end: M/dd/yy date parse, Year/Quarter
     // enum, ×1e6 scaling with per-share exemptions, quarterly D&A NULLs,
@@ -166,6 +352,14 @@ object PipelineQueries {
              ${stMoney("p_partkey*11 + per*13 + 3*17 + 11*7 + di + 1")} AS book_value_per_share
       FROM part CROSS JOIN pp CROSS JOIN dd
       ORDER BY act_symbol, period, date""")),
+
+    // Balance-sheet assets + liabilities loads
+    // (`balance-sheet-transform-load.rkt:138-331`): the other two tables of
+    // the same one-parse-three-tables document, graded on EVERY money column.
+    balanceLoadQ("pipe3b_balance_assets_load", "balance_sheet_assets",
+      tbl = 1, AssetsRows),
+    balanceLoadQ("pipe3c_balance_liabilities_load", "balance_sheet_liabilities",
+      tbl = 2, LiabilitiesRows),
 
     // Cash-flow pipeline end to end (2024-02-01 layout, both periods):
     // per-period div containers, unscaled diluted_net_eps, J1+K1.

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [name ...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each oracle against the parquet
+tables in <sfDir>, and compares rows/schema/hash with the Spark dump at
+<verifyOutDir>/<name>/. Mirrors the driver convention: columns sorted by
+name, values coerced (decimal->float64, date->string), then hashed.
+"""
+import sys, json, glob, hashlib
+import duckdb, pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            # decimals / dates / strings -> normalized strings
+            df[c] = s.map(lambda v: None if v is None or v != v else str(v))
+        elif str(s.dtype).startswith("datetime"):
+            df[c] = s.dt.strftime("%Y-%m-%d")
+        elif s.dtype.kind in "fiu":
+            df[c] = s.astype("float64").round(6)
+    return df.sort_values(by=list(df.columns), na_position="first")\
+             .reset_index(drop=True)
+
+
+def h(df: pd.DataFrame) -> str:
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    failures = 0
+    for name in (names or sorted(oracles)):
+        if name not in oracles:
+            print(f"{name}: NO ORACLE (rows-only)")
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: NO SPARK DUMP")
+            failures += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        try:
+            ora_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {e}")
+            failures += 1
+            continue
+        a, b = canon(spark_df), canon(ora_df)
+        rows = len(a) == len(b)
+        schema = list(a.columns) == list(b.columns)
+        match = rows and schema and h(a) == h(b)
+        print(f"{name}: rows={len(a)}/{len(b)} schema={schema} hash={match}")
+        if not match:
+            failures += 1
+            if rows and schema:
+                neq = (a.fillna("<null>") != b.fillna("<null>")).any(axis=0)
+                bad = [c for c in a.columns if neq[c]]
+                print(f"  differing columns: {bad}")
+                for c in bad[:3]:
+                    d = a[c].fillna("<null>") != b[c].fillna("<null>")
+                    i = d[d].index[0]
+                    print(f"  first diff {c}[{i}]: "
+                          f"spark={a[c][i]!r} oracle={b[c][i]!r}")
+            else:
+                print(f"  spark cols={list(a.columns)}")
+                print(f"  oracle cols={list(b.columns)}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

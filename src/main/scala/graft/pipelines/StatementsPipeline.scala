@@ -130,9 +130,11 @@ object StatementsPipeline {
   }
 
   /** J1+K1 for income statement: guard against the stored table, then
-    * dedup-append. The two D&A columns null-compare per the reference. */
-  def loadIncomeStatement(existing: DataFrame, docs: DataFrame): DataFrame = {
-    val incoming = incomeStatement(docs)
+    * dedup-append. The two D&A columns null-compare per the reference.
+    * `strict` forwards the reference's abort-on-uncastable-cell semantics. */
+  def loadIncomeStatement(existing: DataFrame, docs: DataFrame,
+                          strict: Boolean = false): DataFrame = {
+    val incoming = incomeStatement(docs, strict)
     val facts = Schemas.incomeStatement.fieldNames.toSeq
       .diff(Seq("act_symbol", "date", "period",
         "income_before_depreciation_and_amortization",

@@ -166,17 +166,45 @@ object ExtractQueries {
   }
 
   private def stmtTable(pk: Long, per: Int, tbl: Int, nRows: Int,
-                        yy2: Boolean = false): String = {
+                        yy2: Boolean = false,
+                        cellFn: Long => String = stVariant): String = {
     val thead = (2 to 6).map(c => s"<th>${stDateHeader(pk, per, c, yy2)}</th>")
       .mkString
     val body = (1 to nRows).map { r =>
       val tds = (2 to 6).map(c =>
-        s"<td>${stVariant(stIdx(pk, per, tbl, r, c))}</td>").mkString
+        s"<td>${cellFn(stIdx(pk, per, tbl, r, c))}</td>").mkString
       s"<tr><td class=alpha>Item $r</td>$tds</tr>"
     }.mkString("\n")
     s"""<table><thead><tr><th>Items</th>$thead</tr></thead><tbody>
        |$body
        |</tbody></table>""".stripMargin
+  }
+
+  /** Mostly-numeric statement cells for the STRICT-mode fixture: one cell in
+    * 23 is 'NA' (fails `::decimal`, the reference's per-insert abort,
+    * `income-statement-transform-load.rkt:201-226`), so ~40% of exploded
+    * rows survive strict mode — both modes stay non-empty and visibly
+    * differ. The stock [[stVariant]] vocabulary is half-uncastable, which
+    * under strict semantics would drop essentially every row. */
+  private def strictVariant(idx: Long): String =
+    if (math.floorMod(idx, 23) == 0) "NA"
+    else s"${math.floorMod(idx, 997)}.5"
+
+  /** Income-statement fixture with [[strictVariant]] cells + 2-digit-year
+    * headers, for the strict-vs-tolerant pipeline grade. */
+  private[queries] def buildIncomeDocStrict(pk: Long): String = {
+    val annual =
+      s"""<div id="annual_income_statement">
+         |${stmtTable(pk, 0, 1, 15, yy2 = true, strictVariant)}
+         |${stmtTable(pk, 0, 2, 2, yy2 = true, strictVariant)}
+         |${stmtTable(pk, 0, 3, 3, yy2 = true, strictVariant)}
+         |</div>""".stripMargin
+    val quarterly =
+      s"""<div id="quarterly_income_statement">
+         |${stmtTable(pk, 1, 1, 15, yy2 = true, strictVariant)}
+         |${stmtTable(pk, 1, 2, 3, yy2 = true, strictVariant)}
+         |</div>""".stripMargin
+    s"<html><body id=home>\n$annual\n$quarterly\n</body></html>"
   }
 
   private[queries] def buildBalanceHtml(pk: Long): String = {

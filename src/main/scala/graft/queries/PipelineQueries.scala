@@ -23,6 +23,8 @@ object PipelineQueries {
     udf(ExtractQueries.buildFullEstimateDoc _)
   private val buildIncomeYYUdf =
     udf((pk: Long) => ExtractQueries.buildIncomeDoc(pk, yy2 = true))
+  private val buildIncomeStrictUdf =
+    udf(ExtractQueries.buildIncomeDocStrict _)
   private val buildBalanceUdf = udf(ExtractQueries.buildBalanceHtml _)
   private val buildCf2024Udf = udf(ExtractQueries.buildCashFlow2024Html _)
 
@@ -96,6 +98,25 @@ object PipelineQueries {
     "long_term_debt" -> 12, "non_current_capital_leases" -> 13,
     "other_non_current_liabilities" -> 14, "minority_interest" -> 15,
     "total_liabilities" -> 16)
+
+  /** Strict-mode survival: a (doc, period, date) row survives iff EVERY
+    * parsed entry cell casts — the checked cells are income table 1 rows
+    * 1-15, table 2 rows 1-2 (the D&A pair), and the per-share table (3 on
+    * annual pages, 2 on quarterly) rows 1-3. strictVariant poisons exactly
+    * the cells with idx % 23 = 0. */
+  private def strictOkSql: String = {
+    def term(tbl: String, r: Int) =
+      s"((p_partkey*11 + per*13 + $tbl*17 + $r*7 + di + 1) % 23) <> 0"
+    val pershare = "(CASE period WHEN 'Year' THEN 3 ELSE 2 END)"
+    ((1 to 15).map(r => term("1", r)) ++
+      (1 to 2).map(r => term("2", r)) ++
+      (1 to 3).map(r => term(pershare, r))).mkString("\n        AND ")
+  }
+
+  private def strictMoneyM(idx: String): String =
+    s"(CAST((($idx) % 997) + 0.5 AS DOUBLE) * 1000000)"
+  private def strictMoney(idx: String): String =
+    s"CAST((($idx) % 997) + 0.5 AS DOUBLE)"
 
   /** One balance-sheet table load graded on EVERY money column (the column
     * lists are exactly what a hash-match catches — pipe3 grades equity, these
@@ -316,6 +337,49 @@ object PipelineQueries {
              ${stMoneyM("p_partkey*11 + per*13 + (CASE period WHEN 'Year' THEN 3 ELSE 2 END)*17 + 1*7 + di + 1")} AS average_shares,
              ${stMoney("p_partkey*11 + per*13 + (CASE period WHEN 'Year' THEN 3 ELSE 2 END)*17 + 3*7 + di + 1")} AS diluted_net_eps
       FROM part CROSS JOIN pp CROSS JOIN dd
+      ORDER BY act_symbol, period, date""")),
+
+    // STRICT income-statement load — the reference's actual abort semantics:
+    // statement inserts cast cells with `::decimal` and NO NA mapping, so
+    // any uncastable cell rolls back that (doc, period, date) insert
+    // (`income-statement-transform-load.rkt:201-226`). Tolerant mode keeps
+    // the row with NULLs; strict drops it. The mostly-numeric fixture leaves
+    // ~40% survivors so the two modes demonstrably differ on the same docs.
+    Q("pipe2b_income_strict_load", (s, dir) => {
+      val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
+        concat(lit("P"), col("p_partkey")).as("act_symbol"),
+        buildIncomeStrictUdf(col("p_partkey")).as("html"),
+        lit("2025-06-01").cast("date").as("folder_date"))
+      StatementsPipeline
+        .loadIncomeStatement(emptyTable(s, "income_statement"), docs,
+          strict = true)
+        .select(Seq(col("act_symbol"), col("date"), col("period")) ++
+          Seq("sales", "net_income",
+            "income_before_depreciation_and_amortization",
+            "depreciation_and_amortization", "average_shares",
+            "diluted_net_eps").map(c => col(c).cast("double").as(c)): _*)
+        .orderBy("act_symbol", "period", "date")
+    }, Some(s"""
+      WITH pp AS (
+        SELECT * FROM (VALUES ('Year', 0), ('Quarter', 1)) AS v(period, per)),
+      dd AS (SELECT unnest(generate_series(1, 5)) AS di)
+      SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+             make_date(2015 + CAST((p_partkey + di + 1) % 8 AS INTEGER),
+                       CAST((p_partkey + di + 1) % 12 AS INTEGER) + 1,
+                       10 + CAST((p_partkey + per) % 15 AS INTEGER)) AS date,
+             period,
+             ${strictMoneyM("p_partkey*11 + per*13 + 1*17 + 1*7 + di + 1")} AS sales,
+             ${strictMoneyM("p_partkey*11 + per*13 + 1*17 + 15*7 + di + 1")} AS net_income,
+             CASE WHEN period = 'Year'
+               THEN ${strictMoneyM("p_partkey*11 + per*13 + 2*17 + 1*7 + di + 1")}
+               ELSE NULL END AS income_before_depreciation_and_amortization,
+             CASE WHEN period = 'Year'
+               THEN ${strictMoneyM("p_partkey*11 + per*13 + 2*17 + 2*7 + di + 1")}
+               ELSE NULL END AS depreciation_and_amortization,
+             ${strictMoneyM("p_partkey*11 + per*13 + (CASE period WHEN 'Year' THEN 3 ELSE 2 END)*17 + 1*7 + di + 1")} AS average_shares,
+             ${strictMoney("p_partkey*11 + per*13 + (CASE period WHEN 'Year' THEN 3 ELSE 2 END)*17 + 3*7 + di + 1")} AS diluted_net_eps
+      FROM part CROSS JOIN pp CROSS JOIN dd
+      WHERE ${strictOkSql}
       ORDER BY act_symbol, period, date""")),
 
     // Balance-sheet pipeline end to end into balance_sheet_equity: the

@@ -683,6 +683,46 @@ object PipelineQueries {
              coalesce(CAST(o_totalprice AS VARCHAR), '') AS o_totalprice
       FROM orders ORDER BY CAST(o_orderkey AS BIGINT)""")),
 
+    // K2 end to end — the dump job's ACTUAL file contents: writePerDate
+    // (the reference's per-date driver loop, `dump-dolt-statements.rkt:81-93`)
+    // emits one headered, PK-ordered, ''-for-NULL CSV per date; the query
+    // reads the emitted files back and grades them against the oracle's own
+    // projection — file bytes, not just the projection expression (k2).
+    Q("k2b_export_roundtrip", (s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") =!= "F", col("o_orderstatus"))
+          .as("status_or_null"),
+        to_date(col("o_orderdate")).as("date"),
+        col("o_totalprice"))
+        .filter(col("date") < lit("1995-01-11").cast("date"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_k2b_export")
+      // idempotent re-runs: a previous run's extra date dirs would otherwise
+      // survive the per-date overwrite and pollute the read-back
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out)
+      CsvExport.writePerDate(src, "date", Seq("o_orderkey"),
+        out.getAbsolutePath)
+      val back = s.read.option("header", true)
+        .option("recursiveFileLookup", "true")
+        .csv(out.getAbsolutePath)
+      // CSV read turns the writer's '' NULL encoding back into null;
+      // re-apply the projection so both engines grade the same rendering
+      CsvExport.projectForCsv(back)
+        .orderBy(col("date"), col("o_orderkey").cast("long"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+             coalesce(CAST(NULLIF(o_orderstatus, 'F') AS VARCHAR), '')
+               AS status_or_null,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date,
+             CAST(o_totalprice AS VARCHAR) AS o_totalprice
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-11'
+      ORDER BY date, CAST(o_orderkey AS BIGINT)""")),
+
     // D8 — posix @ 6am request key (`earnings-calendar-extract.rkt:25`).
     Q("d8_posix_6am", (s, dir) =>
       t(s, dir, "orders").select(to_date(col("o_orderdate")).as("d"))

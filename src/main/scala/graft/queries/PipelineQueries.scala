@@ -793,6 +793,49 @@ object PipelineQueries {
         .select(col("act_symbol"), length(col("html")).as("nchars"),
           col("folder_date"))
         .orderBy("act_symbol")
+    }, None),
+
+    // §2.8 — the streaming calendar round trip as a graded (rows-only)
+    // entry: a real file-source stream over a drop directory, two
+    // micro-batches through foreachFolderBatch, with the SAME batch
+    // operators (K5 slide-forward + K1 dedup-append) rewriting the snapshot
+    // per trigger. Like s5, DuckDB cannot see the drop dir — the driver
+    // records a rows-only check; StreamingSpec asserts the same composition
+    // value by value. Final store: AAPL 01-10 (day-2 re-arrival is a PK
+    // duplicate), MSFT 01-14 (the stored 01-12 slid forward and was
+    // retracted), NVDA 01-20, AMZN 01-25 -> 4 rows.
+    Q("st3_foreachbatch_calendar", (s, dir) => {
+      import org.apache.spark.sql.types.{DateType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("act_symbol", StringType),
+        StructField("date", DateType),
+        StructField("when", StringType)))
+      val drop = java.nio.file.Files.createTempDirectory("graft_st3_drop")
+      val (q, snapshot) = graft.streaming.StreamingLoad.foreachFolderBatch(
+        s, drop.toString, schema, emptyTable(s, "earnings_calendar"),
+        (store, batch) => {
+          val typed = batch.select(store.columns.map(col).toSeq: _*)
+          LoadOps.dedupAppend(
+            LoadOps.slideForwardRetract(store, typed, "act_symbol", "date"),
+            typed, Schemas.primaryKeys("earnings_calendar"))
+        })
+      try {
+        java.nio.file.Files.writeString(
+          drop.resolve("day1.json"),
+          """{"act_symbol":"AAPL","date":"2024-01-10","when":"Before market open"}
+            |{"act_symbol":"MSFT","date":"2024-01-12","when":"After market close"}
+            |{"act_symbol":"NVDA","date":"2024-01-20","when":null}
+            |""".stripMargin)
+        q.processAllAvailable()
+        java.nio.file.Files.writeString(
+          drop.resolve("day2.json"),
+          """{"act_symbol":"AAPL","date":"2024-01-10","when":"Before market open"}
+            |{"act_symbol":"MSFT","date":"2024-01-14","when":"After market close"}
+            |{"act_symbol":"AMZN","date":"2024-01-25","when":"Before market open"}
+            |""".stripMargin)
+        q.processAllAvailable()
+      } finally q.stop()
+      snapshot().orderBy("act_symbol", "date")
     }, None)
   )
 }

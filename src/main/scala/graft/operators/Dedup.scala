@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * shuffle volume is O(corpus + candidate pairs), so the same plan holds at
   * 100 TB where an O(n²) cross join would not.
   *
-  * Hashing uses md5 (same bytes in any engine) so results are reproducible
-  * and oracle-checkable; a keyed xxhash64 would be the cheaper production
-  * choice and is a drop-in swap.
+  * Signature hashing defaults to md5 (same bytes in any engine, so results
+  * are reproducible and oracle-checkable); pass [[HashMode.XxHash64]] for
+  * the cheaper codegen'd production hash — same plans, same guarantees,
+  * different signature values.
   */
 object Dedup {
 
@@ -81,12 +82,29 @@ object Dedup {
     * variant moves `bands`× the data through the shuffle for the same
     * answer. */
   def minhashSignatures(shingles: DataFrame, idCol: String,
-                        bands: Int = 4): DataFrame = {
-    require(bands >= 1 && bands <= 4, "md5 yields four 8-hex-char slices")
-    val hashed = shingles.select(col(idCol),
-      md5(col("sh").cast("binary")).as("__h"))
-    val aggs = (0 until bands).map { b =>
-      min(substring(col("__h"), b * 8 + 1, 8)).as(s"__mh$b")
+                        bands: Int = 4,
+                        mode: HashMode = HashMode.Md5): DataFrame = {
+    val (hashed, aggs) = mode match {
+      case HashMode.Md5 =>
+        // one md5 per shingle (projected ONCE, not per band), sliced into up
+        // to four independent 32-bit hash functions (lexicographic min on
+        // fixed-width hex = numeric min)
+        require(bands >= 1 && bands <= 4, "md5 yields four 8-hex-char slices")
+        val h = shingles.select(col(idCol),
+          md5(col("sh").cast("binary")).as("__h"))
+        (h, (0 until bands).map { b =>
+          min(substring(col("__h"), b * 8 + 1, 8)).as(s"__mh$b")
+        })
+      case HashMode.XxHash64 =>
+        // production: band b's hash function is xxhash64 seeded by the band
+        // ordinal — codegen'd, no digest/hex cost, not limited to four
+        // bands; the b-seeded calls are independent single-pass hashes, so
+        // there is nothing to share across bands
+        require(bands >= 1, "need at least one band")
+        (shingles.select(col(idCol), col("sh")),
+          (0 until bands).map { b =>
+            min(xxhash64(lit(b), col("sh"))).as(s"__mh$b")
+          })
     }
     val wide = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val unpivot = (0 until bands).map(b => s"$b, __mh$b").mkString(", ")
@@ -141,7 +159,8 @@ object Dedup {
     * is gone before the join. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, bands: Int = 4,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3,
+                   mode: HashMode = HashMode.Md5): DataFrame = {
     val reps = docs
       .withColumn("__h", md5(col(textCol).cast("binary")))
       .withColumn("__minid",
@@ -151,7 +170,7 @@ object Dedup {
     // the distinct shingle set feeds the signature AND all three Jaccard
     // consumers — materialize it once instead of re-tokenizing per consumer
     val sh = shingleSet(reps, idCol, textCol, shingleN).cache()
-    val sig = minhashSignatures(sh, idCol, bands)
+    val sig = minhashSignatures(sh, idCol, bands, mode)
     val cand = lshCandidatePairs(sig, idCol)
     jaccardOnCandidates(cand, sh, idCol)
       .filter(col("jaccard") >= threshold)

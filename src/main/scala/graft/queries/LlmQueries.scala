@@ -55,6 +55,18 @@ object LlmQueries {
           ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
+    // dd2's PRODUCTION hash mode: band-seeded xxhash64 signatures instead
+    // of md5 slices — same groupBy-parallel-minima plan, no digest/hex cost,
+    // not capped at four bands. Rows-only (no DuckDB xxhash64); the md5
+    // twin above stays the hash-matched path; HashModeSpec gates collision
+    // behavior.
+    Q("dd2b_minhash_lsh_xxhash", (s, dir) => {
+      val sh = Dedup.shingleMultiset(t(s, dir, "documents"), "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4,
+        mode = graft.operators.HashMode.XxHash64).cache()
+      Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
+    }, None),
+
     // Exact n-gram Jaccard on LSH candidates (bottom-1 sketch, 1 band).
     // The shingle set is consumed four times (signature, counts, both join
     // sides) — cache it once instead of re-running tokenize+explode+distinct.

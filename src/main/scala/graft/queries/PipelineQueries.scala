@@ -772,6 +772,19 @@ object PipelineQueries {
       WHERE p <= len - 7 - 3
       ORDER BY doc_id, fp""")),
 
+    // tx5's PRODUCTION hash mode: same winnowing plan with the codegen'd
+    // xxhash64 in place of the per-position md5 digest. DuckDB has no
+    // xxhash64 → rows-only entry; HashModeSpec gates the winnowing
+    // guarantee and plan shape, the md5 twin above stays the hash-matched
+    // one. Registered primarily as the bench datapoint for the constant-
+    // factor swap.
+    Q("tx5b_winnowing_xxhash", (s, dir) =>
+      graft.operators.TextAnalysis.winnowingFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, w = 4,
+        mode = graft.operators.HashMode.XxHash64)
+        .orderBy("doc_id", "fp"),
+      None),
+
     // S5 — raw-zone scan: dated fixture folder + suffix glob + symbol from
     // filename. No DuckDB oracle (the fixture folder is outside its reach):
     // the driver records a rows-only check; PipelinesSpec asserts content.

@@ -81,6 +81,17 @@ class PlanSpec extends AnyFunSuite {
       "expected map-side (Partial) + reduce-side (Final) group limits")
   }
 
+  test("tx5 winnowing is per-document array work — no window shuffle") {
+    // the fingerprint selection must not exchange per character position;
+    // the only allowed exchange is the presentation ORDER BY
+    Seq("tx5_winnowing", "tx5b_winnowing_xxhash").foreach { q =>
+      val plan = planOf(q)
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"$q: only the final sort may exchange, got $exchanges")
+      assert(!plan.contains("Window"), s"$q: no per-position window remains")
+    }
+  }
+
   test("no unconditional broadcast of fact-scale tables in j6") {
     val df = SparkEntry.queries("j6_star_join")(spark, dir)
     val logical = df.queryExecution.optimizedPlan.toString

@@ -168,8 +168,11 @@ object Dedup {
       .filter(col(idCol) === col("__minid"))
       .select(col(idCol), col(textCol))
     // the distinct shingle set feeds the signature AND all three Jaccard
-    // consumers — materialize it once instead of re-tokenizing per consumer
-    val sh = shingleSet(reps, idCol, textCol, shingleN).cache()
+    // consumers — materialize it once instead of re-tokenizing per
+    // consumer; lazy localCheckpoint so the blocks are ContextCleaner-freed
+    // rather than pinned in the cache manager (CacheHygieneSpec)
+    val sh = shingleSet(reps, idCol, textCol, shingleN)
+      .localCheckpoint(eager = false)
     val sig = minhashSignatures(sh, idCol, bands, mode)
     val cand = lshCandidatePairs(sig, idCol)
     jaccardOnCandidates(cand, sh, idCol)

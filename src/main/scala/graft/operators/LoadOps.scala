@@ -129,8 +129,11 @@ object LoadOps {
     // once per consumer — when the input is a composed pipeline (K4→K5→K1,
     // as in the calendar daily run) that doubles the entire load. A scan
     // input re-reads at parquet cost either way, but the general contract
-    // here is "safe to pass derived plans", so materialize once.
-    val calendar = calendar0.cache()
+    // here is "safe to pass derived plans", so materialize once. Lazy
+    // localCheckpoint, not cache(): the blocks are freed by the
+    // ContextCleaner when the plan goes out of scope instead of pinning
+    // cache-manager storage for the session (CacheHygieneSpec).
+    val calendar = calendar0.localCheckpoint(eager = false)
     val distinctDates = stmtDates
       .select(col("act_symbol"), col("date")).distinct()
     val projectedNext = stmtDates.groupBy("act_symbol")

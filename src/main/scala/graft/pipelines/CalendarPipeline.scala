@@ -29,17 +29,25 @@ object CalendarPipeline {
   def runEarnings(existing: DataFrame, payloads: DataFrame,
                   folderDate: java.sql.Date,
                   stmtDates: DataFrame): DataFrame = {
+    // Multi-consumer intermediates use a LAZY localCheckpoint rather than
+    // cache(): same materialize-once behavior on first action, but the
+    // storage is plain RDD blocks the ContextCleaner frees once the plan is
+    // garbage-collected — a cache() here pins cache-manager storage for the
+    // session, which in a daily loop over date folders accumulates until
+    // eviction thrash (the caller would have to know to unpersist a plan it
+    // never built).
     val fresh = CalendarExtract
       .earningsRows(payloads, col("raw"), col("event_date"))
       .filter(col("act_symbol").isNotNull && col("date").isNotNull)
-      .cache() // consumed by K5's retraction probe AND K1's insert
+      // consumed by K5's retraction probe AND K1's insert
+      .localCheckpoint(eager = false)
     val afterK4 = existing.filter(col("date") < lit(folderDate))
     // K1 consumes `existing` twice (PK anti-join probe + the union) — for a
     // stored-table input that is two cheap pruned scans, but here the
     // existing side is the derived K4∘K5 plan: materialize it once
     val retracted =
       LoadOps.slideForwardRetract(afterK4, fresh, "act_symbol", "date")
-        .cache()
+        .localCheckpoint(eager = false)
     val loaded = LoadOps.dedupAppend(retracted, fresh,
       Schemas.primaryKeys("earnings_calendar"))
     LoadOps.supersededCleanup(loaded, stmtDates)
@@ -52,11 +60,13 @@ object CalendarPipeline {
     val fresh = CalendarExtract.dividendRows(payloads, col("raw"))
       .filter(col("act_symbol").isNotNull && col("ex_date").isNotNull &&
         col("amount").isNotNull)
-      .cache() // K5 probe + K1 insert, like the earnings run
+      // K5 probe + K1 insert; lazy checkpoint, not cache — see runEarnings
+      .localCheckpoint(eager = false)
     val afterK4 = existing.filter(col("ex_date") < lit(folderDate))
     val retracted =
       LoadOps.slideForwardRetract(afterK4, fresh, "act_symbol", "ex_date")
-        .cache() // K1 reads the derived existing side twice
+        // K1 reads the derived existing side twice
+        .localCheckpoint(eager = false)
     LoadOps.dedupAppend(retracted, fresh,
       Schemas.primaryKeys("dividend_calendar"))
   }

@@ -71,13 +71,16 @@ object EstimatesPipeline {
           case (acc, (k, v)) => when(col("zper") === k, lit(v)).otherwise(acc)
         })
 
-  /** All six target tables from one scan of parsed documents. `pin` caches
-    * the parsed base so a caller consuming several of the six tables parses
-    * each document once, not once per table; a single-table consumer should
-    * pass `pin = false` — materializing the deeply nested cell struct into
-    * the columnar cache costs more than the one parse it saves. */
+  /** All six target tables from one scan of parsed documents. `pin`
+    * materializes the parsed base (lazy localCheckpoint — freed by the
+    * ContextCleaner when the plans die, never pinned in the cache manager)
+    * so a caller consuming several of the six tables parses each document
+    * once, not once per table; a single-table consumer should pass
+    * `pin = false` — materializing the deeply nested cell struct costs more
+    * than the one parse it saves. */
   def tables(docs: DataFrame, pin: Boolean = true): Map[String, DataFrame] = {
-    val base = if (pin) parsed(docs).cache() else parsed(docs)
+    val base =
+      if (pin) parsed(docs).localCheckpoint(eager = false) else parsed(docs)
     val per = byPeriod(base)
 
     val rankScore = base.select(

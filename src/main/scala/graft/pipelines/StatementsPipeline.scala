@@ -152,13 +152,15 @@ object StatementsPipeline {
     * `book_value_per_share` is the one unscaled column (`:432`). */
   def balanceSheet(docs: DataFrame, strict: Boolean = false,
                    pin: Boolean = true): Map[String, DataFrame] = {
-    // pin: as in EstimatesPipeline.tables — cache the parsed base only when
-    // the caller consumes more than one of the three tables; columnar-
-    // caching the nested parse struct costs more than a single parse
+    // pin: as in EstimatesPipeline.tables — materialize the parsed base
+    // (lazy localCheckpoint, ContextCleaner-freed) only when the caller
+    // consumes more than one of the three tables; persisting the nested
+    // parse struct costs more than a single parse
     val parsed0 = staleGuard(
       docs.withColumn("p", parseBalanceUdf(col("html"))),
       guardPeriod = "quarterly", twoDigitYear = false)
-    val parsedDocs = if (pin) parsed0.cache() else parsed0
+    val parsedDocs =
+      if (pin) parsed0.localCheckpoint(eager = false) else parsed0
     val rows = explodeRows(parsedDocs, strict)
     def table(name: String, scaledCols: Seq[String],
               unscaledCols: Seq[String] = Nil): DataFrame =

@@ -37,11 +37,13 @@ object LlmQueries {
 
     // MinHash + LSH banding: candidate pairs via (band, signature) buckets.
     // The signature table feeds both sides of the candidate self-join —
-    // cache it so the shingle explode + groupBy runs once, not twice.
+    // materialize it (lazy localCheckpoint: ContextCleaner-freed, never
+    // pinned) so the shingle explode + groupBy runs once, not twice.
     Q("dd2_minhash_lsh", (s, dir) => {
       // multiset: min-per-band doesn't need the distinct's extra shuffle
       val sh = Dedup.shingleMultiset(t(s, dir, "documents"), "doc_id", "text")
-      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4).cache()
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
       Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
     }, Some(s"""
       WITH $ShingleCte,
@@ -63,16 +65,18 @@ object LlmQueries {
     Q("dd2b_minhash_lsh_xxhash", (s, dir) => {
       val sh = Dedup.shingleMultiset(t(s, dir, "documents"), "doc_id", "text")
       val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4,
-        mode = graft.operators.HashMode.XxHash64).cache()
+        mode = graft.operators.HashMode.XxHash64)
+        .localCheckpoint(eager = false)
       Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
     }, None),
 
     // Exact n-gram Jaccard on LSH candidates (bottom-1 sketch, 1 band).
     // The shingle set is consumed four times (signature, counts, both join
-    // sides) — cache it once instead of re-running tokenize+explode+distinct.
+    // sides) — materialize once instead of re-running
+    // tokenize+explode+distinct per consumer.
     Q("dd3_ngram_jaccard", (s, dir) => {
       val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text")
-        .cache()
+        .localCheckpoint(eager = false)
       val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 1)
       val cand = Dedup.lshCandidatePairs(sig, "doc_id")
       Dedup.jaccardOnCandidates(cand, sh, "doc_id")
@@ -575,12 +579,13 @@ object LlmQueries {
           TA.langId(col("text")) === "en")
       // the deduped gate output feeds the near-dup pass, the survivor
       // anti-join, and (via survivors) decontamination — materialize the
-      // quality+langId+window lineage once
+      // quality+langId+window lineage once (lazy localCheckpoint:
+      // ContextCleaner-freed, never pinned in the cache manager)
       val exact = quality
         .withColumn("__h", md5(col("text").cast("binary")))
         .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
         .filter(col("doc_id") === col("__m")).drop("__h", "__m")
-        .cache()
+        .localCheckpoint(eager = false)
       val losers = Dedup.nearDupPairs(exact, "doc_id", "text",
         threshold = 0.5)
         .select(col("doc_b").as("doc_id")).distinct()

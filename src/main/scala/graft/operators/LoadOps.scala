@@ -157,10 +157,16 @@ object LoadOps {
   }
 
   /** J4 — FK validation: rows whose symbol is missing from the dimension
-    * (`schema.sql:37-40`); must be empty for a clean load. */
+    * (`schema.sql:37-40`); must be empty for a clean load.
+    *
+    * No broadcast hint: the intended dim (the symbol universe) is bounded
+    * (~10⁴ rows) and AQE broadcasts the distinct key set when it actually
+    * fits — but this helper accepts ANY frame as `dim`, and an unconditional
+    * hint would walk a fact-scale mistake straight into a driver OOM. AQE
+    * falls back to a shuffled join instead (gated in PlanSpec). */
   def fkViolations(facts: DataFrame, dim: DataFrame,
                    key: String = "act_symbol"): DataFrame =
-    facts.join(broadcast(dim.select(key).distinct()), Seq(key), "left_anti")
+    facts.join(dim.select(key).distinct(), Seq(key), "left_anti")
 
   /** P1 — the symbol-universe predicate (`estimate-extract.rkt:57-85`):
     * not ETF/test/NextShares, no ETN, no special chars, 5-letter suffix

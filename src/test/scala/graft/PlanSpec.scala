@@ -92,6 +92,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j4's FK anti-join carries no broadcast hint — AQE's call") {
+    val df = SparkEntry.queries("j4_fk_orphans")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("strategy=broadcast"),
+      "fkViolations must not hint a broadcast — a fact-scale dim would OOM " +
+        "the driver; AQE broadcasts the distinct key set when it fits")
+    // sanity: executing still resolves to a broadcast for the bounded dim
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      "AQE should still pick a broadcast for the genuinely small key set")
+  }
+
   test("no unconditional broadcast of fact-scale tables in j6") {
     val df = SparkEntry.queries("j6_star_join")(spark, dir)
     val logical = df.queryExecution.optimizedPlan.toString

@@ -25,9 +25,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(back.count() === 3)
     val pruned = back.filter($"date" === Date.valueOf("2024-01-02"))
     assert(pruned.count() === 1)
-    // partition pruning visible in the plan, not a full scan
+    // partition pruning visible in the plan: the date predicate must sit
+    // INSIDE the PartitionFilters list ('PartitionFilters: []' with the
+    // filter applied post-scan would be a full store scan)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || !plan.contains("date=2024-01-01"))
+    assert("PartitionFilters: \\[[^\\]]*date".r.findFirstIn(plan).isDefined,
+      "expected the date predicate inside PartitionFilters")
+  }
+
+  test("per-date loader reads prune the store scan — the 100-TB contract") {
+    // LoadOps.dedupAppend's documented contract (LoadOps.scala:20-23):
+    // callers pass only the date partitions the incoming batch touches.
+    // This gate fails if that composition ever stops reaching the scan as
+    // a partition filter — i.e. if a loader silently full-scans the store.
+    val path = Files.createTempDirectory("graft_prune").toString + "/t"
+    val store = Seq(
+      ("AAPL", Date.valueOf("2024-01-01"), "Before market open"),
+      ("MSFT", Date.valueOf("2024-01-02"), "After market close"),
+      ("NVDA", Date.valueOf("2024-01-03"), "Before market open"))
+      .toDF("act_symbol", "date", "when")
+    SnapshotStore.write(store, path)
+    val batchDate = Date.valueOf("2024-01-02")
+    val incoming = Seq(("AMZN", batchDate, "After market close"))
+      .toDF("act_symbol", "date", "when")
+    val touched = SnapshotStore.read(spark, path)
+      .filter($"date" === batchDate)
+    val loaded = graft.operators.LoadOps.dedupAppend(
+      touched, incoming, Seq("act_symbol", "date"))
+    assert(loaded.count() === 2) // MSFT (stored) + AMZN (fresh)
+    val plan = loaded.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*date".r.findFirstIn(plan).isDefined,
+      "the loader's per-date read must prune the store scan, not filter " +
+        "after a full scan")
   }
 
   test("bucketed tables co-locate a join: no exchange on either side") {

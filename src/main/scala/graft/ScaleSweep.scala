@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, HashMode, TextAnalysis}
+
+/** Scale-sweep smoke: runs the heavy LLM-layer operators on the documents
+  * corpus at 1× and on a 10× synthetic enlargement, and reports the wall
+  * ratio per operator. The enlargement tags every token per copy
+  * (`regexp_replace`), so the 10 copies are semantically DISTINCT documents
+  * — the corpus is genuinely 10× more data, not 10 collisions of the same
+  * data — which makes a super-linear ratio (≫ 10×) a red flag for a
+  * data-dependent quadratic (hot LSH buckets, candidate-pair blowups) that
+  * a fixed-SF bench cannot see. Both corpora are materialized eagerly
+  * before timing so synthesis cost stays outside the measurement.
+  *
+  * `runMain graft.ScaleSweep [sfDir]` — results recorded in SCALE.md.
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = true)
+    val x10 = (0 until 10).map { i =>
+      base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
+        // tag every token so copies share no shingles with each other
+        regexp_replace(col("text"), "(^| )", "$1c" + i).as("text"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = true)
+
+    val evalDocs = base.filter(col("doc_id") % 41 === 0)
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dd1_exact" -> (d => Dedup.exactDupFlags(d, "doc_id", "text")),
+      "dd2_minhash_lsh" -> { d =>
+        val sh = Dedup.shingleMultiset(d, "doc_id", "text")
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(sh, "doc_id", bands = 4), "doc_id")
+      },
+      "dd3_jaccard" -> { d =>
+        val sh = Dedup.shingleSet(d, "doc_id", "text")
+          .localCheckpoint(eager = false)
+        val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 1)
+        Dedup.jaccardOnCandidates(
+          Dedup.lshCandidatePairs(sig, "doc_id"), sh, "doc_id")
+      },
+      "dd4_simhash" -> (d => Dedup.simhash32(d, "doc_id", "text")),
+      "dd6_neardup" -> (d =>
+        Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5)),
+      "dd7_simhash_pairs" -> (d =>
+        Dedup.simhashNearDupPairs(d, "doc_id", "text")),
+      "dd7b_simhash64" -> (d =>
+        Dedup.simhashNearDupPairs(d, "doc_id", "text", bits = 64)),
+      "tx5_winnow_md5" -> (d =>
+        TextAnalysis.winnowingFingerprints(d, "doc_id", "text")),
+      "tx5b_winnow_xx" -> (d =>
+        TextAnalysis.winnowingFingerprints(d, "doc_id", "text",
+          mode = HashMode.XxHash64)),
+      "tx6_repetition" -> (d =>
+        TextAnalysis.repetitionSignals(d, "doc_id", "text")),
+      "tx7_contamination" -> (d =>
+        Dedup.contaminationOverlap(d, evalDocs, "doc_id", "text", n = 5)))
+
+    def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
+      var best = Double.MaxValue; var rows = 0L
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        rows = fn(d).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, rows)
+    }
+
+    println(f"${"op"}%-20s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s  rows1x/rows10x")
+    ops.foreach { case (name, fn) =>
+      fn(base).count() // warm codegen/JIT on the small corpus
+      val (t1, r1) = time(fn, base)
+      val (t10, r10) = time(fn, x10)
+      println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
+    }
+    spark.stop()
+  }
+}

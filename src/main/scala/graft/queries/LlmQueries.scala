@@ -212,6 +212,18 @@ object LlmQueries {
       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
       ORDER BY id_a, id_b""")),
 
+    // dd7's PRODUCTION size: 64-bit simhash (xxhash64 tokens), eight byte
+    // bands. The scale sweep (SCALE.md) showed the 32-bit space saturating
+    // at ~50k docs — random pairs drift inside small Hamming distances and
+    // candidate pairs grow superlinearly; 64 bits push that wall out by
+    // 2^32. Rows-only (no DuckDB xxhash64); DedupProps gates the pigeonhole
+    // recall at both widths.
+    Q("dd7b_simhash64_pairs", (s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bits = 64)
+        .orderBy("id_a", "id_b"),
+      None),
+
     // Embedding-cosine near-dup pairs: sign-LSH bucket, exact cosine within
     // bucket, threshold filter (on the rounded score in both engines).
     Q("dd5_embedding_neardup", (s, dir) =>

@@ -695,7 +695,7 @@ object PipelineQueries {
           .as("status_or_null"),
         to_date(col("o_orderdate")).as("date"),
         col("o_totalprice"))
-        .filter(col("date") < lit("1995-01-11").cast("date"))
+        .filter(col("date") < lit("1995-01-05").cast("date"))
       val out = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_k2b_export")
       // idempotent re-runs: a previous run's extra date dirs would otherwise
@@ -720,7 +720,7 @@ object PipelineQueries {
              CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date,
              CAST(o_totalprice AS VARCHAR) AS o_totalprice
       FROM orders
-      WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-11'
+      WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-05'
       ORDER BY date, CAST(o_orderkey AS BIGINT)""")),
 
     // D8 — posix @ 6am request key (`earnings-calendar-extract.rkt:25`).

@@ -43,21 +43,40 @@ class DedupProps extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("simhash byte-banding finds EVERY pair within Hamming distance 3") {
-    // brute force over all simhash pairs
-    val sims = Dedup.simhash32(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = (for {
-      a <- sims.keys; b <- sims.keys if a < b
-      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
-    } yield (a, b)).toSet
-    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == want,
-      s"banding missed ${want -- got}, invented ${got -- want}")
-    // the exact dup pair must be there at distance 0
-    assert(got.contains((0L, 2L)))
+  test("simhash byte-banding finds EVERY pair within Hamming distance 3 " +
+    "(32- and 64-bit)") {
+    Seq(32, 64).foreach { bits =>
+      // brute force over all simhash pairs
+      val sims = Dedup.simhash(docs, "doc_id", "text", bits).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- sims.keys; b <- sims.keys if a < b
+        if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = bits)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"$bits-bit banding missed ${want -- got}, invented ${got -- want}")
+      // the exact dup pair must be there at distance 0
+      assert(got.contains((0L, 2L)), s"$bits-bit")
+    }
+  }
+
+  test("64-bit simhash separates random pairs the 32-bit space conflates") {
+    // 60 short random-ish docs: in 32 bits some unrelated pairs land within
+    // Hamming 3 (the saturation the scale sweep measured); 64 bits must not
+    // conflate MORE pairs than 32 bits does
+    import spark.implicits._
+    val many = (0 until 60).map(i =>
+      (i.toLong, s"w${i * 7 % 13} w${i * 11 % 17} w${i * 5 % 19} unique$i"))
+      .toDF("doc_id", "text")
+    def pairs(bits: Int) =
+      Dedup.simhashNearDupPairs(many, "doc_id", "text",
+        maxHamming = 3, bits = bits).count()
+    assert(pairs(64) <= pairs(32),
+      "wider hash must be at least as selective on unrelated docs")
   }
 
   test("nearDupPairs never pairs a non-representative (exact dups collapse)") {

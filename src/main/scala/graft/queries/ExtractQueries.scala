@@ -238,7 +238,7 @@ object ExtractQueries {
     s"<html><body id=home>\n$annual\n$quarterly\n</body></html>"
   }
 
-  private def buildCashFlowLegacyHtml(pk: Long): String =
+  private[queries] def buildCashFlowLegacyHtml(pk: Long): String =
     s"""<html><body id=home>
        |<section id="cash_flow_operation">${stmtTable(pk, 0, 1, 12)}</section>
        |<section id="cash_flow_use">${stmtTable(pk, 0, 2, 11)}</section>

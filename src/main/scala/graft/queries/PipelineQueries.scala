@@ -27,6 +27,7 @@ object PipelineQueries {
     udf(ExtractQueries.buildIncomeDocStrict _)
   private val buildBalanceUdf = udf(ExtractQueries.buildBalanceHtml _)
   private val buildCf2024Udf = udf(ExtractQueries.buildCashFlow2024Html _)
+  private val buildCfLegacyUdf = udf(ExtractQueries.buildCashFlowLegacyHtml _)
 
   private def emptyTable(s: SparkSession, name: String): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[Row], Schemas.tables(name))
@@ -98,6 +99,34 @@ object PipelineQueries {
     "long_term_debt" -> 12, "non_current_capital_leases" -> 13,
     "other_non_current_liabilities" -> 14, "minority_interest" -> 15,
     "total_liabilities" -> 16)
+
+  /** Cash-flow column → (fixture table ordinal, tbody row), mirroring
+    * `cash-flow-statement-transform-load.rkt:28-50` (the entry list both
+    * layouts share; see StatementExtract.CashFlowEntries). Table 1 =
+    * sources-of-funds section, table 2 = uses-of-funds. */
+  private val CashFlowRows: Seq[(String, Int, Int)] = Seq(
+    ("net_income", 1, 2),
+    ("depreciation_amortization_and_depletion", 1, 3),
+    ("net_change_from_assets", 1, 4),
+    ("net_cash_from_discontinued_operations", 1, 5),
+    ("other_operating_activities", 1, 6),
+    ("net_cash_from_operating_activities", 1, 7),
+    ("property_and_equipment", 1, 8),
+    ("acquisition_of_subsidiaries", 1, 9),
+    ("investments", 1, 10),
+    ("other_investing_activities", 1, 11),
+    ("net_cash_from_investing_activities", 1, 12),
+    ("issuance_of_capital_stock", 2, 1),
+    ("issuance_of_debt", 2, 2),
+    ("increase_short_term_debt", 2, 3),
+    ("payment_of_dividends_and_other_distributions", 2, 4),
+    ("other_financing_activities", 2, 5),
+    ("net_cash_from_financing_activities", 2, 6),
+    ("effect_of_exchange_rate_changes", 2, 7),
+    ("net_change_in_cash_and_equivalents", 2, 8),
+    ("cash_at_beginning_of_period", 2, 9),
+    ("cash_at_end_of_period", 2, 10),
+    ("diluted_net_eps", 2, 11))
 
   /** Strict-mode survival: a (doc, period, date) row survives iff EVERY
     * parsed entry cell casts — the checked cells are income table 1 rows
@@ -457,6 +486,68 @@ object PipelineQueries {
              ${stMoney("p_partkey*11 + per*13 + 2*17 + 11*7 + di + 1")} AS diluted_net_eps
       FROM part CROSS JOIN pp CROSS JOIN dd
       ORDER BY act_symbol, period, date""")),
+
+    // Legacy (pre-2024-02-01) cash-flow pipeline end to end, graded on
+    // EVERY money column: two `section`-id containers, ANNUAL data only
+    // (one 'Year' row per date column), M/dd/yyyy dates — and the annual-only
+    // J1 fiscal-copy guard exercised against a NON-empty store
+    // (`cash-flow-statement-transform-load.rkt:118-265`; the guard CTE at
+    // :125-155 compares `date - interval '1 year'`, period 'Year').
+    // Store fixture: exact prior-year copies of every third symbol's rows —
+    // the reference's poison shape. The guard drops an incoming row only
+    // when ALL 22 facts are non-null (bool_and over plain `=`; any NULL
+    // conjunct lets the insert proceed), so the oracle's drop predicate is
+    // `every fact IS NOT NULL` on the poisoned symbols.
+    Q("pipe4b_cash_flow_legacy_load", (s, dir) => {
+      val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
+        concat(lit("P"), col("p_partkey")).as("act_symbol"),
+        buildCfLegacyUdf(col("p_partkey")).as("html"),
+        lit("2025-06-01").cast("date").as("folder_date"))
+      val fresh = StatementsPipeline.cashFlow(docs, layout2024 = false)
+      val tableCols = Schemas.cashFlowStatement.fieldNames.toSeq
+      val poison = fresh
+        .filter(expr("CAST(substr(act_symbol, 2) AS BIGINT) % 3 = 0"))
+        .withColumn("date", D.priorYear(col("date")))
+        .select(tableCols.map(col): _*)
+      StatementsPipeline.loadStatement(poison, fresh, "cash_flow_statement")
+        .select(Seq(col("act_symbol"), col("date"), col("period")) ++
+          CashFlowRows.map { case (c, _, _) => col(c).cast("double").as(c) }: _*)
+        .orderBy("act_symbol", "date")
+    }, Some {
+      def idx(tbl: Int, r: Int) = s"p_partkey*11 + $tbl*17 + $r*7 + di + 1"
+      val cells = CashFlowRows.map { case (c, tbl, r) =>
+        val v = if (c == "diluted_net_eps") stMoney(idx(tbl, r))
+                else stMoneyM(idx(tbl, r))
+        s"$v AS $c"
+      }.mkString(",\n               ")
+      val names = CashFlowRows.map(_._1).mkString(", ")
+      val allNonNull = CashFlowRows.map(_._1 + " IS NOT NULL")
+        .mkString("\n          AND ")
+      s"""
+      WITH dd AS (SELECT unnest(generate_series(1, 5)) AS di),
+      incoming AS (
+        SELECT p_partkey AS pk,
+               'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
+               make_date(2015 + CAST((p_partkey + di + 1) % 8 AS INTEGER),
+                         CAST((p_partkey + di + 1) % 12 AS INTEGER) + 1,
+                         10 + CAST(p_partkey % 15 AS INTEGER)) AS date,
+               'Year' AS period,
+               $cells
+        FROM part CROSS JOIN dd),
+      poison AS (
+        SELECT act_symbol, CAST(date - INTERVAL 1 YEAR AS DATE) AS date,
+               period, $names
+        FROM incoming WHERE pk % 3 = 0),
+      kept AS (
+        SELECT act_symbol, date, period, $names
+        FROM incoming
+        WHERE NOT (pk % 3 = 0
+          AND $allNonNull))
+      SELECT * FROM poison
+      UNION ALL
+      SELECT * FROM kept
+      ORDER BY act_symbol, date"""
+    }),
 
     // Earnings-calendar pipeline end to end against a NON-empty store:
     // K4 future retraction + U8 JSON parse + K5 slide-forward + K1 append +

@@ -27,6 +27,14 @@ object Bench {
       try graft.queries.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Optional subset for targeted local adjudication runs (comma-separated
+    // query names); the per-round driver run never sets this, so the
+    // committed artifact always covers the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // steady-state warmup: one untimed pass of every query AT THE
     // BENCHMARKED SF. This fills the codegen cache and — critically —
     // drives the per-document parse/hash methods past the C2 invocation
@@ -34,21 +42,21 @@ object Bench {
     // first timed run would otherwise absorb tier-up compilation mid-query.
     // Same amortization a long-lived cluster gets for free; every timed
     // number below still includes all data-proportional work at this SF.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       spark.sharedState.cacheManager.clearCache()
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // min of two timed runs: this box is a shared VM and a single run can
-      // absorb a multi-second neighbor/GC stall that has nothing to do with
-      // the plan; the minimum is the reproducible steady-state cost. Each
-      // run still starts cold on the cache manager — queries that cache
+    selected.foreach { case (name, fn) =>
+      // min of N timed runs (default 2): this box is a shared VM and a single
+      // run can absorb a multi-second neighbor/GC stall that has nothing to
+      // do with the plan; the minimum is the reproducible steady-state cost.
+      // Each run still starts cold on the cache manager — queries that cache
       // intermediates must not leave storage pinned for their successors.
       var best = Double.MaxValue
-      (1 to 2).foreach { _ =>
+      (1 to runs).foreach { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try {
@@ -65,7 +73,31 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    persist(line)
     spark.stop()
+  }
+
+  /** Write the complete timing map to `bench/bench_r{N}.json` in-repo. The
+    * driver's BENCH tail truncates the stdout line at ~2 KB, which hides half
+    * the registry; the committed artifact is the durable record (BENCH.md).
+    * N = max round seen in existing BENCH_r\*.json artifacts + 1, overridable
+    * via SPARK_GRAFT_BENCH_OUT (full path) for ad-hoc local runs. */
+  private def persist(line: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val repo = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_)).getOrElse {
+        val rounds = Option(repo.toFile.list()).getOrElse(Array.empty[String])
+          .flatMap { n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
+        val n = if (rounds.isEmpty) 0 else rounds.max + 1
+        repo.resolve(f"bench/bench_r$n%02d.json")
+      }
+      Files.createDirectories(out.getParent)
+      Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"bench artifact written: $out")
+    } catch { case e: Throwable => System.err.println(s"bench persist failed: $e") }
   }
 }

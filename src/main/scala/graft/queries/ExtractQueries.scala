@@ -74,14 +74,25 @@ object ExtractQueries {
     s"($m/$y)"
   }
 
+  /** SMALLINT-castable vocabulary for counter rows (count, up/down revision
+    * tallies — real smallints in the reference, `schema.sql:173-190`): plain
+    * integers both engines cast identically, 'NA' (→ NULL) roughly one cell
+    * in 11. Decimal strings are deliberately absent — Spark truncates
+    * '1.5'→SHORT while DuckDB rounds, so they could never hash-match. */
+  private def intVariant(idx: Long): String =
+    if (math.floorMod(idx, 11) == 0) "NA" else math.floorMod(idx, 89).toString
+
   /** One estimates table: label column + periods 2..5, with wrapper-span and
-    * unquoted-attribute noise. */
-  private def estTable(pk: Long, s: Int, nRows: Int): String = {
+    * unquoted-attribute noise. Rows listed in `intRows` render the
+    * [[intVariant]] counter vocabulary instead of the money cells. */
+  private def estTable(pk: Long, s: Int, nRows: Int,
+                       intRows: Set[Int] = Set.empty): String = {
     val thead = (2 to 5).map(c => s"<th>${estDateHeader(pk, s, c)}</th>")
       .mkString
     val body = (1 to nRows).map { r =>
+      val cellFn: Long => String = if (intRows(r)) intVariant else estVariant
       val tds = (2 to 5).map(c =>
-        s"""<td><span class="lbl">#</span> ${estVariant(estIdx(pk, s, r, c))}</td>""")
+        s"""<td><span class="lbl">#</span> ${cellFn(estIdx(pk, s, r, c))}</td>""")
         .mkString
       s"<tr><td class=alpha>Row $r$tds" // unclosed label td + tr: tolerance
     }.mkString("\n")
@@ -90,14 +101,22 @@ object ExtractQueries {
        |</tbody></table>""".stripMargin
   }
 
-  private def estSections(pk: Long): String =
+  /** `intCounts` switches the counter rows — row 2 (count) of both
+    * detailed-estimates tables and every agreement row (up/down tallies) —
+    * to the castable [[intVariant]] vocabulary, so the pipe1* loads grade
+    * real SMALLINT values instead of all-NULL columns. The plain U1 fixture
+    * keeps the all-money vocabulary (its oracle grades raw cell strings). */
+  private def estSections(pk: Long, intCounts: Boolean = false): String = {
+    val countRows = if (intCounts) Set(2) else Set.empty[Int]
+    val revRows = if (intCounts) (1 to 6).toSet else Set.empty[Int]
     s"""<section id="detailed_earnings_estimates">
-       |${estTable(pk, 0, 5)}
-       |${estTable(pk, 1, 6)}
+       |${estTable(pk, 0, 5, countRows)}
+       |${estTable(pk, 1, 6, countRows)}
        |</section>
-       |<section id="agreement_estimate">${estTable(pk, 2, 6)}</section>
+       |<section id="agreement_estimate">${estTable(pk, 2, 6, revRows)}</section>
        |<section id="quote_upside">${estTable(pk, 3, 1)}</section>
        |<section id="surprised_reported">${estTable(pk, 4, 2)}</section>""".stripMargin
+  }
 
   private def buildEstimatesHtml(pk: Long): String =
     s"""<!DOCTYPE html><html><body id="home"><!-- fixture $pk -->
@@ -107,12 +126,12 @@ object ExtractQueries {
 
   /** Full detailed-estimates document: hero-era ribbon (rank + styles) AND
     * the five table sections — what [[graft.pipelines.EstimatesPipeline]]
-    * consumes. */
+    * consumes. Counter rows carry castable integers (`intCounts`). */
   private[queries] def buildFullEstimateDoc(pk: Long): String =
     s"""<!DOCTYPE html><html><body id="home">
        |<div id="main_content"><div id="right_content">
        |<section class="quote_page_hero_section">${ribbonSection(pk, pipes = true)}</section>
-       |${estSections(pk)}
+       |${estSections(pk, intCounts = true)}
        |</div></div></body></html>""".stripMargin
 
   private val RankNames =
@@ -242,6 +261,18 @@ object ExtractQueries {
     s"""<html><body id=home>
        |<section id="cash_flow_operation">${stmtTable(pk, 0, 1, 12)}</section>
        |<section id="cash_flow_use">${stmtTable(pk, 0, 2, 11)}</section>
+       |</body></html>""".stripMargin
+
+  /** Legacy cash-flow fixture with the mostly-castable [[strictVariant]]
+    * cells (NULL only when idx%23 = 0). The pipe4b poison-guard grade needs
+    * rows where ALL 22 facts are non-null — with the half-uncastable stock
+    * vocabulary no (doc, date) row is ever all-non-null and the J1 drop
+    * branch would be unreachable; here ~4/23 of poisoned rows genuinely
+    * drop. */
+  private[queries] def buildCashFlowLegacyNumHtml(pk: Long): String =
+    s"""<html><body id=home>
+       |<section id="cash_flow_operation">${stmtTable(pk, 0, 1, 12, cellFn = strictVariant)}</section>
+       |<section id="cash_flow_use">${stmtTable(pk, 0, 2, 11, cellFn = strictVariant)}</section>
        |</body></html>""".stripMargin
 
   private[queries] def buildCashFlow2024Html(pk: Long): String = {

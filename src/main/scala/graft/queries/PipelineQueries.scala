@@ -27,7 +27,7 @@ object PipelineQueries {
     udf(ExtractQueries.buildIncomeDocStrict _)
   private val buildBalanceUdf = udf(ExtractQueries.buildBalanceHtml _)
   private val buildCf2024Udf = udf(ExtractQueries.buildCashFlow2024Html _)
-  private val buildCfLegacyUdf = udf(ExtractQueries.buildCashFlowLegacyHtml _)
+  private val buildCfLegacyNumUdf = udf(ExtractQueries.buildCashFlowLegacyNumHtml _)
 
   private def emptyTable(s: SparkSession, name: String): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[Row], Schemas.tables(name))
@@ -147,6 +147,23 @@ object PipelineQueries {
   private def strictMoney(idx: String): String =
     s"CAST((($idx) % 997) + 0.5 AS DOUBLE)"
 
+  /** DuckDB rendering of strictVariant ∘ F2 ∘ tolerant cast: NULL exactly
+    * when the cell is the 'NA' poison (idx%23 = 0) — pipe4b's fixture, where
+    * strict-vocabulary cells flow through the TOLERANT pipeline. */
+  private def tolMoneyM(idx: String): String =
+    s"""(CASE WHEN (($idx) % 23) = 0 THEN NULL
+         ELSE CAST((($idx) % 997) + 0.5 AS DOUBLE) * 1000000 END)"""
+  private def tolMoney(idx: String): String =
+    s"""(CASE WHEN (($idx) % 23) = 0 THEN NULL
+         ELSE CAST((($idx) % 997) + 0.5 AS DOUBLE) END)"""
+
+  /** DuckDB rendering of the counter rows' intVariant ∘ F1 ∘ SMALLINT cast
+    * (count and up/down revision tallies, real smallints in the reference's
+    * `schema.sql:173-190`). */
+  private def estCount(idx: String): String =
+    s"""CASE WHEN (($idx) % 11) = 0 THEN NULL
+        ELSE CAST(($idx) % 89 AS SMALLINT) END"""
+
   /** One balance-sheet table load graded on EVERY money column (the column
     * lists are exactly what a hash-match catches — pipe3 grades equity, these
     * grade assets/liabilities). */
@@ -214,7 +231,7 @@ object PipelineQueries {
                                 CAST((p_partkey + c) % 12 AS INTEGER) + 1, 1))
                AS period_end_date,
              ${estMoney("p_partkey*7 + 1*31 + 1*5 + c")} AS consensus,
-             CAST(NULL AS SMALLINT) AS count,
+             ${estCount("p_partkey*7 + 1*31 + 2*5 + c")} AS count,
              ${estMoney("p_partkey*7 + 1*31 + 3*5 + c")} AS recent,
              ${estMoney("p_partkey*7 + 1*31 + 4*5 + c")} AS high,
              ${estMoney("p_partkey*7 + 1*31 + 5*5 + c")} AS low,
@@ -260,7 +277,7 @@ object PipelineQueries {
              DATE '2025-01-01' AS date, period,
              ${estPeriodEnd(1)} AS period_end_date,
              ${estMoney("p_partkey*7 + 1*5 + c")} AS consensus,
-             CAST(NULL AS SMALLINT) AS count,
+             ${estCount("p_partkey*7 + 2*5 + c")} AS count,
              ${estMoney("p_partkey*7 + 3*5 + c")} AS high,
              ${estMoney("p_partkey*7 + 4*5 + c")} AS low,
              ${estMoney("p_partkey*7 + 5*5 + c")} AS year_ago
@@ -269,9 +286,10 @@ object PipelineQueries {
       ORDER BY act_symbol, period""")),
 
     // eps_revision load (`estimate-transform-load.rkt:272-305`): the
-    // agreement_estimate section; every up/down cell is an estimate-variant
-    // string, none of which survives a SMALLINT cast — the graded content is
-    // the doc gate, the period axis, and the section's own date header.
+    // agreement_estimate section — six REAL smallint up/down tallies
+    // (`schema.sql:173-190`) from the fixture's counter vocabulary (integer
+    // or NA), plus the doc gate, the period axis, and the section's own
+    // date header.
     Q("pipe1d_eps_revision", (s, dir) =>
       estLoad(s, dir, "eps_revision").orderBy("act_symbol", "period"),
       Some(s"""
@@ -282,10 +300,12 @@ object PipelineQueries {
       SELECT 'P' || CAST(p_partkey AS VARCHAR) AS act_symbol,
              DATE '2025-01-01' AS date, period,
              ${estPeriodEnd(2)} AS period_end_date,
-             CAST(NULL AS SMALLINT) AS up_7, CAST(NULL AS SMALLINT) AS up_30,
-             CAST(NULL AS SMALLINT) AS up_60, CAST(NULL AS SMALLINT) AS down_7,
-             CAST(NULL AS SMALLINT) AS down_30,
-             CAST(NULL AS SMALLINT) AS down_60
+             ${estCount("p_partkey*7 + 2*31 + 1*5 + c")} AS up_7,
+             ${estCount("p_partkey*7 + 2*31 + 2*5 + c")} AS up_30,
+             ${estCount("p_partkey*7 + 2*31 + 3*5 + c")} AS up_60,
+             ${estCount("p_partkey*7 + 2*31 + 4*5 + c")} AS down_7,
+             ${estCount("p_partkey*7 + 2*31 + 5*5 + c")} AS down_30,
+             ${estCount("p_partkey*7 + 2*31 + 6*5 + c")} AS down_60
       FROM part CROSS JOIN pp
       WHERE p_partkey % 5 = 4
       ORDER BY act_symbol, period""")),
@@ -497,11 +517,15 @@ object PipelineQueries {
     // the reference's poison shape. The guard drops an incoming row only
     // when ALL 22 facts are non-null (bool_and over plain `=`; any NULL
     // conjunct lets the insert proceed), so the oracle's drop predicate is
-    // `every fact IS NOT NULL` on the poisoned symbols.
+    // `every fact IS NOT NULL` on the poisoned symbols. The fixture uses the
+    // mostly-castable cell vocabulary (NULL only when idx%23 = 0): with the
+    // half-uncastable stock cells no row is ever all-non-null and the drop
+    // branch would grade vacuously; here ~4/23 of poisoned rows actually
+    // drop, so BOTH guard outcomes are exercised and hash-graded.
     Q("pipe4b_cash_flow_legacy_load", (s, dir) => {
       val docs = ExtractQueries.spread(s, t(s, dir, "part")).select(
         concat(lit("P"), col("p_partkey")).as("act_symbol"),
-        buildCfLegacyUdf(col("p_partkey")).as("html"),
+        buildCfLegacyNumUdf(col("p_partkey")).as("html"),
         lit("2025-06-01").cast("date").as("folder_date"))
       val fresh = StatementsPipeline.cashFlow(docs, layout2024 = false)
       val tableCols = Schemas.cashFlowStatement.fieldNames.toSeq
@@ -516,8 +540,8 @@ object PipelineQueries {
     }, Some {
       def idx(tbl: Int, r: Int) = s"p_partkey*11 + $tbl*17 + $r*7 + di + 1"
       val cells = CashFlowRows.map { case (c, tbl, r) =>
-        val v = if (c == "diluted_net_eps") stMoney(idx(tbl, r))
-                else stMoneyM(idx(tbl, r))
+        val v = if (c == "diluted_net_eps") tolMoney(idx(tbl, r))
+                else tolMoneyM(idx(tbl, r))
         s"$v AS $c"
       }.mkString(",\n               ")
       val names = CashFlowRows.map(_._1).mkString(", ")

@@ -135,8 +135,11 @@ object Profile {
       val d = t(spark, sfDir, "documents")
       for (pass <- 1 to 3)
         time(s"dd2 full pass $pass") {
+          // lazy localCheckpoint, matching the registered dd2 plan — the
+          // profiler must time the same materialization strategy it grades
           val sh = Dedup.shingleMultiset(d, "doc_id", "text")
-          val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4).cache()
+          val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+            .localCheckpoint(eager = false)
           Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
         }
       time("dd2: shingle multiset explode")(
@@ -151,7 +154,8 @@ object Profile {
           Dedup.shingleSet(d, "doc_id", "text"), "doc_id"))
       time("dd2: full (as benched)") {
         val sh = Dedup.shingleMultiset(d, "doc_id", "text")
-        val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4).cache()
+        val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+          .localCheckpoint(eager = false)
         Dedup.lshCandidatePairs(sig, "doc_id")
       }
     }

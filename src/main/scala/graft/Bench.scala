@@ -27,6 +27,10 @@ object Bench {
       try graft.queries.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // materialize path-based fixtures (s5/k2b/st3) untimed, so the fixture
+    // build cost lands in none of the timed queries
+    try graft.queries.Fixtures.ensureAll(spark, sfDir)
+    catch { case _: Throwable => () }
     // Optional subset for targeted local adjudication runs (comma-separated
     // query names); the per-round driver run never sets this, so the
     // committed artifact always covers the full registry.

@@ -21,6 +21,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // materialize path-based fixtures (s5/k2b/st3) up front so every
+    // registered query below executes as a pure read
+    graft.queries.Fixtures.ensureAll(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

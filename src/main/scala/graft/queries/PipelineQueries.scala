@@ -804,26 +804,10 @@ object PipelineQueries {
     // reads the emitted files back and grades them against the oracle's own
     // projection — file bytes, not just the projection expression (k2).
     Q("k2b_export_roundtrip", (s, dir) => {
-      val src = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        when(col("o_orderstatus") =!= "F", col("o_orderstatus"))
-          .as("status_or_null"),
-        to_date(col("o_orderdate")).as("date"),
-        col("o_totalprice"))
-        .filter(col("date") < lit("1995-01-05").cast("date"))
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_k2b_export")
-      // idempotent re-runs: a previous run's extra date dirs would otherwise
-      // survive the per-date overwrite and pollute the read-back
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(out)
-      CsvExport.writePerDate(src, "date", Seq("o_orderkey"),
-        out.getAbsolutePath)
+      // pure read: the dump job itself ran in Fixtures (harness-materialized)
       val back = s.read.option("header", true)
         .option("recursiveFileLookup", "true")
-        .csv(out.getAbsolutePath)
+        .csv(Fixtures.k2bExport(s, dir))
       // CSV read turns the writer's '' NULL encoding back into null;
       // re-apply the projection so both engines grade the same rendering
       CsvExport.projectForCsv(back)
@@ -903,67 +887,27 @@ object PipelineQueries {
     // S5 — raw-zone scan: dated fixture folder + suffix glob + symbol from
     // filename. No DuckDB oracle (the fixture folder is outside its reach):
     // the driver records a rows-only check; PipelinesSpec asserts content.
-    Q("s5_raw_zone_scan", (s, dir) => {
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_s5_fixture")
-      val day = new java.io.File(base, "2024-01-15")
-      day.mkdirs()
-      def put(name: String, text: String): Unit = {
-        val f = new java.io.File(day, name)
-        if (!f.exists()) java.nio.file.Files.writeString(f.toPath, text)
-      }
-      put("AAPL.detailed-estimates.html", "<html><body id=home>a</body></html>")
-      put("MSFT.detailed-estimates.html", "<html><body id=home>m</body></html>")
-      put("NVDA.detailed-estimates.html", "<html><body id=home>n</body></html>")
-      put("IGNORED.balance-sheet.html", "<html>not this kind</html>")
-      RawZone.scanDocuments(s, base.getAbsolutePath, "2024-01-15",
+    // The fixture folder is harness-materialized (Fixtures.s5Base); the
+    // registered query is the pure scan.
+    Q("s5_raw_zone_scan", (s, dir) =>
+      RawZone.scanDocuments(s, Fixtures.s5Base, "2024-01-15",
         "detailed-estimates")
         .select(col("act_symbol"), length(col("html")).as("nchars"),
           col("folder_date"))
-        .orderBy("act_symbol")
-    }, None),
+        .orderBy("act_symbol"), None),
 
     // §2.8 — the streaming calendar round trip as a graded (rows-only)
-    // entry: a real file-source stream over a drop directory, two
-    // micro-batches through foreachFolderBatch, with the SAME batch
-    // operators (K5 slide-forward + K1 dedup-append) rewriting the snapshot
-    // per trigger. Like s5, DuckDB cannot see the drop dir — the driver
-    // records a rows-only check; StreamingSpec asserts the same composition
-    // value by value. Final store: AAPL 01-10 (day-2 re-arrival is a PK
-    // duplicate), MSFT 01-14 (the stored 01-12 slid forward and was
-    // retracted), NVDA 01-20, AMZN 01-25 -> 4 rows.
-    Q("st3_foreachbatch_calendar", (s, dir) => {
-      import org.apache.spark.sql.types.{DateType, StringType, StructField, StructType}
-      val schema = StructType(Seq(
-        StructField("act_symbol", StringType),
-        StructField("date", DateType),
-        StructField("when", StringType)))
-      val drop = java.nio.file.Files.createTempDirectory("graft_st3_drop")
-      val (q, snapshot) = graft.streaming.StreamingLoad.foreachFolderBatch(
-        s, drop.toString, schema, emptyTable(s, "earnings_calendar"),
-        (store, batch) => {
-          val typed = batch.select(store.columns.map(col).toSeq: _*)
-          LoadOps.dedupAppend(
-            LoadOps.slideForwardRetract(store, typed, "act_symbol", "date"),
-            typed, Schemas.primaryKeys("earnings_calendar"))
-        })
-      try {
-        java.nio.file.Files.writeString(
-          drop.resolve("day1.json"),
-          """{"act_symbol":"AAPL","date":"2024-01-10","when":"Before market open"}
-            |{"act_symbol":"MSFT","date":"2024-01-12","when":"After market close"}
-            |{"act_symbol":"NVDA","date":"2024-01-20","when":null}
-            |""".stripMargin)
-        q.processAllAvailable()
-        java.nio.file.Files.writeString(
-          drop.resolve("day2.json"),
-          """{"act_symbol":"AAPL","date":"2024-01-10","when":"Before market open"}
-            |{"act_symbol":"MSFT","date":"2024-01-14","when":"After market close"}
-            |{"act_symbol":"AMZN","date":"2024-01-25","when":"Before market open"}
-            |""".stripMargin)
-        q.processAllAvailable()
-      } finally q.stop()
-      snapshot().orderBy("act_symbol", "date")
-    }, None)
+    // entry. The stream itself (file source over a drop dir, two
+    // micro-batches through foreachFolderBatch composing K5 slide-forward +
+    // K1 dedup-append per trigger) runs in Fixtures.st3Snapshot, which
+    // parks the final store as parquet; the registered query is a pure read
+    // of that snapshot. DuckDB cannot see the drop dir — the driver records
+    // a rows-only check; StreamingSpec asserts the same composition value
+    // by value. Expected: AAPL 01-10, MSFT 01-14, NVDA 01-20,
+    // AMZN 01-25 -> 4 rows.
+    Q("st3_foreachbatch_calendar", (s, dir) =>
+      s.read.schema(Schemas.tables("earnings_calendar"))
+        .parquet(Fixtures.st3Snapshot(s))
+        .orderBy("act_symbol", "date"), None)
   )
 }

@@ -260,6 +260,26 @@ object RelationalQueries {
       JOIN region   ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
 
+    // K3b — bucketed co-located join: both sides bucketed+sorted on custkey
+    // with the same bucket count (SnapshotStore.writeBucketed, harness-
+    // materialized in Fixtures), so the join needs NO exchange on either
+    // side — at 100 TB this removes the dominant fact-to-fact shuffle from
+    // every join on a shared PK prefix. The groupBy on the join key then
+    // reuses the same bucket partitioning; PlanSpec gates zero
+    // hashpartitioning exchanges end to end.
+    Q("k3b_bucketed_join", (s, dir) => {
+      val (o, c) = Fixtures.bucketedPair(s, dir)
+      s.table(o).join(s.table(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""")),
+
     // ------------------------------------------------------------------
     // §2.5 aggregations
     // ------------------------------------------------------------------

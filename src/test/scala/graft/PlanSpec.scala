@@ -114,4 +114,21 @@ class PlanSpec extends AnyFunSuite {
     val hints = "strategy=broadcast".r.findAllIn(logical).size
     assert(hints == 2, s"expected 2 broadcast hints (nation, region), got $hints")
   }
+
+  test("k3b bucketed join runs with zero hashpartitioning exchanges") {
+    // forbid broadcast so the gate proves bucket co-location, not smallness
+    // (at 100 TB neither fact side fits a broadcast); the only exchange left
+    // must be the presentation ORDER BY's range partitioning
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("k3b_bucketed_join")(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), "expected a sort-merge join")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join + same-key groupBy must reuse the bucket " +
+          "partitioning — a hash exchange means co-location broke")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -14,7 +14,9 @@ import graft.operators.{Dedup, HashMode, TextAnalysis}
   * a fixed-SF bench cannot see. Both corpora are materialized eagerly
   * before timing so synthesis cost stays outside the measurement.
   *
-  * `runMain graft.ScaleSweep [sfDir]` — results recorded in SCALE.md.
+  * `runMain graft.ScaleSweep [sfDir] [llm|load]` — `load` delegates to
+  * [[graft.queries.LoadSweep]] (statement/calendar load pipelines); default
+  * `llm` sweeps the operators below. Results recorded in SCALE.md.
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -30,6 +32,12 @@ object ScaleSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.drop(1).headOption.contains("load")) {
+      graft.queries.LoadSweep.run(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -129,10 +129,23 @@ object Fixtures {
     * no-shuffle plan property (PlanSpec gates it). */
   private val bucketedPairs =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** A managed-table location can survive from a previous JVM while the
+    * in-memory catalog starts empty — `saveAsTable(Overwrite)` then refuses
+    * with LOCATION_ALREADY_EXISTS. Drop both the catalog entry and the
+    * leftover warehouse directory before rewriting. */
+  private def dropManaged(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    rm(new File(wh, table))
+  }
+
   def bucketedPair(s: SparkSession, sfDir: String): (String, String) =
     bucketedPairs.getOrElseUpdate(sfDir, {
       val sfx = math.abs(sfDir.hashCode).toString
       val (o, c) = (s"bk_orders_$sfx", s"bk_customer_$sfx")
+      dropManaged(s, o)
+      dropManaged(s, c)
       graft.sinks.SnapshotStore.writeBucketed(
         Tables.t(s, sfDir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice"),

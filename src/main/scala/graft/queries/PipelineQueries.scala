@@ -527,7 +527,12 @@ object PipelineQueries {
         concat(lit("P"), col("p_partkey")).as("act_symbol"),
         buildCfLegacyNumUdf(col("p_partkey")).as("html"),
         lit("2025-06-01").cast("date").as("folder_date"))
+      // fresh feeds the poison-store derivation AND both load sides (guard
+      // join + anti-join) — without materializing, the parse lineage runs
+      // once per appearance. Lazy localCheckpoint (ContextCleaner-freed,
+      // repo convention) makes it one parse total.
       val fresh = StatementsPipeline.cashFlow(docs, layout2024 = false)
+        .localCheckpoint(eager = false)
       val tableCols = Schemas.cashFlowStatement.fieldNames.toSeq
       val poison = fresh
         .filter(expr("CAST(substr(act_symbol, 2) AS BIGINT) % 3 = 0"))

@@ -212,4 +212,23 @@ class PipelinesSpec extends AnyFunSuite {
     assert(rows(0).getString(2) === "After market close")
     assert(rows(1).isNullAt(2)) // "--"
   }
+
+  test("pipe4b's poison guard genuinely fires AND genuinely spares") {
+    // Regression gate for the guard-drop branch being satisfiable: with the
+    // mostly-castable legacy fixture, ~4/23 of a poisoned symbol's rows are
+    // all-non-null (guard drops them) and the rest carry a NULL conjunct
+    // (insert proceeds). Both outcomes must be present, otherwise the
+    // hash-graded entry is vacuous again (round-7 advisor finding).
+    val dir = "/root/testdata/sf0.001"
+    val total = graft.SparkEntry
+      .queries("pipe4b_cash_flow_legacy_load")(spark, dir).count()
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+    val nPart = parts.count()
+    val nPoisoned = parts.filter(col("p_partkey") % 3 === 0).count()
+    val incoming = nPart * 5 // 5 date columns, annual only
+    val store = nPoisoned * 5 // prior-year copies of every third symbol
+    assert(total < store + incoming, "guard never dropped a row — vacuous")
+    assert(total > store + incoming - nPoisoned * 5,
+      "guard dropped every poisoned row — NULL conjuncts must spare some")
+  }
 }

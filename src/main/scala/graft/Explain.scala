@@ -25,6 +25,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // path-based fixtures (s5/k2b/st3/k3b) materialize before any plan runs
+    graft.queries.Fixtures.ensureAll(spark, sfDir)
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"== $name: not registered ==")

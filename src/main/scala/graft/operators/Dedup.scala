@@ -246,6 +246,40 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Cross-source duplication matrix: for each unordered source pair, the
+    * number of duplicate document pairs shared between them — the "which
+    * feeds mirror each other" curation diagnostic that decides whether a
+    * source earns a per-source dedup pass or gets dropped wholesale.
+    * `prefixTokens = Some(k)` keys on the k-token prefix instead of the
+    * full text — the shared-boilerplate-header detector (scraped feeds
+    * inject identical banners before distinct bodies); `None` is exact
+    * whole-text duplication.
+    *
+    * Scale shape: self-equi-join on an 8-byte content hash (never the text
+    * bytes, never all-pairs) — shuffle carries (hash, id, source) rows, and
+    * pair expansion is Σ g² over duplicate-group sizes g, the same bound as
+    * every bucketed-join family member. The matrix output is ≤ |sources|².
+    * Same-source pairs are kept (source_a = source_b): intra-feed
+    * duplication is the other half of the diagnostic. */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+                           srcCol: String,
+                           prefixTokens: Option[Int] = None): DataFrame = {
+    val key = prefixTokens match {
+      case Some(k) => concat_ws(" ", slice(split(col(textCol), " "), 1, k))
+      case None => col(textCol)
+    }
+    val base = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"),
+      xxhash64(key).as("__h"))
+    val a = base.select(col("__h"), col("__id").as("__ida"),
+      col("__src").as("__sa"))
+    val b = base.select(col("__h"), col("__id").as("__idb"),
+      col("__src").as("__sb"))
+    a.join(b, Seq("__h")).filter(col("__ida") < col("__idb"))
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("dup_pairs"))
+  }
+
   /** tf-weighted SimHash over whitespace tokens. Token hash: first 8 hex
     * chars of md5 as a 32-bit int (`bits = 32`, oracle-reproducible) or
     * xxhash64 (`bits = 64`, production). Per bit, sum +tf/−tf by bit value;

@@ -224,6 +224,32 @@ object LlmQueries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // Cross-source duplication matrix in boilerplate mode: document pairs
+    // sharing a 5-token prefix per unordered source pair — which feeds
+    // inject the same banner/header (drop/cap candidates) and how much
+    // intra-feed boilerplate each source carries. 8-byte prefix-hash
+    // self-join; the oracle joins on the raw prefix string, so a
+    // hash-collision bug here would grade red, not silently pass.
+    // (Exact whole-text mode is brute-force-verified in DedupProps; this
+    // corpus has no whole-text duplicates at the grading SF, which would
+    // make that mode's grade vacuous.)
+    Q("dd8_cross_source_dups", (s, dir) =>
+      Dedup.crossSourceDupMatrix(t(s, dir, "documents"),
+        "doc_id", "text", "source", prefixTokens = Some(5))
+        .orderBy("source_a", "source_b"),
+      Some("""
+      WITH keyed AS (
+        SELECT doc_id, source,
+               array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+                 AS pfx
+        FROM documents)
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             count(*) AS dup_pairs
+      FROM keyed a JOIN keyed b
+        ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Embedding-cosine near-dup pairs: sign-LSH bucket, exact cosine within
     // bucket, threshold filter (on the rounded score in both engines).
     Q("dd5_embedding_neardup", (s, dir) =>

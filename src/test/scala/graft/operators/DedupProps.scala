@@ -43,6 +43,31 @@ class DedupProps extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("crossSourceDupMatrix equals the brute-force pair count " +
+    "(exact and prefix modes)") {
+    // deterministic corpus with intra- and cross-source duplicate groups;
+    // bodies differ more often than 2-token prefixes, so the two modes
+    // produce different (both non-empty) matrices
+    val rows = (0 until 60).map { i =>
+      (i.toLong, s"pfx${i % 5} common body ${i % 7}", s"src${i % 3}")
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    def brute(key: String => String) = (for {
+      (ia, ta, sa) <- rows; (ib, tb, sb) <- rows
+      if ia < ib && key(ta) == key(tb)
+    } yield if (sa <= sb) (sa, sb) else (sb, sa))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def got(prefix: Option[Int]) =
+      Dedup.crossSourceDupMatrix(df, "doc_id", "text", "source", prefix)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val exact = got(None)
+    val pfx2 = got(Some(2))
+    assert(exact == brute(identity))
+    assert(pfx2 == brute(_.split(" ").take(2).mkString(" ")))
+    assert(exact.nonEmpty && pfx2.nonEmpty && exact != pfx2)
+  }
+
   test("simhash byte-banding finds EVERY pair within Hamming distance 3 " +
     "(32- and 64-bit)") {
     Seq(32, 64).foreach { bits =>

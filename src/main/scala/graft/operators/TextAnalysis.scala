@@ -117,6 +117,29 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Top-k word n-grams per group (language, source, …) — the vocabulary /
+    * shared-boilerplate census every corpus audit starts from. Ties break
+    * on the n-gram string so the ranking is deterministic.
+    *
+    * Scale shape: explode → count is map-side combinable (the shuffle
+    * carries one row per distinct (group, ngram)); the per-group top-k is a
+    * row_number window whose rank filter pushes below the shuffle as a
+    * partial WindowGroupLimit (each map task forwards at most k candidates
+    * per group, the same shape PlanSpec gates on sa3) — never a global
+    * sort, never a per-group collect. */
+  def topNgrams(docs: DataFrame, textCol: String, groupCol: String,
+                n: Int = 3, k: Int = 10): DataFrame = {
+    val grams = docs.select(col(groupCol).as("grp"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+    val counted = grams.groupBy("grp", "ngram")
+      .agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("grp")
+          .orderBy(col("cnt").desc, col("ngram"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting,
     * Schleimer/Wilkerson/Aiken): hash every character k-gram, slide a
     * w-hash window over the sequence, keep each window's minimum. Any

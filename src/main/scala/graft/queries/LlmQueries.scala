@@ -494,6 +494,29 @@ object LlmQueries {
                '${TAEmailRe}', '<EMAIL>', 'g') AS clean
       FROM aug ORDER BY doc_id""")),
 
+    // Top-k word trigrams per language — the vocabulary / shared-boilerplate
+    // census a corpus audit starts from. Deterministic tie-break on the
+    // n-gram string; the per-group top-k's rank filter pushes below the
+    // shuffle as a partial WindowGroupLimit (sa3's PlanSpec-gated shape).
+    Q("tx9_top_ngrams", (s, dir) =>
+      TA.topNgrams(t(s, dir, "documents"), "text", "lang", n = 3, k = 10)
+        .orderBy("grp", "rank"),
+      Some("""
+      WITH docs AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT lang AS grp, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+        FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      counted AS (
+        SELECT grp, ngram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+      SELECT grp, ngram, cnt, rank FROM (
+        SELECT grp, ngram, cnt,
+               CAST(row_number() OVER (PARTITION BY grp
+                 ORDER BY cnt DESC, ngram) AS INTEGER) AS rank
+        FROM counted)
+      WHERE rank <= 10
+      ORDER BY grp, rank""")),
+
     // Corpus rollup: per predicted language, doc count + token-count mean /
     // exact interpolated median / p95 — the monitoring query a corpus run
     // reports; exact percentile so both engines agree bit for bit.

@@ -115,6 +115,13 @@ class PlanSpec extends AnyFunSuite {
     assert(hints == 2, s"expected 2 broadcast hints (nation, region), got $hints")
   }
 
+  test("tx9 pushes the per-group k below the shuffle (partial WindowGroupLimit)") {
+    val plan = planOf("tx9_top_ngrams")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      "top-k per group must forward <= k candidates per map task, not " +
+        "shuffle every distinct (group, ngram) count")
+  }
+
   test("k3b bucketed join runs with zero hashpartitioning exchanges") {
     // forbid broadcast so the gate proves bucket co-location, not smallness
     // (at 100 TB neither fact side fits a broadcast); the only exchange left

@@ -82,7 +82,16 @@ object ScaleSweep {
       "tx6_repetition" -> (d =>
         TextAnalysis.repetitionSignals(d, "doc_id", "text")),
       "tx7_contamination" -> (d =>
-        Dedup.contaminationOverlap(d, evalDocs, "doc_id", "text", n = 5)))
+        Dedup.contaminationOverlap(d, evalDocs, "doc_id", "text", n = 5)),
+      // source proxy: doc_id % 20 (the sweep corpus drops the source col)
+      "dd8_cross_source" -> (d =>
+        Dedup.crossSourceDupMatrix(
+          d.withColumn("src", concat(lit("s"), col("doc_id") % 20)),
+          "doc_id", "text", "src", prefixTokens = Some(5))),
+      "tx9_top_ngrams" -> (d =>
+        TextAnalysis.topNgrams(
+          d.withColumn("grp", concat(lit("g"), col("doc_id") % 5)),
+          "text", "grp", n = 3, k = 10)))
 
     def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L

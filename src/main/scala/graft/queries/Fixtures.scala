@@ -121,6 +121,20 @@ object Fixtures {
     }
   }
 
+  /** K8 — JSONL shard export of the documents table (the training-data
+    * loader format), once per (JVM, sfDir); the registered query grades the
+    * round trip by reading the shards back against the source table. */
+  private val k8Dirs = scala.collection.concurrent.TrieMap[String, String]()
+  def k8JsonlExport(s: SparkSession, sfDir: String): String =
+    k8Dirs.getOrElseUpdate(sfDir, {
+      val out = tmp(s"graft_k8_jsonl_${math.abs(sfDir.hashCode)}")
+      rm(out)
+      graft.export.JsonlExport.writeSharded(
+        Tables.t(s, sfDir, "documents"), "doc_id",
+        out.getAbsolutePath, shards = 8, maxRecordsPerShard = 500)
+      out.getAbsolutePath
+    })
+
   /** K3b — two managed tables bucketed+sorted on custkey with the SAME
     * bucket count ([[graft.sinks.SnapshotStore.writeBucketed]]), for the
     * co-located join grade: a join on the bucket key then needs no exchange
@@ -163,6 +177,7 @@ object Fixtures {
     k2bExport(s, sfDir)
     st3Snapshot(s)
     bucketedPair(s, sfDir)
+    k8JsonlExport(s, sfDir)
     ()
   }
 }

@@ -827,6 +827,25 @@ object PipelineQueries {
       WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-05'
       ORDER BY date, CAST(o_orderkey AS BIGINT)""")),
 
+    // K8 — JSONL shard export round trip: the training-data loader format
+    // (one JSON object per line, deterministic hash-sharded, record-bounded
+    // files). The write runs in Fixtures (harness-materialized); this entry
+    // reads the emitted shards back and grades them against the source
+    // table — a lossy escape/encode bug anywhere in the round trip breaks
+    // the hash.
+    Q("k8_jsonl_export_roundtrip", (s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(Fixtures.k8JsonlExport(s, dir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents ORDER BY doc_id""")),
+
     // D8 — posix @ 6am request key (`earnings-calendar-extract.rkt:25`).
     Q("d8_posix_6am", (s, dir) =>
       t(s, dir, "orders").select(to_date(col("o_orderdate")).as("d"))

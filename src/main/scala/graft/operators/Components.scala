@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: connected components over a near-dup
+  * candidate-pair graph.
+  *
+  * The dedup operators in [[Dedup]] emit *pairs*; a production corpus dedup
+  * needs transitive *clusters* — if A~B and B~C, all three are one group
+  * with one canonical representative, even when A and C never collide in
+  * any LSH band. This is the standard last stage of a web-scale dedup
+  * (keep min-id per component, drop the rest).
+  *
+  * Scale design: alternating large-star / small-star rounds (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+  * round is two groupBy-min + equi-join passes over the edge set — every
+  * shuffle is hash-partitioned on a node id, there is no driver-side graph
+  * state and nothing is collected; the only per-round action is a 1-row
+  * fixpoint checksum. Rounds converge in O(log² n) (≤3 in practice for
+  * near-dup graphs, whose components are shallow), and the edge set only
+  * ever shrinks toward one star per component, so peak shuffle volume is
+  * the first round's O(|E|). Lineage is truncated per round with a lazy
+  * localCheckpoint (ContextCleaner-freed, never pinned) so the plan does
+  * not grow with iterations.
+  */
+object Components {
+
+  /** Connected components of an undirected edge list. Returns
+    * `(node, component)` for every non-root node that appears in an edge;
+    * `component` is the minimum node id of the node's component. Roots
+    * (and nodes with no edges) are absent — callers re-attach them with a
+    * left join + coalesce, which keeps this output proportional to the
+    * duplicate mass, not the corpus.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false)
+    var prev = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // Large-star: every neighbor of u that is LARGER than u re-points at
+      // the minimum of u's closed neighborhood. Tall components flatten by
+      // ~half their height per round.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(lmin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // Small-star: direct each edge large→small, then point every small
+      // neighbor AND u itself at the minimum small neighbor — merges the
+      // partial stars large-star leaves behind.
+      val dir = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val smin = dir.groupBy("u").agg(min("v").as("m"))
+      val small = dir.join(smin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val cur = checksum(small)
+      converged = cur == prev
+      prev = cur
+      e = small
+      it += 1
+    }
+    e.select(col("u").as("node"), col("v").as("component"))
+  }
+
+  /** Order-insensitive edge-set checksum — the per-round fixpoint test.
+    * (count, hash-xor, decimal hash-sum): a star set maps to itself under
+    * both star operations, so equality ⇒ fixpoint; the paired folds make a
+    * coincidental collision across rounds astronomically unlikely, and
+    * maxIter backstops it regardless. (bit_xor + a decimal-widened sum —
+    * a plain long sum of full-range hashes overflows under ANSI mode.) */
+  private def checksum(e: DataFrame): (Long, Long, BigDecimal) = {
+    val r = e.withColumn("h", xxhash64(col("u"), col("v")))
+      .agg(count(lit(1)).as("c"), expr("bit_xor(h)").as("x"),
+        sum(col("h").cast("decimal(38,0)")).as("s")).collect()(0)
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+  }
+}

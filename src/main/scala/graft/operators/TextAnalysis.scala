@@ -127,6 +127,36 @@ object TextAnalysis {
     * partial WindowGroupLimit (each map task forwards at most k candidates
     * per group, the same shape PlanSpec gates on sa3) — never a global
     * sort, never a per-group collect. */
+  /** Top-k characteristic terms per document by smoothed-free TF-IDF:
+    * tf(doc, tok) × ln(N / df(tok)), rounded to 6 places (the rounded
+    * score is also the ORDER BY key, so tie-breaks are engine-portable).
+    *
+    * Scale design: one explode → two hash aggregations (per-doc tf, and
+    * token document-frequency over the deduped (doc, tok) set — a
+    * dictionary-sized table), a dictionary equi-join on `tok`, a 1-row
+    * broadcast corpus count, and a per-doc top-k window that pushes down
+    * as WindowGroupLimit (rank filter runs partial, before the shuffle).
+    * Nothing in the plan is proportional to N² or to the corpus on a
+    * single node.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rnk") <= k)
+  }
+
   def topNgrams(docs: DataFrame, textCol: String, groupCol: String,
                 n: Int = 3, k: Int = 10): DataFrame = {
     val grams = docs.select(col(groupCol).as("grp"),

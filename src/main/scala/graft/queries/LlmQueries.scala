@@ -1,7 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Components, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import Tables.t
 
 /** Training-data-pipeline operators over `documents` / `embeddings`, each
@@ -23,6 +24,18 @@ object LlmQueries {
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
         FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
         WHERE len(w) >= 3)"""
+
+  /** Shared oracle CTE: dd2's 4-band MinHash-LSH candidate pairs — reused
+    * verbatim by the transitive-cluster oracle (dd9). */
+  private val MinhashPairsCte = s"""$ShingleCte,
+      sig AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)"""
 
   val all: Seq[Q] = Seq(
 
@@ -46,15 +59,7 @@ object LlmQueries {
         .localCheckpoint(eager = false)
       Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
     }, Some(s"""
-      WITH $ShingleCte,
-      sig AS (
-        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
-        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
-        GROUP BY doc_id, band),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)
+      WITH $MinhashPairsCte
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
     // dd2's PRODUCTION hash mode: band-seeded xxhash64 signatures instead
@@ -249,6 +254,42 @@ object LlmQueries {
       FROM keyed a JOIN keyed b
         ON a.pfx = b.pfx AND a.doc_id < b.doc_id
       GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Transitive duplicate clusters: connected components over the
+    // MinHash-LSH candidate graph (large-star/small-star rounds — see
+    // Components). A~B and B~C cluster together even when A and C never
+    // share a band; every document gets a canonical cluster id (min doc_id
+    // of its component) and the cluster size — the shape a production
+    // "keep one per cluster" dedup actually consumes. The oracle computes
+    // ground-truth reachability with a recursive CTE, so a wrong merge or
+    // a missed transitive hop grades red.
+    Q("dd9_dup_clusters", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleMultiset(docs, "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
+      val cc = Components.connectedComponents(
+        Dedup.lshCandidatePairs(sig, "doc_id"), "doc_a", "doc_b")
+      docs.select(col("doc_id"))
+        .join(cc, docs("doc_id") === cc("node"), "left")
+        .select(docs("doc_id"),
+          coalesce(col("component"), docs("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH RECURSIVE $MinhashPairsCte,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp ORDER BY doc_id""")),
 
     // Embedding-cosine near-dup pairs: sign-LSH bucket, exact cosine within
     // bucket, threshold filter (on the rounded score in both engines).
@@ -516,6 +557,35 @@ object LlmQueries {
         FROM counted)
       WHERE rank <= 10
       ORDER BY grp, rank""")),
+
+    // Top-3 characteristic terms per document by TF-IDF — keyword
+    // extraction for corpus browsing/tagging. The rounded score is the
+    // ORDER BY key (then the token) so the top-k cut is engine-portable;
+    // the per-doc window pushes down as a partial WindowGroupLimit and the
+    // document-frequency side is a dictionary-sized equi-join.
+    Q("tx10_tfidf_terms", (s, dir) =>
+      TA.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk"),
+      Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (
+        SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+        GROUP BY tok),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.tok,
+               round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+        FROM tf t JOIN dfreq d USING (tok), n),
+      ranked AS (
+        SELECT doc_id, tok, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, tok) AS INTEGER) AS rnk
+        FROM scored)
+      SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk""")),
 
     // Corpus rollup: per predicted language, doc count + token-count mean /
     // exact interpolated median / p95 — the monitoring query a corpus run

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Connected-components laws, verified against a brute-force union-find:
+  * random graphs, a deep chain (forces multiple large/small-star rounds),
+  * and degenerate inputs. */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Brute-force union-find: node -> min id of its component. */
+  private def oracle(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  /** Run the operator and re-attach roots/singletons over node ids 0..n-1. */
+  private def run(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val cc = Components.connectedComponents(
+      edges.toDF("a", "b"), "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until n.toLong).map(i => i -> cc.getOrElse(i, i)).toMap
+  }
+
+  test("matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val n = 40 + trial * 15
+      val edges = Seq.fill(n + 10)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(run(n, edges) == oracle(n, edges), s"trial $trial")
+    }
+  }
+
+  test("deep chain collapses to its minimum (multi-round convergence)") {
+    val n = 33
+    val edges = (0L until n - 1L).map(i => (i + 1, i)) // 32→31→…→0
+    val got = run(n, edges)
+    assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
+  }
+
+  test("self-loops, duplicate and reversed edges are harmless") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (4L, 3L))
+    assert(run(5, edges) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("empty edge set yields empty output") {
+    assert(Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+  }
+
+  test("two components never merge and roots are absent from output") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+    val rows = Components.connectedComponents(
+      edges.toDF("a", "b"), "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(11L -> 10L, 12L -> 10L, 21L -> 20L))
+    assert(!rows.contains(10L) && !rows.contains(20L))
+  }
+}

@@ -587,6 +587,49 @@ object LlmQueries {
       SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
       ORDER BY doc_id, rnk""")),
 
+    // Fixed-size token chunks with overlap (64-token windows, stride 48) —
+    // the context-window shaping step before embedding or training. Pure
+    // per-row array slicing, no shuffle; graded on the chunk text itself,
+    // so an off-by-one in the stride or slice bounds grades red.
+    Q("ck1_token_chunks", (s, dir) =>
+      graft.operators.Chunking.tokenChunks(
+        t(s, dir, "documents"), "doc_id", "text", size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+             CAST((i - 1) // 48 AS INTEGER) AS chunk_idx,
+             CAST(len(list_slice(w, i, i + 63)) AS INTEGER) AS n_tokens,
+             array_to_string(list_slice(w, i, i + 63), ' ') AS chunk_text
+      FROM d, UNNEST(generate_series(1, greatest(len(w), 1), 48)) AS t(i)
+      ORDER BY doc_id, chunk_idx""")),
+
+    // GPT-style sequence packing (concat the corpus in doc_id order, cut
+    // every 2048 tokens): each document's global token offset, its context
+    // window, and whether it straddles a boundary. The global prefix sum
+    // runs as a two-level scan (within-shard window + broadcast shard
+    // offsets) so no document row crosses a single-partition window;
+    // ChunkingSpec proves shard-size invariance.
+    Q("ck2_sequence_packing", (s, dir) =>
+      graft.operators.Chunking.packAssignments(
+        t(s, dir, "documents"), "doc_id", "text", capacity = 2048)
+        .orderBy("doc_id"),
+      Some("""
+      WITH tk AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start_off
+        FROM tk)
+      SELECT doc_id, n_tokens, start_off,
+             start_off // 2048 AS pack_id,
+             (start_off // 2048) <> ((start_off + n_tokens - 1) // 2048)
+               AS spans_boundary
+      FROM c ORDER BY doc_id""")),
+
     // Corpus rollup: per predicted language, doc count + token-count mean /
     // exact interpolated median / p95 — the monitoring query a corpus run
     // reports; exact percentile so both engines agree bit for bit.

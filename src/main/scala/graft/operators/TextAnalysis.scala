@@ -127,6 +127,38 @@ object TextAnalysis {
     * partial WindowGroupLimit (each map task forwards at most k candidates
     * per group, the same shape PlanSpec gates on sa3) — never a global
     * sort, never a per-group collect. */
+  /** Gopher-style quality-rule chain (Rae et al. 2021, §A1.1 — the public
+    * rule family; thresholds here are fixture-scaled): per-document boolean
+    * flags plus the conjunctive `keep`. Every ratio threshold is evaluated
+    * by integer cross-multiplication (e.g. `3·n ≤ Σchars` instead of
+    * `Σchars/n ≥ 3.0`), so the flags are bit-exact in any engine — no
+    * float-boundary flips between this and an oracle. Σchars falls out of
+    * the single-space token convention for free: `length(text) − (n − 1)`.
+    * All pure codegen'd expressions over one split. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("sum_chars", (length(col("t")) - (col("n") - 1)).cast("long"))
+      .withColumn("alpha_cnt",
+        size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("num_cnt",
+        size(filter(col("w"), x => x.rlike("^[0-9]+$"))).cast("long"))
+      .withColumn("stop_cnt", size(array_intersect(
+        array_distinct(col("w")), array(stops.map(lit): _*))).cast("long"))
+      .select(col("doc_id"),
+        (col("n") >= 5 && col("n") <= 5000).as("r_len"),
+        (col("sum_chars") >= col("n") * 3 &&
+          col("sum_chars") <= col("n") * 10).as("r_word_len"),
+        (col("alpha_cnt") * 5 >= col("n") * 4).as("r_alpha"),
+        (col("num_cnt") * 5 <= col("n")).as("r_numeric"),
+        (col("stop_cnt") >= 2).as("r_stop"))
+      .withColumn("keep", col("r_len") && col("r_word_len") &&
+        col("r_alpha") && col("r_numeric") && col("r_stop"))
+  }
+
   /** Top-k characteristic terms per document by smoothed-free TF-IDF:
     * tf(doc, tok) × ln(N / df(tok)), rounded to 6 places (the rounded
     * score is also the ORDER BY key, so tie-breaks are engine-portable).

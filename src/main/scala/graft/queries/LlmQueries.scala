@@ -587,6 +587,64 @@ object LlmQueries {
       SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
       ORDER BY doc_id, rnk""")),
 
+    // Gopher-style quality-rule chain: per-rule boolean flags + the
+    // conjunctive keep. Every ratio threshold is integer cross-multiplied
+    // (3·n <= Σchars, not Σchars/n >= 3.0) so the flags are bit-exact
+    // across engines, and Σchars is length(text) − (n−1) under the
+    // single-space token convention — no second pass over the tokens.
+    Q("tx11_quality_rules", (s, dir) =>
+      TA.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+      WITH f AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                 AS BIGINT) AS sum_chars
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          n >= 5 AND n <= 5000 AS r_len,
+          sum_chars >= n * 3 AND sum_chars <= n * 10 AS r_word_len,
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+            AS BIGINT) * 5 >= n * 4 AS r_alpha,
+          CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$')))
+            AS BIGINT) * 5 <= n AS r_numeric,
+          CAST(len(list_distinct(list_filter(w,
+            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))))
+            AS BIGINT) >= 2 AS r_stop
+        FROM f)
+      SELECT doc_id, r_len, r_word_len, r_alpha, r_numeric, r_stop,
+             r_len AND r_word_len AND r_alpha AND r_numeric AND r_stop
+               AS keep
+      FROM r ORDER BY doc_id""")),
+
+    // Sharded inverted index (search support): posting lists at
+    // (term, doc-range shard) grain so a hot term is many bounded rows,
+    // never one unbounded list; df-gated by a window sum over the term's
+    // shards. Graded on the comma-joined sorted posting string, so a lost
+    // or misordered posting grades red.
+    Q("ix1_inverted_index", (s, dir) =>
+      graft.operators.Indexing.invertedIndex(
+        t(s, dir, "documents"), "doc_id", "text", minDf = 5, shardSize = 100)
+        .orderBy("term", "shard"),
+      Some("""
+      WITH posting AS (
+        SELECT DISTINCT tok AS term, doc_id
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)),
+      g AS (
+        SELECT term, doc_id // 100 AS shard, count(*) AS n_docs,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                 AS postings
+        FROM posting GROUP BY 1, 2),
+      tot AS (
+        SELECT term, shard, n_docs, postings,
+               CAST(sum(n_docs) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM g)
+      SELECT term, shard, df, n_docs, postings FROM tot WHERE df >= 5
+      ORDER BY term, shard""")),
+
     // Fixed-size token chunks with overlap (64-token windows, stride 48) —
     // the context-window shaping step before embedding or training. Pure
     // per-row array slicing, no shuffle; graded on the chunk text itself,

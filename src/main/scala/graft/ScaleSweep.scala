@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, HashMode, TextAnalysis}
+import graft.operators.{Chunking, Components, Dedup, HashMode, Indexing, TextAnalysis}
 
 /** Scale-sweep smoke: runs the heavy LLM-layer operators on the documents
   * corpus at 1× and on a 10× synthetic enlargement, and reports the wall
@@ -91,7 +91,22 @@ object ScaleSweep {
       "tx9_top_ngrams" -> (d =>
         TextAnalysis.topNgrams(
           d.withColumn("grp", concat(lit("g"), col("doc_id") % 5)),
-          "text", "grp", n = 3, k = 10)))
+          "text", "grp", n = 3, k = 10)),
+      // iterative: rounds run inside the timed window (the checksum action
+      // per round is part of the operator's real cost)
+      "dd9_components" -> { d =>
+        val sh = Dedup.shingleMultiset(d, "doc_id", "text")
+        val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+          .localCheckpoint(eager = false)
+        Components.connectedComponents(
+          Dedup.lshCandidatePairs(sig, "doc_id"), "doc_a", "doc_b")
+      },
+      "tx10_tfidf" -> (d =>
+        TextAnalysis.tfidfTopTerms(d, "doc_id", "text", k = 3)),
+      "tx11_rules" -> (d => TextAnalysis.gopherRules(d, "doc_id", "text")),
+      "ix1_inv_index" -> (d => Indexing.invertedIndex(d, "doc_id", "text")),
+      "ck1_chunks" -> (d => Chunking.tokenChunks(d, "doc_id", "text")),
+      "ck2_packing" -> (d => Chunking.packAssignments(d, "doc_id", "text")))
 
     def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L

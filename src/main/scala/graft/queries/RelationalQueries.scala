@@ -758,6 +758,62 @@ object RelationalQueries {
       FROM sessions GROUP BY user_id, sid
       ORDER BY user_id, session_start""")),
 
+    // st4 — the stateful streaming dedup graded end to end: batch-mode
+    // flatMapGroupsWithState hands each key's full iterator to the SAME
+    // state function the stream runs per micro-batch, and with the
+    // commutative-associative min-by-event_id pick the kept row per key is
+    // deterministic — so K1-as-stream-state grades against a plain
+    // min-per-key SQL oracle instead of rows-only.
+    Q("st4_stateful_dedup", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("_1"),
+          col("user_id").cast("long").as("_2"),
+          col("event_type").as("_3"), col("value").as("_4"))
+        .as[(Long, Long, String, Double)]
+      graft.streaming.StreamingLoad.firstSeenDedup(
+        ev.groupByKey(r => (r._2, r._3)),
+        pick = (a: (Long, Long, String, Double),
+                b: (Long, Long, String, Double)) =>
+          if (a._1 <= b._1) a else b)
+        .toDF("event_id", "user_id", "event_type", "value")
+        .orderBy("user_id", "event_type")
+    }, Some("""
+      SELECT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1
+      ORDER BY user_id, event_type""")),
+
+    // Deterministic fixed-bin histogram quantiles over the event stream —
+    // the mergeable one-pass scale path beside cs1's exact percentile
+    // (which needs the values ordered). Fixed binning makes the estimate
+    // itself engine-reproducible, so it hash-grades, unlike a t-digest.
+    Q("hq1_hist_quantiles", (s, dir) =>
+      graft.operators.Quantiles.histQuantiles(
+        t(s, dir, "events"), "value", lo = 0.0, hi = 500.0, nBins = 50,
+        qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("q"),
+      Some("""
+      WITH b AS (
+        SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49)
+          AS BIGINT) AS bin
+        FROM events),
+      c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+      cc AS (
+        SELECT bin, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM c),
+      probes AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+      SELECT q,
+             arg_min(round(0.0 + 10.0 * (bin + (q * n - (cum - cnt)) / cnt),
+               6), bin) AS est
+      FROM cc, probes WHERE cum >= q * n
+      GROUP BY q ORDER BY q""")),
+
     // ------------------------------------------------------------------
     // §2.4 bonus — as-of join (point-in-time enrichment): for each purchase
     // the user's latest view at-or-before it. Spark side is AsOfJoin's

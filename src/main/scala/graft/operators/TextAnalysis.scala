@@ -127,6 +127,36 @@ object TextAnalysis {
     * partial WindowGroupLimit (each map task forwards at most k candidates
     * per group, the same shape PlanSpec gates on sa3) — never a global
     * sort, never a per-group collect. */
+  /** Gopher repetition metric (Rae et al. 2021, §A1.1): the fraction of
+    * document characters covered by occurrences of the most frequent word
+    * n-gram — cnt·chars(gram) / chars(doc) — one column per n. The top
+    * gram picks deterministically (count desc, gram asc); documents too
+    * short for an n-gram score 0.0. Per n: one hash aggregation over the
+    * exploded shingles plus a top-1 window whose rank filter pushes down
+    * as WindowGroupLimit, then a doc-grain left join — nothing wider than
+    * the corpus ever shuffles. */
+  def dupNgramCharFrac(docs: DataFrame, idCol: String, textCol: String,
+                       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("double").as("__n_chars"))
+    ns.foldLeft(base) { (acc, n) =>
+      val top = docs
+        .select(col(idCol).as("doc_id"),
+          explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("g"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id").as("__d"),
+          (col("cnt") * length(col("g"))).cast("double").as("__cov"))
+      acc.join(top, acc("doc_id") === col("__d"), "left")
+        .withColumn(s"dup${n}_frac",
+          round(coalesce(col("__cov"), lit(0.0)) /
+            greatest(col("__n_chars"), lit(1.0)), 6))
+        .drop("__d", "__cov")
+    }.drop("__n_chars")
+  }
+
   /** Gopher-style quality-rule chain (Rae et al. 2021, §A1.1 — the public
     * rule family; thresholds here are fixture-scaled): per-document boolean
     * flags plus the conjunctive `keep`. Every ratio threshold is evaluated

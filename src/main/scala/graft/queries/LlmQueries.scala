@@ -587,6 +587,51 @@ object LlmQueries {
       SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
       ORDER BY doc_id, rnk""")),
 
+    // Gopher's duplicate-n-gram character fraction (n = 2, 3): how much of
+    // each document the single most repeated word n-gram covers — the
+    // repetition signal tx6's TTR misses when a long phrase loops.
+    // Deterministic top pick (count desc, gram asc); short docs score 0.
+    Q("tx12_dup_ngram_chars", (s, dir) =>
+      TA.dupNgramCharFrac(t(s, dir, "documents"), "doc_id", "text",
+        ns = Seq(2, 3))
+        .orderBy("doc_id"),
+      Some("""
+      WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                 FROM documents),
+      c2 AS (
+        SELECT doc_id, g, count(*) AS cnt FROM (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+          FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2)
+        GROUP BY doc_id, g),
+      t2 AS (
+        SELECT doc_id, CAST(cnt * length(g) AS DOUBLE) AS cov,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, g) AS rk
+        FROM c2),
+      c3 AS (
+        SELECT doc_id, g, count(*) AS cnt FROM (
+          SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3)
+        GROUP BY doc_id, g),
+      t3 AS (
+        SELECT doc_id, CAST(cnt * length(g) AS DOUBLE) AS cov,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, g) AS rk
+        FROM c3)
+      SELECT d.doc_id,
+             round(coalesce(a.cov, 0.0)
+               / greatest(CAST(length(d.text) AS DOUBLE), 1.0), 6)
+               AS dup2_frac,
+             round(coalesce(b.cov, 0.0)
+               / greatest(CAST(length(d.text) AS DOUBLE), 1.0), 6)
+               AS dup3_frac
+      FROM d
+      LEFT JOIN (SELECT doc_id, cov FROM t2 WHERE rk = 1) a USING (doc_id)
+      LEFT JOIN (SELECT doc_id, cov FROM t3 WHERE rk = 1) b USING (doc_id)
+      ORDER BY d.doc_id""")),
+
     // Gopher-style quality-rule chain: per-rule boolean flags + the
     // conjunctive keep. Every ratio threshold is integer cross-multiplied
     // (3·n <= Σchars, not Σchars/n >= 3.0) so the flags are bit-exact
@@ -795,6 +840,35 @@ object LlmQueries {
       WHERE frac < CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.5
                                WHEN 'src2' THEN 0.0 ELSE 1.0 END
       ORDER BY doc_id""")),
+
+    // Temperature-scaled source mixing (alpha = 0.5, target 300 docs):
+    // p_s ∝ √n_s flattens the source distribution — the multilingual /
+    // multi-source upsampling move — and each row keeps deterministically
+    // by its md5 fraction, so the sampled mixture is reproducible
+    // row-for-row. Graded on the surviving rows AND the computed keep
+    // probability.
+    Q("sa4_temperature_mix", (s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents"), col("doc_id").cast("string"), col("source"),
+        alpha = 0.5, targetTotal = 300)
+        .select(col("doc_id"), col("source"), col("keep_p"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH cnt AS (SELECT source, count(*) AS n_s FROM documents
+                   GROUP BY source),
+      z AS (SELECT sum(power(n_s, 0.5)) AS z FROM cnt),
+      p AS (SELECT source,
+              least(1.0, 300.0 * power(n_s, 0.5) / z.z / n_s) AS kp
+            FROM cnt, z),
+      f AS (
+        SELECT doc_id, d.source, kp,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents d JOIN p USING (source))
+      SELECT doc_id, source, round(kp, 6) AS keep_p FROM f
+      WHERE frac < kp ORDER BY doc_id""")),
 
     // The full curation run, composed end to end like pipe5 composes the
     // calendar lifecycle: quality + language gate -> exact dedup (min-id

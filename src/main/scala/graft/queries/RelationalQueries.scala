@@ -837,6 +837,44 @@ object RelationalQueries {
       ASOF JOIN (SELECT user_id, ts AS view_ts, round(value, 4) AS view_value
                  FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id AND p.ts >= v.view_ts
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // §2.4 bonus — bucketed interval (range) join: orders probed against
+    // per-lineitem ship windows as a hash equi-join on 7-day time buckets
+    // plus an exact residual filter — a raw BETWEEN predicate would plan a
+    // BroadcastNestedLoopJoin (O(intervals × probes) compares). The oracle
+    // IS the naive BETWEEN join, so the bucketing must reproduce it
+    // exactly: a dropped boundary day or double-counted bucket grades red.
+    // ------------------------------------------------------------------
+    Q("j8_interval_bucket_join", (s, dir) => {
+      val iv = t(s, dir, "lineitem").filter(col("l_suppkey") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("iv_start"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_quantity").cast("int") % 30) + 1).as("iv_end"))
+      val pr = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("o_date"),
+          col("o_totalprice"))
+      graft.operators.IntervalJoin.bucketedIntervalJoin(
+        iv, "iv_start", "iv_end", pr, "o_date", bucketDays = 7)
+        .groupBy("l_orderkey", "l_linenumber", "iv_start", "iv_end")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
+      WITH iv AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_shipdate AS DATE) AS iv_start,
+               CAST(l_shipdate
+                 + INTERVAL ((CAST(l_quantity AS INT) % 30) + 1) DAY
+                 AS DATE) AS iv_end
+        FROM lineitem WHERE l_suppkey = 1)
+      SELECT iv.l_orderkey, iv.l_linenumber, iv.iv_start, iv.iv_end,
+             count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS sum_price
+      FROM iv JOIN orders o
+        ON CAST(o.o_orderdate AS DATE) BETWEEN iv.iv_start AND iv.iv_end
+      GROUP BY 1, 2, 3, 4
+      ORDER BY 1, 2"""))
   )
 }

@@ -122,6 +122,27 @@ class PlanSpec extends AnyFunSuite {
         "shuffle every distinct (group, ngram) count")
   }
 
+  test("j8 interval join is an equi-join on the time bucket, never a " +
+    "nested loop") {
+    // forbid broadcast so the gate holds at fact-scale on both sides: the
+    // bucket key must make this a shuffled equi-join even when nothing fits
+    // in a broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("j8_interval_bucket_join")(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "the range predicate leaked into a nested-loop join")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on the bucket key")
+      assert(plan.contains("__bkt"), "bucket key missing from the plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("k3b bucketed join runs with zero hashpartitioning exchanges") {
     // forbid broadcast so the gate proves bucket co-location, not smallness
     // (at 100 TB neither fact side fits a broadcast); the only exchange left

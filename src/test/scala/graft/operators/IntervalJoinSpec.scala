@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.sql.Date
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Interval-join laws: bucketed result == brute-force BETWEEN scan on
+  * seeded random intervals, boundary days are inclusive, and the result is
+  * invariant to the bucket width (the one tuning knob must never change
+  * semantics). */
+class IntervalJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val day0 = 19000L // days since epoch, ~2022
+  private def d(off: Long): Date = Date.valueOf(
+    java.time.LocalDate.ofEpochDay(day0 + off))
+
+  private val rnd = new scala.util.Random(7)
+  private val intervals = (1 to 40).map { i =>
+    val s = rnd.nextInt(200).toLong
+    (i.toLong, d(s), d(s + rnd.nextInt(40).toLong))
+  }.toDF("iv_id", "s", "e")
+  private val probes = (1 to 300).map { p =>
+    (p.toLong, d(rnd.nextInt(260).toLong))
+  }.toDF("p_id", "pd")
+
+  private def brute: Set[(Long, Long)] = {
+    val iv = intervals.collect().map(r =>
+      (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDate(2).toLocalDate.toEpochDay))
+    val pr = probes.collect().map(r =>
+      (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    (for {
+      (ivId, s, e) <- iv; (pId, p) <- pr if p >= s && p <= e
+    } yield (ivId, pId)).toSet
+  }
+
+  test("matches the brute-force BETWEEN scan for any bucket width") {
+    val want = brute
+    for (bucket <- Seq(1, 7, 30, 365)) {
+      val got = IntervalJoin.bucketedIntervalJoin(
+        intervals, "s", "e", probes, "pd", bucket)
+        .select("iv_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"bucketDays=$bucket")
+      // no duplicate pairs from the bucket expansion
+      val n = IntervalJoin.bucketedIntervalJoin(
+        intervals, "s", "e", probes, "pd", bucket).count()
+      assert(n == want.size, s"duplicate pairs at bucketDays=$bucket")
+    }
+  }
+
+  test("boundary days are inclusive on both ends") {
+    val iv = Seq((1L, d(10), d(12))).toDF("iv_id", "s", "e")
+    val pr = Seq((1L, d(9)), (2L, d(10)), (3L, d(12)), (4L, d(13)))
+      .toDF("p_id", "pd")
+    val got = IntervalJoin.bucketedIntervalJoin(iv, "s", "e", pr, "pd", 7)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+}

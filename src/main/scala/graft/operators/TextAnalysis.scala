@@ -251,6 +251,35 @@ object TextAnalysis {
     * are distinct within a doc by construction, and the output key is
     * (id, fp)). The earlier explode→Window form shuffled one row per
     * character position — this one ships only the final fingerprints. */
+  /** Cross-document match pairs from winnowing fingerprints — the
+    * copy-detection read-out over [[winnowingFingerprints]]: document
+    * pairs sharing at least `minShared` selected fingerprints (each shared
+    * fingerprint witnesses a common substring of length ≥ w+k−1).
+    *
+    * Scale design: the join key is the fingerprint hash (bucket equi-join,
+    * like every dedup candidate generator here), and fingerprints seen in
+    * more than `maxDf` documents are dropped first — the "stop
+    * fingerprint" cap that kills the m² pair blowup a corpus-wide
+    * boilerplate substring would otherwise produce. Fingerprints are
+    * distinct per document, so the per-pair shared count is a plain
+    * count(*). */
+  def fingerprintMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4, minShared: Long = 3,
+                            maxDf: Long = 50,
+                            mode: HashMode = HashMode.Md5): DataFrame = {
+    val fp = winnowingFingerprints(docs, idCol, textCol, k, w, mode)
+      .localCheckpoint(eager = false)
+    val rare = fp.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    rare.select(col(idCol).as("doc_a"), col("fp"))
+      .join(rare.select(col(idCol).as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, w: Int = 4,
                             mode: HashMode = HashMode.Md5): DataFrame = {

@@ -316,6 +316,27 @@ object LlmQueries {
       SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
       ORDER BY id_a, id_b""")),
 
+    // Symmetric int8 scalar-quantization audit per embedding — the
+    // compression step an IVF+SQ index applies before storing vectors;
+    // graded on the max-abs scale and the reconstruction MSE (×1e6 so the
+    // driver's 6-decimal rounding keeps real precision).
+    Q("vq1_scalar_quantization", (s, dir) =>
+      Similarity.scalarQuantizationError(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      s AS (SELECT vec_id, v,
+              greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                AS sc
+            FROM e)
+      SELECT vec_id, round(sc, 6) AS scale,
+             round(list_sum(list_transform(v, x ->
+                 (x - round(x / sc * 127) * sc / 127) ** 2)) / len(v) * 1e6,
+               6) AS mse_e6
+      FROM s ORDER BY vec_id""")),
+
     // Brute-force cosine top-k against the vec_id=0 embedding (exact path).
     Q("sim1_cosine_topk", (s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",

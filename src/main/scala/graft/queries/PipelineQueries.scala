@@ -908,6 +908,41 @@ object PipelineQueries {
         .orderBy("doc_id", "fp"),
       None),
 
+    // The winnowing read-out: document pairs sharing >= 10 selected
+    // fingerprints (each witnesses a common substring of length >= 11) —
+    // copy detection over tx5's fingerprint table. Fingerprints seen in
+    // more than 20 docs are dropped first: the "stop fingerprint" cap that
+    // keeps a corpus-wide boilerplate substring from exploding into m²
+    // pairs at scale. (This corpus shares a lot of 8-char substrings:
+    // df<=50/shared>=3 matched 72k of 125k possible pairs — these
+    // thresholds keep the 23 genuinely heavy-overlap pairs.)
+    Q("dd10_fingerprint_matches", (s, dir) =>
+      graft.operators.TextAnalysis.fingerprintMatchPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, w = 4,
+        minShared = 10, maxDf = 20)
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+      WITH grams AS (
+        SELECT doc_id, p, length(text) AS len,
+               substr(md5(substr(text, CAST(p AS INTEGER), 8)), 1, 8) AS h
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1,
+               greatest(length(text) - 7, 0))) AS p)),
+      wins AS (
+        SELECT doc_id, p, len,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams),
+      fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE p <= len - 7 - 3),
+      rare AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        WHERE df <= 20)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 10
+      ORDER BY 1, 2""")),
+
     // S5 — raw-zone scan: dated fixture folder + suffix glob + symbol from
     // filename. No DuckDB oracle (the fixture folder is outside its reach):
     // the driver records a rows-only check; PipelinesSpec asserts content.

@@ -106,7 +106,10 @@ object ScaleSweep {
       "tx11_rules" -> (d => TextAnalysis.gopherRules(d, "doc_id", "text")),
       "ix1_inv_index" -> (d => Indexing.invertedIndex(d, "doc_id", "text")),
       "ck1_chunks" -> (d => Chunking.tokenChunks(d, "doc_id", "text")),
-      "ck2_packing" -> (d => Chunking.packAssignments(d, "doc_id", "text")))
+      "ck2_packing" -> (d => Chunking.packAssignments(d, "doc_id", "text")),
+      "dd10_fp_matches" -> (d =>
+        TextAnalysis.fingerprintMatchPairs(d, "doc_id", "text",
+          minShared = 10, maxDf = 20)))
 
     def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L

@@ -59,6 +59,31 @@ class CurationOpsSpec extends AnyFunSuite {
       truth.filter(_._2.size >= 2).keySet)
   }
 
+  test("fingerprintMatchPairs equals the brute-force fingerprint " +
+    "intersection under the df cap") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again no"),
+      (3L, "completely unrelated text with different characters entirely"),
+      (4L, "the quick brown fox jumps over something else entirely today"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val df = fps.groupBy(_._2).map { case (f, xs) => f -> xs.length }
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(_._2).filter(df(_) <= 3).toSet }
+    val want = (for {
+      a <- byDoc.keys; b <- byDoc.keys if a < b
+      shared = (byDoc(a) & byDoc(b)).size if shared >= 2
+    } yield (a, b, shared.toLong)).toSet
+    val got = TextAnalysis.fingerprintMatchPairs(corpus, "doc_id", "text",
+      minShared = 2, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L),
+      "near-identical docs must match")
+  }
+
   test("tfidf ranks a doc-unique token above corpus-wide boilerplate") {
     val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
       .filter(col("doc_id") === 42).collect()

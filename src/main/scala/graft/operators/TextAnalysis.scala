@@ -251,6 +251,28 @@ object TextAnalysis {
     * are distinct within a doc by construction, and the output key is
     * (id, fp)). The earlier explode→Window form shuffled one row per
     * character position — this one ships only the final fingerprints. */
+  /** Unigram-LM log-probability per document — the perplexity-proxy
+    * quality signal (CCNet-style filtering without a neural LM): build the
+    * corpus unigram model (token → count / total), then score each
+    * document by the mean ln p(token) over its tokens. Rare-token-heavy
+    * (gibberish, OCR noise, wrong-language) documents score far below the
+    * corpus mode and get cut by a percentile threshold downstream.
+    *
+    * Scale shape: one explode → a dictionary-sized vocab aggregate (with
+    * the 1-row total attached by broadcast) → a dictionary equi-join back
+    * → per-doc mean. The corpus shuffles once, on the token key. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n"))
+    toks.join(vocab.crossJoin(broadcast(total)), "tok")
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt").cast("double") / col("n"))), 6)
+        .as("mean_logp"))
+  }
+
   /** Cross-document match pairs from winnowing fingerprints — the
     * copy-detection read-out over [[winnowingFingerprints]]: document
     * pairs sharing at least `minShared` selected fingerprints (each shared

@@ -608,6 +608,25 @@ object LlmQueries {
       SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
       ORDER BY doc_id, rnk""")),
 
+    // Unigram-LM mean log-probability per document — the perplexity-proxy
+    // quality gate (CCNet's move, minus the neural LM): rare-token-heavy
+    // documents score far below the corpus mode. One token-key shuffle;
+    // the vocabulary is dictionary-sized and the total is a 1-row
+    // broadcast.
+    Q("tx13_unigram_logprob", (s, dir) =>
+      TA.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab)
+      SELECT doc_id,
+             round(avg(ln(CAST(cnt AS DOUBLE) / n)), 6) AS mean_logp
+      FROM toks JOIN vocab USING (tok), tot
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // Gopher's duplicate-n-gram character fraction (n = 2, 3): how much of
     // each document the single most repeated word n-gram covers — the
     // repetition signal tx6's TTR misses when a long phrase loops.

@@ -21,7 +21,8 @@ class AllPlansSpec extends AnyFunSuite {
     "p1_universe_filter" -> "1-row max(last_seen) scalar broadcast",
     "tx10_tfidf_terms" -> "1-row corpus-count scalar broadcast",
     "hq1_hist_quantiles" -> "3-row quantile-probe broadcast over the bounded bin list",
-    "sa4_temperature_mix" -> "1-row mixture-normalizer broadcast")
+    "sa4_temperature_mix" -> "1-row mixture-normalizer broadcast",
+    "tx13_unigram_logprob" -> "1-row token-total broadcast onto the vocab dictionary")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

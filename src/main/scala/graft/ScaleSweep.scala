@@ -109,7 +109,9 @@ object ScaleSweep {
       "ck2_packing" -> (d => Chunking.packAssignments(d, "doc_id", "text")),
       "dd10_fp_matches" -> (d =>
         TextAnalysis.fingerprintMatchPairs(d, "doc_id", "text",
-          minShared = 10, maxDf = 20)))
+          minShared = 10, maxDf = 20)),
+      "tx13_unigram_lp" -> (d =>
+        TextAnalysis.unigramLogProb(d, "doc_id", "text")))
 
     def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L

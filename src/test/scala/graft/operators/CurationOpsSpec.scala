@@ -91,4 +91,54 @@ class CurationOpsSpec extends AnyFunSuite {
     // 'tok42' appears in one doc; 'common'/'shared'/stopwords in all 400
     assert(top.head.getString(1) == "tok42", top.head.toString)
   }
+
+  test("gopherRules thresholds are integer-exact at their boundaries") {
+    val cases = Seq(
+      // 5 tokens of mean word length exactly 3 (sum_chars = 15 = 3*5) with
+      // two stopwords: every rule sits ON its boundary and must pass
+      (1L, "the and abc def ghi", true),
+      // 4 tokens: one under the token floor
+      (2L, "the and abc defg", false),
+      // mean word length just under 3: 5 tokens, sum_chars 14
+      (3L, "the and abc de fgh", false),
+      // numeric fraction exactly 1/5 (the allowed maximum)
+      (4L, "the and abc defgh 12345", true),
+      // numeric fraction 2/5: over
+      (5L, "the and abcdef 12 345", false),
+      // only one distinct stopword (repeated): stop rule fails
+      (6L, "the the abc def ghi", false))
+      .toDF("doc_id", "text", "want")
+    val got = TextAnalysis.gopherRules(cases, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val want = cases.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == want)
+  }
+
+  test("dupNgramCharFrac scores a looping phrase near 1 and unique text 0") {
+    val cases = Seq(
+      (1L, Seq.fill(10)("spam ham").mkString(" ")),   // 'spam ham' loops
+      (2L, "every word here is completely different today"),
+      (3L, "x"))                                      // too short for n=2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramCharFrac(cases, "doc_id", "text",
+      ns = Seq(2)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 'spam ham' x10 covers 80 of 89 chars
+    assert(got(1L) > 0.85, s"looping doc scored ${got(1L)}")
+    // every bigram of doc 2 is unique: top covers one bigram's chars only
+    assert(got(2L) < 0.5, s"unique-text doc scored ${got(2L)}")
+    assert(got(3L) == 0.0)
+  }
+
+  test("unigramLogProb ranks rare-token docs below common-token docs") {
+    val corpus = (1 to 99).map(i => (i.toLong, "common words only here"))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, "zzyzx qwtpq vvkjx bbnmz")).toDF("doc_id", "text"))
+    val got = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(100L) < got(1L) - 3.0,
+      s"rare-token doc should score far lower: ${got(100L)} vs ${got(1L)}")
+    // all common docs share one score (same tokens, same model)
+    assert((1 to 99).map(i => got(i.toLong)).distinct.size == 1)
+  }
 }

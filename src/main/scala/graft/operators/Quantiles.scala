@@ -51,4 +51,35 @@ object Quantiles {
         col("bin")).as("est"))
       .select(col("q"), col("est"))
   }
+
+  /** The grouped form — one histogram (and quantile read-out) per group
+    * key, the shape a per-source/per-language distribution monitor runs.
+    * Same mergeable one-pass design; every window partitions by the group,
+    * so no bounded-bin list ever concentrates on one task, and the probe
+    * set stays a bounded broadcast. */
+  def groupedHistQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                           lo: Double, hi: Double, nBins: Int,
+                           qs: Seq[Double]): DataFrame = {
+    require(hi > lo && nBins > 0 && qs.nonEmpty)
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val counts = df.select(col(groupCol).as("grp"), bin.as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("grp")
+        .orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+    val probes = df.sparkSession.range(1)
+      .select(explode(typedLit(qs)).as("q"))
+    counts
+      .crossJoin(broadcast(probes))
+      .filter(col("cum") >= col("q") * col("n"))
+      .groupBy("grp", "q")
+      .agg(min_by(
+        round(lit(lo) + lit(width) *
+          (col("bin") + (col("q") * col("n") - (col("cum") - col("cnt")))
+            / col("cnt")), 6),
+        col("bin")).as("est"))
+      .select(col("grp"), col("q"), col("est"))
+  }
 }

@@ -814,6 +814,41 @@ object RelationalQueries {
       FROM cc, probes WHERE cum >= q * n
       GROUP BY q ORDER BY q""")),
 
+    // hq1's grouped form: per-language token-count p50/p95 over the
+    // documents corpus — the per-source distribution monitor, same
+    // mergeable histogram with every window partitioned by the group key.
+    Q("hq2_grouped_quantiles", (s, dir) =>
+      graft.operators.Quantiles.groupedHistQuantiles(
+        t(s, dir, "documents")
+          .select(col("lang"),
+            graft.operators.TextAnalysis.tokenCount(col("text"))
+              .cast("double").as("nt")),
+        "lang", "nt", lo = 0.0, hi = 128.0, nBins = 32,
+        qs = Seq(0.5, 0.95))
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang", "q"),
+      Some("""
+      WITH b AS (
+        SELECT lang,
+               CAST(least(greatest(floor(
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) / 4.0), 0), 31)
+                 AS BIGINT) AS bin
+        FROM documents),
+      c AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+      cc AS (
+        SELECT lang, bin, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM c),
+      probes AS (SELECT unnest([0.5, 0.95]) AS q)
+      SELECT lang, q,
+             arg_min(round(0.0 + 4.0 * (bin + (q * n - (cum - cnt)) / cnt),
+               6), bin) AS est
+      FROM cc, probes WHERE cum >= q * n
+      GROUP BY lang, q ORDER BY lang, q""")),
+
     // ------------------------------------------------------------------
     // §2.4 bonus — as-of join (point-in-time enrichment): for each purchase
     // the user's latest view at-or-before it. Spark side is AsOfJoin's

@@ -21,6 +21,7 @@ class AllPlansSpec extends AnyFunSuite {
     "p1_universe_filter" -> "1-row max(last_seen) scalar broadcast",
     "tx10_tfidf_terms" -> "1-row corpus-count scalar broadcast",
     "hq1_hist_quantiles" -> "3-row quantile-probe broadcast over the bounded bin list",
+    "hq2_grouped_quantiles" -> "2-row quantile-probe broadcast over the bounded per-group bin list",
     "sa4_temperature_mix" -> "1-row mixture-normalizer broadcast",
     "tx13_unigram_logprob" -> "1-row token-total broadcast onto the vocab dictionary")
 

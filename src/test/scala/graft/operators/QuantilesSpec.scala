@@ -44,4 +44,20 @@ class QuantilesSpec extends AnyFunSuite {
     val b = run(df.repartition(17))
     assert(a == b)
   }
+
+  test("grouped form equals per-group global runs") {
+    import org.apache.spark.sql.functions._
+    val grouped = values.zipWithIndex
+      .map { case (v, i) => (s"g${i % 3}", v) }.toDF("grp", "v")
+    val got = Quantiles.groupedHistQuantiles(
+      grouped, "grp", "v", 0.0, 100.0, 64, qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = run(grouped.filter(col("grp") === g).select("v"))
+      qs.foreach { q =>
+        assert(got((g, q)) == solo(q), s"group $g q=$q")
+      }
+    }
+  }
 }

@@ -1035,6 +1035,100 @@ object LlmQueries {
                   ELSE 'test' END AS split
       FROM f ORDER BY doc_id""")),
 
+    // Curation v2 — the round-7 stages composed end to end, as pipe6
+    // composes the round-4 ones: Gopher rule gate → transitive-cluster
+    // dedup (connected components over the LSH candidate graph; only the
+    // min-id representative of each cluster survives, via an anti-join on
+    // the non-root nodes) → temperature-scaled source mixing → split
+    // label. The split hash is salted differently from the mix hash —
+    // reusing one fraction for two keep/route decisions would correlate
+    // them (with keep_p < 0.8 every kept doc would land in 'train').
+    Q("pipe8_curation_v2", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = docs.join(
+        TA.gopherRules(docs, "doc_id", "text").filter(col("keep"))
+          .select(col("doc_id").as("__gid")),
+        docs("doc_id") === col("__gid")).drop("__gid")
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(eager = false)
+      val sh = Dedup.shingleMultiset(gated, "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
+      val cc = Components.connectedComponents(
+        Dedup.lshCandidatePairs(sig, "doc_id"), "doc_a", "doc_b")
+      val reps = gated.join(cc, gated("doc_id") === cc("node"), "left_anti")
+        .select(col("doc_id"), col("source"))
+      graft.operators.Sampling.temperatureMix(reps, col("doc_id").cast("string"),
+        col("source"), alpha = 0.5, targetTotal = 200)
+        .select(col("doc_id"), col("source"), col("keep_p"),
+          graft.operators.Sampling.splitLabel(
+            concat(lit("split:"), col("doc_id").cast("string"))).as("split"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE f AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                 AS BIGINT) AS sum_chars
+        FROM documents),
+      gated AS (
+        SELECT doc_id, source, text FROM f
+        WHERE n >= 5 AND n <= 5000
+          AND sum_chars >= n * 3 AND sum_chars <= n * 10
+          AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+            AS BIGINT) * 5 >= n * 4
+          AND CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$')))
+            AS BIGINT) * 5 <= n
+          AND CAST(len(list_distinct(list_filter(w,
+            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))))
+            AS BIGINT) >= 2),
+      docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM gated),
+      sh2 AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM docs2, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig2 AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh2, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      pairs2 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig2 a JOIN sig2 b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs2
+        UNION ALL SELECT doc_b, doc_a FROM pairs2),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM gated
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS rep FROM reach GROUP BY u),
+      reps AS (
+        SELECT g.doc_id, g.source FROM gated g
+        JOIN comp c USING (doc_id) WHERE c.rep = g.doc_id),
+      cnt AS (SELECT source, count(*) AS n_s FROM reps GROUP BY source),
+      z AS (SELECT sum(power(n_s, 0.5)) AS z FROM cnt),
+      p AS (SELECT source,
+              least(1.0, 200.0 * power(n_s, 0.5) / z.z / n_s) AS kp
+            FROM cnt, z),
+      mixed AS (
+        SELECT r.doc_id, r.source, kp,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(r.doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS mix_frac,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5('split:' || CAST(r.doc_id AS VARCHAR)),
+                           i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS split_frac
+        FROM reps r JOIN p USING (source))
+      SELECT doc_id, source, round(kp, 6) AS keep_p,
+             CASE WHEN split_frac < 0.8 THEN 'train'
+                  WHEN split_frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM mixed WHERE mix_frac < kp ORDER BY doc_id""")),
+
     // KMV distinct sketch vs exact: per source, estimate distinct tokens
     // from a 25-value mergeable sketch. Deterministic (md5 fractions), so
     // the oracle reproduces the exact estimate — both sides dedup by the

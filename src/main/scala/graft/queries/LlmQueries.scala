@@ -767,8 +767,9 @@ object LlmQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS start_off
         FROM tk)
-      SELECT doc_id, n_tokens, start_off,
-             start_off // 2048 AS pack_id,
+      SELECT doc_id, n_tokens,
+             CAST(start_off AS BIGINT) AS start_off,
+             CAST(start_off // 2048 AS BIGINT) AS pack_id,
              (start_off // 2048) <> ((start_off + n_tokens - 1) // 2048)
                AS spans_boundary
       FROM c ORDER BY doc_id""")),

@@ -214,6 +214,76 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Recall@k of every approximate path against the exact one, as a graded
+    * number: each ANN variant (single-bucket LSH, Hamming-1 multi-probe,
+    * IVF) runs over a fixed probe set (the first `nQueries` vectors by id)
+    * and is scored by how much of the brute-force cosine top-k it recovers.
+    * This is the evaluation harness an index owner runs after every
+    * parameter change — a recall collapse (too-coarse `bits`/`nlist` for
+    * the corpus) grades red here instead of silently passing the
+    * algorithm-twin oracles of sim2–sim4.
+    *
+    * Scale shape: the probe set is bounded and broadcast; the corpus scans
+    * once per method with the same bucket/cell equi-join prune as the
+    * production paths, and the per-query top-k window only ever sees the
+    * pruned candidate rows. `hits` is an exact integer so the grade never
+    * rests on float averaging. At 100 TB the brute-force arm is the only
+    * full-scan — exactly the cost an offline recall audit budgets for. */
+  def annRecallAtK(emb: DataFrame, idCol: String, vecCol: String,
+                   nQueries: Int = 20, k: Int = 10,
+                   bits: Int = 4, nlist: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = widened(emb, idCol, vecCol)
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val centroids = e.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cid"), col("v").as("cv"))
+    // corpus feeds four candidate generators + the probe set — materialize
+    // once (lazy localCheckpoint: ContextCleaner-freed, repo convention)
+    val corpus = assignCells(e, centroids)
+      .withColumn("nrm", l2norm(col("v")))
+      .localCheckpoint(eager = false)
+    val probes = corpus.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qbucket"), col("cell").as("qcell"))
+
+    // hoisted-norm cosine: identical doubles to cosine()'s sqrt·sqrt form
+    def topk(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col(idCol))
+      cands
+        .withColumn("score",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col(idCol))
+    }
+
+    val bf = topk(corpus.crossJoin(broadcast(probes)))
+    val lsh = topk(corpus.join(broadcast(probes),
+      col("bucket") === col("qbucket")))
+    val mp = {
+      val probeSet = array(
+        col("qbucket") +:
+          (0 until bits).map(b =>
+            col("qbucket").bitwiseXOR(lit(1 << b))): _*)
+      val p2 = probes.withColumn("pb", explode(probeSet))
+      topk(corpus.join(broadcast(p2), col("bucket") === col("pb")))
+    }
+    val ivf = topk(corpus.join(broadcast(probes),
+      col("cell") === col("qcell")))
+
+    val ann = lsh.withColumn("method", lit("lsh"))
+      .unionByName(mp.withColumn("method", lit("multiprobe")))
+      .unionByName(ivf.withColumn("method", lit("ivf")))
+    val denom = nQueries.toLong * k
+    ann.join(bf, Seq("qid", idCol))
+      .groupBy("method")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("method"), col("hits"), lit(denom).as("denom"),
+        round(col("hits") / lit(denom.toDouble), 4).as("recall_at_k"))
+      .orderBy("method")
+  }
+
   /** Symmetric int8 scalar quantization audit — the compression step an
     * ANN index applies before storing vectors (IVF+SQ): per vector, the
     * max-abs scale and the reconstruction MSE of

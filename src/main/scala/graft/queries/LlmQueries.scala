@@ -434,6 +434,96 @@ object LlmQueries {
       FROM e JOIN assign a USING (vec_id) JOIN q ON a.cell = q.qcell
       ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // ANN recall@10 as a GRADED NUMBER: each approximate path (sim2's
+    // single-bucket LSH, sim3's Hamming-1 multi-probe, sim4's IVF) scored
+    // by how much of the brute-force top-10 it recovers over a 20-query
+    // probe set. sim2–sim4 grade against algorithm twins, so a recall
+    // collapse (too-coarse bits/nlist) would pass them — here it turns the
+    // recall_at_k value itself red. `hits` is an exact integer count.
+    Q("sim5_ann_recall", (s, dir) =>
+      Similarity.annRecallAtK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nQueries = 20, k = 10, bits = 4, nlist = 8),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+        FROM e CROSS JOIN c),
+      assign AS (
+        SELECT vec_id, cid AS cell FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cid) = 1),
+      corpus AS (
+        SELECT e.vec_id, e.v, e.bucket, a.cell,
+               sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+        FROM e JOIN assign a USING (vec_id)),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket,
+               cell AS qcell
+        FROM corpus WHERE vec_id < 20),
+      bf AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM corpus c CROSS JOIN probes p)
+        WHERE rn <= 10),
+      lsh AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM corpus c JOIN probes p ON c.bucket = p.qbucket)
+        WHERE rn <= 10),
+      mp_probes AS (
+        SELECT qid, qv, qn,
+               unnest([qbucket, xor(qbucket, 8), xor(qbucket, 4),
+                       xor(qbucket, 2), xor(qbucket, 1)]) AS pb
+        FROM probes),
+      mp AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM corpus c JOIN mp_probes p ON c.bucket = p.pb)
+        WHERE rn <= 10),
+      ivf AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM corpus c JOIN probes p ON c.cell = p.qcell)
+        WHERE rn <= 10),
+      ann AS (
+        SELECT 'lsh' AS method, qid, vec_id FROM lsh
+        UNION ALL SELECT 'multiprobe', qid, vec_id FROM mp
+        UNION ALL SELECT 'ivf', qid, vec_id FROM ivf)
+      SELECT method, CAST(count(*) AS BIGINT) AS hits,
+             CAST(200 AS BIGINT) AS denom,
+             round(count(*) / 200.0, 4) AS recall_at_k
+      FROM ann JOIN bf USING (qid, vec_id)
+      GROUP BY method ORDER BY method""")),
+
     // Language ID via marker-word heuristic.
     Q("tx1_lang_id", (s, dir) =>
       t(s, dir, "documents")

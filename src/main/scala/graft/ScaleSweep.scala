@@ -14,9 +14,20 @@ import graft.operators.{Chunking, Components, Dedup, HashMode, Indexing, TextAna
   * a fixed-SF bench cannot see. Both corpora are materialized eagerly
   * before timing so synthesis cost stays outside the measurement.
   *
-  * `runMain graft.ScaleSweep [sfDir] [llm|load]` — `load` delegates to
-  * [[graft.queries.LoadSweep]] (statement/calendar load pipelines); default
-  * `llm` sweeps the operators below. Results recorded in SCALE.md.
+  * A second, duplication-PRESERVING enlargement (`x10dup`: one suffix tag
+  * token per copy, so copies share their substrings/shingles) drives the
+  * two output-shaped operators the token-tagged corpus zeroes out: dd10's
+  * fingerprint join/cap and tx7's contamination overlap only produce rows
+  * when duplication is real, and real duplicated data is exactly what
+  * copies-sharing-substrings looks like. dd10's stop-fingerprint cap
+  * scales with the copy factor there — the cap is a corpus-fraction knob
+  * (like a stopword df threshold), so a fixed absolute df at 10× data
+  * would be 10× stricter, not the same filter.
+  *
+  * `runMain graft.ScaleSweep [sfDir] [llm|load|dup]` — `load` delegates to
+  * [[graft.queries.LoadSweep]] (statement/calendar load pipelines); `dup`
+  * runs only the duplication-preserving section; default `llm` sweeps
+  * everything. Results recorded in SCALE.md.
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -33,7 +44,8 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (args.drop(1).headOption.contains("load")) {
+    val mode = args.drop(1).headOption.getOrElse("llm")
+    if (mode == "load") {
       graft.queries.LoadSweep.run(spark, sfDir)
       spark.stop()
       return
@@ -41,13 +53,6 @@ object ScaleSweep {
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint(eager = true)
-    val x10 = (0 until 10).map { i =>
-      base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
-        // tag every token so copies share no shingles with each other
-        regexp_replace(col("text"), "(^| )", "$1c" + i).as("text"))
-    }.reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(eager = true)
 
@@ -124,10 +129,45 @@ object ScaleSweep {
     }
 
     println(f"${"op"}%-20s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s  rows1x/rows10x")
-    ops.foreach { case (name, fn) =>
-      fn(base).count() // warm codegen/JIT on the small corpus
-      val (t1, r1) = time(fn, base)
-      val (t10, r10) = time(fn, x10)
+
+    if (mode == "llm") {
+      val x10 = (0 until 10).map { i =>
+        base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
+          // tag every token so copies share no shingles with each other
+          regexp_replace(col("text"), "(^| )", "$1c" + i).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true)
+      ops.foreach { case (name, fn) =>
+        fn(base).count() // warm codegen/JIT on the small corpus
+        val (t1, r1) = time(fn, base)
+        val (t10, r10) = time(fn, x10)
+        println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
+      }
+    }
+
+    // Duplication-preserving section: copies share their substrings, so
+    // dd10/tx7 produce real output at 10× (the token-tagged corpus above
+    // makes every fingerprint carry the copy tag and zeroes both).
+    val x10dup = (0 until 10).map { i =>
+      base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytag$i")).as("text"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = true)
+    // (name, copyFactor => op): dd10's df cap scales with the copy factor —
+    // a stop-fingerprint threshold is a fraction of the corpus, and the
+    // dup corpus multiplies every df by exactly the copy count
+    val dupOps: Seq[(String, Int => DataFrame => DataFrame)] = Seq(
+      "dd10_fp_dup" -> (scale => d =>
+        TextAnalysis.fingerprintMatchPairs(d, "doc_id", "text",
+          minShared = 10, maxDf = 20 * scale)),
+      "tx7_contam_dup" -> (_ => d =>
+        Dedup.contaminationOverlap(d, evalDocs, "doc_id", "text", n = 5)))
+    dupOps.foreach { case (name, mk) =>
+      mk(1)(base).count() // warm
+      val (t1, r1) = time(mk(1), base)
+      val (t10, r10) = time(mk(10), x10dup)
       println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
     }
     spark.stop()

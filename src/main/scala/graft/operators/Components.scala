@@ -34,13 +34,29 @@ object Components {
     * duplicate mass, not the corpus.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithStats(edges, aCol, bCol, maxIter)._1
+
+  /** One (round, edge-count) row per completed large+small-star round —
+    * the convergence trace a graph-shaped regression shows up in. */
+  final case class RoundStat(round: Int, edges: Long)
+
+  /** [[connectedComponents]] plus its convergence trace: the returned stats
+    * start with round 0 (the deduplicated input edge count) and record the
+    * surviving edge count after each large-star/small-star round. The edge
+    * set only ever shrinks (toward one star per component), so the trace is
+    * non-increasing — spec-gated on a 10k-node hostile chain. */
+  def connectedComponentsWithStats(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): (DataFrame, Seq[RoundStat]) = {
     var e = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .localCheckpoint(eager = false)
     var prev = checksum(e)
+    val stats = Seq.newBuilder[RoundStat]
+    stats += RoundStat(0, prev._1)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -71,8 +87,9 @@ object Components {
       prev = cur
       e = small
       it += 1
+      stats += RoundStat(it, cur._1)
     }
-    e.select(col("u").as("node"), col("v").as("component"))
+    (e.select(col("u").as("node"), col("v").as("component")), stats.result())
   }
 
   /** Order-insensitive edge-set checksum — the per-round fixpoint test.

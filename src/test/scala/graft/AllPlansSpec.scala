@@ -17,6 +17,7 @@ class AllPlansSpec extends AnyFunSuite {
     "sim2_lsh_bucketed_ann" -> "1-row query-vector broadcast",
     "sim3_multiprobe_ann" -> "bits+1-row probe-set broadcast",
     "sim4_ivf_ann" -> "1-row centroid-array + 1-row query broadcast",
+    "sim5_ann_recall" -> "bounded 20-row probe-set broadcast (the brute-force arm of the recall audit)",
     "j5_scalar_subquery" -> "1-row max(last_seen) scalar broadcast",
     "p1_universe_filter" -> "1-row max(last_seen) scalar broadcast",
     "tx10_tfidf_terms" -> "1-row corpus-count scalar broadcast",

@@ -46,6 +46,35 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == (0L until n.toLong).map(_ -> 0L).toMap)
   }
 
+  test("10k-node hostile chain: O(log² n) rounds, monotone edge shrink") {
+    // A single path whose node ids are RANDOMLY PERMUTED along it — the
+    // worst case for star-contraction: min labels must travel the full
+    // diameter, and no LSH-style shortcut edges exist. Near-dup graphs
+    // converge in ~3 rounds (SCALE.md); this asserts the algorithm still
+    // terminates in logarithmic-family rounds on a 10k-deep component,
+    // and that the edge set never grows round over round.
+    val n = 10000
+    val perm = new scala.util.Random(7).shuffle((0 until n).toVector)
+    val edges = (0 until n - 1).map(i =>
+      (perm(i).toLong, perm(i + 1).toLong))
+    val (cc, stats) = Components.connectedComponentsWithStats(
+      edges.toDF("a", "b"), "a", "b")
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component, min id 0: every non-root node points at 0
+    assert(got.size == n - 1 && got.values.forall(_ == 0L))
+    val rounds = stats.last.round
+    info(s"10k hostile chain converged in $rounds rounds; " +
+      s"edge counts ${stats.map(_.edges).mkString(" -> ")}")
+    assert(rounds >= 4, s"a 10k chain should need several rounds, got $rounds")
+    assert(rounds <= 30,
+      s"rounds should stay in the O(log² n) family, got $rounds")
+    val counts = stats.map(_.edges)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"edge set must shrink monotonically, got $counts")
+    // converged to one star per component: n-1 edges, all pointing at 0
+    assert(counts.last == n - 1)
+  }
+
   test("self-loops, duplicate and reversed edges are harmless") {
     val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (4L, 3L))
     assert(run(5, edges) ==

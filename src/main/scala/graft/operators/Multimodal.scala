@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * per-partition in executor-side batches (the Scala analogue of
   * `mapInPandas`), so nothing media-shaped ever crosses the driver.
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in
-  * this container — behind [[FakeCodec]], a deterministic stand-in with
-  * the same signature a real decoder would have. The Spark-side plumbing
-  * (schema, batch iteration, partitioning) is real and tested.
+  * The decode step is REAL for uncompressed rasters: [[PpmCodec]] parses
+  * netpbm P6 payloads byte for byte, and [[ppmStats]] grades decoded pixel
+  * output against a DuckDB oracle that recomputes the same arithmetic from
+  * the source bytes (registry entry mm3). Compressed codecs (JPEG/H.264)
+  * need libraries this container lacks; they plug into the same
+  * per-partition batch shape via [[decodeFeatures]]'s codec parameter.
   */
 object Multimodal {
 
@@ -33,24 +35,6 @@ object Multimodal {
       length(col(textCol).cast("binary")).cast("long").as("nbytes"),
       md5(col(textCol).cast("binary")).as("digest"),
       col(textCol).cast("binary").as("payload"))
-
-  /** STUB codec: a real implementation would call an image/audio decoder
-    * here (per batch, reusing the codec across rows). The fake derives
-    * deterministic "dimensions" and a feature vector from payload bytes so
-    * the pipeline shape — batch size, schema, partition boundary — is
-    * exercised end to end. */
-  object FakeCodec {
-    def decode(payload: Array[Byte], dims: Int): (Int, Int, Array[Float]) = {
-      val n = payload.length
-      val width = 1 + (n % 64)
-      val height = 1 + (n % 48)
-      val feature = Array.tabulate(dims) { i =>
-        if (n == 0) 0.0f
-        else (java.lang.Byte.toUnsignedInt(payload(i % n)) / 255.0f)
-      }
-      (width, height, feature)
-    }
-  }
 
   /** One sampled frame of a media payload. `ts_ms` is the stub's fixed
     * 25fps clock (frame_idx × 40 ms). */
@@ -96,16 +80,96 @@ object Multimodal {
 
   /** Per-partition batched feature extraction over the binary column —
     * executor-side, codec instantiated once per partition (not per row),
-    * mirroring the `mapInPandas` batch shape. */
-  def decodeFeatures(media: DataFrame, dims: Int = 8): Dataset[MediaFeatures] = {
+    * mirroring the `mapInPandas` batch shape. The codec is a parameter:
+    * `(payload, dims) => (width, height, feature)` — [[PpmCodec]]-backed
+    * for rasters ([[ppmFeatureCodec]], the default), a library-backed
+    * decoder for compressed media, a test double in specs. */
+  def decodeFeatures(media: DataFrame, dims: Int = 8,
+      codec: (Array[Byte], Int) => (Int, Int, Array[Float]) =
+        ppmFeatureCodec): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     implicit val rowEnc = Encoders.product[MediaRow]
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition setup: a real codec handle would be created here
       rows.map { r =>
-        val (w, h, f) = FakeCodec.decode(r.payload, dims)
+        val (w, h, f) = codec(r.payload, dims)
         MediaFeatures(r.media_id, r.nbytes, w, h, f)
       }
     }
+  }
+
+  /** Real raster feature codec: PPM-decode, then per-channel means cycled
+    * to `dims` (dims=3 is plain RGB means; larger dims repeat channels —
+    * a deterministic stand-in for a learned embedding's projection). */
+  def ppmFeatureCodec(payload: Array[Byte], dims: Int): (Int, Int, Array[Float]) = {
+    val (w, h, rgb) = PpmCodec.decode(payload)
+    val sums = new Array[Long](3)
+    var i = 0
+    while (i < rgb.length) {
+      sums(i % 3) += java.lang.Byte.toUnsignedInt(rgb(i))
+      i += 1
+    }
+    val n = (w * h).toFloat
+    (w, h, Array.tabulate(dims)(d => sums(d % 3) / n / 255.0f))
+  }
+
+  /** Encode each document's text bytes (cycled to fill the raster) as a
+    * REAL PPM P6 image: fixed width, height derived from byte length —
+    * both engines can rebuild the identical pixels, so the decode grades.
+    * Empty texts are dropped (no zero-pixel image exists in the format). */
+  def ppmFromText(df: DataFrame, idCol: String, textCol: String,
+                  width: Int = 8): Dataset[MediaRow] = {
+    implicit val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val rowEnc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .filter((r: (Long, Array[Byte])) => r._2 != null && r._2.nonEmpty)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, txt) =>
+          val h = 1 + (txt.length % 16)
+          val rgb = Array.tabulate(width * h * 3)(i => txt(i % txt.length))
+          val payload = PpmCodec.encode(width, h, rgb)
+          md.reset()
+          val digest = md.digest(payload).map("%02x".format(_)).mkString
+          MediaRow(id, "image/x-portable-pixmap", payload.length.toLong,
+            digest, payload)
+        }
+      }
+  }
+
+  /** mm3's graded row: decoded dims, EXACT per-channel byte sums (integer,
+    * so the grade never rests on float rounding), and the byte sum of a
+    * real nearest-neighbor half-resolution resize of the decoded raster. */
+  final case class PpmStats(media_id: Long, width: Int, height: Int,
+                            sum_r: Long, sum_g: Long, sum_b: Long,
+                            half_sum: Long)
+
+  /** REAL decode read-out over PPM media: parse the P6 payload, sum each
+    * channel, resize nearest-neighbor to (max(w/2,1), max(h/2,1)) and sum
+    * the resized bytes. Any header-parse or pixel-offset bug moves these
+    * integers. Executor-side per partition; nothing media-shaped hits the
+    * driver. */
+  def ppmStats(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[PpmStats]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = PpmCodec.decode(r.payload)
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < rgb.length) {
+          sums(i % 3) += java.lang.Byte.toUnsignedInt(rgb(i))
+          i += 1
+        }
+        val (rw, rh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+        val half = PpmCodec.resizeNearest(w, h, rgb, rw, rh)
+        var hs = 0L
+        var j = 0
+        while (j < half.length) {
+          hs += java.lang.Byte.toUnsignedInt(half(j)); j += 1
+        }
+        PpmStats(r.media_id, w, h, sums(0), sums(1), sums(2), hs)
+      }
+    }.toDF()
   }
 }

@@ -1276,8 +1276,9 @@ object LlmQueries {
         FROM f)
       SELECT doc_id, source FROM r WHERE rk <= 25 ORDER BY doc_id""")),
 
-    // Multimodal plumbing: binary payload + typed metadata (the decode step
-    // itself is the stubbed FakeCodec, exercised in MultimodalSpec).
+    // Multimodal plumbing: binary payload + typed metadata (the real
+    // raster decode path is graded by mm3 below; compressed codecs stay
+    // out of scope — no media libraries in this container).
     Q("mm1_binary_meta", (s, dir) =>
       Multimodal.packBinary(t(s, dir, "documents"), "doc_id", "text",
         mime = "text/plain")
@@ -1308,6 +1309,57 @@ object LlmQueries {
              substr(text, CAST(fi * 16 + 1 AS INTEGER), 16) AS frame_txt
       FROM f, UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS t(fi)
       WHERE nf >= 1
-      ORDER BY media_id, frame_idx"""))
+      ORDER BY media_id, frame_idx""")),
+
+    // REAL decode, graded on decoded pixel output: each doc's text bytes
+    // become an actual netpbm P6 image (fixed width 8, height from byte
+    // length, pixels = text bytes cycled), PpmCodec parses the payload
+    // back — header tokens, the single post-maxval whitespace byte, raw
+    // raster — and the grade is the EXACT per-channel byte sums plus the
+    // byte sum of a real nearest-neighbor half-resolution resize. The
+    // oracle recomputes all of it from the source bytes (the corpus is
+    // ASCII, so ord(substr(...)) is the byte), so a header-parse or
+    // pixel-offset bug moves an integer and the hash goes red.
+    Q("mm3_ppm_decode", (s, dir) =>
+      Multimodal.ppmStats(
+        Multimodal.ppmFromText(t(s, dir, "documents"), "doc_id", "text",
+          width = 8))
+        .orderBy("media_id"),
+      Some("""
+      WITH d AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+        WHERE octet_length(encode(text)) > 0),
+      dims AS (
+        SELECT doc_id, text, n, 8 AS w, 1 + (n % 16) AS h FROM d),
+      px AS (
+        SELECT doc_id, w, h, i,
+               ord(substr(text, CAST(i % n AS INTEGER) + 1, 1)) AS b
+        FROM dims,
+             UNNEST(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT)))
+               AS t(i)),
+      sums AS (
+        SELECT doc_id, w, h,
+               CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_r,
+               CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_g,
+               CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_b
+        FROM px GROUP BY doc_id, w, h),
+      halfs AS (
+        SELECT doc_id, CAST(sum(b) AS BIGINT) AS half_sum FROM (
+          SELECT dims.doc_id,
+                 ord(substr(text,
+                   CAST((((y * h // greatest(h // 2, 1)) * 8 + 2 * x) * 3
+                         + c) % n AS INTEGER) + 1, 1)) AS b
+          FROM dims,
+               UNNEST(generate_series(0, 3)) AS tx(x),
+               UNNEST(generate_series(0, greatest(h // 2, 1) - 1)) AS ty(y),
+               UNNEST([0, 1, 2]) AS tc(c))
+        GROUP BY doc_id)
+      SELECT s.doc_id AS media_id, s.w AS width, s.h AS height,
+             s.sum_r, s.sum_g, s.sum_b, hf.half_sum
+      FROM sums s JOIN halfs hf USING (doc_id)
+      ORDER BY media_id"""))
   )
 }

@@ -291,6 +291,39 @@ object LlmQueries {
              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM comp ORDER BY doc_id""")),
 
+    // Connected components graded DIRECTLY on a fixture edge list (dd9
+    // grades the operator only through the LSH composition, whose
+    // components are shallow): 100-node chains over doc_id arithmetic
+    // plus a bridge merging every even chain into its successor — deep
+    // 200-node components where min labels must cross the full diameter,
+    // vs the same recursive-CTE reachability ground truth.
+    Q("cc1_connected_components", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val chain = ids.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val bridge = ids.filter(col("doc_id") % 200 === 150)
+        .select(col("doc_id").as("a"), (col("doc_id") - 100).as("b"))
+      val cc = graft.operators.Components.connectedComponents(
+        chain.unionByName(bridge), "a", "b")
+      ids.join(cc, ids("doc_id") === cc("node"), "left")
+        .select(ids("doc_id"),
+          coalesce(col("component"), ids("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      fixture AS (
+        SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+        WHERE doc_id % 100 <> 0
+        UNION ALL
+        SELECT doc_id, doc_id - 100 FROM documents WHERE doc_id % 200 = 150),
+      edges AS (SELECT u, v FROM fixture UNION ALL SELECT v, u FROM fixture),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+      ORDER BY doc_id""")),
+
     // Embedding-cosine near-dup pairs: sign-LSH bucket, exact cosine within
     // bucket, threshold filter (on the rounded score in both engines).
     Q("dd5_embedding_neardup", (s, dir) =>

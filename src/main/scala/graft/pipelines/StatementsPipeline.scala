@@ -133,8 +133,13 @@ object StatementsPipeline {
     * dedup-append. The two D&A columns null-compare per the reference.
     * `strict` forwards the reference's abort-on-uncastable-cell semantics. */
   def loadIncomeStatement(existing: DataFrame, docs: DataFrame,
-                          strict: Boolean = false): DataFrame = {
-    val incoming = incomeStatement(docs, strict)
+                          strict: Boolean = false): DataFrame =
+    loadIncomeRows(existing, incomeStatement(docs, strict))
+
+  /** The load half of [[loadIncomeStatement]] (J1 guard with the quarterly
+    * D&A null-safe facts + K1 dedup-append) over already-parsed rows —
+    * split out so the scale sweep can clock parse and load separately. */
+  def loadIncomeRows(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val facts = Schemas.incomeStatement.fieldNames.toSeq
       .diff(Seq("act_symbol", "date", "period",
         "income_before_depreciation_and_amortization",

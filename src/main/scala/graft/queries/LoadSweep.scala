@@ -143,5 +143,74 @@ object LoadSweep {
       val (t10, r10) = time(fn, b10)
       println(f"$name%-24s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
     }
+
+    // ---- per-stage attribution: parse CPU vs guard+append joins ----
+    // Each statement pipeline splits cleanly: `parse` is the html extract
+    // + cell transform (scan-shaped UDF CPU), `load` is the J1 guard + K1
+    // dedup-append joins run over a PRE-MATERIALIZED parse output (eager
+    // localCheckpoint), so neither stage's clock includes the other's
+    // work. This attributes the composed sweep's 10× wall between the
+    // two, confirming the joins stay batch-proportional.
+    val staged: Seq[(String, DataFrame => DataFrame,
+        DataFrame => DataFrame, DataFrame, DataFrame)] = Seq(
+      ("pipe2_income", (d: DataFrame) =>
+        StatementsPipeline.incomeStatement(stmtDocs(d, buildIncomeYYUdf)),
+        (p: DataFrame) => StatementsPipeline.loadIncomeRows(
+          emptyTable(spark, "income_statement"), p),
+        part1, part10),
+      ("pipe3b_assets", (d: DataFrame) =>
+        StatementsPipeline.balanceSheet(stmtDocs(d, buildBalanceUdf),
+          pin = false)("balance_sheet_assets"),
+        (p: DataFrame) => StatementsPipeline.loadStatement(
+          emptyTable(spark, "balance_sheet_assets"), p,
+          "balance_sheet_assets"),
+        part1, part10),
+      ("pipe4_cf2024", (d: DataFrame) =>
+        StatementsPipeline.cashFlow(stmtDocs(d, buildCf2024Udf),
+          layout2024 = true),
+        (p: DataFrame) => StatementsPipeline.loadStatement(
+          emptyTable(spark, "cash_flow_statement"), p,
+          "cash_flow_statement"),
+        part1, part10),
+      ("pipe4b_legacy", (d: DataFrame) =>
+        StatementsPipeline.cashFlow(stmtDocs(d, buildCfLegacyNumUdf),
+          layout2024 = false),
+        (p: DataFrame) => {
+          // the poison-store derivation is a projection of the parsed
+          // batch — store setup, clocked with the load arm it feeds
+          val tableCols = Schemas.cashFlowStatement.fieldNames.toSeq
+          val poison = p
+            .filter(expr("CAST(substr(act_symbol, 2) AS BIGINT) % 3 = 0"))
+            .withColumn("date", D.priorYear(col("date")))
+            .select(tableCols.map(col): _*)
+          StatementsPipeline.loadStatement(poison, p, "cash_flow_statement")
+        },
+        part1, part10))
+
+    def best2(f: () => Unit): Double = {
+      var best = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        f()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
+
+    println()
+    println(f"${"op"}%-18s ${"stage"}%-6s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s")
+    staged.foreach { case (name, parse, load, b1, b10) =>
+      load(parse(b1).localCheckpoint(eager = true)).count() // warm
+      def stagePair(b: DataFrame): (Double, Double) = {
+        val tp = best2(() => parse(b).localCheckpoint(eager = true))
+        val p = parse(b).localCheckpoint(eager = true)
+        val tl = best2(() => load(p).count())
+        (tp, tl)
+      }
+      val (p1, l1) = stagePair(b1)
+      val (p10, l10) = stagePair(b10)
+      println(f"$name%-18s parse  $p1%8.2f $p10%8.2f ${p10 / p1}%6.1f")
+      println(f"$name%-18s load   $l1%8.2f $l10%8.2f ${l10 / l1}%6.1f")
+    }
   }
 }

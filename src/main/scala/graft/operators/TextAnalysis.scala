@@ -78,6 +78,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** URL canonicalization — the normalize-before-dedup step of a web-crawl
+    * pipeline: lowercase the scheme and host, strip a leading `www.`, drop
+    * the fragment, drop `utm_*` tracking params, sort the surviving query
+    * params, strip the path's trailing slash. Pure per-row expressions —
+    * scan-shaped at any scale; the canonical string is what a crawl dedup
+    * groups on (see dd12). Deliberately conservative: no percent-decoding
+    * or default-port handling, so two URLs only ever merge when the rules
+    * above make them byte-identical. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([^:/?#]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[^:/?#]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[^:/?#]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    val params = array_sort(filter(split(
+      regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   /** Repetition signals (the Gopher-style quality filters, word-level since
     * this corpus has no line structure): type-token ratio (distinct words /
     * words — low = repetitive) and top-bigram fraction (occurrences of the

@@ -48,6 +48,95 @@ object LlmQueries {
              doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       FROM documents ORDER BY doc_id""")),
 
+    // C4/Dolma-style SEGMENT-level exact dedup: repeated fixed-20-token
+    // spans keep only their first (doc, position) occurrence corpus-wide,
+    // and documents are reassembled from their survivors — graded on both
+    // the drop counts and the md5 of the reassembled text, so a wrong keep
+    // decision or a reordered reassembly goes red. Two shuffles, no joins.
+    Q("dd11_segment_dedup", (s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+        segTokens = 20)
+        .orderBy("doc_id"),
+      Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ')
+                 AS seg
+        FROM d, UNNEST(generate_series(0,
+          greatest(CAST(ceil(len(w) / 20.0) AS BIGINT), 1) - 1)) AS t(i)),
+      keep AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY md5(seg)
+                                  ORDER BY doc_id, seg_idx) = 1 AS k
+        FROM segs),
+      re AS (
+        SELECT doc_id, count(*) AS kept_segs,
+               md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_md5
+        FROM keep WHERE k GROUP BY doc_id),
+      ns AS (
+        SELECT doc_id,
+               CAST(greatest(ceil(len(w) / 20.0), 1) AS INTEGER) AS n_segs
+        FROM d)
+      SELECT ns.doc_id, ns.n_segs,
+             CAST(coalesce(re.kept_segs, 0) AS BIGINT) AS kept_segs,
+             coalesce(re.clean_md5, md5('')) AS clean_md5
+      FROM ns LEFT JOIN re USING (doc_id) ORDER BY doc_id""")),
+
+    // URL canonicalization + dedup — the crawl-pipeline normalize step.
+    // The corpus has no URL column, so (tx8 convention) both engines plant
+    // the same deterministic messy URL per doc — case-noised scheme/host,
+    // www. prefix, trailing slash by parity, utm_* tracking params, a
+    // fragment — and the grade covers the canonical string plus the min-id
+    // dup flag over the canonical groups.
+    Q("dd12_url_dedup", (s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://")),
+        col("source"), lit(".example.com/cat/"),
+        expr("doc_id div 20") % 5,
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_campaign=c"), col("doc_id"),
+        lit("&id="), expr("doc_id div 20") % 3,
+        lit("&utm_source=s"), col("doc_id") % 9,
+        lit("#sec"), col("doc_id") % 4)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.canonicalizeUrl(url).as("canon_url"))
+        .withColumn("is_dup",
+          col("doc_id") =!= min(col("doc_id"))
+            .over(Window.partitionBy(col("canon_url"))))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                     ELSE 'https://' END)
+               || source || '.example.com/cat/' || (doc_id // 20) % 5
+               || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+               || '?utm_campaign=c' || doc_id
+               || '&id=' || (doc_id // 20) % 3
+               || '&utm_source=s' || doc_id % 9
+               || '#sec' || doc_id % 4 AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
+               || regexp_replace(lower(regexp_extract(url,
+                    '^[^:/?#]+://([^/?#]+)', 1)), '^www\.', '')
+               || regexp_replace(regexp_extract(url,
+                    '^[^:/?#]+://[^/?#]+([^?#]*)', 1), '/$', '')
+               || (CASE WHEN len(list_filter(string_split(
+                      regexp_extract(url, '\?([^#]*)', 1), '&'),
+                      p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+                   THEN '?' || array_to_string(list_sort(list_filter(
+                      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+                   ELSE '' END) AS canon_url
+        FROM u)
+      SELECT doc_id, canon_url,
+             doc_id <> min(doc_id) OVER (PARTITION BY canon_url) AS is_dup
+      FROM c ORDER BY doc_id""")),
+
     // MinHash + LSH banding: candidate pairs via (band, signature) buckets.
     // The signature table feeds both sides of the candidate self-join —
     // materialize it (lazy localCheckpoint: ContextCleaner-freed, never
@@ -74,6 +163,61 @@ object LlmQueries {
         .localCheckpoint(eager = false)
       Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
     }, None),
+
+    // MinHash ESTIMATE-quality audit (sim5's theme for the dedup family):
+    // per candidate pair, the banded-minhash Jaccard estimate (share of
+    // equal band minima — what LSH actually thresholds on at scale) next
+    // to the exact shingle Jaccard and the absolute error. Graded per
+    // pair, all deterministic values — a drifting estimator (bad hash
+    // slicing, band skew) moves real numbers red instead of hiding inside
+    // a pass/fail collision count.
+    Q("dd2c_minhash_estimate_error", (s, dir) => {
+      val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id")
+      val sa = sig.select(col("doc_id").as("doc_a"), col("band"),
+        col("mh").as("mh_a"))
+      val sb = sig.select(col("doc_id").as("doc_b"), col("band"),
+        col("mh").as("mh_b"))
+      val est = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "band"))
+        .groupBy("doc_a", "doc_b")
+        .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) / 4.0)
+          .as("est"))
+      est.join(Dedup.jaccardOnCandidates(cand, sh, "doc_id"),
+          Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est"), 4).as("est_jaccard"), col("jaccard"),
+          round(abs(col("est") - col("jaccard")), 4).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $MinhashPairsCte,
+      est AS (
+        SELECT p.doc_a, p.doc_b,
+               sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 4.0 AS est
+        FROM pairs p
+        JOIN sig x ON x.doc_id = p.doc_a
+        JOIN sig y ON y.doc_id = p.doc_b AND y.band = x.band
+        GROUP BY p.doc_a, p.doc_b),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS shared
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        GROUP BY p.doc_a, p.doc_b),
+      ex AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4)
+                 AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b)
+      SELECT e.doc_a, e.doc_b, round(e.est, 4) AS est_jaccard, x.jaccard,
+             round(abs(e.est - x.jaccard), 4) AS abs_err
+      FROM est e JOIN ex x USING (doc_a, doc_b)
+      ORDER BY doc_a, doc_b""")),
 
     // Exact n-gram Jaccard on LSH candidates (bottom-1 sketch, 1 band).
     // The shingle set is consumed four times (signature, counts, both join

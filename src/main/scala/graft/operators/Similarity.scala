@@ -214,6 +214,82 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Metadata-FILTERED ANN — the "filtered vector search" shape every
+    * production index needs: top-k cosine among only the vectors passing
+    * `pred`, with the predicate applied to the corpus side BEFORE the
+    * bucket probe. Filter-then-probe matters at scale: a selective filter
+    * prunes the candidate read (at rest, the filter column partitions
+    * beside the bucket key), whereas probe-then-filter returns k results
+    * only by padding the probe with a larger k' and re-ranking — the
+    * classic filtered-ANN failure mode. The query vector itself is NOT
+    * required to pass the filter (search category X from any query). */
+  def filteredBucketedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                           queryId: Long, k: Int, pred: Column,
+                           bits: Int = 4): DataFrame = {
+    val e = widened2(emb, idCol, vecCol, pred)
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    e.filter(col("__keep")).join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[widened]] plus the filter predicate evaluated BEFORE the projection
+    * narrows the row (the predicate may reference metadata columns the
+    * vector projection would drop). */
+  private def widened2(emb: DataFrame, idCol: String, vecCol: String,
+                       pred: Column) =
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+      pred.as("__keep"))
+
+  /** Product-quantization audit — vq1's scalar-quantization sibling and
+    * the compression step of a PQ/IVF-PQ index: the vector splits into
+    * `subspaces` contiguous subvectors, each coded as its nearest entry in
+    * that subspace's codebook, and the audit reports the code word plus
+    * the reconstruction MSE (×1e6 for grading precision). Codebooks here
+    * are the subvectors of the first `ncodes` vectors — deterministic in
+    * both engines (sim4's convention); production k-means per subspace
+    * only changes the codebook table, not the plan.
+    *
+    * Scale shape: the vector explodes into `subspaces` rows (bounded
+    * fan-out), the codebook is a `subspaces`-row broadcast of packed
+    * structs, assignment is an argmin expression, and the per-vector
+    * regroup sums `subspaces` doubles in subspace order (sequential fold
+    * over a sorted struct list, so the sum is partition-layout-invariant
+    * and engine-reproducible). */
+  def productQuantizationError(emb: DataFrame, idCol: String, vecCol: String,
+                               subspaces: Int = 8,
+                               ncodes: Int = 8): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+    val subLen = (size(col("v")) / subspaces).cast("int")
+    val sub = e.select(col(idCol), size(col("v")).as("__dims"),
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        s => slice(col("v"), s * subLen + 1, subLen))).as(Seq("s", "sv")))
+    val codebook = sub.filter(col(idCol) < ncodes)
+      .select(col(idCol).cast("int").as("code"), col("s"), col("sv"))
+      .groupBy("s")
+      .agg(collect_list(struct(col("code"), col("sv"))).as("cents"))
+    val assigned = sub.join(broadcast(codebook), "s")
+      .withColumn("__pick",
+        array_min(transform(col("cents"), c =>
+          struct(dist2(c.getField("sv"), col("sv")).as("d"),
+            c.getField("code").as("code")))))
+      .select(col(idCol), col("__dims"), col("s"),
+        col("__pick").getField("code").as("code"),
+        col("__pick").getField("d").as("d2"))
+    assigned.groupBy(col(idCol), col("__dims"))
+      .agg(collect_list(struct(col("s"), col("code"), col("d2"))).as("__a"))
+      .select(col(idCol),
+        array_join(transform(array_sort(col("__a")),
+          x => x.getField("code").cast("string")), ",").as("code"),
+        round(aggregate(transform(array_sort(col("__a")),
+            x => x.getField("d2")), lit(0.0), (acc, x) => acc + x)
+          / col("__dims") * 1e6, 6).as("mse_e6"))
+      .orderBy(idCol)
+  }
+
   /** Recall@k of every approximate path against the exact one, as a graded
     * number: each ANN variant (single-bucket LSH, Hamming-1 multi-probe,
     * IVF) runs over a fixed probe set (the first `nQueries` vectors by id)

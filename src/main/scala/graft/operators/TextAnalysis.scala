@@ -100,6 +100,48 @@ object TextAnalysis {
         .otherwise(lit("")))
   }
 
+  /** Population-stability-index drift monitor — the query a corpus run
+    * fires per ingest batch to catch a source whose length profile shifted
+    * (scraper broke, boilerplate flood, truncation bug): per source, the
+    * PSI of its token-count distribution against the whole corpus over
+    * fixed-width bins, Laplace-smoothed so empty bins stay defined.
+    * PSI < 0.1 is stable, 0.1–0.25 drifting, > 0.25 action.
+    *
+    * Scale shape: one scan bins every doc; everything after aggregates on
+    * (source, bin) — bounded by sources × bins, not corpus rows. The
+    * global bin histogram (bins rows) and the corpus total (1 row) come
+    * back as broadcasts, and each source's PSI sums its bin contributions
+    * in bin order via a sequential fold over a sorted struct list, so the
+    * double summation is layout-invariant and engine-reproducible. */
+  def sourceDriftPsi(docs: DataFrame, sourceCol: String, textCol: String,
+                     binWidth: Int = 8, maxBin: Int = 16): DataFrame = {
+    val bins = maxBin + 1
+    val binned = docs.select(col(sourceCol).as("source"),
+      least(floor(tokenCount(col(textCol)) / binWidth), lit(maxBin))
+        .cast("int").as("bin"))
+    val srcBin = binned.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
+    val srcTot = binned.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val allBin = binned.groupBy("bin").agg(count(lit(1)).as("c_b"))
+    val allTot = binned.groupBy().agg(count(lit(1)).as("n"))
+    val grid = srcTot.select(col("source"), col("n_s"),
+      explode(sequence(lit(0), lit(maxBin))).as("bin"))
+    val ps = (coalesce(col("c_sb"), lit(0L)) + 1) / (col("n_s") + lit(bins.toDouble))
+    val pg = (coalesce(col("c_b"), lit(0L)) + 1) / (col("n") + lit(bins.toDouble))
+    grid
+      .join(srcBin, Seq("source", "bin"), "left")
+      .join(broadcast(allBin), Seq("bin"), "left")
+      .crossJoin(broadcast(allTot))
+      .select(col("source"), col("n_s"), col("bin"),
+        ((ps - pg) * log(ps / pg)).as("contrib"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(collect_list(struct(col("bin"), col("contrib"))).as("__c"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        round(aggregate(transform(array_sort(col("__c")),
+            x => x.getField("contrib")), lit(0.0), (acc, x) => acc + x), 4)
+          .as("psi"))
+      .orderBy("source")
+  }
+
   /** Repetition signals (the Gopher-style quality filters, word-level since
     * this corpus has no line structure): type-token ratio (distinct words /
     * words — low = repetitive) and top-bigram fraction (occurrences of the

@@ -514,6 +514,39 @@ object LlmQueries {
                6) AS mse_e6
       FROM s ORDER BY vec_id""")),
 
+    // Product-quantization audit (vq1's PQ sibling, the IVF-PQ compression
+    // step): 64 dims → 8 subvectors of 8, each coded as the nearest entry
+    // of that subspace's deterministic codebook (subvectors of the first 8
+    // vectors, sim4's convention); graded on the code word and the
+    // reconstruction MSE. Both engines sum subspace errors in subspace
+    // order (sequential fold), so the double sum is reproducible.
+    Q("vq2_product_quantization", (s, dir) =>
+      Similarity.productQuantizationError(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        subspaces = 8, ncodes = 8),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sub AS (
+        SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+        FROM e, UNNEST(generate_series(0, 7)) AS t(s)),
+      cb AS (
+        SELECT CAST(vec_id AS INTEGER) AS code, s, sv AS cv
+        FROM sub WHERE vec_id < 8),
+      d AS (
+        SELECT sub.vec_id, sub.s, cb.code,
+               list_sum(list_transform(generate_series(1, 8),
+                 i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d2
+        FROM sub JOIN cb USING (s)),
+      a AS (
+        SELECT vec_id, s, code, d2 FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, code) = 1)
+      SELECT vec_id,
+             array_to_string(list(code ORDER BY s), ',') AS code,
+             round(list_sum(list(d2 ORDER BY s)) / 64 * 1e6, 6) AS mse_e6
+      FROM a GROUP BY vec_id ORDER BY vec_id""")),
+
     // Brute-force cosine top-k against the vec_id=0 embedding (exact path).
     Q("sim1_cosine_topk", (s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
@@ -700,6 +733,32 @@ object LlmQueries {
              round(count(*) / 200.0, 4) AS recall_at_k
       FROM ann JOIN bf USING (qid, vec_id)
       GROUP BY method ORDER BY method""")),
+
+    // Metadata-FILTERED ANN: top-k among label=3 vectors only, with the
+    // filter applied to the corpus side BEFORE the bucket probe
+    // (filter-then-probe — the selective-filter pruning shape; the query
+    // vector itself is label 2 and need not pass).
+    Q("sim6_filtered_ann", (s, dir) =>
+      Similarity.filteredBucketedTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, k = 10, pred = col("label") === 3,
+        bits = 4),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                     i -> v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                   6) AS score
+      FROM e, q WHERE bucket = qbucket AND label = 3
+      ORDER BY score DESC, vec_id LIMIT 10""")),
 
     // Language ID via marker-word heuristic.
     Q("tx1_lang_id", (s, dir) =>
@@ -1080,6 +1139,43 @@ object LlmQueries {
              quantile_cont(nt, 0.5) AS med_tokens,
              quantile_cont(nt, 0.95) AS p95_tokens
       FROM l GROUP BY pred_lang ORDER BY pred_lang""")),
+
+    // Source-drift PSI monitor: per source, the population-stability index
+    // of its token-count distribution vs the whole corpus over fixed-width
+    // bins (Laplace-smoothed). The per-ingest-batch query that catches a
+    // broken scraper / truncation bug as a number with standard thresholds
+    // (<0.1 stable, >0.25 action). Bin contributions sum in bin order via
+    // a sequential fold in both engines, so the double sum grades.
+    Q("cs2_source_psi", (s, dir) =>
+      TA.sourceDriftPsi(t(s, dir, "documents"), "source", "text",
+        binWidth = 8, maxBin = 16),
+      Some("""
+      WITH b AS (
+        SELECT source,
+               least(CAST(floor(len(string_split(text, ' ')) / 8)
+                     AS INTEGER), 16) AS bin
+        FROM documents),
+      sb AS (SELECT source, bin, count(*) AS c_sb FROM b GROUP BY 1, 2),
+      st AS (SELECT source, count(*) AS n_s FROM b GROUP BY 1),
+      ab AS (SELECT bin, count(*) AS c_b FROM b GROUP BY 1),
+      nt AS (SELECT count(*) AS n FROM b),
+      grid AS (
+        SELECT source, n_s, i AS bin
+        FROM st, UNNEST(generate_series(0, 16)) AS t(i)),
+      c AS (
+        SELECT g.source, g.n_s, g.bin,
+               ((coalesce(sb.c_sb, 0) + 1) / (g.n_s + 17.0)
+                - (coalesce(ab.c_b, 0) + 1) / (nt.n + 17.0))
+               * ln(((coalesce(sb.c_sb, 0) + 1) / (g.n_s + 17.0))
+                    / ((coalesce(ab.c_b, 0) + 1) / (nt.n + 17.0)))
+                 AS contrib
+        FROM grid g
+        LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+        LEFT JOIN ab ON ab.bin = g.bin
+        CROSS JOIN nt)
+      SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+             round(list_sum(list(contrib ORDER BY bin)), 4) AS psi
+      FROM c GROUP BY source, n_s ORDER BY source""")),
 
     // Benchmark decontamination: distinct shared word 5-grams between each
     // training doc and a pseudo eval set (doc_id % 41 = 0). Eval shingles

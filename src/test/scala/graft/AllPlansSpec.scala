@@ -24,6 +24,7 @@ class AllPlansSpec extends AnyFunSuite {
     "hq1_hist_quantiles" -> "3-row quantile-probe broadcast over the bounded bin list",
     "hq2_grouped_quantiles" -> "2-row quantile-probe broadcast over the bounded per-group bin list",
     "sa4_temperature_mix" -> "1-row mixture-normalizer broadcast",
+    "cs2_source_psi" -> "1-row corpus-total broadcast onto the bounded source x bin grid",
     "tx13_unigram_logprob" -> "1-row token-total broadcast onto the vocab dictionary",
     "pipe8_curation_v2" -> "1-row mixture-normalizer broadcast (sa4's, composed)")
 

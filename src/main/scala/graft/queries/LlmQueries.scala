@@ -137,6 +137,49 @@ object LlmQueries {
              doc_id <> min(doc_id) OVER (PARTITION BY canon_url) AS is_dup
       FROM c ORDER BY doc_id""")),
 
+    // INCREMENTAL dedup — the daily-ingest shape: a new batch (doc_id%5=0)
+    // is screened against the already-ingested corpus via band-signature
+    // collisions, WITHOUT pairing corpus docs with each other. At rest the
+    // store side is a precomputed signature table partitioned by
+    // (band, signature) — the per-day cost is ∝ batch + matches, never a
+    // corpus re-LSH (testdata has no signature store, so the store sigs
+    // recompute here; per-doc signatures are store-independent, so the
+    // values are identical). Graded per batch doc: distinct stored docs
+    // collided with, and the route-to-verification flag.
+    Q("dd13_incremental_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigOf = (d: org.apache.spark.sql.DataFrame) =>
+        Dedup.minhashSignatures(
+          Dedup.shingleMultiset(d, "doc_id", "text"), "doc_id", bands = 4)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val storeSig = sigOf(docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id").as("store_id"), col("band"), col("mh"))
+      val matches = sigOf(batch)
+        .join(storeSig, Seq("band", "mh"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("store_id")).as("n_matches"))
+      batch.select(col("doc_id"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          (coalesce(col("n_matches"), lit(0L)) > 0).as("suspect"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $ShingleCte,
+      sig AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      m AS (
+        SELECT b.doc_id, count(DISTINCT s.doc_id) AS n_matches
+        FROM sig b JOIN sig s ON b.band = s.band AND b.mh = s.mh
+        WHERE b.doc_id % 5 = 0 AND s.doc_id % 5 <> 0
+        GROUP BY b.doc_id)
+      SELECT d.doc_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+             coalesce(m.n_matches, 0) > 0 AS suspect
+      FROM documents d LEFT JOIN m USING (doc_id)
+      WHERE d.doc_id % 5 = 0 ORDER BY doc_id""")),
+
     // MinHash + LSH banding: candidate pairs via (band, signature) buckets.
     // The signature table feeds both sides of the candidate self-join —
     // materialize it (lazy localCheckpoint: ContextCleaner-freed, never

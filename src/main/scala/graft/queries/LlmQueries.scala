@@ -294,6 +294,34 @@ object LlmQueries {
       JOIN cnt cb ON cb.doc_id = i.doc_b
       ORDER BY doc_a, doc_b""")),
 
+    // Asymmetric containment on LSH candidates — quote / partial-dup
+    // detection where Jaccard washes out: graded on BOTH directions
+    // (|A∩B|/|A|, |A∩B|/|B|) per candidate pair; dedup policy drops the
+    // contained side, not the container.
+    Q("dd14_containment", (s, dir) => {
+      val sh = Dedup.shingleSet(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id")
+      Dedup.containmentOnCandidates(cand, sh, "doc_id")
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $MinhashPairsCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS shared
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        GROUP BY p.doc_a, p.doc_b)
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(shared AS DOUBLE) / ca.n, 4) AS cont_a,
+             round(CAST(shared AS DOUBLE) / cb.n, 4) AS cont_b
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.doc_a
+      JOIN cnt cb ON cb.doc_id = i.doc_b
+      ORDER BY doc_a, doc_b""")),
+
     // Full near-dup composition: exact-dedup to representatives FIRST (the
     // LSH hot-bucket fix), then banded MinHash candidates + exact Jaccard,
     // thresholded on the rounded score in both engines.
@@ -1182,6 +1210,44 @@ object LlmQueries {
              quantile_cont(nt, 0.5) AS med_tokens,
              quantile_cont(nt, 0.95) AS p95_tokens
       FROM l GROUP BY pred_lang ORDER BY pred_lang""")),
+
+    // Feature-hashing embedding (hashing-trick vectorizer): ±tf into the
+    // md5-selected dimension, L2-normalized — the training-free
+    // text→vector bridge, graded densely as one row per (doc, dim) so
+    // every coordinate is a scalar in the hash.
+    Q("emb1_hashing_vectorizer", (s, dir) =>
+      TA.hashingEmbedding(t(s, dir, "documents"), "doc_id", "text",
+        dims = 16)
+        .orderBy("doc_id", "dim"),
+      Some("""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok),
+      hashed AS (
+        SELECT doc_id, tf,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) AS h
+        FROM tf),
+      sums AS (
+        SELECT doc_id, CAST(h % 16 AS INTEGER) AS bucket,
+               sum(CASE WHEN (h // 16) % 2 = 1 THEN tf ELSE -tf END) AS v
+        FROM hashed GROUP BY 1, 2),
+      grid AS (
+        SELECT doc_id, i AS bucket
+        FROM documents, UNNEST(generate_series(0, 15)) AS t(i)),
+      dense AS (
+        SELECT g.doc_id, g.bucket, coalesce(s.v, 0) AS v
+        FROM grid g
+        LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.bucket),
+      nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dense
+              GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.bucket AS INTEGER) AS dim,
+             round(d.v / greatest(n.nrm, 1e-12), 6) AS value
+      FROM dense d JOIN nrm n USING (doc_id)
+      ORDER BY doc_id, dim""")),
 
     // Source-drift PSI monitor: per source, the population-stability index
     // of its token-count distribution vs the whole corpus over fixed-width

@@ -98,6 +98,62 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r("ivf") == 1.0, s"got $r")
   }
 
+  test("segmentDedup matches a brute-force reference on random corpora") {
+    // reference: global keep-first over (doc, seg_idx)-ordered segments
+    def brute(docs: Seq[(Long, String)], segTokens: Int)
+        : Map[Long, (Int, Long, String)] = {
+      val segs = docs.sortBy(_._1).flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        val n = math.max(math.ceil(w.length / segTokens.toDouble).toInt, 1)
+        (0 until n).map(i =>
+          (id, i, w.slice(i * segTokens, (i + 1) * segTokens).mkString(" ")))
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val kept = segs.filter { case (_, _, s) => seen.add(s) }
+      docs.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val n = math.max(math.ceil(w.length / segTokens.toDouble).toInt, 1)
+        val mine = kept.filter(_._1 == id).sortBy(_._2)
+        id -> ((n, mine.size.toLong, mine.map(_._3).mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      // small vocab + short docs force heavy cross-doc segment collisions
+      val corpus = (0L until 30L).map { id =>
+        val len = 1 + rnd.nextInt(12)
+        id -> Seq.fill(len)(s"t${rnd.nextInt(4)}").mkString(" ")
+      }
+      val exp = brute(corpus, segTokens = 3)
+      val got = Dedup.segmentDedup(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", segTokens = 3).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got.keySet == exp.keySet, s"trial $trial")
+      got.foreach { case (id, (n, k, md5got)) =>
+        val (en, ek, etext) = exp(id)
+        assert((n, k) == ((en, ek)), s"trial $trial doc $id counts")
+        val emd5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(etext.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(md5got == emd5, s"trial $trial doc $id reassembly")
+      }
+    }
+  }
+
+  test("canonicalizeUrl: param order and tracking junk never split a group") {
+    // same logical URL under shuffled params / added utm junk / case noise
+    // must canonicalize identically
+    val variants = Seq(
+      "https://ex.com/p?a=1&b=2",
+      "HTTPS://ex.com/p?b=2&a=1",
+      "https://WWW.ex.com/p?b=2&utm_x=9&a=1#f",
+      "https://ex.com/p/?utm_y=0&a=1&b=2").toDF("url")
+    val canon = variants
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .distinct().as[String].collect().toSeq
+    assert(canon == Seq("https://ex.com/p?a=1&b=2"))
+  }
+
   test("sourceDriftPsi: PSI is non-negative, zero for a single source") {
     // (p-q)·ln(p/q) >= 0 termwise, so every PSI is >= 0 on any corpus
     val docs = graft.queries.Tables.t(spark, dir, "documents")

@@ -24,10 +24,13 @@ import graft.operators.{Chunking, Components, Dedup, HashMode, Indexing, TextAna
   * (like a stopword df threshold), so a fixed absolute df at 10× data
   * would be 10× stricter, not the same filter.
   *
-  * `runMain graft.ScaleSweep [sfDir] [llm|load|dup]` — `load` delegates to
-  * [[graft.queries.LoadSweep]] (statement/calendar load pipelines); `dup`
-  * runs only the duplication-preserving section; default `llm` sweeps
-  * everything. Results recorded in SCALE.md.
+  * `runMain graft.ScaleSweep [sfDir] [llm|load|dup|inc] [onlyCsv]` —
+  * `load` delegates to [[graft.queries.LoadSweep]] (statement/calendar
+  * load pipelines); `dup` runs only the duplication-preserving section;
+  * `inc` times dd13's store-at-rest incremental screen (store signatures
+  * materialized untimed, the batch join timed); default `llm` sweeps
+  * everything, optionally filtered to the comma-separated op names in
+  * `onlyCsv`. Results recorded in SCALE.md.
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
@@ -45,6 +48,7 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("WARN")
 
     val mode = args.drop(1).headOption.getOrElse("llm")
+    val only = args.drop(2).headOption.map(_.split(",").toSet)
     if (mode == "load") {
       graft.queries.LoadSweep.run(spark, sfDir)
       spark.stop()
@@ -116,7 +120,36 @@ object ScaleSweep {
         TextAnalysis.fingerprintMatchPairs(d, "doc_id", "text",
           minShared = 10, maxDf = 20)),
       "tx13_unigram_lp" -> (d =>
-        TextAnalysis.unigramLogProb(d, "doc_id", "text")))
+        TextAnalysis.unigramLogProb(d, "doc_id", "text")),
+      "dd11_segment" -> (d =>
+        Dedup.segmentDedup(d, "doc_id", "text")),
+      "dd14_containment" -> { d =>
+        val sh = Dedup.shingleSet(d, "doc_id", "text")
+          .localCheckpoint(eager = false)
+        val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        Dedup.containmentOnCandidates(
+          Dedup.lshCandidatePairs(sig, "doc_id"), sh, "doc_id")
+      },
+      "emb1_hashing" -> (d =>
+        TextAnalysis.hashingEmbedding(d, "doc_id", "text")),
+      // source proxy as in dd8 (sweep corpus drops the source column)
+      "cs2_psi" -> (d =>
+        TextAnalysis.sourceDriftPsi(
+          d.withColumn("src", concat(lit("s"), col("doc_id") % 20)),
+          "src", "text")),
+      // NAIVE incremental dedup: store signatures recomputed inside the
+      // timed window — the anti-pattern dd13's design claim is measured
+      // against (see the `inc` section below for the store-at-rest shape)
+      "dd13_naive" -> { d =>
+        val sigOf = (x: DataFrame) => Dedup.minhashSignatures(
+          Dedup.shingleMultiset(x, "doc_id", "text"), "doc_id", bands = 4)
+        val batch = d.filter(col("doc_id") % 5 === 0)
+        sigOf(batch)
+          .join(sigOf(d.filter(col("doc_id") % 5 =!= 0))
+            .select(col("doc_id").as("store_id"), col("band"), col("mh")),
+            Seq("band", "mh"))
+          .groupBy("doc_id").agg(countDistinct(col("store_id")).as("n"))
+      })
 
     def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L
@@ -130,6 +163,38 @@ object ScaleSweep {
 
     println(f"${"op"}%-20s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s  rows1x/rows10x")
 
+    if (mode == "inc") {
+      // dd13's DESIGN shape: the store's signature table is AT REST
+      // (materialized untimed), the day's batch hashes and joins into it —
+      // the timed number is the true per-day cost. Contrast with the
+      // `dd13_naive` row of the llm sweep, which re-hashes the store
+      // inside the window.
+      val x10 = (0 until 10).map { i =>
+        base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
+          regexp_replace(col("text"), "(^| )", "$1c" + i).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true)
+      val sigOf = (x: DataFrame) => Dedup.minhashSignatures(
+        Dedup.shingleMultiset(x, "doc_id", "text"), "doc_id", bands = 4)
+      def incremental(d: DataFrame): (DataFrame => DataFrame) = {
+        val storeSig = sigOf(d.filter(col("doc_id") % 5 =!= 0))
+          .select(col("doc_id").as("store_id"), col("band"), col("mh"))
+          .localCheckpoint(eager = true) // the at-rest signature table
+        _ => sigOf(d.filter(col("doc_id") % 5 === 0))
+          .join(storeSig, Seq("band", "mh"))
+          .groupBy("doc_id").agg(countDistinct(col("store_id")).as("n"))
+      }
+      val f1 = incremental(base)
+      val f10 = incremental(x10)
+      f1(base).count() // warm
+      val (t1, r1) = time(f1, base)
+      val (t10, r10) = time(f10, x10)
+      println(f"${"dd13_incremental"}%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
+      spark.stop()
+      return
+    }
+
     if (mode == "llm") {
       val x10 = (0 until 10).map { i =>
         base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
@@ -138,13 +203,16 @@ object ScaleSweep {
       }.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager = true)
-      ops.foreach { case (name, fn) =>
-        fn(base).count() // warm codegen/JIT on the small corpus
-        val (t1, r1) = time(fn, base)
-        val (t10, r10) = time(fn, x10)
-        println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
-      }
+      ops.filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+          fn(base).count() // warm codegen/JIT on the small corpus
+          val (t1, r1) = time(fn, base)
+          val (t10, r10) = time(fn, x10)
+          println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
+        }
     }
+
+    if (mode == "llm" && only.isDefined) { spark.stop(); return }
 
     // Duplication-preserving section: copies share their substrings, so
     // dd10/tx7 produce real output at 10× (the token-tagged corpus above

@@ -290,6 +290,60 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** IVF-PQ ANN — the two scale levers composed the way a production
+    * vector index (FAISS-style) runs them: the coarse IVF cell prunes the
+    * candidate READ to ~1/nlist of the corpus, and product-quantization
+    * codes prune the candidate COMPUTE+STORAGE — candidates are ranked by
+    * asymmetric distance (exact query subvector vs each candidate's
+    * reconstructed codeword), so the scored table is 1 byte-ish per
+    * subspace instead of the raw floats. Both the cells and the codebooks
+    * are the deterministic sim4/vq2 constructions, so every value is
+    * engine-reproducible; the ADC lookup table (subspaces × ncodes rows)
+    * is built once from the query and broadcast. Per-candidate distances
+    * sum their subspace terms in subspace order (sorted-struct fold) so
+    * the doubles grade. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, nlist: Int = 8,
+                subspaces: Int = 8, ncodes: Int = 8): DataFrame = {
+    val e = widened(emb, idCol, vecCol)
+    val centroids = e.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cid"), col("v").as("cv"))
+    val assigned = assignCells(e, centroids).localCheckpoint(eager = false)
+    val subLen = (size(col("v")) / subspaces).cast("int")
+    def subs(df: DataFrame) = df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        s => slice(col("v"), s * subLen + 1, subLen))).as(Seq("s", "sv")))
+    val codebook = subs(e.filter(col(idCol) < ncodes))
+      .select(col(idCol).cast("int").as("code"), col("s"),
+        col("sv").as("cv"))
+    val packed = codebook.groupBy("s")
+      .agg(collect_list(struct(col("code"), col("cv"))).as("cents"))
+    // PQ-encode every vector: argmin codeword per subspace
+    val codes = subs(e).join(broadcast(packed), "s")
+      .select(col(idCol), col("s"),
+        array_min(transform(col("cents"), c =>
+          struct(dist2(c.getField("cv"), col("sv")).as("d"),
+            c.getField("code").as("code")))).getField("code").as("code"))
+    // ADC lookup table: exact query subvector vs every codeword
+    val q = assigned.filter(col(idCol) === queryId)
+    val adc = subs(q).drop(idCol)
+      .join(codebook, "s")
+      .select(col("s"), col("code"), dist2(col("sv"), col("cv")).as("d"))
+    val qcell = q.select(col("cell").as("qcell"))
+    assigned.join(broadcast(qcell), col("cell") === col("qcell"))
+      .select(col(idCol))
+      .join(codes, idCol)
+      .join(broadcast(adc), Seq("s", "code"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("d"))).as("__t"))
+      .select(col(idCol),
+        round(aggregate(transform(array_sort(col("__t")),
+          x => x.getField("d")), lit(0.0), (acc, x) => acc + x), 6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Recall@k of every approximate path against the exact one, as a graded
     * number: each ANN variant (single-bucket LSH, Hamming-1 multi-probe,
     * IVF) runs over a fixed probe set (the first `nQueries` vectors by id)

@@ -715,6 +715,58 @@ object LlmQueries {
       FROM e JOIN assign a USING (vec_id) JOIN q ON a.cell = q.qcell
       ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // IVF-PQ ANN — the production vector-index composition: the IVF cell
+    // prunes the candidate READ, PQ codes prune the candidate COMPUTE
+    // (candidates ranked by asymmetric distance against the query via a
+    // broadcast subspaces×ncodes lookup table). Deterministic sim4 cells
+    // + vq2 codebooks, so the distances hash-grade.
+    Q("sim7_ivfpq_ann", (s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, nlist = 8, subspaces = 8, ncodes = 8),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      dcell AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+        FROM e CROSS JOIN c),
+      assign AS (
+        SELECT vec_id, cid AS cell FROM dcell
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cid) = 1),
+      sub AS (
+        SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+        FROM e, UNNEST(generate_series(0, 7)) AS t(s)),
+      cb AS (
+        SELECT CAST(vec_id AS INTEGER) AS code, s, sv AS cv
+        FROM sub WHERE vec_id < 8),
+      dcode AS (
+        SELECT sub.vec_id, sub.s, cb.code,
+               list_sum(list_transform(generate_series(1, 8),
+                 i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d2
+        FROM sub JOIN cb USING (s)),
+      codes AS (
+        SELECT vec_id, s, code FROM dcode
+        QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, code) = 1),
+      adc AS (
+        SELECT q.s, cb.code,
+               list_sum(list_transform(generate_series(1, 8),
+                 i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) AS d
+        FROM sub q JOIN cb ON cb.s = q.s
+        WHERE q.vec_id = 0),
+      qcell AS (SELECT cell FROM assign WHERE vec_id = 0)
+      SELECT a.vec_id,
+             round(list_sum(list(adc.d ORDER BY adc.s)), 6) AS adc_dist
+      FROM assign a
+      JOIN qcell ON a.cell = qcell.cell
+      JOIN codes ON codes.vec_id = a.vec_id
+      JOIN adc ON adc.s = codes.s AND adc.code = codes.code
+      GROUP BY a.vec_id
+      ORDER BY adc_dist, a.vec_id LIMIT 10""")),
+
     // ANN recall@10 as a GRADED NUMBER: each approximate path (sim2's
     // single-bucket LSH, sim3's Hamming-1 multi-probe, sim4's IVF) scored
     // by how much of the brute-force top-10 it recovers over a 20-query

@@ -154,6 +154,18 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(canon == Seq("https://ex.com/p?a=1&b=2"))
   }
 
+  test("ivfPqTopK: the query self-codes to asymmetric distance zero") {
+    // vec 0 is both the query and a codebook vector: its PQ reconstruction
+    // is exact, so its ADC distance to itself must be exactly 0 and it must
+    // rank first in its own cell
+    val top = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(top.head.getAs[Double]("adc_dist") == 0.0)
+    val dists = top.map(_.getAs[Double]("adc_dist")).toSeq
+    assert(dists == dists.sorted, "ADC ranking must be ascending")
+  }
+
   test("sourceDriftPsi: PSI is non-negative, zero for a single source") {
     // (p-q)·ln(p/q) >= 0 termwise, so every PSI is >= 0 on any corpus
     val docs = graft.queries.Tables.t(spark, dir, "documents")

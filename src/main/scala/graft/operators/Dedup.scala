@@ -71,7 +71,16 @@ object Dedup {
     * md5 so the DuckDB oracle sees identical bytes; production would swap
     * in xxhash64 for the shuffle key (HashMode convention). */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
-                   segTokens: Int = 20): DataFrame = {
+                   segTokens: Int = 20): DataFrame =
+    segmentDedupText(docs, idCol, textCol, segTokens)
+      .select(col(idCol), col("n_segs"), col("kept_segs"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"))
+
+  /** [[segmentDedup]] with the reassembled text itself (`text_clean`)
+    * instead of its digest — the form downstream curation stages consume
+    * (pipe9); the graded dd11 entry hashes it so the grade stays small. */
+  def segmentDedupText(docs: DataFrame, idCol: String, textCol: String,
+                       segTokens: Int = 20): DataFrame = {
     val nSegsOf = (w: Column) =>
       greatest(ceil(size(w) / lit(segTokens.toDouble)).cast("int"), lit(1))
     val segs = docs
@@ -96,7 +105,7 @@ object Dedup {
       .join(reassembled, Seq(idCol), "left")
       .select(col(idCol), col("n_segs"),
         coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
-        md5(coalesce(col("__clean"), lit("")).cast("binary")).as("clean_md5"))
+        coalesce(col("__clean"), lit("")).as("text_clean"))
   }
 
   /** Distinct (id, shingle) pairs. */

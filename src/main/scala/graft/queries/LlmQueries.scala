@@ -1654,6 +1654,163 @@ object LlmQueries {
                   ELSE 'test' END AS split
       FROM mixed WHERE mix_frac < kp ORDER BY doc_id""")),
 
+    // Curation v3 — the round-8 stages composed end to end, disjoint from
+    // pipe8's: segment-level dedup (docs reassembled from surviving
+    // 20-token spans; hollowed-out docs dropped) → URL canonicalization
+    // dedup (planted messy URLs, min-id survives) → hashing-embedding
+    // near-dup drop (16-dim vectorizer on the CLEANED text; L2-normalized
+    // so cosine = dot; sign-bucketed pairs ≥ 0.9 drop the larger id) →
+    // deterministic split. Graded on the surviving ids, their kept-segment
+    // counts, and the split — every stage's decisions feed the hash.
+    Q("pipe9_curation_v3", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val seg = Dedup.segmentDedupText(docs, "doc_id", "text", segTokens = 20)
+        .filter(col("kept_segs") > 0)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .localCheckpoint(eager = false)
+      val plantedUrl = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://")),
+        col("source"), lit(".example.com/cat/"),
+        expr("doc_id div 20") % 5,
+        lit("?utm_campaign=c"), col("doc_id"),
+        lit("&id="), expr("doc_id div 20") % 3)
+      val urlKept = seg
+        .withColumn("__canon", TA.canonicalizeUrl(plantedUrl))
+        .withColumn("__m",
+          min(col("doc_id")).over(Window.partitionBy(col("__canon"))))
+        .filter(col("doc_id") === col("__m"))
+        .drop("__canon", "__m")
+        .localCheckpoint(eager = false)
+      val vecs = TA.hashingEmbedding(urlKept, "doc_id", "text_clean",
+          dims = 16)
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("value"))))
+          .as("__t"))
+        .select(col("doc_id"),
+          transform(col("__t"), x => x.getField("value")).as("v"))
+        .withColumn("bucket", Similarity.signBucket(col("v"), 4))
+      val a = vecs.select(col("doc_id").as("doc_a"), col("v").as("va"),
+        col("bucket"))
+      val b = vecs.select(col("doc_id").as("doc_b"), col("v").as("vb"),
+        col("bucket"))
+      val drops = a.join(b, "bucket").filter(col("doc_a") < col("doc_b"))
+        .withColumn("cos",
+          round(Similarity.dot(col("va"), col("vb")), 6))
+        .filter(col("cos") >= 0.9)
+        .select(col("doc_b").as("doc_id")).distinct()
+      urlKept.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("kept_segs"),
+          graft.operators.Sampling.splitLabel(col("doc_id").cast("string"))
+            .as("split"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d0 AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ')
+                 AS seg
+        FROM d0, UNNEST(generate_series(0,
+          greatest(CAST(ceil(len(w) / 20.0) AS BIGINT), 1) - 1)) AS t(i)),
+      keep AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY md5(seg)
+                                  ORDER BY doc_id, seg_idx) = 1 AS k
+        FROM segs),
+      re AS (
+        SELECT doc_id, count(*) AS kept_segs,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+        FROM keep WHERE k GROUP BY doc_id),
+      c1 AS (
+        SELECT d0.doc_id, d0.source, re.kept_segs, re.clean
+        FROM d0 JOIN re USING (doc_id)),
+      u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                     ELSE 'https://' END)
+               || source || '.example.com/cat/' || (doc_id // 20) % 5
+               || '?utm_campaign=c' || doc_id
+               || '&id=' || (doc_id // 20) % 3 AS url
+        FROM c1),
+      canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
+               || regexp_replace(lower(regexp_extract(url,
+                    '^[^:/?#]+://([^/?#]+)', 1)), '^www\.', '')
+               || regexp_replace(regexp_extract(url,
+                    '^[^:/?#]+://[^/?#]+([^?#]*)', 1), '/$', '')
+               || '?' || array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+                 AS canon_url
+        FROM u),
+      c2 AS (
+        SELECT c1.* FROM c1 JOIN (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY canon_url) AS m
+            FROM canon) WHERE doc_id = m) kk USING (doc_id)),
+      tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(clean, ' ')) AS tok
+              FROM c2)
+        GROUP BY doc_id, tok),
+      hashed AS (
+        SELECT doc_id, tf,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) AS h
+        FROM tf),
+      sums AS (
+        SELECT doc_id, CAST(h % 16 AS INTEGER) AS bucket,
+               sum(CASE WHEN (h // 16) % 2 = 1 THEN tf ELSE -tf END) AS v
+        FROM hashed GROUP BY 1, 2),
+      grid AS (
+        SELECT doc_id, i AS bucket
+        FROM c2, UNNEST(generate_series(0, 15)) AS t(i)),
+      dense AS (
+        SELECT g.doc_id, g.bucket, coalesce(s.v, 0) AS v
+        FROM grid g
+        LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.bucket = g.bucket),
+      nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dense
+              GROUP BY doc_id),
+      vals AS (
+        SELECT d.doc_id, d.bucket AS dim,
+               round(d.v / greatest(n.nrm, 1e-12), 6) AS value
+        FROM dense d JOIN nrm n USING (doc_id)),
+      vec AS (
+        SELECT doc_id, list(value ORDER BY dim) AS v FROM vals
+        GROUP BY doc_id),
+      bkt AS (
+        SELECT doc_id, v,
+               (CASE WHEN v[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN v[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN v[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN v[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM vec),
+      drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM bkt a JOIN bkt b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE round(list_sum(list_transform(generate_series(1, 16),
+                i -> a.v[i] * b.v[i])), 6) >= 0.9),
+      reps AS (
+        SELECT doc_id, kept_segs FROM c2
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      f AS (
+        SELECT doc_id, kept_segs,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM reps)
+      SELECT doc_id, CAST(kept_segs AS BIGINT) AS kept_segs,
+             CASE WHEN frac < 0.8 THEN 'train'
+                  WHEN frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM f ORDER BY doc_id""")),
+
     // KMV distinct sketch vs exact: per source, estimate distinct tokens
     // from a 25-value mergeable sketch. Deterministic (md5 fractions), so
     // the oracle reproduces the exact estimate — both sides dedup by the

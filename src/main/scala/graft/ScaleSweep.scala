@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunking, Components, Dedup, HashMode, Indexing, TextAnalysis}
+import graft.operators.{Chunking, Components, Dedup, HashMode, Indexing, Similarity, TextAnalysis}
 
 /** Scale-sweep smoke: runs the heavy LLM-layer operators on the documents
   * corpus at 1× and on a 10× synthetic enlargement, and reports the wall
@@ -24,7 +24,7 @@ import graft.operators.{Chunking, Components, Dedup, HashMode, Indexing, TextAna
   * (like a stopword df threshold), so a fixed absolute df at 10× data
   * would be 10× stricter, not the same filter.
   *
-  * `runMain graft.ScaleSweep [sfDir] [llm|load|dup|inc] [onlyCsv]` —
+  * `runMain graft.ScaleSweep [sfDir] [llm|load|dup|inc|vec] [onlyCsv]` —
   * `load` delegates to [[graft.queries.LoadSweep]] (statement/calendar
   * load pipelines); `dup` runs only the duplication-preserving section;
   * `inc` times dd13's store-at-rest incremental screen (store signatures
@@ -162,6 +162,51 @@ object ScaleSweep {
     }
 
     println(f"${"op"}%-20s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s  rows1x/rows10x")
+
+    if (mode == "vec") {
+      // The vector family's 1×-vs-10× rows: embeddings enlarged with a
+      // deterministic per-copy, per-dimension perturbation (index-keyed
+      // offsets — no RNG), so copies are DISTINCT vectors with shifted
+      // sign buckets / cells, not 10 collisions of the same point.
+      val ebase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true)
+      val e10 = (0 until 10).map { i =>
+        ebase.select((col("vec_id") + lit(i * 100_000_000L)).as("vec_id"),
+          zip_with(col("embedding"),
+            transform(col("embedding"), (_, j) =>
+              (((lit(i * 7) + j) % 5 - lit(2)).cast("float")) * lit(0.01f)),
+            (x, dlt) => x + dlt).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true)
+      val vops: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "dd5_cos_neardup" -> (e =>
+          Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)),
+        "sim2_lsh_topk" -> (e =>
+          Similarity.bucketedTopK(e, "vec_id", "embedding", 0L, 10)),
+        "sim4_ivf_topk" -> (e =>
+          Similarity.ivfTopK(e, "vec_id", "embedding", 0L, 10)),
+        "sim7_ivfpq_topk" -> (e =>
+          Similarity.ivfPqTopK(e, "vec_id", "embedding", 0L, 10)),
+        "sim5_recall_audit" -> (e =>
+          Similarity.annRecallAtK(e, "vec_id", "embedding")),
+        "vq1_sq_audit" -> (e =>
+          Similarity.scalarQuantizationError(e, "vec_id", "embedding")),
+        "vq2_pq_audit" -> (e =>
+          Similarity.productQuantizationError(e, "vec_id", "embedding")))
+      vops.filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+          fn(ebase).count() // warm
+          val (t1, r1) = time(fn, ebase)
+          val (t10, r10) = time(fn, e10)
+          println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
+        }
+      spark.stop()
+      return
+    }
 
     if (mode == "inc") {
       // dd13's DESIGN shape: the store's signature table is AT REST

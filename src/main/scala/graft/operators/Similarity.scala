@@ -236,6 +236,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[filteredBucketedTopK]]'s recall path: when the filter is selective
+    * enough that the query's single bucket can't fill k (sim6's measured
+    * 4 < k), production filtered-ANN widens the PROBE, not the filter —
+    * Hamming-1 multi-probe over the filtered corpus recovers candidates
+    * at (bits+1)/2^bits of the filtered read instead of falling back to a
+    * scan. Same filter-then-probe ordering as the single-bucket form. */
+  def filteredBucketedTopKMultiProbe(emb: DataFrame, idCol: String,
+                                     vecCol: String, queryId: Long, k: Int,
+                                     pred: Column,
+                                     bits: Int = 4): DataFrame = {
+    val e = widened2(emb, idCol, vecCol, pred)
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val probeSet = array(
+      col("qbucket") +:
+        (0 until bits).map(b =>
+          col("qbucket").bitwiseXOR(lit(1 << b))): _*)
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("probe", explode(probeSet))
+    e.filter(col("__keep")).join(broadcast(q), col("bucket") === col("probe"))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** [[widened]] plus the filter predicate evaluated BEFORE the projection
     * narrows the row (the predicate may reference metadata columns the
     * vector projection would drop). */

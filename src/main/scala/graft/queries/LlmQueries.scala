@@ -883,6 +883,37 @@ object LlmQueries {
       FROM e, q WHERE bucket = qbucket AND label = 3
       ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // sim6's recall path: the sparse filter starves the single bucket
+    // (4 < k rows above), and the production fix widens the PROBE, not
+    // the filter — Hamming-1 multi-probe over the label-filtered corpus
+    // fills k without a scan.
+    Q("sim6b_filtered_multiprobe", (s, dir) =>
+      Similarity.filteredBucketedTopKMultiProbe(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, pred = col("label") === 3, bits = 4),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0),
+      probes AS (
+        SELECT qv, unnest([qb, xor(qb, 8), xor(qb, 4), xor(qb, 2),
+                           xor(qb, 1)]) AS pb
+        FROM q)
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                     i -> v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                   6) AS score
+      FROM e JOIN probes ON e.bucket = probes.pb
+      WHERE label = 3
+      ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // Language ID via marker-word heuristic.
     Q("tx1_lang_id", (s, dir) =>
       t(s, dir, "documents")

@@ -48,6 +48,10 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("WARN")
 
     val mode = args.drop(1).headOption.getOrElse("llm")
+    // fail fast on a typo'd mode: an unrecognized argument must not fall
+    // through the guards below and silently run only the tail sections
+    require(Set("llm", "load", "dup", "inc", "vec").contains(mode),
+      s"unknown mode '$mode' (expected llm|load|dup|inc|vec)")
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     if (mode == "load") {
       graft.queries.LoadSweep.run(spark, sfDir)
@@ -277,7 +281,8 @@ object ScaleSweep {
           minShared = 10, maxDf = 20 * scale)),
       "tx7_contam_dup" -> (_ => d =>
         Dedup.contaminationOverlap(d, evalDocs, "doc_id", "text", n = 5)))
-    dupOps.foreach { case (name, mk) =>
+    dupOps.filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, mk) =>
       mk(1)(base).count() // warm
       val (t1, r1) = time(mk(1), base)
       val (t10, r10) = time(mk(10), x10dup)

@@ -53,15 +53,29 @@ object PpmCodec {
     }
     val magic = token()
     require(magic == "P6", s"not a P6 ppm (magic '$magic')")
-    val w = token().toInt
-    val h = token().toInt
-    val maxval = token().toInt
+    // header numbers parse through the codec's documented failure mode —
+    // a malformed token (e.g. "P6 abc …") must surface as
+    // IllegalArgumentException with context, not a bare NumberFormatException
+    def intToken(what: String): Int = {
+      val t = token()
+      try t.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"requirement failed: bad $what token '$t' in ppm header")
+      }
+    }
+    val w = intToken("width")
+    val h = intToken("height")
+    val maxval = intToken("maxval")
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
     require(maxval == 255, s"only 8-bit ppm supported (maxval $maxval)")
     pos += 1 // the spec's single whitespace byte before the raster
-    val need = w * h * 3
-    require(payload.length - pos >= need,
-      s"truncated raster: need $need, have ${payload.length - pos}")
+    // raster size in Long: adversarial headers (e.g. 65536×65536) overflow
+    // Int in w*h*3 and would otherwise dodge the truncation check
+    val needL = w.toLong * h * 3
+    require(needL <= payload.length.toLong - pos,
+      s"truncated raster: need $needL, have ${payload.length - pos}")
+    val need = needL.toInt
     (w, h, java.util.Arrays.copyOfRange(payload, pos, pos + need))
   }
 

@@ -1939,8 +1939,10 @@ object LlmQueries {
     // back — header tokens, the single post-maxval whitespace byte, raw
     // raster — and the grade is the EXACT per-channel byte sums plus the
     // byte sum of a real nearest-neighbor half-resolution resize. The
-    // oracle recomputes all of it from the source bytes (the corpus is
-    // ASCII, so ord(substr(...)) is the byte), so a header-parse or
+    // oracle recomputes all of it from the source BYTES — hex(encode(text))
+    // decoded into a per-doc byte list — so it agrees with the Spark
+    // side's raw-UTF-8 cycling on any corpus, not just ASCII (a char-based
+    // substr would silently diverge on multibyte text); a header-parse or
     // pixel-offset bug moves an integer and the hash goes red.
     Q("mm3_ppm_decode", (s, dir) =>
       Multimodal.ppmStats(
@@ -1949,13 +1951,19 @@ object LlmQueries {
         .orderBy("media_id"),
       Some("""
       WITH d AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
-        WHERE octet_length(encode(text)) > 0),
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
       dims AS (
-        SELECT doc_id, text, n, 8 AS w, 1 + (n % 16) AS h FROM d),
+        SELECT doc_id, n, 8 AS w, 1 + (n % 16) AS h,
+               list_transform(generate_series(1, n), i ->
+                 (strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i - 1 AS INTEGER), 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i AS INTEGER), 1)) - 1) AS bts
+        FROM d),
       px AS (
-        SELECT doc_id, w, h, i,
-               ord(substr(text, CAST(i % n AS INTEGER) + 1, 1)) AS b
+        SELECT doc_id, w, h, i, bts[CAST(i % n AS INTEGER) + 1] AS b
         FROM dims,
              UNNEST(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT)))
                AS t(i)),
@@ -1971,9 +1979,8 @@ object LlmQueries {
       halfs AS (
         SELECT doc_id, CAST(sum(b) AS BIGINT) AS half_sum FROM (
           SELECT dims.doc_id,
-                 ord(substr(text,
-                   CAST((((y * h // greatest(h // 2, 1)) * 8 + 2 * x) * 3
-                         + c) % n AS INTEGER) + 1, 1)) AS b
+                 bts[CAST((((y * h // greatest(h // 2, 1)) * 8 + 2 * x) * 3
+                           + c) % n AS INTEGER) + 1] AS b
           FROM dims,
                UNNEST(generate_series(0, 3)) AS tx(x),
                UNNEST(generate_series(0, greatest(h // 2, 1) - 1)) AS ty(y),

@@ -68,6 +68,12 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PpmCodec.decode("P5\n1 1\n255\n?".getBytes))
     intercept[IllegalArgumentException](PpmCodec.decode(PpmCodec.encode(2, 3, rgb).dropRight(1)))
     intercept[IllegalArgumentException](PpmCodec.decode("P6\n1 1\n65535\n??????".getBytes))
+    // malformed numeric header token: the documented failure mode, not a
+    // bare NumberFormatException
+    intercept[IllegalArgumentException](PpmCodec.decode("P6\nabc 1\n255\n???".getBytes))
+    // adversarial dims whose w*h*3 overflows Int must still hit the
+    // truncation check, not wrap around to a small positive need
+    intercept[IllegalArgumentException](PpmCodec.decode("P6\n65536 65536\n255\n?".getBytes))
   }
 
   test("resizeNearest samples the integer-division grid") {

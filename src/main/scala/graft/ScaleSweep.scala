@@ -208,6 +208,28 @@ object ScaleSweep {
           val (t10, r10) = time(fn, e10)
           println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
         }
+      // Planted DEGENERATE bucket: 10k byte-identical copies of vector 0.
+      // This is dd5's worst case — without the exact-first guard the hot
+      // sign bucket alone is 10⁸ 64-dim cosines with full vectors carried
+      // through the self-join; with it, the group collapses to ONE rep
+      // cosine and the remaining wall is the output-proportional member
+      // expansion (the ~5·10⁷ intra-group pairs the pair-list contract
+      // owes the caller anyway, as bare longs).
+      if (only.forall(_.contains("dd5_hot10k"))) {
+        val v0 = ebase.filter(col("vec_id") === 0L).select(col("embedding"))
+        val hot = spark.range(1, 10001)
+          .select((col("id") + lit(200_000_000L)).as("vec_id"))
+          .crossJoin(broadcast(v0))
+          .withColumn("label", lit(9))
+        val planted = ebase.unionByName(hot)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(eager = true)
+        val fn = (e: DataFrame) =>
+          Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
+        val (t1, r1) = time(fn, ebase)
+        val (th, rh) = time(fn, planted)
+        println(f"${"dd5_hot10k"}%-20s $t1%8.2f $th%8.2f ${th / t1}%6.1f  $r1/$rh")
+      }
       spark.stop()
       return
     }

@@ -189,29 +189,61 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: sign-bit LSH bucketing, exact
     * cosine only WITHIN a bucket, keep pairs at/above the threshold.
     *
-    * Scale shape: the only join is the bucket equi-join, so comparison count
-    * is Σ bucket² rather than n² — at 100 TB `bits` grows with the corpus
-    * (and skewed buckets split by salting a secondary hash) to bound bucket
-    * size; recall is traded via multi-probe exactly like [[bucketedTopK]].
-    */
+    * Scale shape: the only data-sized joins are the bucket equi-join and
+    * the output-proportional member expansion, so comparison count is
+    * Σ bucket² over DISTINCT vectors rather than rows — at 100 TB `bits`
+    * grows with the corpus to bound bucket size; recall is traded via
+    * multi-probe exactly like [[bucketedTopK]].
+    *
+    * Hot-bucket guard ([[graft.operators.Dedup.nearDupPairs]]'s exact-first
+    * fix, applied to vectors): byte-identical embeddings — the degenerate
+    * mass that makes a sign bucket quadratic (boilerplate docs embed
+    * identically) — collapse onto their min-id representative BEFORE the
+    * self-join, so a planted bucket of 10k identical vectors costs one
+    * cosine, not 10⁸. Pairs then expand back through the rep→member map:
+    * cross-group pairs inherit the rep pair's score (members are
+    * byte-identical to their rep, so the arithmetic is the same doubles),
+    * intra-group pairs score the rep against itself. Expansion work is
+    * proportional to EMITTED pairs — rows the pair-list contract owes the
+    * caller anyway. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 4): DataFrame = {
-    // norms hoisted out of the self-join: computed once per VECTOR, not once
-    // per pair — within a bucket of size B that's O(B·d) instead of O(B²·d)
-    // norm work, and dot/(na·nb) is the same arithmetic (identical doubles)
-    // as cosine()'s dot/(sqrt·sqrt), so scores don't move
+    import org.apache.spark.sql.expressions.Window
+    // rep = min id per distinct vector value (window keys hash internally;
+    // this is the same one-shuffle shape as nearDupPairs' md5 window)
     val e = widened(emb, idCol, vecCol)
+      .withColumn("__rep", min(col(idCol)).over(Window.partitionBy(col("v"))))
+    val members = e.select(col(idCol).as("__mid"), col("__rep"))
+    // norms hoisted out of the self-join: computed once per distinct
+    // VECTOR, not once per pair — within a bucket of size B that's O(B·d)
+    // instead of O(B²·d) norm work, and dot/(na·nb) is the same arithmetic
+    // (identical doubles) as cosine()'s dot/(sqrt·sqrt), so scores don't
+    // move
+    val reps = e.filter(col(idCol) === col("__rep"))
       .withColumn("bucket", signBucket(col("v"), bits))
       .withColumn("nrm", l2norm(col("v")))
-    val a = e.select(col(idCol).as("id_a"), col("v").as("va"),
+    val a = reps.select(col("__rep").as("ra"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
-    val b = e.select(col(idCol).as("id_b"), col("v").as("vb"),
+    val b = reps.select(col("__rep").as("rb"), col("v").as("vb"),
       col("nrm").as("nb"), col("bucket"))
-    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // ra <= rb keeps the self-pair: it carries each identical-group's
+    // intra-group score (round() collapses the sqrt·sqrt ulp to 1.0 for
+    // any nonzero vector, exactly what member-vs-member arithmetic gave)
+    val repPairs = a.join(b, "bucket").filter(col("ra") <= col("rb"))
+      .select(col("ra"), col("rb"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos"))
       .filter(col("cos") >= threshold)
+    // expand reps back to members; a cross pair appears once (ordered by
+    // least/greatest), an intra pair twice — the id_x < id_y arm keeps one
+    repPairs
+      .join(members.select(col("__rep").as("ra"), col("__mid").as("id_x")),
+        "ra")
+      .join(members.select(col("__rep").as("rb"), col("__mid").as("id_y")),
+        "rb")
+      .filter(col("ra") < col("rb") || col("id_x") < col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("cos"))
   }
 
   /** Metadata-FILTERED ANN — the "filtered vector search" shape every

@@ -84,16 +84,18 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    // Short total-only line FIRST: the driver's stdout capture truncates at
-    // ~2 KB, which the full per-query line for a 140-entry registry always
-    // exceeds (BENCH_r08.json recorded "parsed": null every round). This
-    // line is complete in any tail/head window, so the driver's own record
-    // parses; the full map follows for humans and the committed artifact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},"runs":$runs,"sf":"$sfDir"}""")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
     persist(line)
+    // Short total-only line LAST: the driver records the TAIL of stdout
+    // (~2 KB), which the ~4 KB per-query line above always overruns —
+    // r9's before-the-long-line placement left the tail starting mid-way
+    // through the long line and "parsed" null. Printed last, this line is
+    // whole inside any tail window. Order also keeps a first-match
+    // consumer of "metric":"total" binding the COMPLETE record above
+    // (with queries/errors), never this summary.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -165,7 +165,13 @@ object ScaleSweep {
       (best, rows)
     }
 
-    println(f"${"op"}%-20s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%6s  rows1x/rows10x")
+    // enlargement copy factor (default 10); SPARK_GRAFT_SWEEP_FACTOR=30
+    // gives the second measured scaling interval so claimed linearity has
+    // two ratios (10×, 30×) instead of one
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SWEEP_FACTOR", "10").toInt
+    require(factor >= 2, s"sweep factor must be >= 2, got $factor")
+
+    println(f"${"op"}%-20s ${"t1x"}%8s ${s"t${factor}x"}%8s ${"ratio"}%6s  rows1x/rows${factor}x")
 
     if (mode == "vec") {
       // The vector family's 1×-vs-10× rows: embeddings enlarged with a
@@ -176,7 +182,7 @@ object ScaleSweep {
         .select(col("vec_id"), col("embedding"), col("label"))
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager = true)
-      val e10 = (0 until 10).map { i =>
+      val e10 = (0 until factor).map { i =>
         ebase.select((col("vec_id") + lit(i * 100_000_000L)).as("vec_id"),
           zip_with(col("embedding"),
             transform(col("embedding"), (_, j) =>
@@ -217,6 +223,10 @@ object ScaleSweep {
       // owes the caller anyway, as bare longs).
       if (only.forall(_.contains("dd5_hot10k"))) {
         val v0 = ebase.filter(col("vec_id") === 0L).select(col("embedding"))
+        // vec_id 0 missing at this SF would leave planted == ebase and a
+        // vacuous ~1.0 ratio that LOOKS like the guard works — fail instead
+        require(v0.count() == 1,
+          s"dd5_hot10k needs exactly one vec_id=0 row in $sfDir")
         val hot = spark.range(1, 10001)
           .select((col("id") + lit(200_000_000L)).as("vec_id"))
           .crossJoin(broadcast(v0))
@@ -240,7 +250,7 @@ object ScaleSweep {
       // the timed number is the true per-day cost. Contrast with the
       // `dd13_naive` row of the llm sweep, which re-hashes the store
       // inside the window.
-      val x10 = (0 until 10).map { i =>
+      val x10 = (0 until factor).map { i =>
         base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
           regexp_replace(col("text"), "(^| )", "$1c" + i).as("text"))
       }.reduce(_ unionByName _)
@@ -267,7 +277,7 @@ object ScaleSweep {
     }
 
     if (mode == "llm") {
-      val x10 = (0 until 10).map { i =>
+      val x10 = (0 until factor).map { i =>
         base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
           // tag every token so copies share no shingles with each other
           regexp_replace(col("text"), "(^| )", "$1c" + i).as("text"))
@@ -288,7 +298,7 @@ object ScaleSweep {
     // Duplication-preserving section: copies share their substrings, so
     // dd10/tx7 produce real output at 10× (the token-tagged corpus above
     // makes every fingerprint carry the copy tag and zeroes both).
-    val x10dup = (0 until 10).map { i =>
+    val x10dup = (0 until factor).map { i =>
       base.select((col("doc_id") + lit(i * 100_000_000L)).as("doc_id"),
         concat(col("text"), lit(s" copytag$i")).as("text"))
     }.reduce(_ unionByName _)
@@ -307,7 +317,7 @@ object ScaleSweep {
       .foreach { case (name, mk) =>
       mk(1)(base).count() // warm
       val (t1, r1) = time(mk(1), base)
-      val (t10, r10) = time(mk(10), x10dup)
+      val (t10, r10) = time(mk(factor), x10dup)
       println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
     }
     spark.stop()

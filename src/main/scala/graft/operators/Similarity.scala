@@ -205,14 +205,26 @@ object Similarity {
     * byte-identical to their rep, so the arithmetic is the same doubles),
     * intra-group pairs score the rep against itself. Expansion work is
     * proportional to EMITTED pairs — rows the pair-list contract owes the
-    * caller anyway. */
+    * caller anyway.
+    *
+    * Contract: `idCol` must be unique. The rep collapse keys on it — a
+    * duplicated id spanning two distinct vector groups would select two
+    * rep rows with the same id and cross-contaminate the member expansion
+    * with wrong pairs (before the exact-first rewrite, duplicate ids
+    * merely emitted duplicate pair rows). All graft id columns (doc_id,
+    * vec_id) are unique by construction; callers feeding external frames
+    * dedup the id first. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // rep = min id per distinct vector value (window keys hash internally;
-    // this is the same one-shuffle shape as nearDupPairs' md5 window)
+    // this is the same one-shuffle shape as nearDupPairs' md5 window);
+    // lazy localCheckpoint: e feeds members and reps across three joins —
+    // without it the full-vector-keyed window shuffle can recompute per
+    // consumer (same convention as annRecallAtK's corpus)
     val e = widened(emb, idCol, vecCol)
       .withColumn("__rep", min(col(idCol)).over(Window.partitionBy(col("v"))))
+      .localCheckpoint(eager = false)
     val members = e.select(col(idCol).as("__mid"), col("__rep"))
     // norms hoisted out of the self-join: computed once per distinct
     // VECTOR, not once per pair — within a bucket of size B that's O(B·d)
@@ -288,6 +300,61 @@ object Similarity {
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
       .withColumn("probe", explode(probeSet))
     e.filter(col("__keep")).join(broadcast(q), col("bucket") === col("probe"))
+      .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** AUTO-WIDENING filtered ANN — one call that fills k under any filter
+    * selectivity: probes are ALL buckets tagged with their Hamming radius
+    * from the query's bucket (capped at `maxRadius`), and the plan keeps
+    * only the candidates within the SMALLEST radius whose cumulative
+    * candidate count reaches k (all of them if none does). sim6 honestly
+    * returns 4 < k and sim6b fixes exactly radius 1; this is the
+    * production shape — radius-2-and-beyond capable, still
+    * filter-then-probe, and entirely declarative: the cutoff is a 1-row
+    * aggregate over the per-radius counts, not a driver-side retry loop
+    * (which would rescan the corpus once per radius).
+    *
+    * Scale shape: the probe table is 2^bits rows derived from the 1-row
+    * query (broadcast; `bits` ≤ ~20 keeps it trivially small), the
+    * filtered corpus joins it once on the bucket key, and the radius
+    * cutoff prunes AFTER the equi-join — so the corpus-side read is the
+    * filtered rows in probed buckets, never a rescan per radius. The
+    * cumulative-count window runs on ≤ maxRadius+1 rows. */
+  def filteredBucketedTopKAutoWiden(emb: DataFrame, idCol: String,
+                                    vecCol: String, queryId: Long, k: Int,
+                                    pred: Column, bits: Int = 4,
+                                    maxRadius: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = widened2(emb, idCol, vecCol, pred)
+      .withColumn("bucket", signBucket(col("v"), bits))
+    // every bucket, tagged with Hamming distance to the query's bucket
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("pb", explode(sequence(lit(0), lit((1 << bits) - 1))))
+      .withColumn("__d", col("pb").bitwiseXOR(col("qbucket")))
+      .withColumn("radius",
+        (0 until bits).map(j => shiftright(col("__d"), j).bitwiseAND(lit(1)))
+          .reduce(_ + _))
+      .filter(col("radius") <= maxRadius)
+      .select(col("qv"), col("pb"), col("radius"))
+    // each candidate matches exactly one probe row (buckets are distinct),
+    // so the join tags every filtered candidate with its radius; feeds the
+    // cutoff aggregate AND the final top-k — materialize once
+    val cand = e.filter(col("__keep"))
+      .join(broadcast(q), col("bucket") === col("pb"))
+      .localCheckpoint(eager = false)
+    // smallest radius whose cumulative candidate count reaches k; the
+    // unpartitioned window is fine — it runs on ≤ maxRadius+1 rows
+    val cum = cand.groupBy("radius").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy("radius")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cutoff = cum.filter(col("cum") >= k)
+      .agg(coalesce(min(col("radius")), lit(maxRadius)).as("__r"))
+    cand.crossJoin(broadcast(cutoff))
+      .filter(col("radius") <= col("__r"))
       .select(col(idCol), round(cosine(col("v"), col("qv")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -462,6 +529,66 @@ object Similarity {
     val ann = lsh.withColumn("method", lit("lsh"))
       .unionByName(mp.withColumn("method", lit("multiprobe")))
       .unionByName(ivf.withColumn("method", lit("ivf")))
+    val denom = nQueries.toLong * k
+    ann.join(bf, Seq("qid", idCol))
+      .groupBy("method")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("method"), col("hits"), lit(denom).as("denom"),
+        round(col("hits") / lit(denom.toDouble), 4).as("recall_at_k"))
+      .orderBy("method")
+  }
+
+  /** Recall@k of IVF with TRAINED centroids vs the deterministic first-n
+    * seed, against the same brute-force truth — the quality number a real
+    * index owner buys with the k-means pass: [[trainCentroids]]' output
+    * feeds the cell assignment through the same argmin expression, so this
+    * is [[ivfTopK]]'s `centroidsOverride` path graded over a probe set
+    * instead of one query. Output one row per method (`ivf_first_n`,
+    * `ivf_trained`) with exact-integer hits, like [[annRecallAtK]].
+    *
+    * Scale shape: identical to [[annRecallAtK]]'s IVF arm — training is
+    * `iters` full-parallel passes (broadcast centroids, mergeable vector
+    * sums), the corpus scans once per arm with the cell equi-join prune,
+    * and the brute-force arm is the one budgeted full scan of an offline
+    * recall audit. */
+  def ivfTrainedRecallAtK(emb: DataFrame, idCol: String, vecCol: String,
+                          nQueries: Int = 20, k: Int = 10, nlist: Int = 8,
+                          iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = widened(emb, idCol, vecCol)
+      .withColumn("nrm", l2norm(col("v")))
+      .localCheckpoint(eager = false)
+    val untrained = e.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cid"), col("v").as("cv"))
+    val trained = trainCentroids(emb, idCol, vecCol, nlist, iters)
+
+    def topk(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col(idCol))
+      cands
+        .withColumn("score",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col(idCol))
+    }
+
+    val probes = e.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val bf = topk(e.crossJoin(broadcast(probes)))
+      .localCheckpoint(eager = false) // truth set joins against both arms
+
+    def arm(cents: DataFrame, label: String): DataFrame = {
+      val assigned = assignCells(e, cents)
+      val p = assigned.filter(col(idCol) < nQueries)
+        .select(col(idCol).as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      topk(assigned.join(broadcast(p), col("cell") === col("qcell")))
+        .withColumn("method", lit(label))
+    }
+
+    val ann = arm(untrained, "ivf_first_n")
+      .unionByName(arm(trained, "ivf_trained"))
     val denom = nQueries.toLong * k
     ann.join(bf, Seq("qid", idCol))
       .groupBy("method")

@@ -25,6 +25,34 @@ object LlmQueries {
         FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
         WHERE len(w) >= 3)"""
 
+  /** Oracle CTE chain: `iters` Lloyd iterations UNROLLED (the iteration
+    * count is a fixed parameter, so no recursive CTE is needed) — mirrors
+    * [[graft.operators.Similarity.trainCentroids]] exactly: argmin
+    * assignment with ties broken by cid, per-cell per-dimension mean
+    * (sum/count, matching VecSumAgg's sum-then-divide), and empty cells
+    * carrying the previous centroid forward. Expects CTEs `e(vec_id, v)`
+    * and `cent0(cid, cv)` upstream; emits `assign0..assign{iters-1}` and
+    * `cent1..cent{iters}`. */
+  private def lloydCtes(iters: Int): String =
+    (1 to iters).map { k => s"""
+      assign${k - 1} AS (
+        SELECT e.vec_id, c.cid AS cell
+        FROM e CROSS JOIN cent${k - 1} c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid) = 1),
+      mean$k AS (
+        SELECT a.cell AS cid, t.i, sum(e.v[t.i]) / count(*) AS m
+        FROM assign${k - 1} a JOIN e USING (vec_id),
+             UNNEST(generate_series(1, len(e.v))) AS t(i)
+        GROUP BY a.cell, t.i),
+      cent$k AS (
+        SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+        FROM cent${k - 1} p LEFT JOIN
+          (SELECT cid, list(m ORDER BY i) AS cv FROM mean$k GROUP BY cid) n
+          USING (cid))"""
+    }.mkString(",")
+
   /** Shared oracle CTE: dd2's 4-band MinHash-LSH candidate pairs — reused
     * verbatim by the transitive-cluster oracle (dd9). */
   private val MinhashPairsCte = s"""$ShingleCte,
@@ -857,6 +885,76 @@ object LlmQueries {
       FROM ann JOIN bf USING (qid, vec_id)
       GROUP BY method ORDER BY method""")),
 
+    // IVF recall with TRAINED centroids — the quality number the k-means
+    // pass buys, graded: 5 Lloyd iterations reproduced in the oracle as an
+    // UNROLLED CTE chain (fixed iteration count — no recursion needed),
+    // then the first-n seed and the trained centroids score recall@10
+    // against the same brute-force truth. assign0 doubles as the
+    // untrained assignment (it IS assignment-to-cent0).
+    Q("sim5b_ivf_trained_recall", (s, dir) =>
+      Similarity.ivfTrainedRecallAtK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nQueries = 20, k = 10, nlist = 8, iters = 5),
+      Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+        FROM e WHERE vec_id < 8),${lloydCtes(5)},
+      assignT AS (
+        SELECT e.vec_id, c.cid AS cell
+        FROM e CROSS JOIN cent5 c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid) = 1),
+      corpus AS (
+        SELECT e.vec_id, e.v,
+               sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm,
+               au.cell AS cell_u, atr.cell AS cell_t
+        FROM e JOIN assign0 au USING (vec_id)
+               JOIN assignT atr USING (vec_id)),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn, cell_u AS qcell_u,
+               cell_t AS qcell_t
+        FROM corpus WHERE vec_id < 20),
+      bf AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM corpus c CROSS JOIN probes p)
+        WHERE rn <= 10),
+      arm_u AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM corpus c JOIN probes p ON c.cell_u = p.qcell_u)
+        WHERE rn <= 10),
+      arm_t AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM corpus c JOIN probes p ON c.cell_t = p.qcell_t)
+        WHERE rn <= 10),
+      ann AS (
+        SELECT 'ivf_first_n' AS method, qid, vec_id FROM arm_u
+        UNION ALL SELECT 'ivf_trained', qid, vec_id FROM arm_t)
+      SELECT method, CAST(count(*) AS BIGINT) AS hits,
+             CAST(200 AS BIGINT) AS denom,
+             round(count(*) / 200.0, 4) AS recall_at_k
+      FROM ann JOIN bf USING (qid, vec_id)
+      GROUP BY method ORDER BY method""")),
+
     // Metadata-FILTERED ANN: top-k among label=3 vectors only, with the
     // filter applied to the corpus side BEFORE the bucket probe
     // (filter-then-probe — the selective-filter pruning shape; the query
@@ -912,6 +1010,50 @@ object LlmQueries {
                    6) AS score
       FROM e JOIN probes ON e.bucket = probes.pb
       WHERE label = 3
+      ORDER BY score DESC, vec_id LIMIT 10""")),
+
+    // AUTO-WIDENING filtered ANN: one call that fills k under any filter
+    // selectivity — candidates across ALL probe radii, kept up to the
+    // smallest radius whose cumulative count reaches k. sim6 stops at 4
+    // rows, sim6b hard-codes radius 1; this picks the radius from the
+    // data (radius-2+ capable) with no per-radius corpus rescan.
+    Q("sim6c_filtered_autowiden", (s, dir) =>
+      Similarity.filteredBucketedTopKAutoWiden(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, pred = col("label") === 3,
+        bits = 4, maxRadius = 4),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0),
+      probes AS (
+        SELECT qv, b AS pb,
+               (d & 1) + ((d >> 1) & 1) + ((d >> 2) & 1) + ((d >> 3) & 1)
+                 AS radius
+        FROM (SELECT qv, b, xor(b, qb) AS d
+              FROM q, UNNEST(generate_series(0, 15)) AS t(b))),
+      cand AS (
+        SELECT e.vec_id, e.v, p.qv, p.radius
+        FROM e JOIN probes p ON e.bucket = p.pb
+        WHERE e.label = 3),
+      cutoff AS (
+        SELECT coalesce(min(radius), 4) AS r
+        FROM (SELECT radius, sum(n) OVER (ORDER BY radius) AS cum
+              FROM (SELECT radius, count(*) AS n FROM cand
+                    GROUP BY radius))
+        WHERE cum >= 10)
+      SELECT vec_id,
+             round(list_sum(list_transform(generate_series(1, len(v)),
+                     i -> v[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))),
+                   6) AS score
+      FROM cand, cutoff WHERE radius <= r
       ORDER BY score DESC, vec_id LIMIT 10""")),
 
     // Language ID via marker-word heuristic.

@@ -52,6 +52,34 @@ class KMeansSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).contains(1L))
   }
 
+  test("trained-centroid IVF recall is graded and >= the first-n seed") {
+    // the graded configuration (sim5b's corpus and parameters): k-means
+    // minimizes distortion, not recall, so the >= claim is tied to the
+    // config the registry publishes — at sf0.001 with small k the trained
+    // cells can legitimately trade a probe's neighbors away
+    val rows = Similarity.ivfTrainedRecallAtK(
+      graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "embeddings"),
+      "vec_id", "embedding", nQueries = 20, k = 10, nlist = 8, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set("ivf_first_n", "ivf_trained"))
+    assert(rows.values.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rows("ivf_trained") >= rows("ivf_first_n") - 1e-9,
+      s"training should not lose recall at the graded config: $rows")
+  }
+
+  test("auto-widening filtered ANN fills k where the single bucket cannot") {
+    val sparse = Similarity.filteredBucketedTopKAutoWiden(emb, "vec_id",
+      "embedding", queryId = 0, k = 10, pred = col("label") === 3).collect()
+    assert(sparse.length == 10, s"expected full k, got ${sparse.length}")
+    // permissive filter: radius 0 already holds >= k candidates, so the
+    // cutoff stays 0 and the result is exactly the single-bucket answer
+    val wide = Similarity.filteredBucketedTopKAutoWiden(emb, "vec_id",
+      "embedding", queryId = 0, k = 3, pred = lit(true)).collect()
+    val single = Similarity.filteredBucketedTopK(emb, "vec_id",
+      "embedding", queryId = 0, k = 3, pred = lit(true)).collect()
+    assert(wide.map(_.getLong(0)).toSeq == single.map(_.getLong(0)).toSeq)
+  }
+
   test("vecSum poisons on ragged dimensions instead of truncating") {
     import spark.implicits._
     val ragged = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("v")

@@ -50,11 +50,34 @@ object ScaleSweep {
     val mode = args.drop(1).headOption.getOrElse("llm")
     // fail fast on a typo'd mode: an unrecognized argument must not fall
     // through the guards below and silently run only the tail sections
-    require(Set("llm", "load", "dup", "inc", "vec").contains(mode),
-      s"unknown mode '$mode' (expected llm|load|dup|inc|vec)")
+    require(Set("llm", "load", "dup", "inc", "vec", "pipe").contains(mode),
+      s"unknown mode '$mode' (expected llm|load|dup|inc|vec|pipe)")
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     if (mode == "load") {
       graft.queries.LoadSweep.run(spark, sfDir)
+      spark.stop()
+      return
+    }
+
+    if (mode == "pipe") {
+      // pipe10 per-stage wall attribution: stage outputs checkpoint
+      // lazily, so counting the cumulative survivor frames IN ORDER
+      // isolates each stage's marginal cost — by the time stage k is
+      // timed, its inputs are already materialized. (Stages without a
+      // checkpoint of their own — url dedup, the final pack join — fold
+      // their window/join into the next timed row.)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true)
+      println(f"${"stage"}%-20s ${"wall_s"}%8s ${"rows"}%10s")
+      graft.operators.CurationPipeline.stages(docs).foreach {
+        case (name, df) =>
+          val t0 = System.nanoTime()
+          val rows = df.count()
+          println(
+            f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f $rows%10d")
+      }
       spark.stop()
       return
     }

@@ -1984,6 +1984,168 @@ object LlmQueries {
                   ELSE 'test' END AS split
       FROM f ORDER BY doc_id""")),
 
+    // pipe10 — the FULL production curation superset: Gopher gate →
+    // segment dedup → URL dedup → exact dedup → transitive LSH-cluster
+    // dedup → decontamination → temperature mix → salted split → sequence
+    // packing, each stage consuming the previous stage's survivors
+    // (operators/CurationPipeline.scala; pipe6/8/9 grade subsets of these
+    // stages — this composition grades all of them through one hash,
+    // including the pack offsets, which pin the exact final kept SET and
+    // its order). Oracle: the stage fragments composed the same way.
+    Q("pipe10_curation_full", (s, dir) =>
+      graft.operators.CurationPipeline.full(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH RECURSIVE f AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                 AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 41 <> 0),
+      gated AS (
+        SELECT doc_id, source, text FROM f
+        WHERE n >= 5 AND n <= 5000
+          AND sum_chars >= n * 3 AND sum_chars <= n * 10
+          AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+            AS BIGINT) * 5 >= n * 4
+          AND CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$')))
+            AS BIGINT) * 5 <= n
+          AND CAST(len(list_distinct(list_filter(w,
+            x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))))
+            AS BIGINT) >= 2),
+      d0 AS (SELECT doc_id, source, string_split(text, ' ') AS w
+             FROM gated),
+      segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ')
+                 AS seg
+        FROM d0, UNNEST(generate_series(0,
+          greatest(CAST(ceil(len(w) / 20.0) AS BIGINT), 1) - 1)) AS t(i)),
+      keep AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY md5(seg)
+                                  ORDER BY doc_id, seg_idx) = 1 AS k
+        FROM segs),
+      re AS (
+        SELECT doc_id, count(*) AS kept_segs,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+        FROM keep WHERE k GROUP BY doc_id),
+      c1 AS (
+        SELECT d0.doc_id, d0.source, re.kept_segs, re.clean
+        FROM d0 JOIN re USING (doc_id)),
+      urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                     ELSE 'https://' END)
+               || source || '.example.com/cat/' || (doc_id // 20) % 5
+               || '?utm_campaign=c' || doc_id
+               || '&id=' || (doc_id // 20) % 3 AS url
+        FROM c1),
+      canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([^:/?#]+)://', 1)) || '://'
+               || regexp_replace(lower(regexp_extract(url,
+                    '^[^:/?#]+://([^/?#]+)', 1)), '^www\.', '')
+               || regexp_replace(regexp_extract(url,
+                    '^[^:/?#]+://[^/?#]+([^?#]*)', 1), '/$', '')
+               || '?' || array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+                 AS canon_url
+        FROM urls),
+      c2 AS (
+        SELECT c1.* FROM c1 JOIN (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY canon_url) AS m
+            FROM canon) WHERE doc_id = m) kk USING (doc_id)),
+      c3 AS (
+        SELECT doc_id, source, kept_segs, clean FROM (
+          SELECT c2.*, min(doc_id) OVER (PARTITION BY md5(clean)) AS m
+          FROM c2) WHERE doc_id = m),
+      docs2 AS (SELECT doc_id, string_split(clean, ' ') AS w FROM c3),
+      sh2 AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM docs2, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig2 AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh2, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      pairs2 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig2 a JOIN sig2 b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs2
+        UNION ALL SELECT doc_b, doc_a FROM pairs2),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM c3
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS rep FROM reach GROUP BY u),
+      reps AS (
+        SELECT c3.* FROM c3
+        JOIN comp USING (doc_id) WHERE comp.rep = c3.doc_id),
+      sdocs AS (SELECT doc_id, string_split(clean, ' ') AS w FROM reps),
+      s5 AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS sh
+        FROM sdocs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      edocs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 41 = 0),
+      e5 AS (
+        SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                    || w[i+3] || ' ' || w[i+4] AS sh
+        FROM edocs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      contaminated AS (
+        SELECT DISTINCT s5.doc_id FROM s5 JOIN e5 USING (sh)),
+      cleaned AS (
+        SELECT r.* FROM reps r
+        WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+                          WHERE c.doc_id = r.doc_id)),
+      cnt AS (SELECT source, count(*) AS n_s FROM cleaned GROUP BY source),
+      z AS (SELECT sum(power(n_s, 0.5)) AS z FROM cnt),
+      p AS (SELECT source,
+              least(1.0, 200.0 * power(n_s, 0.5) / z.z / n_s) AS kp
+            FROM cnt, z),
+      mixed AS (
+        SELECT c.doc_id, c.source, c.kept_segs, c.clean, kp,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(c.doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS mix_frac,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5('split:' || CAST(c.doc_id AS VARCHAR)),
+                           i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS split_frac
+        FROM cleaned c JOIN p USING (source)),
+      kept AS (SELECT * FROM mixed WHERE mix_frac < kp),
+      tk AS (
+        SELECT doc_id, source, kept_segs, kp, split_frac,
+               len(string_split(clean, ' ')) AS n_tokens
+        FROM kept),
+      c4 AS (
+        SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start_off
+        FROM tk)
+      SELECT doc_id, source, CAST(kept_segs AS BIGINT) AS kept_segs,
+             round(kp, 6) AS keep_p,
+             CASE WHEN split_frac < 0.8 THEN 'train'
+                  WHEN split_frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(start_off AS BIGINT) AS start_off,
+             CAST(start_off // 2048 AS BIGINT) AS pack_id,
+             (start_off // 2048) <> ((start_off + n_tokens - 1) // 2048)
+               AS spans_boundary
+      FROM c4 ORDER BY doc_id""")),
+
     // KMV distinct sketch vs exact: per source, estimate distinct tokens
     // from a 25-value mergeable sketch. Deterministic (md5 fractions), so
     // the oracle reproduces the exact estimate — both sides dedup by the

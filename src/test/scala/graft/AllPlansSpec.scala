@@ -28,7 +28,8 @@ class AllPlansSpec extends AnyFunSuite {
     "sa4_temperature_mix" -> "1-row mixture-normalizer broadcast",
     "cs2_source_psi" -> "1-row corpus-total broadcast onto the bounded source x bin grid",
     "tx13_unigram_logprob" -> "1-row token-total broadcast onto the vocab dictionary",
-    "pipe8_curation_v2" -> "1-row mixture-normalizer broadcast (sa4's, composed)")
+    "pipe8_curation_v2" -> "1-row mixture-normalizer broadcast (sa4's, composed)",
+    "pipe10_curation_full" -> "1-row mixture-normalizer broadcast (sa4's, composed)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -145,6 +145,40 @@ object Multimodal {
                             sum_r: Long, sum_g: Long, sum_b: Long,
                             half_sum: Long)
 
+  /** mm4's graded row: resized dims, re-encoded payload size, and an md5
+    * over the re-encoded payload's hex — pins every byte the ENCODER
+    * emits, header included. */
+  final case class PpmResized(media_id: Long, rw: Int, rh: Int,
+                              nbytes2: Long, enc_hex_md5: String)
+
+  /** mm4: the ENCODER path graded — decode the P6 payload, nearest-
+    * neighbor resize to (max(w/2,1), max(h/2,1)), RE-ENCODE with
+    * [[PpmCodec.encode]], and digest the emitted bytes (md5 of the
+    * uppercase hex, so the oracle can rebuild the identical string from
+    * the source bytes without blob-digest support). mm3 grades decode;
+    * this closes the loop — a header-format or raster-offset bug in the
+    * encoder moves the digest. Executor-side per partition, like every
+    * media op. */
+  def ppmResizeReencode(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[PpmResized]
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, rgb) = PpmCodec.decode(r.payload)
+        val (rw, rh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+        val half = PpmCodec.resizeNearest(w, h, rgb, rw, rh)
+        val out = PpmCodec.encode(rw, rh, half)
+        val sb = new StringBuilder(out.length * 2)
+        out.foreach(b => sb.append("%02X".format(b)))
+        md.reset()
+        val dig = md.digest(sb.toString
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map("%02x".format(_)).mkString
+        PpmResized(r.media_id, rw, rh, out.length.toLong, dig)
+      }
+    }.toDF()
+  }
+
   /** REAL decode read-out over PPM media: parse the P6 payload, sum each
     * channel, resize nearest-neighbor to (max(w/2,1), max(h/2,1)) and sum
     * the resized bytes. Any header-parse or pixel-offset bug moves these

@@ -1012,6 +1012,52 @@ object LlmQueries {
       WHERE label = 3
       ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // The k-means OBJECTIVE graded beside sim5b's recall: mean squared
+    // distance to the assigned centroid for the first-n seed vs the
+    // 5-iteration Lloyd result, plus the improved flag — Lloyd must not
+    // increase its own objective (KMeansSpec proves per-iteration
+    // monotonicity; this pins the end-to-end number in the oracle gate).
+    Q("sim5c_kmeans_distortion", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seed = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nlist = 8, iters = 0)
+      val trained = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      val d0 = Similarity.distortion(emb, "vec_id", "embedding", seed)
+        .select(col("mean_sq_dist").as("__m0"))
+      val d5 = Similarity.distortion(emb, "vec_id", "embedding", trained)
+        .select(col("mean_sq_dist").as("__m5"))
+      d0.crossJoin(broadcast(d5))
+        .select(round(col("__m0"), 6).as("msd_first_n"),
+          round(col("__m5"), 6).as("msd_trained"),
+          (col("__m5") <= col("__m0")).as("improved"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+        FROM e WHERE vec_id < 8),${lloydCtes(5)},
+      assignT AS (
+        SELECT e.vec_id, c.cid AS cell
+        FROM e CROSS JOIN cent5 c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid) = 1),
+      d0 AS (
+        SELECT avg(list_sum(list_transform(generate_series(1, len(e.v)),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))) AS msd
+        FROM e JOIN assign0 a USING (vec_id)
+               JOIN cent0 c ON c.cid = a.cell),
+      d5 AS (
+        SELECT avg(list_sum(list_transform(generate_series(1, len(e.v)),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))) AS msd
+        FROM e JOIN assignT a USING (vec_id)
+               JOIN cent5 c ON c.cid = a.cell)
+      SELECT round(d0.msd, 6) AS msd_first_n,
+             round(d5.msd, 6) AS msd_trained,
+             d5.msd <= d0.msd AS improved
+      FROM d0, d5""")),
+
     // AUTO-WIDENING filtered ANN: one call that fills k under any filter
     // selectivity — candidates across ALL probe radii, kept up to the
     // smallest radius whose cumulative count reaches k. sim6 stops at 4
@@ -2293,6 +2339,62 @@ object LlmQueries {
       SELECT s.doc_id AS media_id, s.w AS width, s.h AS height,
              s.sum_r, s.sum_g, s.sum_b, hf.half_sum
       FROM sums s JOIN halfs hf USING (doc_id)
-      ORDER BY media_id"""))
+      ORDER BY media_id""")),
+
+    // mm4 — the ENCODER path graded, closing mm3's loop: decode → NN
+    // half-resize → RE-ENCODE with the real P6 writer, graded on the
+    // re-encoded size and an md5 over the emitted payload's uppercase hex
+    // (header bytes included — the oracle rebuilds the identical hex from
+    // the source text bytes, so a header-format or raster-offset bug in
+    // the encoder moves the digest). MultimodalSpec additionally asserts
+    // the re-encoded payload decodes back to the resized raster.
+    Q("mm4_ppm_reencode", (s, dir) =>
+      Multimodal.ppmResizeReencode(
+        Multimodal.ppmFromText(t(s, dir, "documents"), "doc_id", "text",
+          width = 8))
+        .orderBy("media_id"),
+      Some("""
+      WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      dims AS (
+        SELECT doc_id, n, 8 AS w, 1 + (n % 16) AS h,
+               list_transform(generate_series(1, n), i ->
+                 (strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i - 1 AS INTEGER), 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i AS INTEGER), 1)) - 1) AS bts
+        FROM d),
+      rdims AS (
+        SELECT doc_id, n, w, h, greatest(w // 2, 1) AS rw,
+               greatest(h // 2, 1) AS rh, bts
+        FROM dims),
+      px AS (
+        SELECT doc_id, rw, rh, (y * rw + x) * 3 + c AS i,
+               bts[CAST((((y * h // rh) * w + (x * w // rw)) * 3 + c) % n
+                   AS INTEGER) + 1] AS b
+        FROM rdims,
+             UNNEST(generate_series(0, rw - 1)) AS tx(x),
+             UNNEST(generate_series(0, rh - 1)) AS ty(y),
+             UNNEST([0, 1, 2]) AS tc(c)),
+      hexpix AS (
+        SELECT doc_id, rw, rh,
+               string_agg(substr('0123456789ABCDEF',
+                            CAST(b // 16 AS INTEGER) + 1, 1)
+                          || substr('0123456789ABCDEF',
+                            CAST(b % 16 AS INTEGER) + 1, 1),
+                          '' ORDER BY i) AS pixhex
+        FROM px GROUP BY doc_id, rw, rh),
+      enc AS (
+        SELECT doc_id AS media_id, rw, rh,
+               hex(encode('P6' || chr(10) || rw || ' ' || rh || chr(10)
+                 || '255' || chr(10))) || pixhex AS full_hex,
+               CAST(octet_length(encode('P6' || chr(10) || rw || ' ' || rh
+                 || chr(10) || '255' || chr(10))) + rw * rh * 3 AS BIGINT)
+                 AS nbytes2
+        FROM hexpix)
+      SELECT media_id, rw, rh, nbytes2, md5(full_hex) AS enc_hex_md5
+      FROM enc ORDER BY media_id"""))
   )
 }

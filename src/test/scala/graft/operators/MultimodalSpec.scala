@@ -100,6 +100,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getLong(3) == expR)
   }
 
+  test("ppmResizeReencode round-trips: re-encoded payload decodes to the resized raster") {
+    val docs = Seq((1L, "hello world"), (3L, "abcdef")).toDF("doc_id", "text")
+    val mediaDs = Multimodal.ppmFromText(docs, "doc_id", "text", width = 8)
+    val out = Multimodal.ppmResizeReencode(mediaDs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    mediaDs.collect().foreach { m =>
+      val (w, h, rgb) = PpmCodec.decode(m.payload)
+      val (rw, rh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+      val half = PpmCodec.resizeNearest(w, h, rgb, rw, rh)
+      // encode then decode must return the identical resized raster
+      val (w2, h2, rgb2) = PpmCodec.decode(PpmCodec.encode(rw, rh, half))
+      assert((w2, h2) == (rw, rh))
+      assert(java.util.Arrays.equals(rgb2, half))
+      // and the graded row reports that payload's true dims and size
+      val row = out(m.media_id)
+      assert(row.getInt(1) == rw && row.getInt(2) == rh)
+      assert(row.getLong(3) == PpmCodec.encode(rw, rh, half).length.toLong)
+    }
+  }
+
   test("resize truncates to the cap and recomputes metadata for the NEW bytes") {
     import spark.implicits._
     val m = Multimodal.packBinary(

@@ -538,6 +538,47 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** BATCHED ANN — the production serve shape: top-k cosine for a whole
+    * TABLE of queries in one plan, instead of one [[bucketedTopK]] call
+    * per query. Queries bucket the same way as the corpus and the
+    * candidate read is ONE bucket equi-join; with `probeHamming1` each
+    * query probes its Hamming-1 neighborhood (sim3's recall default).
+    * Per-query top-k is a rank window partitioned by query id, so state
+    * per group is the pruned candidate set, never the corpus.
+    *
+    * Scale shape: the query batch is broadcast (bounded — a serve batch,
+    * not a corpus); for query sets too large to broadcast, both sides
+    * shuffle on the bucket key and the same plan holds with an exchange
+    * instead of a broadcast. Each corpus vector matches at most one probe
+    * row per query (buckets are distinct), so no dedup pass is needed. */
+  def batchTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, bits: Int = 4,
+                probeHamming1: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = widened(emb, idCol, vecCol)
+      .withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("nrm", l2norm(col("v")))
+    val qBase = queries.select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).cast("array<double>").as("qv"))
+      .withColumn("qbucket", signBucket(col("qv"), bits))
+      .withColumn("qn", l2norm(col("qv")))
+    val probes =
+      if (probeHamming1) qBase.withColumn("pb", explode(array(
+        col("qbucket") +:
+          (0 until bits).map(b =>
+            col("qbucket").bitwiseXOR(lit(1 << b))): _*)))
+      else qBase.withColumn("pb", col("qbucket"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col(idCol))
+    e.join(broadcast(probes), col("bucket") === col("pb"))
+      .withColumn("score",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("score"))
+  }
+
   /** Recall@k of IVF with TRAINED centroids vs the deterministic first-n
     * seed, against the same brute-force truth — the quality number a real
     * index owner buys with the k-means pass: [[trainCentroids]]' output

@@ -373,6 +373,42 @@ object TextAnalysis {
         .as("mean_logp"))
   }
 
+  /** Bigram conditional log-probability — the LM-perplexity-style quality
+    * score beside [[unigramLogProb]]: per document, the mean of
+    * ln P(w_i | w_{i-1}) under the corpus's own Laplace-smoothed bigram
+    * model, P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with V the corpus
+    * vocabulary size. Low scores flag incoherent token soup that unigram
+    * frequency alone passes (every word common, no word PAIR common) —
+    * the signal perplexity filtering buys over stopword ratios. Docs with
+    * fewer than two tokens have no bigrams and emit no row.
+    *
+    * Scale shape: two corpus-keyed aggregates (bigram and prefix counts,
+    * both map-side combinable) joined back on 8-byte-ish string keys, one
+    * broadcast 1-row vocabulary size — the same cost class as tf-idf. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("w"))
+    val bigrams = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "struct(element_at(w, i) as w1, " +
+          "concat(element_at(w, i), ' ', element_at(w, i + 1)) as g))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.w1").as("w1"), col("s.g").as("g"))
+      .localCheckpoint(eager = false) // feeds both count tables + the join
+    val bc = bigrams.groupBy("g").agg(count(lit(1)).as("bc"))
+    val pc = bigrams.groupBy("w1").agg(count(lit(1)).as("pc"))
+    val vsz = toks.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bigrams.join(bc, "g").join(pc, "w1")
+      .crossJoin(broadcast(vsz))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("bc") + 1).cast("double")
+          / (col("pc") + col("v")))), 6).as("mean_logp"))
+  }
+
   /** Cross-document match pairs from winnowing fingerprints — the
     * copy-detection read-out over [[winnowingFingerprints]]: document
     * pairs sharing at least `minShared` selected fingerprints (each shared

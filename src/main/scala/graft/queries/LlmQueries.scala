@@ -1012,6 +1012,46 @@ object LlmQueries {
       WHERE label = 3
       ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // BATCHED ANN — the serve shape: top-k for a 20-query table in ONE
+    // plan (one bucket equi-join + one rank window), not 20 single-query
+    // calls. Hamming-1 multi-probe, the recall default.
+    Q("sim8_batch_ann", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.batchTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 10, bits = 4, probeHamming1 = true)
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x))) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb
+            FROM e WHERE vec_id < 20),
+      probes AS (
+        SELECT qid, qv, qn,
+               unnest([qb, xor(qb, 8), xor(qb, 4), xor(qb, 2),
+                       xor(qb, 1)]) AS pb
+        FROM q),
+      scored AS (
+        SELECT p.qid, c.vec_id,
+               round(list_sum(list_transform(
+                   generate_series(1, len(c.v)),
+                   i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) AS score
+        FROM e c JOIN probes p ON c.bucket = p.pb),
+      ranked AS (
+        SELECT qid, vec_id, score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, vec_id) AS rank
+        FROM scored)
+      SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, score
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // The k-means OBJECTIVE graded beside sim5b's recall: mean squared
     // distance to the assigned centroid for the first-n seed vs the
     // 5-iteration Lloyd result, plus the improved flag — Lloyd must not
@@ -1293,6 +1333,30 @@ object LlmQueries {
       SELECT doc_id,
              round(avg(ln(CAST(cnt AS DOUBLE) / n)), 6) AS mean_logp
       FROM toks JOIN vocab USING (tok), tot
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Bigram conditional log-prob — the LM-perplexity-style quality score
+    // beside tx13's unigram: mean ln P(w_i | w_{i-1}) under the corpus's
+    // own Laplace-smoothed bigram model. Catches coherent-word/incoherent-
+    // pair token soup that unigram frequency passes. Docs with < 2 tokens
+    // emit no row (no bigrams exist).
+    Q("tx14_bigram_logprob", (s, dir) =>
+      TA.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      toks AS (SELECT doc_id, unnest(w) AS tok FROM d),
+      vsz AS (SELECT count(DISTINCT tok) AS v FROM toks),
+      bg AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g
+        FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2),
+      bc AS (SELECT g, count(*) AS bc FROM bg GROUP BY g),
+      pc AS (SELECT w1, count(*) AS pc FROM bg GROUP BY w1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((bc + 1.0) / (pc + v))), 6) AS mean_logp
+      FROM bg JOIN bc USING (g) JOIN pc USING (w1), vsz
       GROUP BY doc_id ORDER BY doc_id""")),
 
     // Gopher's duplicate-n-gram character fraction (n = 2, 3): how much of

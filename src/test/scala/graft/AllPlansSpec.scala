@@ -29,6 +29,7 @@ class AllPlansSpec extends AnyFunSuite {
     "sa4_temperature_mix" -> "1-row mixture-normalizer broadcast",
     "cs2_source_psi" -> "1-row corpus-total broadcast onto the bounded source x bin grid",
     "tx13_unigram_logprob" -> "1-row token-total broadcast onto the vocab dictionary",
+    "tx14_bigram_logprob" -> "1-row vocabulary-size broadcast onto the bigram table",
     "pipe8_curation_v2" -> "1-row mixture-normalizer broadcast (sa4's, composed)",
     "pipe10_curation_full" -> "1-row mixture-normalizer broadcast (sa4's, composed)")
 

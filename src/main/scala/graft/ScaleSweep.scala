@@ -148,6 +148,8 @@ object ScaleSweep {
           minShared = 10, maxDf = 20)),
       "tx13_unigram_lp" -> (d =>
         TextAnalysis.unigramLogProb(d, "doc_id", "text")),
+      "tx14_bigram_lp" -> (d =>
+        TextAnalysis.bigramLogProb(d, "doc_id", "text")),
       "dd11_segment" -> (d =>
         Dedup.segmentDedup(d, "doc_id", "text")),
       "dd14_containment" -> { d =>
@@ -226,6 +228,9 @@ object ScaleSweep {
           Similarity.ivfPqTopK(e, "vec_id", "embedding", 0L, 10)),
         "sim5_recall_audit" -> (e =>
           Similarity.annRecallAtK(e, "vec_id", "embedding")),
+        "sim8_batch_topk" -> (e =>
+          Similarity.batchTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)),
         "vq1_sq_audit" -> (e =>
           Similarity.scalarQuantizationError(e, "vec_id", "embedding")),
         "vq2_pq_audit" -> (e =>

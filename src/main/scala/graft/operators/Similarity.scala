@@ -258,6 +258,64 @@ object Similarity {
         greatest(col("id_x"), col("id_y")).as("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup: cluster the corpus with trained k-means
+    * centroids ([[trainCentroids]]), then within each cluster mark every
+    * vector that has a LOWER-id neighbor at/above cosine `tau` as a
+    * semantic duplicate (greedy-by-id keep rule — deterministic, and the
+    * keep set is exactly the min-id survivor of each similarity chain).
+    * Complements [[cosineNearDupPairs]]: sign-LSH buckets catch near-
+    * IDENTICAL vectors; k-means cells group by meaning, so a paraphrase
+    * embedding lands in the same cell even when its sign pattern differs.
+    *
+    * Scale shape: training is iters × one broadcast-assign pass; the
+    * pairwise stage runs on cluster-id equi-joined DISTINCT vectors
+    * (byte-identical embeddings collapse to their min-id rep first —
+    * same hot-bucket guard as [[cosineNearDupPairs]], and members expand
+    * back output-proportionally), so comparison count is Σ cell² over
+    * distinct vectors; at 100 TB `nlist` grows with the corpus to hold
+    * cell size constant, exactly how SemDeDup runs at scale. Norms hoist
+    * out of the join (O(cell·d) not O(cell²·d)).
+    *
+    * Contract: `idCol` unique (rep collapse — see [[cosineNearDupPairs]]);
+    * vectors nonzero (zero vectors make cosine NaN, which compares false
+    * and never marks a dup). Returns (idCol, cell, is_dup), one row per
+    * input vector. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 8, iters: Int = 5,
+                    tau: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = widened(emb, idCol, vecCol)
+      .withColumn("__rep", min(col(idCol)).over(Window.partitionBy(col("v"))))
+      .localCheckpoint(eager = false)
+    // train on the FULL corpus (duplicate mass legitimately pulls means);
+    // assign only the reps — identical vectors share an argmin cell, so a
+    // member's cell is its rep's cell by construction
+    val trained = trainCentroids(emb, idCol, vecCol, nlist, iters)
+    val reps = assignCells(e.filter(col(idCol) === col("__rep")), trained)
+      .withColumn("nrm", l2norm(col("v")))
+      .localCheckpoint(eager = false)
+    val a = reps.select(col("__rep").as("ra"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = reps.select(col("__rep").as("rb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val dupReps = a.join(b, "cell").filter(col("ra") < col("rb"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= tau)
+      .select(col("rb").as("__rep")).distinct()
+      .withColumn("__rep_dup", lit(true))
+    // member expansion: a non-rep member duplicates its own (lower-id,
+    // byte-identical, cos 1.0 ≥ tau ≤ 1) rep unconditionally; a rep is a
+    // dup iff some lower-id rep in its cell cleared tau — equivalent to
+    // the all-pairs greedy rule because any lower-id member scores
+    // identically to its rep, which is lower still
+    e.select(col(idCol), col("__rep"))
+      .join(reps.select(col("__rep"), col("cell")), "__rep")
+      .join(dupReps, Seq("__rep"), "left")
+      .select(col(idCol), col("cell").cast("int").as("cell"),
+        (col(idCol) =!= col("__rep") ||
+          coalesce(col("__rep_dup"), lit(false))).as("is_dup"))
+  }
+
   /** Metadata-FILTERED ANN — the "filtered vector search" shape every
     * production index needs: top-k cosine among only the vectors passing
     * `pred`, with the predicate applied to the corpus side BEFORE the

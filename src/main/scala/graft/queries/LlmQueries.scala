@@ -592,6 +592,40 @@ object LlmQueries {
       SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
       ORDER BY id_a, id_b""")),
 
+    // SemDeDup-style semantic dedup: trained k-means cells (5 unrolled
+    // Lloyd iterations, sim5b's CTE chain), then greedy-by-id within-cell
+    // cosine pruning — a vector is a dup iff a lower-id cellmate clears
+    // tau on the rounded score. dd5's sibling at the MEANING grain.
+    Q("dd15_semantic_dedup", (s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 8, iters = 5, tau = 0.3)
+        .orderBy("vec_id"),
+      Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+        FROM e WHERE vec_id < 8),${lloydCtes(5)},
+      assignT AS (
+        SELECT e.vec_id, c.cid AS cell
+        FROM e CROSS JOIN cent5 c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          list_sum(list_transform(generate_series(1, len(e.v)),
+            i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid) = 1),
+      ev AS (
+        SELECT a.vec_id, a.cell, e.v,
+               sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+        FROM assignT a JOIN e USING (vec_id)),
+      dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.3)
+      SELECT v.vec_id, CAST(v.cell AS INTEGER) AS cell,
+             (d.vec_id IS NOT NULL) AS is_dup
+      FROM ev v LEFT JOIN dup d USING (vec_id)
+      ORDER BY v.vec_id""")),
+
     // Symmetric int8 scalar-quantization audit per embedding — the
     // compression step an IVF+SQ index applies before storing vectors;
     // graded on the max-abs scale and the reconstruction MSE (×1e6 so the

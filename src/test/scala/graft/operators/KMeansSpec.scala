@@ -80,6 +80,37 @@ class KMeansSpec extends AnyFunSuite {
     assert(wide.map(_.getLong(0)).toSeq == single.map(_.getLong(0)).toSeq)
   }
 
+  test("semanticDedup marks greedy-by-id within-cell dups and keeps min ids") {
+    import spark.implicits._
+    // two clear clusters in 2D: {v0, v1} near (1,0) at cos ≈ 0.990,
+    // {v2, v3=v2} on (0,1) — byte-identical, exercising the rep collapse
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+      nlist = 2, iters = 3, tau = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.length == 4, "one row per input vector")
+    val dup = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(dup == Map(0L -> false, 1L -> true, 2L -> false, 3L -> true))
+    // identical vectors share their rep's cell
+    assert(out(2).getInt(1) == out(3).getInt(1))
+  }
+
+  test("semanticDedup collapses a planted identical group to one survivor") {
+    import spark.implicits._
+    val base = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.02f)))
+    val planted = (10L to 14L).map(i => (i, Seq(0.0f, 1.0f)))
+    val e = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+      nlist = 2, iters = 2, tau = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // the 5-copy group keeps exactly its min id regardless of cell makeup
+    assert(!out(10L) && (11L to 14L).forall(i => out(i)))
+    assert(!out(0L), "a cluster's min-id vector always survives")
+  }
+
   test("vecSum poisons on ragged dimensions instead of truncating") {
     import spark.implicits._
     val ragged = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("v")

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * The decode step is REAL for uncompressed rasters: [[PpmCodec]] parses
   * netpbm P6 payloads byte for byte, and [[ppmStats]] grades decoded pixel
   * output against a DuckDB oracle that recomputes the same arithmetic from
-  * the source bytes (registry entry mm3). Compressed codecs (JPEG/H.264)
+  * the source bytes (registry entry mm3). COMPRESSED decode is real for
+  * PNG — [[PngCodec]], zlib + scanline filters from `java.util.zip` alone,
+  * graded by [[pngRoundtripStats]] (mm5). JPEG/H.264 (DCT/entropy coders)
   * need libraries this container lacks; they plug into the same
   * per-partition batch shape via [[decodeFeatures]]'s codec parameter.
   */
@@ -175,6 +177,48 @@ object Multimodal {
             .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           .map("%02x".format(_)).mkString
         PpmResized(r.media_id, rw, rh, out.length.toLong, dig)
+      }
+    }.toDF()
+  }
+
+  /** mm5's graded row: dims plus per-channel sums and a pixel digest of
+    * the raster AFTER a full PNG encode→decode roundtrip. */
+  final case class PngStats(media_id: Long, width: Int, height: Int,
+                            sum_r: Long, sum_g: Long, sum_b: Long,
+                            pix_hex_md5: String)
+
+  /** mm5: COMPRESSED-format decode graded — transcode each P6 payload to
+    * a real PNG ([[PngCodec.encode]], Paeth-filtered scanlines, zlib via
+    * `java.util.zip`) and decode it back, then grade the decoded raster's
+    * per-channel sums and pixel digest. The oracle rebuilds the same
+    * numbers from the source bytes: PNG is lossless, so the roundtrip is
+    * identity when — and only when — filter math, zlib framing and chunk
+    * CRCs are all correct; any codec bug throws (red) or moves a graded
+    * integer (red). Deflater streams are JDK-specific, which is why the
+    * graded contract is the decoded raster rather than encoded bytes
+    * (PngSpec pins "real PNG" against `javax.imageio` both directions).
+    * Executor-side per partition, like every media op. */
+  def pngRoundtripStats(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[PngStats]
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, rgb) = PpmCodec.decode(r.payload)
+        val (w2, h2, rgb2) = PngCodec.decode(PngCodec.encode(w, h, rgb))
+        require(w2 == w && h2 == h, s"png roundtrip moved dims to ${w2}x$h2")
+        val sums = new Array[Long](3)
+        val sb = new StringBuilder(rgb2.length * 2)
+        var i = 0
+        while (i < rgb2.length) {
+          sums(i % 3) += java.lang.Byte.toUnsignedInt(rgb2(i))
+          sb.append("%02X".format(rgb2(i)))
+          i += 1
+        }
+        md.reset()
+        val dig = md.digest(sb.toString
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map("%02x".format(_)).mkString
+        PngStats(r.media_id, w, h, sums(0), sums(1), sums(2), dig)
       }
     }.toDF()
   }

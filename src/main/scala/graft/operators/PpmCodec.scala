@@ -14,9 +14,11 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * width×height×3 raw RGB bytes. Only maxval 255 (8-bit) is supported —
   * 16-bit PPM is big-endian two-byte samples and out of scope here.
   *
-  * Compressed codecs (JPEG/H.264/FLAC) still require external libraries
-  * not present in this container; they would slot into the same
-  * per-partition batch shape (see [[Multimodal.decodeFeatures]]).
+  * For a COMPRESSED format, see [[PngCodec]] — real PNG (zlib + scanline
+  * filters) from `java.util.zip` alone. JPEG/H.264/FLAC (DCT/entropy
+  * coders) still require external libraries not present in this
+  * container; they would slot into the same per-partition batch shape
+  * (see [[Multimodal.decodeFeatures]]).
   */
 object PpmCodec {
 

@@ -2493,6 +2493,54 @@ object LlmQueries {
                  AS nbytes2
         FROM hexpix)
       SELECT media_id, rw, rh, nbytes2, md5(full_hex) AS enc_hex_md5
-      FROM enc ORDER BY media_id"""))
+      FROM enc ORDER BY media_id""")),
+
+    // mm5 — COMPRESSED-format decode: the same deterministic raster rides
+    // a full PNG transcode (Paeth scanline filters + zlib chunks, the
+    // hand-rolled PngCodec) and the grade is the decoded raster's channel
+    // sums + pixel-hex md5. PNG is lossless, so the oracle recomputes the
+    // identical numbers straight from the source bytes; the PNG layer
+    // cancels arithmetically but every graded integer crossed it — a
+    // filter/zlib/CRC bug throws or moves the hash.
+    Q("mm5_png_roundtrip", (s, dir) =>
+      Multimodal.pngRoundtripStats(
+        Multimodal.ppmFromText(t(s, dir, "documents"), "doc_id", "text",
+          width = 8))
+        .orderBy("media_id"),
+      Some("""
+      WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      dims AS (
+        SELECT doc_id, n, 8 AS w, 1 + (n % 16) AS h,
+               list_transform(generate_series(1, n), i ->
+                 (strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i - 1 AS INTEGER), 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i AS INTEGER), 1)) - 1) AS bts
+        FROM d),
+      px AS (
+        SELECT doc_id, w, h, i, bts[CAST(i % n AS INTEGER) + 1] AS b
+        FROM dims,
+             UNNEST(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT)))
+               AS t(i)),
+      agg AS (
+        SELECT doc_id, w, h,
+               CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_r,
+               CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_g,
+               CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_b,
+               string_agg(substr('0123456789ABCDEF',
+                            CAST(b // 16 AS INTEGER) + 1, 1)
+                          || substr('0123456789ABCDEF',
+                            CAST(b % 16 AS INTEGER) + 1, 1),
+                          '' ORDER BY i) AS pixhex
+        FROM px GROUP BY doc_id, w, h)
+      SELECT doc_id AS media_id, w AS width, h AS height,
+             sum_r, sum_g, sum_b, md5(pixhex) AS pix_hex_md5
+      FROM agg ORDER BY media_id"""))
   )
 }

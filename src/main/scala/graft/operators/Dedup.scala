@@ -108,6 +108,48 @@ object Dedup {
         coalesce(col("__clean"), lit("")).as("text_clean"))
   }
 
+  /** ExactSubstr-style maximal duplicated-span report (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * maximal token span of at least `minTokens` tokens whose text occurs
+    * elsewhere in the corpus (another document, or another position of the
+    * same document — self-repetition counts, as in the paper).
+    *
+    * The suffix-array construction is replaced by the shingle-run
+    * equivalence: a span of L ≥ k tokens is duplicated iff every one of
+    * its L−k+1 k-token shingles is duplicated, so maximal duplicated
+    * spans are exactly the maximal runs of consecutive duplicated-shingle
+    * positions, widened by k−1. Finding runs is a per-document
+    * gaps-and-islands window — no suffix array, no cross-partition state.
+    *
+    * Scale shape: one groupBy on the shingle digest (map-side combinable
+    * count — the duplicated-shingle set), one digest equi-join back, one
+    * per-document window; each shuffle keys on digests or doc ids, never
+    * on text. The digest is md5 so the DuckDB oracle sees identical
+    * bytes; production swaps xxhash64 (HashMode convention).
+    *
+    * Returns (id, start_tok, n_tokens) per maximal span, 0-based token
+    * offsets. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minTokens: Int = 20): DataFrame = {
+    val sh = docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - k),
+          i => md5(array_join(slice(col("__w"), i + 1, lit(k)), " ")
+            .cast("binary")))).as(Seq("pos", "__h")))
+    val dup = sh.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
+    val runs = sh.join(dup, "__h")
+      .withColumn("__g", col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    runs.groupBy(col(idCol), col("__g"))
+      .agg(min(col("pos")).cast("int").as("start_tok"),
+        (count(lit(1)) + (k - 1)).cast("int").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(idCol), col("start_tok"), col("n_tokens"))
+  }
+
   /** Distinct (id, shingle) pairs. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame =

@@ -111,6 +111,33 @@ object LlmQueries {
              coalesce(re.clean_md5, md5('')) AS clean_md5
       FROM ns LEFT JOIN re USING (doc_id) ORDER BY doc_id""")),
 
+    // ExactSubstr-style maximal duplicated spans (Lee et al.): maximal
+    // runs of duplicated 8-token shingles widened by k-1, reported when
+    // ≥ 20 tokens — the suffix-array operator's shingle-run equivalence,
+    // per-document gaps-and-islands instead of global suffix order.
+    Q("dd16_duplicated_spans", (s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minTokens = 20)
+        .orderBy("doc_id", "start_tok"),
+      Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS s
+        FROM docs, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8),
+      dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+      runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS g
+        FROM sh JOIN dup USING (s))
+      SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_tok,
+             CAST(count(*) + 7 AS INTEGER) AS n_tokens
+      FROM runs GROUP BY doc_id, g
+      HAVING count(*) + 7 >= 20
+      ORDER BY doc_id, start_tok""")),
+
     // URL canonicalization + dedup — the crawl-pipeline normalize step.
     // The corpus has no URL column, so (tx8 convention) both engines plant
     // the same deterministic messy URL per doc — case-noised scheme/host,

@@ -104,6 +104,38 @@ class DedupProps extends AnyFunSuite {
       "wider hash must be at least as selective on unrelated docs")
   }
 
+  test("duplicatedSpans reports maximal cross-doc spans, 0-based offsets") {
+    import spark.implicits._
+    val corpus = Seq(
+      // 10 shared tokens at A offset 0 / B offset 3 — one maximal span
+      // each, not seven single-shingle reports
+      (0L, "a b c d e f g h i j uniqA1 uniqA2"),
+      (1L, "x y z a b c d e f g h i j"),
+      // self-repetition inside one doc counts (ExactSubstr semantics):
+      // every 4-shingle of the period-4 text recurs, one whole-doc span
+      (2L, "p q r s p q r s p q r s"),
+      (3L, "entirely fresh tokens without any duplication present")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text",
+      k = 4, minTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((0L, 0, 10), (1L, 3, 10), (2L, 0, 12)),
+      s"got $spans")
+  }
+
+  test("duplicatedSpans honors the min-length floor") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e tailA1 tailA2 tailA3"),
+      (1L, "a b c d e tailB1 tailB2 tailB3")
+    ).toDF("doc_id", "text")
+    // the shared run is 5 tokens; floor 6 drops it, floor 5 reports it
+    assert(Dedup.duplicatedSpans(corpus, "doc_id", "text",
+      k = 4, minTokens = 6).count() == 0)
+    assert(Dedup.duplicatedSpans(corpus, "doc_id", "text",
+      k = 4, minTokens = 5).count() == 2)
+  }
+
   test("nearDupPairs never pairs a non-representative (exact dups collapse)") {
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.1)
       .collect()

@@ -152,6 +152,8 @@ object ScaleSweep {
         TextAnalysis.bigramLogProb(d, "doc_id", "text")),
       "dd11_segment" -> (d =>
         Dedup.segmentDedup(d, "doc_id", "text")),
+      "dd16_dup_spans" -> (d =>
+        Dedup.duplicatedSpans(d, "doc_id", "text")),
       "dd14_containment" -> { d =>
         val sh = Dedup.shingleSet(d, "doc_id", "text")
           .localCheckpoint(eager = false)
@@ -161,6 +163,10 @@ object ScaleSweep {
       },
       "emb1_hashing" -> (d =>
         TextAnalysis.hashingEmbedding(d, "doc_id", "text")),
+      // label proxy: doc_id % 20 (the sweep corpus drops the source col)
+      "ml1_logreg" -> (d =>
+        graft.operators.Classifier.logRegScores(d, "doc_id", "text",
+          when(col("doc_id") % 20 === 0, 1.0).otherwise(0.0))),
       // source proxy as in dd8 (sweep corpus drops the source column)
       "cs2_psi" -> (d =>
         TextAnalysis.sourceDriftPsi(
@@ -242,6 +248,33 @@ object ScaleSweep {
           val (t10, r10) = time(fn, e10)
           println(f"$name%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
         }
+      // dd15 semantic dedup: the fixed-nlist row shows the within-cell
+      // quadratic honestly (10× data in the SAME 8 cells is ~100× pair
+      // work); the nlist-scaled row is the documented 100-TB path —
+      // nlist grows with the corpus so cell size stays constant and the
+      // sweep should fall back toward linear.
+      if (only.forall(_.contains("dd15_semantic"))) {
+        val fixed = (e: DataFrame) =>
+          Similarity.semanticDedup(e, "vec_id", "embedding")
+        fixed(ebase).count() // warm
+        val (t1, r1) = time(fixed, ebase)
+        val (t10, r10) = time(fixed, e10)
+        println(f"${"dd15_semantic"}%-20s $t1%8.2f $t10%8.2f ${t10 / t1}%6.1f  $r1/$r10")
+        val scaled = (e: DataFrame) =>
+          Similarity.semanticDedup(e, "vec_id", "embedding",
+            nlist = 8 * factor)
+        val (ts, rs) = time(scaled, e10)
+        println(f"${"dd15_nlist_scaled"}%-20s $t1%8.2f $ts%8.2f ${ts / t1}%6.1f  $r1/$rs")
+        // sample-trained + scaled cells: the production path — centroid
+        // training cost is bounded by the sample, cell size bounded by
+        // nlist, so this row should return toward linear
+        val sampled = (e: DataFrame) =>
+          Similarity.semanticDedup(e, "vec_id", "embedding",
+            nlist = 8 * factor, trainFraction = 0.1)
+        val (tp, rp) = time(sampled, e10)
+        println(f"${"dd15_sample_train"}%-20s $t1%8.2f $tp%8.2f ${tp / t1}%6.1f  $r1/$rp")
+      }
+
       // Planted DEGENERATE bucket: 10k byte-identical copies of vector 0.
       // This is dd5's worst case — without the exact-first guard the hot
       // sign bucket alone is 10⁸ 64-dim cosines with full vectors carried

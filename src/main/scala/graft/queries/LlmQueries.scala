@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Classifier, Components, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import Tables.t
 
 /** Training-data-pipeline operators over `documents` / `embeddings`, each
@@ -52,6 +52,46 @@ object LlmQueries {
           (SELECT cid, list(m ORDER BY i) AS cv FROM mean$k GROUP BY cid) n
           USING (cid))"""
     }.mkString(",")
+
+  /** Oracle CTE chain: `iters` full-batch logistic-regression gradient
+    * steps UNROLLED (fixed step count — no recursion), mirroring
+    * [[graft.operators.Classifier.logRegScores]] exactly: fast sigmoid
+    * (algebraic — no libm `exp` to drift by an ulp), gradient terms
+    * snapped to the 2⁻²⁰ grid so the per-dim sums are order-invariant
+    * exact doubles, and the update `w − (lr·g)/n` with the same
+    * left-to-right association. Expects CTEs `feat(doc_id, y, x)` and
+    * `nn(n)` upstream; emits `g1..g{iters}` / `w1..w{iters}`. */
+  private def gdCtes(iters: Int, dims: Int, lr: Double): String = {
+    require(iters >= 1)
+    val first = s"""
+      g1 AS (
+        SELECT list(s ORDER BY j) AS g FROM (
+          SELECT j, sum(floor((0.5 - y) * x[j] * 1048576.0 + 0.5)
+                        / 1048576.0) AS s
+          FROM feat, UNNEST(generate_series(1, $dims)) AS t(j)
+          GROUP BY j)),
+      w1 AS (
+        SELECT list_transform(g, gj -> 0.0 - ($lr * gj) / nn.n) AS w
+        FROM g1, nn)"""
+    val rest = (2 to iters).map { k => s"""
+      sc$k AS (
+        SELECT f.doc_id, f.y, f.x,
+               list_sum(list_transform(generate_series(1, $dims),
+                 j -> w.w[j] * f.x[j])) AS z
+        FROM feat f, w${k - 1} w),
+      g$k AS (
+        SELECT list(s ORDER BY j) AS g FROM (
+          SELECT j, sum(floor(((0.5 + 0.5 * z / (1 + abs(z))) - y) * x[j]
+                              * 1048576.0 + 0.5) / 1048576.0) AS s
+          FROM sc$k, UNNEST(generate_series(1, $dims)) AS t(j)
+          GROUP BY j)),
+      w$k AS (
+        SELECT list_transform(generate_series(1, $dims),
+                 j -> w.w[j] - ($lr * g.g[j]) / nn.n) AS w
+        FROM w${k - 1} w, g$k g, nn)"""
+    }.mkString(",")
+    first + (if (iters >= 2) "," + rest else "")
+  }
 
   /** Shared oracle CTE: dd2's 4-band MinHash-LSH candidate pairs — reused
     * verbatim by the transitive-cluster oracle (dd9). */
@@ -1644,6 +1684,60 @@ object LlmQueries {
              round(d.v / greatest(n.nrm, 1e-12), 6) AS value
       FROM dense d JOIN nrm n USING (doc_id)
       ORDER BY doc_id, dim""")),
+
+    // Trained quality classifier (fastText/DCLM shape): logistic
+    // regression over 32 hashed token-count features, THREE full-batch
+    // gradient steps from w=0 reproduced in the oracle as an unrolled CTE
+    // chain — the first TRAINED-model grade beside sim5b's k-means.
+    // Engine-exactness comes from the fast sigmoid (algebraic, no libm)
+    // and 2^-20-grid gradient terms (order-invariant exact sums); see
+    // Classifier.scala.
+    Q("ml1_logreg_quality", (s, dir) =>
+      Classifier.logRegScores(t(s, dir, "documents"), "doc_id", "text",
+        label = when(col("source") === "src0", 1.0).otherwise(0.0),
+        dims = 32, iters = 3, lr = 0.5)
+        .orderBy("doc_id"),
+      Some(s"""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok),
+      hb AS (
+        SELECT doc_id, tf,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) % 32 AS bucket
+        FROM tf),
+      cb AS (
+        SELECT doc_id, bucket, CAST(sum(tf) AS DOUBLE) AS cnt
+        FROM hb GROUP BY 1, 2),
+      grid AS (
+        SELECT doc_id, b AS bucket
+        FROM documents, UNNEST(generate_series(0, 31)) AS t(b)),
+      dense AS (
+        SELECT g.doc_id, g.bucket, coalesce(c.cnt, 0.0) AS cnt
+        FROM grid g
+        LEFT JOIN cb c ON c.doc_id = g.doc_id AND c.bucket = g.bucket),
+      xv AS (
+        SELECT doc_id, list(cnt ORDER BY bucket) AS x
+        FROM dense GROUP BY doc_id),
+      feat AS (
+        SELECT d.doc_id,
+               CASE WHEN d.source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+               x.x
+        FROM documents d JOIN xv x ON x.doc_id = d.doc_id),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),${gdCtes(3, 32, 0.5)},
+      scored AS (
+        SELECT f.doc_id, f.y,
+               list_sum(list_transform(generate_series(1, 32),
+                 j -> w.w[j] * f.x[j])) AS z
+        FROM feat f, w3 w)
+      SELECT doc_id, round(z, 6) AS score,
+             round(0.5 + 0.5 * z / (1 + abs(z)), 6) AS prob,
+             (0.5 + 0.5 * z / (1 + abs(z))) >= 0.5 AS predicted,
+             CAST(y AS INTEGER) AS label
+      FROM scored ORDER BY doc_id""")),
 
     // Source-drift PSI monitor: per source, the population-stability index
     // of its token-count distribution vs the whole corpus over fixed-width

@@ -111,6 +111,24 @@ class KMeansSpec extends AnyFunSuite {
     assert(!out(0L), "a cluster's min-id vector always survives")
   }
 
+  test("semanticDedup sample-trained centroids keep the output contract") {
+    // the 100-TB path: train on a hash-sampled subset, assign everyone —
+    // cells move (different centroids) but the contract holds: one row
+    // per vector, min-id survivor per identical group, deterministic
+    val e = graft.queries.Tables.t(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+      nlist = 8, iters = 2, tau = 0.3, trainFraction = 0.2)
+    assert(out.count() == e.count(), "one row per input vector")
+    val again = Similarity.semanticDedup(e, "vec_id", "embedding",
+      nlist = 8, iters = 2, tau = 0.3, trainFraction = 0.2)
+    assert(out.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq,
+      "hash-sampled training must be deterministic across runs")
+    intercept[IllegalArgumentException](
+      Similarity.semanticDedup(e, "vec_id", "embedding", trainFraction = 0.0))
+  }
+
   test("vecSum poisons on ragged dimensions instead of truncating") {
     import spark.implicits._
     val ragged = Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("v")

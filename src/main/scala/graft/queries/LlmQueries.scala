@@ -1056,6 +1056,68 @@ object LlmQueries {
       FROM ann JOIN bf USING (qid, vec_id)
       GROUP BY method ORDER BY method""")),
 
+    // Binary-quantization ANN with exact re-rank (FAISS binary / BQ serve
+    // shape): 64 sign bits in two 32-bit words, coarse Hamming ranking
+    // over the 16-byte codes, exact-cosine re-rank of the top-50, both
+    // arms recall@10-audited against brute force — the audit prices what
+    // the re-rank stage buys back over raw Hamming top-k.
+    Q("sim9_binary_rerank", (s, dir) =>
+      Similarity.binaryRerankRecallAtK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nQueries = 20, k = 10, rerank = 50),
+      Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pk AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                 j -> CASE WHEN v[j] > 0 THEN (CAST(1 AS BIGINT) << (j - 1))
+                      ELSE 0 END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(generate_series(33, 64),
+                 j -> CASE WHEN v[j] > 0 THEN (CAST(1 AS BIGINT) << (j - 33))
+                      ELSE 0 END)) AS BIGINT) AS hi
+        FROM e),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn, lo AS qlo, hi AS qhi
+        FROM pk WHERE vec_id < 20),
+      ham AS (
+        SELECT p.qid, c.vec_id,
+               row_number() OVER (PARTITION BY p.qid ORDER BY
+                 bit_count(xor(c.lo, p.qlo)) + bit_count(xor(c.hi, p.qhi)),
+                 c.vec_id) AS rn
+        FROM pk c CROSS JOIN probes p),
+      hamk AS (SELECT qid, vec_id FROM ham WHERE rn <= 10),
+      rr AS (
+        SELECT qid, vec_id FROM (
+          SELECT cd.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY cd.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM ham cd JOIN pk c ON c.vec_id = cd.vec_id
+                      JOIN probes p ON p.qid = cd.qid
+          WHERE cd.rn <= 50)
+        WHERE rn <= 10),
+      bf AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM pk c CROSS JOIN probes p)
+        WHERE rn <= 10),
+      ann AS (
+        SELECT 'binary_hamming' AS method, qid, vec_id FROM hamk
+        UNION ALL SELECT 'binary_rerank', qid, vec_id FROM rr)
+      SELECT method, CAST(count(*) AS BIGINT) AS hits,
+             CAST(200 AS BIGINT) AS denom,
+             round(count(*) / 200.0, 4) AS recall_at_k
+      FROM ann JOIN bf USING (qid, vec_id)
+      GROUP BY method ORDER BY method""")),
+
     // Metadata-FILTERED ANN: top-k among label=3 vectors only, with the
     // filter applied to the corpus side BEFORE the bucket probe
     // (filter-then-probe — the selective-filter pruning shape; the query

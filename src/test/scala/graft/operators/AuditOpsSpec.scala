@@ -178,4 +178,24 @@ class AuditOpsSpec extends AnyFunSuite {
       .collect()
     assert(lone.length == 1 && lone.head.getAs[Double]("psi") == 0.0)
   }
+
+  test("binaryRerankRecall: re-ranking the whole corpus IS brute force") {
+    // rerank >= corpus size -> the coarse stage prunes nothing and the
+    // exact re-rank reproduces the truth arm: recall exactly 1.0
+    val out = Similarity.binaryRerankRecallAtK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 5, rerank = 500)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("recall_at_k"))
+      .toMap
+    assert(out("binary_rerank") == 1.0)
+  }
+
+  test("binaryRerankRecall: exact re-rank never loses to raw Hamming") {
+    // the Hamming top-k is a subset of the re-rank candidate set, and the
+    // re-rank keeps every candidate that belongs to the true top-k (their
+    // exact scores dominate all non-members), so hits can only go up
+    val out = Similarity.binaryRerankRecallAtK(emb, "vec_id", "embedding",
+      nQueries = 10, k = 10, rerank = 40)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hits")).toMap
+    assert(out("binary_rerank") >= out("binary_hamming"))
+  }
 }

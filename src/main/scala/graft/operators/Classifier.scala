@@ -94,6 +94,35 @@ object Classifier {
       col("y").cast("int").as("label"))
   }
 
+  /** Classifier-gated corpus selection — the FineWeb-Edu / DCLM curation
+    * step: train (via [[logRegScores]]), score every document, keep the
+    * top `keepFraction` by score. The top-fraction cut does NOT sort the
+    * corpus: the threshold comes from [[Quantiles.histQuantiles]]' bounded
+    * 256-cell mergeable score histogram (one aggregation over the data,
+    * windows over bins only), then broadcasts back as a 1-row scalar gate.
+    * Kept mass is `keepFraction` to within one bin's granularity — the
+    * honest price of the sort-free plan, and the same trade every
+    * histogram-thresholded production selector makes.
+    *
+    * Output: (idCol, score, prob, label, thr) for kept docs. */
+  def classifierGate(docs: DataFrame, idCol: String, textCol: String,
+                     label: Column, keepFraction: Double = 0.25,
+                     dims: Int = 32, iters: Int = 3, lr: Double = 0.5,
+                     lo: Double = -8.0, hi: Double = 8.0,
+                     nBins: Int = 256): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0, 1), got $keepFraction")
+    // scored feeds the histogram AND the gate — materialize once
+    val scored = logRegScores(docs, idCol, textCol, label, dims, iters, lr)
+      .localCheckpoint(eager = false)
+    val thr = Quantiles.histQuantiles(scored, "score", lo, hi, nBins,
+      qs = Seq(1.0 - keepFraction)).select(col("est").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .select(col(idCol), col("score"), col("prob"), col("label"),
+        col("thr"))
+  }
+
   /** Mean log-loss of the scored output under the fast sigmoid — the
     * objective the spec gates monotone improvement on. Clamped away from
     * 0/1 so the log stays finite. */

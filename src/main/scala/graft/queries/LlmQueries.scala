@@ -93,6 +93,52 @@ object LlmQueries {
     first + (if (iters >= 2) "," + rest else "")
   }
 
+  /** Shared oracle CTE chain: ml1's hashed features + 3 unrolled GD steps
+    * + final per-doc scores, ending in `mlscored(doc_id, score, prob,
+    * predicted, label)` — reused verbatim by the classifier-gate oracle
+    * (ml2). */
+  private lazy val MlScoredCte = s"""tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok),
+      hb AS (
+        SELECT doc_id, tf,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) % 32 AS bucket
+        FROM tf),
+      cb AS (
+        SELECT doc_id, bucket, CAST(sum(tf) AS DOUBLE) AS cnt
+        FROM hb GROUP BY 1, 2),
+      grid AS (
+        SELECT doc_id, b AS bucket
+        FROM documents, UNNEST(generate_series(0, 31)) AS t(b)),
+      dense AS (
+        SELECT g.doc_id, g.bucket, coalesce(c.cnt, 0.0) AS cnt
+        FROM grid g
+        LEFT JOIN cb c ON c.doc_id = g.doc_id AND c.bucket = g.bucket),
+      xv AS (
+        SELECT doc_id, list(cnt ORDER BY bucket) AS x
+        FROM dense GROUP BY doc_id),
+      feat AS (
+        SELECT d.doc_id,
+               CASE WHEN d.source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+               x.x
+        FROM documents d JOIN xv x ON x.doc_id = d.doc_id),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),${gdCtes(3, 32, 0.5)},
+      scoredz AS (
+        SELECT f.doc_id, f.y,
+               list_sum(list_transform(generate_series(1, 32),
+                 j -> w.w[j] * f.x[j])) AS z
+        FROM feat f, w3 w),
+      mlscored AS (
+        SELECT doc_id, round(z, 6) AS score,
+               round(0.5 + 0.5 * z / (1 + abs(z)), 6) AS prob,
+               (0.5 + 0.5 * z / (1 + abs(z))) >= 0.5 AS predicted,
+               CAST(y AS INTEGER) AS label
+        FROM scoredz)"""
+
   /** Shared oracle CTE: dd2's 4-band MinHash-LSH candidate pairs — reused
     * verbatim by the transitive-cluster oracle (dd9). */
   private val MinhashPairsCte = s"""$ShingleCte,
@@ -1760,46 +1806,39 @@ object LlmQueries {
         dims = 32, iters = 3, lr = 0.5)
         .orderBy("doc_id"),
       Some(s"""
-      WITH tf AS (
-        SELECT doc_id, tok, count(*) AS tf
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents)
-        GROUP BY doc_id, tok),
-      hb AS (
-        SELECT doc_id, tf,
-               CAST(list_sum(list_transform(generate_series(1, 8), i ->
-                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
-                 * (16.0 ** (8 - i)))) AS BIGINT) % 32 AS bucket
-        FROM tf),
-      cb AS (
-        SELECT doc_id, bucket, CAST(sum(tf) AS DOUBLE) AS cnt
-        FROM hb GROUP BY 1, 2),
-      grid AS (
-        SELECT doc_id, b AS bucket
-        FROM documents, UNNEST(generate_series(0, 31)) AS t(b)),
-      dense AS (
-        SELECT g.doc_id, g.bucket, coalesce(c.cnt, 0.0) AS cnt
-        FROM grid g
-        LEFT JOIN cb c ON c.doc_id = g.doc_id AND c.bucket = g.bucket),
-      xv AS (
-        SELECT doc_id, list(cnt ORDER BY bucket) AS x
-        FROM dense GROUP BY doc_id),
-      feat AS (
-        SELECT d.doc_id,
-               CASE WHEN d.source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
-               x.x
-        FROM documents d JOIN xv x ON x.doc_id = d.doc_id),
-      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),${gdCtes(3, 32, 0.5)},
-      scored AS (
-        SELECT f.doc_id, f.y,
-               list_sum(list_transform(generate_series(1, 32),
-                 j -> w.w[j] * f.x[j])) AS z
-        FROM feat f, w3 w)
-      SELECT doc_id, round(z, 6) AS score,
-             round(0.5 + 0.5 * z / (1 + abs(z)), 6) AS prob,
-             (0.5 + 0.5 * z / (1 + abs(z))) >= 0.5 AS predicted,
-             CAST(y AS INTEGER) AS label
-      FROM scored ORDER BY doc_id""")),
+      WITH $MlScoredCte
+      SELECT doc_id, score, prob, predicted, label
+      FROM mlscored ORDER BY doc_id""")),
+
+    // Classifier-gated selection (FineWeb-Edu / DCLM shape): keep the top
+    // 25% of the corpus by trained-model score. The threshold is read off
+    // hq1's mergeable 256-bin score histogram — one aggregation over the
+    // data, windows over bins only, 1-row scalar gate back — never a
+    // global sort.
+    Q("ml2_classifier_gate", (s, dir) =>
+      Classifier.classifierGate(t(s, dir, "documents"), "doc_id", "text",
+        label = when(col("source") === "src0", 1.0).otherwise(0.0),
+        keepFraction = 0.25, lo = -64.0, hi = 0.0)
+        .orderBy("doc_id"),
+      Some(s"""
+      WITH $MlScoredCte,
+      hist AS (
+        SELECT CAST(least(greatest(floor((score - (-64.0)) / 0.25), 0),
+                          255) AS BIGINT) AS bin, count(*) AS cnt
+        FROM mlscored GROUP BY bin),
+      cum AS (
+        SELECT bin, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM hist),
+      thr AS (
+        SELECT arg_min(round(-64.0 + 0.25 *
+                 (bin + (0.75 * n - (cum - cnt)) / cnt), 6), bin) AS thr
+        FROM cum WHERE cum >= 0.75 * n)
+      SELECT s.doc_id, s.score, s.prob, s.label, t.thr
+      FROM mlscored s, thr t WHERE s.score >= t.thr
+      ORDER BY s.doc_id""")),
 
     // Source-drift PSI monitor: per source, the population-stability index
     // of its token-count distribution vs the whole corpus over fixed-width

@@ -48,6 +48,25 @@ class ClassifierSpec extends AnyFunSuite {
       s"positives must score clearly higher: $byLabel")
   }
 
+  test("classifierGate keeps ~keepFraction and is threshold-consistent") {
+    val kept = Classifier.classifierGate(docs, "doc_id", "text", lab,
+      keepFraction = 0.25, lo = -64.0, hi = 0.0).collect()
+    val n = docs.count().toDouble
+    val thr = kept.head.getAs[Double]("thr")
+    // every kept row clears the gate, and the kept mass is the target to
+    // within histogram-bin granularity (the documented sort-free trade)
+    assert(kept.forall(_.getAs[Double]("score") >= thr))
+    assert(math.abs(kept.length / n - 0.25) < 0.05,
+      s"kept ${kept.length} of $n at thr=$thr")
+    // widening the keep budget can only lower the threshold: supersets
+    val kept50 = Classifier.classifierGate(docs, "doc_id", "text", lab,
+      keepFraction = 0.5, lo = -64.0, hi = 0.0).collect()
+    val ids = kept.map(_.getLong(0)).toSet
+    val ids50 = kept50.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(ids50),
+      "a larger keep fraction must keep a superset")
+  }
+
   test("iters=0 scores everything at the 0.5 prior") {
     val out = Classifier.logRegScores(docs, "doc_id", "text", lab,
       iters = 0)

@@ -83,4 +83,28 @@ object Sampling {
     }
     df.filter(hashFraction(key) < cut)
   }
+
+  /** Deterministic global shuffle + shard assignment — the export step
+    * that ends every training-data pipeline: each row gets a pseudorandom
+    * but reproducible position ([[hashFraction]] of its key), shards are
+    * equal-width cuts of the fraction (balanced by hash uniformity — no
+    * global count, no coordination), and the within-shard order is
+    * (fraction, key). Adds `shard` (int) and `pos` (long, dense from 0
+    * per shard).
+    *
+    * Scale shape: the plan IS the write shape — one exchange on the shard
+    * key plus a per-shard local sort (`repartition(shard)
+    * .sortWithinPartitions` with the position made explicit); no global
+    * sort, no driver index, and a re-run reproduces byte-identical
+    * shards. `floor(frac·n)` never reaches `n`: frac = x/2³² with
+    * x ≤ 2³²−1, so frac·n ≤ n − n/2³² < n for any sane shard count. */
+  def shardShuffle(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__frac"), key)
+    df.withColumn("__frac", hashFraction(key))
+      .withColumn("shard", floor(col("__frac") * nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__frac")
+  }
 }

@@ -1974,6 +1974,32 @@ object LlmQueries {
       SELECT doc_id, source, round(kp, 6) AS keep_p FROM f
       WHERE frac < kp ORDER BY doc_id""")),
 
+    // Deterministic global shuffle + shard export: every doc gets a
+    // reproducible pseudorandom position (md5 fraction), 16 equal-width
+    // fraction cuts make the shards (no global count), within-shard order
+    // is (fraction, key) — the write shape itself: one exchange + local
+    // sort, never a global sort.
+    Q("sa5_shard_shuffle", (s, dir) =>
+      graft.operators.Sampling.shardShuffle(t(s, dir, "documents"),
+        col("doc_id").cast("string"), nShards = 16)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos"),
+      Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents)
+      SELECT CAST(floor(frac * 16) AS INTEGER) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY CAST(floor(frac * 16) AS INTEGER)
+               ORDER BY frac, CAST(doc_id AS VARCHAR)) AS BIGINT) - 1
+               AS pos,
+             doc_id
+      FROM f ORDER BY shard, pos""")),
+
     // The full curation run, composed end to end like pipe5 composes the
     // calendar lifecycle: quality + language gate -> exact dedup (min-id
     // representative) -> near-dup drop (higher id of any pair at jaccard

@@ -141,4 +141,32 @@ class CurationOpsSpec extends AnyFunSuite {
     // all common docs share one score (same tokens, same model)
     assert((1 to 99).map(i => got(i.toLong)).distinct.size == 1)
   }
+
+  test("shardShuffle partitions the corpus into dense, balanced shards") {
+    val out = Sampling.shardShuffle(docs, col("doc_id").cast("string"), 16)
+      .localCheckpoint(eager = false)
+    assert(out.count() == 400 &&
+      out.select("doc_id").distinct().count() == 400,
+      "every row lands in exactly one shard")
+    val per = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    per.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L &&
+        r.getAs[Long]("hi") == r.getAs[Long]("n") - 1,
+        s"positions must be dense from 0: $r")
+    }
+    val sizes = per.map(_.getAs[Long]("n"))
+    assert(sizes.max < 3 * (400 / 16),
+      s"hash-uniform shards must stay balanced: ${sizes.toSeq.sorted}")
+  }
+
+  test("shardShuffle is partition-layout invariant (reproducible export)") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shardShuffle(d, col("doc_id").cast("string"), 16)
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos").collect().toSeq
+    assert(run(docs.coalesce(1)) == run(docs.repartition(13)),
+      "a re-run on any layout must reproduce byte-identical shards")
+  }
 }

@@ -409,6 +409,35 @@ object TextAnalysis {
           / (col("pc") + col("v")))), 6).as("mean_logp"))
   }
 
+  /** CCNet-style perplexity bucketing: stratify the corpus into head /
+    * middle / tail terciles of the bigram-LM quality score
+    * ([[bigramLogProb]]'s mean conditional log-prob — higher = more
+    * predictable under the corpus model = "head"). The tercile cuts come
+    * off [[Quantiles.histQuantiles]]' bounded mergeable score histogram
+    * (one aggregation over the data, windows over the 256 bins only, two
+    * scalar thresholds broadcast back) — never a global sort; the same
+    * sort-free trade as the classifier gate, CCNet's own bucketing made
+    * engine-exact. Docs with < 2 tokens have no bigrams and emit no row,
+    * as in tx14. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        lo: Double = -16.0, hi: Double = 0.0,
+                        nBins: Int = 256): DataFrame = {
+    val qLo = 0.333333
+    val qHi = 0.666667
+    val lp = bigramLogProb(docs, idCol, textCol)
+      .localCheckpoint(eager = false) // feeds the histogram AND the labels
+    val thr = Quantiles.histQuantiles(lp, "mean_logp", lo, hi, nBins,
+      qs = Seq(qLo, qHi))
+      .agg(min(when(col("q") === qLo, col("est"))).as("t_lo"),
+        min(when(col("q") === qHi, col("est"))).as("t_hi"))
+    lp.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("mean_logp"),
+        when(col("mean_logp") >= col("t_hi"), lit("head"))
+          .when(col("mean_logp") >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("t_lo"), col("t_hi"))
+  }
+
   /** Cross-document match pairs from winnowing fingerprints — the
     * copy-detection read-out over [[winnowingFingerprints]]: document
     * pairs sharing at least `minShared` selected fingerprints (each shared

@@ -1568,6 +1568,56 @@ object LlmQueries {
       FROM bg JOIN bc USING (g) JOIN pc USING (w1), vsz
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // CCNet's perplexity bucketing: head/middle/tail terciles of the
+    // bigram-LM score, cuts read off the mergeable 256-bin histogram —
+    // the quality stratification CCNet ships, sort-free and engine-exact.
+    Q("tx15_perplexity_buckets", (s, dir) =>
+      TA.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+        lo = -8.0, hi = 0.0, nBins = 4096)
+        .orderBy("doc_id"),
+      Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      toks AS (SELECT doc_id, unnest(w) AS tok FROM d),
+      vsz AS (SELECT count(DISTINCT tok) AS v FROM toks),
+      bg AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS g
+        FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2),
+      bc AS (SELECT g, count(*) AS bc FROM bg GROUP BY g),
+      pc AS (SELECT w1, count(*) AS pc FROM bg GROUP BY w1),
+      lp AS (
+        SELECT doc_id, round(avg(ln((bc + 1.0) / (pc + v))), 6)
+                 AS mean_logp
+        FROM bg JOIN bc USING (g) JOIN pc USING (w1), vsz
+        GROUP BY doc_id),
+      hist AS (
+        SELECT CAST(least(greatest(floor((mean_logp - (-8.0))
+                          / 0.001953125), 0), 4095) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM lp GROUP BY bin),
+      cum AS (
+        SELECT bin, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM hist),
+      probes AS (SELECT unnest([0.333333, 0.666667]) AS q),
+      ths AS (
+        SELECT q, arg_min(round(-8.0 + 0.001953125 *
+                 (bin + (q * n - (cum - cnt)) / cnt), 6), bin) AS est
+        FROM cum, probes WHERE cum >= q * n GROUP BY q),
+      thr AS (
+        SELECT min(CASE WHEN q = 0.333333 THEN est END) AS t_lo,
+               min(CASE WHEN q = 0.666667 THEN est END) AS t_hi
+        FROM ths)
+      SELECT lp.doc_id, lp.mean_logp,
+             CASE WHEN mean_logp >= t_hi THEN 'head'
+                  WHEN mean_logp >= t_lo THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             t_lo, t_hi
+      FROM lp, thr ORDER BY doc_id""")),
+
     // Gopher's duplicate-n-gram character fraction (n = 2, 3): how much of
     // each document the single most repeated word n-gram covers — the
     // repetition signal tx6's TTR misses when a long phrase loops.

@@ -32,6 +32,7 @@ class AllPlansSpec extends AnyFunSuite {
     "cs2_source_psi" -> "1-row corpus-total broadcast onto the bounded source x bin grid",
     "tx13_unigram_logprob" -> "1-row token-total broadcast onto the vocab dictionary",
     "tx14_bigram_logprob" -> "1-row vocabulary-size broadcast onto the bigram table",
+    "tx15_perplexity_buckets" -> "tx14's 1-row vocabulary-size broadcast + 1-row tercile-threshold scalar + hq1's quantile-probe broadcast onto the bounded bin list",
     "pipe8_curation_v2" -> "1-row mixture-normalizer broadcast (sa4's, composed)",
     "pipe10_curation_full" -> "1-row mixture-normalizer broadcast (sa4's, composed)")
 

@@ -142,6 +142,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert((1 to 99).map(i => got(i.toLong)).distinct.size == 1)
   }
 
+  test("perplexityBuckets labels are threshold-consistent terciles") {
+    val real = graft.queries.Tables.t(spark, "/root/testdata/sf0.001",
+      "documents")
+    val out = TextAnalysis.perplexityBuckets(real, "doc_id", "text",
+      lo = -8.0, hi = 0.0, nBins = 4096).collect()
+    val tLo = out.head.getAs[Double]("t_lo")
+    val tHi = out.head.getAs[Double]("t_hi")
+    assert(tLo <= tHi)
+    out.foreach { r =>
+      val lp = r.getAs[Double]("mean_logp")
+      val expect = if (lp >= tHi) "head"
+                   else if (lp >= tLo) "middle" else "tail"
+      assert(r.getAs[String]("bucket") == expect, s"inconsistent: $r")
+    }
+    // with 4096 bins the tercile masses stay within bin granularity
+    val sizes = out.groupBy(_.getAs[String]("bucket")).map(_._2.length)
+    assert(sizes.max - sizes.min < out.length / 4,
+      s"terciles should be near-balanced: $sizes")
+  }
+
   test("shardShuffle partitions the corpus into dense, balanced shards") {
     val out = Sampling.shardShuffle(docs, col("doc_id").cast("string"), 16)
       .localCheckpoint(eager = false)

@@ -167,6 +167,16 @@ object ScaleSweep {
       "ml1_logreg" -> (d =>
         graft.operators.Classifier.logRegScores(d, "doc_id", "text",
           when(col("doc_id") % 20 === 0, 1.0).otherwise(0.0))),
+      "ml2_clf_gate" -> (d =>
+        graft.operators.Classifier.classifierGate(d, "doc_id", "text",
+          when(col("doc_id") % 20 === 0, 1.0).otherwise(0.0),
+          keepFraction = 0.25, lo = -64.0, hi = 0.0)),
+      "tx15_ppl_buckets" -> (d =>
+        TextAnalysis.perplexityBuckets(d, "doc_id", "text",
+          lo = -8.0, hi = 0.0, nBins = 4096)),
+      "sa5_shard_shuffle" -> (d =>
+        graft.operators.Sampling.shardShuffle(d,
+          col("doc_id").cast("string"), nShards = 16)),
       // source proxy as in dd8 (sweep corpus drops the source column)
       "cs2_psi" -> (d =>
         TextAnalysis.sourceDriftPsi(
@@ -240,7 +250,9 @@ object ScaleSweep {
         "vq1_sq_audit" -> (e =>
           Similarity.scalarQuantizationError(e, "vec_id", "embedding")),
         "vq2_pq_audit" -> (e =>
-          Similarity.productQuantizationError(e, "vec_id", "embedding")))
+          Similarity.productQuantizationError(e, "vec_id", "embedding")),
+        "sim9_binary_rerank" -> (e =>
+          Similarity.binaryRerankRecallAtK(e, "vec_id", "embedding")))
       vops.filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
           fn(ebase).count() // warm

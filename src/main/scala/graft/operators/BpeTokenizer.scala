@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-level BPE tokenizer — trainer and scan-side apply.
+  *
+  * The canonical training-data operation the pipelines feed: learn the
+  * top-R byte-pair merges from the corpus (GPT-2/LLaMA-style byte-level
+  * BPE, word-boundary variant), then tokenize every document under the
+  * learned merge table.
+  *
+  * Representation: a word's symbol sequence is a space-delimited sentinel
+  * string of two-digit uppercase hex bytes — "hello" ⇒ " 68 65 6C 6C 6F ".
+  * Delimiters make symbol boundaries unambiguous (a merged symbol "6C6C"
+  * can never be confused with the adjacent pair " 6C 6C "), and bytes (not
+  * chars) keep the whole path binary-exact for multibyte text.
+  *
+  * Merge application is ONE regexp pass " l r(?= )" → " lr": the
+  * lookahead asserts the right symbol boundary WITHOUT consuming the
+  * delimiter space, so the very next occurrence in a boundary-sharing run
+  * is still matchable and a single left-to-right `replaceAll` IS exact
+  * greedy BPE (a plain " l r " → " lr " replace chain is NOT — it skips
+  * every other match inside same-symbol runs like "ll", converging to a
+  * non-canonical pairing). Merging (l, r) can never create a new (l, r)
+  * adjacency (lr ≠ l and lr ≠ r for non-empty symbols), so one pass is
+  * also the fixpoint. BpeSpec proves the pass ≡ a direct JVM greedy
+  * reference on random and adversarial (single-repeated-byte) words; the
+  * DuckDB oracle, whose RE2 has no lookahead, mirrors greedy instead via
+  * an exact run-parity window formulation (take a match at i only when
+  * l ≠ r, or when i sits at an odd offset inside its run of l's).
+  *
+  * Scale shape (100 TB): training never touches the corpus after one
+  * word-frequency aggregation — the R merge iterations run over the
+  * DISTINCT-word table (bounded vocabulary, the same bounded-state
+  * argument as [[Similarity.trainCentroids]]'s centroid set), each
+  * iteration one mergeable pair-count aggregation plus a 1-row argmax
+  * collect and a scan-side rewrite, lineage cut per iteration via
+  * localCheckpoint. Apply is pure per-row string work under the tiny
+  * driver-held merge list — zero joins, zero shuffles, fully codegen.
+  *
+  * Reference scope: the reference engine has no tokenizer; this is part of
+  * the beyond-reference LLM-pipeline layer (see SURVEY.md §2 addendum).
+  */
+object BpeTokenizer {
+
+  /** " 68 65 6C 6C 6F " — byte symbols of a non-empty, space-free word. */
+  def symbolize(c: Column): Column =
+    concat(lit(" "), regexp_replace(hex(encode(c, "UTF-8")), "(..)", "$1 "))
+
+  /** One merge rule applied greedily left-to-right (exact BPE semantics,
+    * see class doc). Symbols are hex digits — regex-metacharacter-free by
+    * construction, so l/r embed into the pattern verbatim. */
+  def applyMerge(s: Column, l: String, r: String): Column =
+    regexp_replace(s, s" $l $r(?= )", s" $l$r")
+
+  /** Learn the top-`ranks` byte-pair merges from the corpus: split
+    * `textCol` on single spaces, aggregate the distinct-word frequency
+    * table once, then per rank count occurrence-weighted adjacent symbol
+    * pairs, take the argmax (ties: count desc, then lexicographic (l, r) —
+    * deterministic across layouts), and rewrite the word table under the
+    * winning merge. Returns (merge_rank, lhs, rhs, merged, pair_count),
+    * `ranks` rows. Fails fast if the corpus exhausts its pairs early —
+    * callers pick `ranks` ≪ total byte mass. */
+  def trainMerges(docs: DataFrame, textCol: String, ranks: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wf = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(symbolize(col("w")).as("s"), col("cnt"))
+      .localCheckpoint(eager = true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var k = 1
+    while (k <= ranks) {
+      val toks = split(trim(col("s")), " ")
+      val best = wf
+        .select(col("cnt"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pair_count"))
+        .orderBy(desc("pair_count"), asc("l"), asc("r"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"corpus exhausted its byte pairs at rank $k")
+      val (l, r, c) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((k, l, r, l + r, c))
+      wf = wf.withColumn("s", applyMerge(col("s"), l, r))
+        .localCheckpoint(eager = true)
+      k += 1
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Tokenize every document under a fixed merge list (applied in rank
+    * order inside each word) and digest the result: one row per doc with
+    * the total token count and the md5 of the '|'-joined per-word symbol
+    * strings — a byte-exact, gradeable fingerprint of the full token
+    * stream without shipping it. */
+  def tokenizeDigest(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val syms = transform(words, w =>
+      merges.foldLeft(symbolize(w)) { case (acc, (l, r)) =>
+        applyMerge(acc, l, r) })
+    docs.select(col(idCol),
+      aggregate(syms, lit(0L),
+        (acc, x) => acc + size(split(trim(x), " "))).as("n_tokens"),
+      md5(array_join(syms, "|")).as("tok_md5"))
+  }
+}

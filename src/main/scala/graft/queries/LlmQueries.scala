@@ -139,6 +139,71 @@ object LlmQueries {
                CAST(y AS INTEGER) AS label
         FROM scoredz)"""
 
+  /** Oracle CTE chain: `ranks` byte-level BPE merge rounds UNROLLED
+    * (fixed rank count — no recursion), mirroring
+    * [[graft.operators.BpeTokenizer.trainMerges]] exactly: occurrence-
+    * weighted adjacent-pair counts over the symbolized word-frequency
+    * table, argmax with the (count desc, l, r) tie-break, and a GREEDY
+    * leftmost rewrite. RE2 has no lookahead, so greedy is expressed by
+    * run parity instead of Spark's " l r(?= )" regex: a match at symbol i
+    * is taken iff sym(i)=l ∧ sym(i+1)=r and, when l = r, i sits at an ODD
+    * offset inside its maximal run of l's (greedy pairs runs from the
+    * left); a symbol is consumed iff its predecessor was taken — the two
+    * can never conflict because a taken match ends in a symbol that can't
+    * start another (lr ≠ l, and for l = r the parity alternates).
+    * Expects `wf0(w, s, cnt)` upstream (w carried through every round so
+    * tok2 can join the final table by word); emits `pc/best/sy/dec/wf`
+    * ×`ranks`. */
+  private def bpeCtes(ranks: Int): String =
+    (1 to ranks).map { k => s"""
+      pc$k AS (
+        SELECT t[i] AS l, t[i + 1] AS r,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM (SELECT string_split(trim(s), ' ') AS t, cnt FROM wf${k - 1}),
+             UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        GROUP BY 1, 2),
+      best$k AS (
+        SELECT l, r, pair_count FROM pc$k
+        QUALIFY row_number() OVER (ORDER BY pair_count DESC, l, r) = 1),
+      sy$k AS (
+        SELECT w, cnt, u.i, t[u.i] AS sym
+        FROM (SELECT w, cnt, string_split(trim(s), ' ') AS t
+              FROM wf${k - 1}),
+             UNNEST(generate_series(1, len(t))) AS u(i)),
+      dec$k AS (
+        SELECT sy.w, sy.cnt, sy.i, sy.sym, b.l, b.r,
+               CASE WHEN sy.sym = b.l
+                     AND lead(sy.sym) OVER
+                           (PARTITION BY sy.w ORDER BY sy.i) = b.r
+                     AND (b.l <> b.r OR
+                          (sy.i - coalesce(
+                             max(CASE WHEN sy.sym <> b.l THEN sy.i END)
+                               OVER (PARTITION BY sy.w ORDER BY sy.i
+                                     ROWS UNBOUNDED PRECEDING), 0)) % 2 = 1)
+                    THEN 1 ELSE 0 END AS take
+        FROM sy$k sy CROSS JOIN best$k b),
+      wf$k AS (
+        SELECT w,
+               ' ' || string_agg(CASE WHEN take = 1 THEN l || r ELSE sym END,
+                                 ' ' ORDER BY i) || ' ' AS s,
+               cnt
+        FROM (SELECT *, coalesce(lag(take)
+                 OVER (PARTITION BY w ORDER BY i), 0) AS consumed
+              FROM dec$k)
+        WHERE consumed = 0
+        GROUP BY w, cnt)"""
+    }.mkString(",")
+
+  /** Symbolize + word-frequency oracle head shared by tok1/tok2 (the
+    * word itself is carried as the chain's join key). */
+  private val BpeWf0Cte = """wf0 AS (
+        SELECT w,
+               ' ' || regexp_replace(hex(encode(w)), '(..)', '\1 ', 'g')
+                 AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w)"""
+
   /** Shared oracle CTE: dd2's 4-band MinHash-LSH candidate pairs — reused
     * verbatim by the transitive-cluster oracle (dd9). */
   private val MinhashPairsCte = s"""$ShingleCte,
@@ -1617,6 +1682,53 @@ object LlmQueries {
                   ELSE 'tail' END AS bucket,
              t_lo, t_hi
       FROM lp, thr ORDER BY doc_id""")),
+
+    // Byte-level BPE training — the tokenizer the packed corpus (ck1/ck2)
+    // is ultimately counted in. Six merge rounds over the distinct-word
+    // frequency table; the graded result is the learned merge table
+    // itself (rank, pair, merged symbol, weighted occurrence count).
+    Q("tok1_bpe_train", (s, dir) =>
+      graft.operators.BpeTokenizer
+        .trainMerges(t(s, dir, "documents"), "text", ranks = 6)
+        .orderBy("merge_rank"),
+      Some(s"""
+      WITH $BpeWf0Cte,${bpeCtes(6)}
+      SELECT * FROM (
+        ${(1 to 6).map(k =>
+          s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, pair_count FROM best$k")
+          .mkString("\n        UNION ALL ")}
+      ) u ORDER BY merge_rank""")),
+
+    // Tokenize the corpus under the freshly trained merges: per doc the
+    // total token count plus an md5 digest of the '|'-joined per-word
+    // symbol strings — byte-exact grading of the full token stream.
+    Q("tok2_bpe_tokenize", (s, dir) => {
+      val merges = graft.operators.BpeTokenizer
+        .trainMerges(t(s, dir, "documents"), "text", ranks = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.BpeTokenizer
+        .tokenizeDigest(t(s, dir, "documents"), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $BpeWf0Cte,${bpeCtes(6)},
+      dw AS (
+        SELECT d.doc_id, u.i, d.ws[u.i] AS w0
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> len(x) > 0) AS ws
+              FROM documents) d,
+             UNNEST(generate_series(1, len(d.ws))) AS u(i)),
+      -- every doc word is in the trained word table by construction, so
+      -- "apply the merges" = join the final merged symbol string by word
+      tk AS (
+        SELECT dw.doc_id, dw.i, wf6.s
+        FROM dw JOIN wf6 ON wf6.w = dw.w0)
+      SELECT doc_id,
+             CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+               AS n_tokens,
+             md5(string_agg(s, '|' ORDER BY i)) AS tok_md5
+      FROM tk GROUP BY doc_id ORDER BY doc_id""")),
 
     // Gopher's duplicate-n-gram character fraction (n = 2, 3): how much of
     // each document the single most repeated word n-gram covers — the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{KmvDistinct, VecDot, VecDotRewrite, VecNormSq}
+import graft.expressions.{KmvDistinct, NormalizeNfc, VecDot, VecDotRewrite, VecNormSq}
 
 /** Session extensions: registers the native vector expressions so SQL users
   * get `vec_dot(a, b)` / `vec_norm_sq(v)` alongside the Column API in
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecNormSq].getName, "vec_norm_sq"),
       (args: Seq[Expression]) => {
         arity("vec_norm_sq", 1, args); VecNormSq(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        arity("nfc_normalize", 1, args); NormalizeNfc(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("kmv_distinct"),

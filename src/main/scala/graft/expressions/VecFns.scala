@@ -29,4 +29,9 @@ object VecFns {
     * shuffle, the centroid-math primitive (see [[VecSumAgg]]). */
   def vecSum(v: Column): Column =
     B.column(VecSumAgg(B.expression(v)).toAggregateExpression())
+
+  /** Codegen'd Unicode NFC normalization with a zero-copy ASCII fast
+    * path (see [[NormalizeNfc]]). */
+  def nfc(s: Column): Column =
+    B.column(NormalizeNfc(B.expression(s)))
 }

@@ -1730,6 +1730,34 @@ object LlmQueries {
              md5(string_agg(s, '|' ORDER BY i)) AS tok_md5
       FROM tk GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Unicode NFC normalization (the native NormalizeNfc expression) —
+    // ftfy-style canonical composition before any byte-keyed operator.
+    // The corpus is pure ASCII (where NFC is the identity the fast path
+    // exploits), so the grade first DECOMPOSES it — every 'e' becomes
+    // 'e' + U+0301 — and then requires byte-exact recomposition: pre/post
+    // byte counts prove the combining marks really collapsed (3 bytes ->
+    // 2 per occurrence), and the md5 of the normalized bytes proves the
+    // composed code points match DuckDB's nfc_normalize exactly.
+    Q("tx16_nfc_normalize", (s, dir) => {
+      val deco = replace(col("text"), lit("e"), lit("e\u0301"))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(encode(deco, "UTF-8")).as("pre_bytes"),
+        length(encode(graft.expressions.VecFns.nfc(deco), "UTF-8"))
+          .as("post_bytes"),
+        md5(hex(encode(graft.expressions.VecFns.nfc(deco), "UTF-8")))
+          .as("nfc_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH deco AS (
+        SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d
+        FROM documents)
+      SELECT doc_id,
+             CAST(octet_length(encode(d)) AS INTEGER) AS pre_bytes,
+             CAST(octet_length(encode(nfc_normalize(d))) AS INTEGER)
+               AS post_bytes,
+             md5(hex(encode(nfc_normalize(d)))) AS nfc_md5
+      FROM deco ORDER BY doc_id""")),
+
     // Gopher's duplicate-n-gram character fraction (n = 2, 3): how much of
     // each document the single most repeated word n-gram covers — the
     // repetition signal tx6's TTR misses when a long phrase loops.

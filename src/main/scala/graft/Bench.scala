@@ -87,15 +87,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
-    persist(line)
-    // Short total-only line LAST: the driver records the TAIL of stdout
+    val artifact = persist(line)
+    // Short summary line LAST: the driver records the TAIL of stdout
     // (~2 KB), which the ~4 KB per-query line above always overruns —
     // r9's before-the-long-line placement left the tail starting mid-way
     // through the long line and "parsed" null. Printed last, this line is
-    // whole inside any tail window. Order also keeps a first-match
-    // consumer of "metric":"total" binding the COMPLETE record above
-    // (with queries/errors), never this summary.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size},"runs":$runs,"sf":"$sfDir"}""")
+    // whole inside any tail window. Named "total_summary" (not "total") so
+    // no consumer — first-match, last-match, or tail — can bind it as the
+    // complete record; it also names the committed artifact carrying the
+    // full per-query map.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${timings.size},"runs":$runs,"sf":"$sfDir","artifact":"$artifact"}""")
     spark.stop()
   }
 
@@ -103,8 +104,9 @@ object Bench {
     * driver's BENCH tail truncates the stdout line at ~2 KB, which hides half
     * the registry; the committed artifact is the durable record (BENCH.md).
     * N = max round seen in existing BENCH_r\*.json artifacts + 1, overridable
-    * via SPARK_GRAFT_BENCH_OUT (full path) for ad-hoc local runs. */
-  private def persist(line: String): Unit = {
+    * via SPARK_GRAFT_BENCH_OUT (full path) for ad-hoc local runs. Returns the
+    * written path (or "unpersisted" on failure) for the stdout summary. */
+  private def persist(line: String): String = {
     import java.nio.file.{Files, Paths}
     try {
       val repo = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
@@ -117,6 +119,10 @@ object Bench {
       Files.createDirectories(out.getParent)
       Files.write(out, (line + "\n").getBytes("UTF-8"))
       System.err.println(s"bench artifact written: $out")
-    } catch { case e: Throwable => System.err.println(s"bench persist failed: $e") }
+      out.toString
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bench persist failed: $e"); "unpersisted"
+    }
   }
 }

@@ -62,7 +62,20 @@ object BpeTokenizer {
     * winning merge. Returns (merge_rank, lhs, rhs, merged, pair_count),
     * `ranks` rows. Fails fast if the corpus exhausts its pairs early —
     * callers pick `ranks` ≪ total byte mass. */
+  /** Each merge rank costs one driver round-trip (a 1-row argmax collect) —
+    * negligible for small rank counts, but a 50k-rank production vocabulary
+    * would mean 50k sequential driver round-trips over the word table. Cap
+    * the driver-loop shape here; the production path for large vocabularies
+    * is sample-trained merges on a frequency-capped word table (same
+    * trade-off as [[Similarity.semanticDedup]]'s `trainFraction`), batching
+    * ranks per pass — see SCALE.md. */
+  val MaxDriverLoopRanks = 256
+
   def trainMerges(docs: DataFrame, textCol: String, ranks: Int): DataFrame = {
+    require(ranks <= MaxDriverLoopRanks,
+      s"trainMerges is a per-rank driver loop — $ranks ranks exceeds the " +
+        s"$MaxDriverLoopRanks cap; train large vocabularies on a sampled, " +
+        "frequency-capped word table instead (SCALE.md: BPE training bound)")
     val spark = docs.sparkSession
     import spark.implicits._
     var wf = docs

@@ -944,16 +944,27 @@ object PipelineQueries {
       ORDER BY 1, 2""")),
 
     // S5 — raw-zone scan: dated fixture folder + suffix glob + symbol from
-    // filename. No DuckDB oracle (the fixture folder is outside its reach):
-    // the driver records a rows-only check; PipelinesSpec asserts content.
-    // The fixture folder is harness-materialized (Fixtures.s5Base); the
-    // registered query is the pure scan.
+    // filename. The fixture folder (Fixtures.s5Base) is deterministic —
+    // three fixed documents plus one wrong-suffix file the glob must skip —
+    // so the grade is a full CONTENT check: symbol, byte length, and an md5
+    // digest of each scanned file, against a DuckDB VALUES oracle that
+    // derives the same digests from the same literal text. Proves suffix
+    // filtering, symbol-from-filename, and byte-exact content in one hash.
     Q("s5_raw_zone_scan", (s, dir) =>
       RawZone.scanDocuments(s, Fixtures.s5Base, "2024-01-15",
         "detailed-estimates")
         .select(col("act_symbol"), length(col("html")).as("nchars"),
-          col("folder_date"))
-        .orderBy("act_symbol"), None),
+          md5(col("html")).as("html_md5"), col("folder_date"))
+        .orderBy("act_symbol"),
+      Some("""
+      SELECT act_symbol, nchars, md5(body) AS html_md5,
+             DATE '2024-01-15' AS folder_date
+      FROM (VALUES
+        ('AAPL', 35, '<html><body id=home>a</body></html>'),
+        ('MSFT', 35, '<html><body id=home>m</body></html>'),
+        ('NVDA', 35, '<html><body id=home>n</body></html>'))
+        AS t(act_symbol, nchars, body)
+      ORDER BY act_symbol""")),
 
     // §2.8 — the streaming calendar round trip as a graded (rows-only)
     // entry. The stream itself (file source over a drop dir, two

@@ -154,17 +154,18 @@ object LlmQueries {
     * Expects `wf0(w, s, cnt)` upstream (w carried through every round so
     * tok2 can join the final table by word); emits `pc/best/sy/dec/wf`
     * ×`ranks`. */
-  private def bpeCtes(ranks: Int): String =
-    (1 to ranks).map { k => s"""
+  private def bpePcCte(k: Int): String = s"""
       pc$k AS (
         SELECT t[i] AS l, t[i + 1] AS r,
                CAST(sum(cnt) AS BIGINT) AS pair_count
         FROM (SELECT string_split(trim(s), ' ') AS t, cnt FROM wf${k - 1}),
              UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-        GROUP BY 1, 2),
-      best$k AS (
-        SELECT l, r, pair_count FROM pc$k
-        QUALIFY row_number() OVER (ORDER BY pair_count DESC, l, r) = 1),
+        GROUP BY 1, 2)"""
+
+  /** The greedy-rewrite tail of one merge round: apply `best\$k` to
+    * `wf\${k-1}` producing `wf\$k` (see [[bpeCtes]] doc for the run-parity
+    * greedy formulation). Shared by the sequential and batched chains. */
+  private def bpeApplyCtes(k: Int): String = s"""
       sy$k AS (
         SELECT w, cnt, u.i, t[u.i] AS sym
         FROM (SELECT w, cnt, string_split(trim(s), ' ') AS t
@@ -192,7 +193,38 @@ object LlmQueries {
               FROM dec$k)
         WHERE consumed = 0
         GROUP BY w, cnt)"""
+
+  private def bpeCtes(ranks: Int): String =
+    (1 to ranks).map { k => s"""${bpePcCte(k)},
+      best$k AS (
+        SELECT l, r, pair_count FROM pc$k
+        QUALIFY row_number() OVER (ORDER BY pair_count DESC, l, r) = 1),${bpeApplyCtes(k)}"""
     }.mkString(",")
+
+  /** Batched-chain variant mirroring
+    * [[graft.operators.BpeTokenizer.trainMergesBatched]] at batch = 2:
+    * odd merges recompute the pair-count table and take its argmax;
+    * even merges take the best pair from the SAME pre-pass counts that is
+    * symbol-disjoint from the pass's first pick. The rewrite tail is the
+    * sequential one — disjointness is exactly what makes the pre-pass
+    * evidence still valid when the second merge applies. */
+  private def bpeBatchCtes(ranks: Int): String = {
+    require(ranks % 2 == 0, "batched oracle chain is unrolled in pairs")
+    (1 to ranks).map { m =>
+      if (m % 2 == 1) s"""${bpePcCte(m)},
+      best$m AS (
+        SELECT l, r, pair_count FROM pc$m
+        QUALIFY row_number() OVER (ORDER BY pair_count DESC, l, r) = 1),${bpeApplyCtes(m)}"""
+      else s"""
+      best$m AS (
+        SELECT l, r, pair_count FROM pc${m - 1}
+        WHERE l NOT IN (SELECT l FROM best${m - 1}
+                        UNION SELECT r FROM best${m - 1})
+          AND r NOT IN (SELECT l FROM best${m - 1}
+                        UNION SELECT r FROM best${m - 1})
+        QUALIFY row_number() OVER (ORDER BY pair_count DESC, l, r) = 1),${bpeApplyCtes(m)}"""
+    }.mkString(",")
+  }
 
   /** Symbolize + word-frequency oracle head shared by tok1/tok2 (the
     * word itself is carried as the chain's join key). */
@@ -1730,6 +1762,25 @@ object LlmQueries {
              md5(string_agg(s, '|' ORDER BY i)) AS tok_md5
       FROM tk GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The batched trainer (2 merges per pair-count aggregation — half the
+    // driver round-trips), graded against a DuckDB chain that mirrors the
+    // batched selection exactly: even ranks pick the best symbol-disjoint
+    // pair from the SAME pre-pass counts as the odd rank before them.
+    // This is the SCALE.md "BPE training bound" production path, graded
+    // rather than merely documented.
+    Q("tok3_bpe_train_batched", (s, dir) =>
+      graft.operators.BpeTokenizer
+        .trainMergesBatched(t(s, dir, "documents"), "text", ranks = 6,
+          batch = 2)
+        .orderBy("merge_rank"),
+      Some(s"""
+      WITH $BpeWf0Cte,${bpeBatchCtes(6)}
+      SELECT * FROM (
+        ${(1 to 6).map(k =>
+          s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, pair_count FROM best$k")
+          .mkString("\n        UNION ALL ")}
+      ) u ORDER BY merge_rank""")),
+
     // Unicode NFC normalization (the native NormalizeNfc expression) —
     // ftfy-style canonical composition before any byte-keyed operator.
     // The corpus is pure ASCII (where NFC is the identity the fast path
@@ -2759,6 +2810,47 @@ object LlmQueries {
              round(CASE WHEN nd < 25 THEN CAST(nd AS DOUBLE)
                         ELSE 24.0 / fr[25] END, 4) AS kmv_estimate
       FROM st ORDER BY source""")),
+
+    // Count-min sketch heavy-hitter audit: a 4×512 mergeable sketch
+    // (fixed-size shuffle state, the vocabulary-free path to corpus word
+    // stats at 100 TB) probed at the top-20 true words — estimate, truth,
+    // and the provably-nonnegative overcount. Hash rows are disjoint
+    // 8-hex-digit md5 slices, mirrored digit-for-digit in the oracle.
+    Q("ks2_countmin_hh", (s, dir) =>
+      graft.operators.CountMin.heavyHitterAudit(
+        t(s, dir, "documents"), "text", d = 4, width = 512, k = 20)
+        .orderBy(desc("true_cnt"), asc("word")),
+      Some("""
+      WITH tw AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) > 0 GROUP BY word),
+      cells AS (
+        SELECT j,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(word), j * 8 + i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) % 512 AS bucket,
+               CAST(sum(true_cnt) AS BIGINT) AS cell_count
+        FROM tw, UNNEST([0, 1, 2, 3]) AS t(j)
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT word, true_cnt FROM tw
+        QUALIFY row_number() OVER (ORDER BY true_cnt DESC, word) <= 20),
+      lk AS (
+        SELECT p.word, p.true_cnt, t.j,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(p.word), t.j * 8 + i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) AS BIGINT) % 512 AS bucket
+        FROM probes p, UNNEST([0, 1, 2, 3]) AS t(j))
+      SELECT lk.word, lk.true_cnt,
+             min(c.cell_count) AS est_cnt,
+             min(c.cell_count) - lk.true_cnt AS overcount
+      FROM lk JOIN cells c ON c.j = lk.j AND c.bucket = lk.bucket
+      GROUP BY lk.word, lk.true_cnt
+      ORDER BY true_cnt DESC, word""")),
 
     // Deterministic k-per-group sample: hash-ranked reservoir shape, same
     // k rows per source in any engine / any run.

@@ -111,6 +111,42 @@ class BpeSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("batched trainer at batch=1 equals the sequential trainer") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val seq = BpeTokenizer.trainMerges(docs, "text", 4)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val bat = BpeTokenizer.trainMergesBatched(docs, "text", 4, batch = 1)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(bat == seq, "a 1-wide batch IS sequential training")
+  }
+
+  test("batched picks are symbol-disjoint within each pass") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val m = BpeTokenizer.trainMergesBatched(docs, "text", ranks = 6, batch = 2)
+      .orderBy("merge_rank").collect()
+    assert(m.length == 6)
+    m.grouped(2).zipWithIndex.foreach { case (pass, i) =>
+      val syms = pass.flatMap(r => Seq(r.getString(1), r.getString(2)))
+      assert(syms.distinct.length == syms.length,
+        s"pass $i shares a symbol across its batch: ${syms.mkString(",")}")
+    }
+    // ranks are still 1..6 in order and counts are positive evidence
+    assert(m.map(_.getInt(0)).toSeq == (1 to 6))
+    assert(m.forall(_.getLong(4) > 0))
+  }
+
+  test("batched trainer enforces the driver-round-trip cap") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      BpeTokenizer.trainMergesBatched(docs, "text",
+        ranks = BpeTokenizer.MaxDriverLoopRanks * 2 + 2, batch = 1)
+    }
+    intercept[IllegalArgumentException] {
+      BpeTokenizer.trainMerges(docs, "text",
+        ranks = BpeTokenizer.MaxDriverLoopRanks + 1)
+    }
+  }
+
   test("tokenizeDigest counts shrink once merges apply") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val merges = BpeTokenizer.trainMerges(docs, "text", 4)

@@ -20,6 +20,19 @@ object Sampling {
     conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
+  /** Efraimidis–Spirakis A-Res key for weighted sampling WITHOUT
+    * replacement: u^(1/w) with u the deterministic [[hashFraction]] of the
+    * row key — the top-k rows by this key are a weighted sample where each
+    * row's inclusion odds are proportional to its weight. One scan-side
+    * expression + a top-k (TakeOrderedAndProject, no global sort), so a
+    * "sample 1M docs proportional to token count" over 100 TB is one pass.
+    * Non-positive weights get key 0 (the w→0 limit of u^(1/w) for u < 1,
+    * guarded explicitly — ANSI mode rejects the 1/0 route): never
+    * sampled. */
+  def aresKey(key: Column, weight: Column): Column =
+    when(weight > 0.0, pow(hashFraction(key), lit(1.0) / weight))
+      .otherwise(lit(0.0))
+
   /** Deterministic train/val/test label from cumulative fraction cutoffs,
     * e.g. (0.8, 0.1) → 80/10/10. */
   def splitLabel(key: Column, train: Double = 0.8,

@@ -890,6 +890,30 @@ object LlmQueries {
              round(list_sum(list(d2 ORDER BY s)) / 64 * 1e6, 6) AS mse_e6
       FROM a GROUP BY vec_id ORDER BY vec_id""")),
 
+    // Johnson–Lindenstrauss random projection 64→16: Achlioptas ±1 signs
+    // derived from md5("rp:j:i") parity, inlined as literal arrays into
+    // BOTH plans — 16 native vec_dots per row, zero shuffles. The oracle
+    // embeds the identical sign literals, so the grade is bit-exact
+    // projection arithmetic, not a statistical check.
+    Q("rp1_random_projection", (s, dir) =>
+      graft.operators.RandomProjection.project(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, d = 64)
+        .orderBy("vec_id"),
+      Some {
+        val sm = graft.operators.RandomProjection.signMatrix(16, 64)
+        val cols = (0 until 16).map { j =>
+          val lst = sm(j).map(x => if (x > 0) "1.0" else "-1.0")
+            .mkString("[", ", ", "]")
+          s"round(list_sum(list_transform(generate_series(1, 64), i -> v[i] * ($lst)[i])) / sqrt(16.0), 6) AS p$j"
+        }.mkString(",\n             ")
+        s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id,
+             $cols
+      FROM e ORDER BY vec_id"""
+      }),
+
     // Brute-force cosine top-k against the vec_id=0 embedding (exact path).
     Q("sim1_cosine_topk", (s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
@@ -2240,6 +2264,39 @@ object LlmQueries {
                AS pos,
              doc_id
       FROM f ORDER BY shard, pos""")),
+
+    // Efraimidis–Spirakis A-Res weighted sampling without replacement:
+    // top-50 docs by u^(1/n_tokens) — inclusion odds proportional to
+    // token count ("sample long docs more"), fully deterministic (md5
+    // fraction, no rand()), one scan + TakeOrderedAndProject.
+    Q("sa6_weighted_sample", (s, dir) => {
+      val toks = filter(split(col("text"), " "), x => length(x) > 0)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"))
+        .withColumn("k0", graft.operators.Sampling.aresKey(
+          col("doc_id").cast("string"), col("n_tokens").cast("double")))
+      base.orderBy(desc("k0"), asc("doc_id")).limit(50)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("k0"), 6).as("ares_key"))
+        .orderBy(desc("ares_key"), asc("doc_id"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> len(x) > 0)) AS INTEGER)
+                 AS n_tokens,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS u
+        FROM documents),
+      top AS (
+        SELECT doc_id, n_tokens, u ** (1.0 / n_tokens) AS k0
+        FROM w
+        QUALIFY row_number() OVER (ORDER BY u ** (1.0 / n_tokens) DESC,
+                                   doc_id) <= 50)
+      SELECT doc_id, n_tokens, round(k0, 6) AS ares_key
+      FROM top ORDER BY ares_key DESC, doc_id""")),
 
     // The full curation run, composed end to end like pipe5 composes the
     // calendar lifecycle: quality + language gate -> exact dedup (min-id

@@ -1285,6 +1285,78 @@ object LlmQueries {
       FROM ann JOIN bf USING (qid, vec_id)
       GROUP BY method ORDER BY method""")),
 
+    // Random-projection ANN with exact re-rank (rp1's serve shape): coarse
+    // L2 ranking in the 16-dim projected space, exact-cosine re-rank of
+    // the top-50, both arms recall@10-audited vs brute force — prices what
+    // the 4x compression costs in recall and what the re-rank buys back.
+    Q("sim10_rp_rerank", (s, dir) =>
+      Similarity.rpRerankRecallAtK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", projDims = 16, dims = 64, nQueries = 20, k = 10,
+        rerank = 50),
+      Some {
+        val sm = graft.operators.RandomProjection.signMatrix(16, 64)
+        val pvItems = (0 until 16).map { j =>
+          val lst = sm(j).map(x => if (x > 0) "1.0" else "-1.0")
+            .mkString("[", ", ", "]")
+          s"list_sum(list_transform(generate_series(1, 64), i -> v[i] * ($lst)[i])) / sqrt(16.0)"
+        }.mkString("[\n               ", ",\n               ", "]")
+        s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pk AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               $pvItems AS pv
+        FROM e),
+      pn AS (
+        SELECT vec_id, v, nrm, pv,
+               list_sum(list_transform(pv, x -> x * x)) AS pn2
+        FROM pk),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn, pv AS qpv, pn2 AS qn2
+        FROM pn WHERE vec_id < 20),
+      co AS (
+        SELECT p.qid, c.vec_id,
+               row_number() OVER (PARTITION BY p.qid ORDER BY
+                 round(c.pn2 + p.qn2
+                       - 2.0 * list_sum(list_transform(
+                           generate_series(1, 16),
+                           j -> c.pv[j] * p.qpv[j])), 6),
+                 c.vec_id) AS rn
+        FROM pn c CROSS JOIN probes p),
+      cok AS (SELECT qid, vec_id FROM co WHERE rn <= 10),
+      rr AS (
+        SELECT qid, vec_id FROM (
+          SELECT cd.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY cd.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM co cd JOIN pn c ON c.vec_id = cd.vec_id
+                     JOIN probes p ON p.qid = cd.qid
+          WHERE cd.rn <= 50)
+        WHERE rn <= 10),
+      bf AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM pn c CROSS JOIN probes p)
+        WHERE rn <= 10),
+      ann AS (
+        SELECT 'rp_coarse' AS method, qid, vec_id FROM cok
+        UNION ALL SELECT 'rp_rerank', qid, vec_id FROM rr)
+      SELECT method, CAST(count(*) AS BIGINT) AS hits,
+             CAST(200 AS BIGINT) AS denom,
+             round(count(*) / 200.0, 4) AS recall_at_k
+      FROM ann JOIN bf USING (qid, vec_id)
+      GROUP BY method ORDER BY method"""
+      }),
+
     // Metadata-FILTERED ANN: top-k among label=3 vectors only, with the
     // filter applied to the corpus side BEFORE the bucket probe
     // (filter-then-probe — the selective-filter pruning shape; the query

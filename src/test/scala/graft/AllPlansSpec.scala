@@ -21,6 +21,7 @@ class AllPlansSpec extends AnyFunSuite {
     "sim5b_ivf_trained_recall" -> "bounded 20-row probe-set + 1-row centroid-array broadcasts (brute-force truth arm + Lloyd assignment)",
     "sim6c_filtered_autowiden" -> "1-row radius-cutoff scalar + 2^bits-row probe-set broadcasts",
     "sim9_binary_rerank" -> "bounded 20-row probe-set broadcast; the coarse cross side carries only 24-byte binary code rows (brute-force truth arm is the audit's budgeted full scan)",
+    "sim10_rp_rerank" -> "bounded 20-row probe-set broadcast; the coarse cross side carries only the 16-dim projected vectors (brute-force truth arm is the audit's budgeted full scan)",
     "sim5c_kmeans_distortion" -> "1-row centroid-array + two 1-row objective-scalar broadcasts",
     "j5_scalar_subquery" -> "1-row max(last_seen) scalar broadcast",
     "p1_universe_filter" -> "1-row max(last_seen) scalar broadcast",

@@ -206,7 +206,24 @@ object ScaleSweep {
             .select(col("doc_id").as("store_id"), col("band"), col("mh")),
             Seq("band", "mh"))
           .groupBy("doc_id").agg(countDistinct(col("store_id")).as("n"))
-      })
+      },
+      // sketch state is d×w regardless of corpus size — the ratio should
+      // track the scan, not the vocabulary growth
+      "ks2_countmin" -> (d =>
+        graft.operators.CountMin.heavyHitterAudit(d, "text")),
+      // one scan + TakeOrderedAndProject: the weighted sample's cost is
+      // the scan; the top-k never globally sorts
+      "sa6_weighted" -> { d =>
+        val toks = filter(split(col("text"), " "), x => length(x) > 0)
+        d.select(col("doc_id"), size(toks).as("n_tokens"))
+          .withColumn("k0", graft.operators.Sampling.aresKey(
+            col("doc_id").cast("string"), col("n_tokens").cast("double")))
+          .orderBy(desc("k0"), asc("doc_id")).limit(50)
+      },
+      // batched trainer: same 6 merges as tok1_train in HALF the driver
+      // round-trips — the row prices what batching saves at fixed ranks
+      "tok3_train_batched" -> (d =>
+        BpeTokenizer.trainMergesBatched(d, "text", ranks = 6, batch = 2)))
 
     def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L
@@ -264,7 +281,14 @@ object ScaleSweep {
         "vq2_pq_audit" -> (e =>
           Similarity.productQuantizationError(e, "vec_id", "embedding")),
         "sim9_binary_rerank" -> (e =>
-          Similarity.binaryRerankRecallAtK(e, "vec_id", "embedding")))
+          Similarity.binaryRerankRecallAtK(e, "vec_id", "embedding")),
+        // scan-side arithmetic only — the projection row is the linearity
+        // baseline every ANN row is compared against
+        "rp1_project" -> (e =>
+          graft.operators.RandomProjection.project(
+            e, "vec_id", "embedding", 16, 64)),
+        "sim10_rp_rerank" -> (e =>
+          Similarity.rpRerankRecallAtK(e, "vec_id", "embedding")))
       vops.filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
           fn(ebase).count() // warm

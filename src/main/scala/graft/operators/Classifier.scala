@@ -123,6 +123,23 @@ object Classifier {
         col("thr"))
   }
 
+  /** Reliability-diagram calibration audit over a scored output
+    * ([[logRegScores]] shape): bucket predicted probability into `nBins`
+    * equal bins and compare the mean prediction against the observed
+    * positive rate per bin — the per-bin |gap| is what a production gate
+    * monitors before trusting the scores as probabilities. One mergeable
+    * aggregation over the scores; state is `nBins` rows. */
+  def calibrationBins(scored: DataFrame, probCol: String = "prob",
+                      labelCol: String = "label",
+                      nBins: Int = 10): DataFrame =
+    scored.withColumn("bin",
+        least(floor(col(probCol) * nBins).cast("int"), lit(nBins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(probCol)), 6).as("mean_prob"),
+        round(avg(col(labelCol).cast("double")), 6).as("pos_rate"))
+      .withColumn("gap", round(abs(col("mean_prob") - col("pos_rate")), 6))
+
   /** Mean log-loss of the scored output under the fast sigmoid — the
     * objective the spec gates monotone improvement on. Clamped away from
     * 0/1 so the log stays finite. */

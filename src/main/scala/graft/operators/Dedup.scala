@@ -243,6 +243,45 @@ object Dedup {
           (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
   }
 
+  /** LSH S-curve audit — the measurement that justifies a banding config:
+    * for every shingle-sharing pair, the exact Jaccard decile vs the
+    * fraction of those pairs the banded MinHash actually emits as
+    * candidates, next to the analytic detection probability
+    * 1 − (1 − s)^bands at the decile midpoint (this scheme is one min-row
+    * per band, so r = 1). Pair GENERATION is df-capped at `maxDf` — a
+    * corpus-wide boilerplate shingle must not explode the audit into m²
+    * pairs (the dd10 stop-fingerprint argument); pairs whose every shared
+    * shingle is above the cap fall out of the audit, which the cap
+    * documents rather than hides. Jaccard itself is computed over the FULL
+    * shingle sets of the surviving pairs. */
+  def lshScurveAudit(docs: DataFrame, idCol: String, textCol: String,
+                     bands: Int = 4, maxDf: Int = 50,
+                     nBins: Int = 10): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol).localCheckpoint(eager = false)
+    val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("sh")
+    val rare = sh.join(rareSh, "sh")
+    val candAll = rare.select(col(idCol).as("doc_a"), col("sh"))
+      .join(rare.select(col(idCol).as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val withJ = jaccardOnCandidates(candAll, sh, idCol)
+    val det = lshCandidatePairs(minhashSignatures(sh, idCol, bands), idCol)
+      .withColumn("__det", lit(1))
+    withJ.join(det, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bin",
+        least(floor(col("jaccard") * nBins).cast("int"), lit(nBins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__det"), lit(0))).as("detected"))
+      .select(col("bin"), col("n_pairs"), col("detected"),
+        round(col("detected").cast("double") / col("n_pairs"), 4)
+          .as("detect_rate"),
+        round(lit(1.0) - pow(
+          lit(1.0) - (col("bin").cast("double") + lit(0.5)) / nBins,
+          bands), 6).as("analytic_mid"))
+  }
+
   /** Asymmetric CONTAINMENT for candidate pairs: |A∩B|/|A| and |A∩B|/|B| —
     * quote / partial-duplication detection where Jaccard washes out (a
     * paragraph quoted inside a long document is near-zero Jaccard but

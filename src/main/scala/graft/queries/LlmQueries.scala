@@ -560,6 +560,50 @@ object LlmQueries {
       JOIN cnt cb ON cb.doc_id = i.doc_b
       ORDER BY doc_a, doc_b""")),
 
+    // LSH S-curve audit: per Jaccard decile, the fraction of shingle-
+    // sharing pairs the 4-band MinHash actually emits vs the analytic
+    // 1-(1-s)^4 detection probability — the measurement that justifies
+    // (or indicts) the banding config before anyone trusts dd2's recall.
+    // Pair generation is df-capped (the dd10 stop-fingerprint argument).
+    Q("dd17_lsh_scurve", (s, dir) =>
+      Dedup.lshScurveAudit(t(s, dir, "documents"), "doc_id", "text",
+        bands = 4, maxDf = 50, nBins = 10)
+        .orderBy("bin"),
+      Some(s"""
+      WITH $MinhashPairsCte,
+      dfc AS (
+        SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        WHERE df <= 50),
+      rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY c.doc_a, c.doc_b),
+      jac AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4)
+                 AS j
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.doc_a
+        JOIN cnt cb ON cb.doc_id = i.doc_b),
+      binned AS (
+        SELECT least(CAST(floor(j.j * 10) AS INTEGER), 9) AS bin,
+               CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS det
+        FROM jac j
+        LEFT JOIN pairs p ON p.doc_a = j.doc_a AND p.doc_b = j.doc_b)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(det) AS BIGINT) AS detected,
+             round(sum(det) / CAST(count(*) AS DOUBLE), 4) AS detect_rate,
+             round(1.0 - (1.0 - (bin + 0.5) / 10.0) ** 4, 6)
+               AS analytic_mid
+      FROM binned GROUP BY bin ORDER BY bin""")),
+
     // Full near-dup composition: exact-dedup to representatives FIRST (the
     // LSH hot-bucket fix), then banded MinHash candidates + exact Jaccard,
     // thresholded on the rounded score in both engines.
@@ -2176,6 +2220,31 @@ object LlmQueries {
       SELECT s.doc_id, s.score, s.prob, s.label, t.thr
       FROM mlscored s, thr t WHERE s.score >= t.thr
       ORDER BY s.doc_id""")),
+
+    // Reliability-diagram calibration audit of ml1's scores: per predicted-
+    // probability decile, mean prediction vs observed positive rate and the
+    // |gap| — the check a production gate runs before treating classifier
+    // scores as probabilities. One nBins-state aggregation.
+    Q("ml3_calibration", (s, dir) =>
+      Classifier.calibrationBins(
+        Classifier.logRegScores(t(s, dir, "documents"), "doc_id", "text",
+          label = when(col("source") === "src0", 1.0).otherwise(0.0),
+          dims = 32, iters = 3, lr = 0.5))
+        .orderBy("bin"),
+      Some(s"""
+      WITH $MlScoredCte,
+      cal AS (
+        SELECT least(CAST(floor(prob * 10) AS INTEGER), 9) AS bin,
+               prob, label
+        FROM mlscored),
+      agg AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               round(avg(prob), 6) AS mean_prob,
+               round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
+        FROM cal GROUP BY bin)
+      SELECT bin, n, mean_prob, pos_rate,
+             round(abs(mean_prob - pos_rate), 6) AS gap
+      FROM agg ORDER BY bin""")),
 
     // Source-drift PSI monitor: per source, the population-stability index
     // of its token-count distribution vs the whole corpus over fixed-width

@@ -28,6 +28,37 @@ class TestdataDriftSpec extends AnyFunSuite {
     }
   }
 
+  private val tableContract: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  test("every table still carries the columns the registry depends on") {
+    // Names only — physical-type drift within a column is tolerated where
+    // Tables.t normalizes it (the events.ts lesson); a DROPPED or RENAMED
+    // column is what silently breaks dozens of queries at analysis time,
+    // so that is what this pins, per sf dir, with one named assertion.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); (t, cols) <- tableContract) {
+      val got = Tables.t(spark, s"/root/testdata/$sf", t).schema.fieldNames
+      val missing = cols.filterNot(got.contains)
+      assert(missing.isEmpty,
+        s"$sf/$t dropped or renamed: ${missing.mkString(", ")} (has: ${got.mkString(", ")})")
+    }
+  }
+
   test("the nanos-era long path still rebuilds correct micros") {
     // Red-first guard for the legacy branch: synthesize a nanos-typed long
     // column and run it through the same rebuild expression Tables.t uses.

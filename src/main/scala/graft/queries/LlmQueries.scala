@@ -2439,6 +2439,54 @@ object LlmQueries {
       SELECT doc_id, n_tokens, round(k0, 6) AS ares_key
       FROM top ORDER BY ares_key DESC, doc_id""")),
 
+    // Split-leakage audit: near-dup candidate pairs (dd2's 4-band MinHash)
+    // whose two sides landed in DIFFERENT train/val/test splits — the
+    // contamination a hash split cannot prevent (near-dups hash apart) and
+    // every eval pipeline must measure. Full split×split matrix with the
+    // off-diagonal flagged.
+    Q("sa7_split_leakage", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleSet(docs, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(sh, "doc_id", bands = 4), "doc_id")
+      val splits = docs.select(col("doc_id"),
+        graft.operators.Sampling.splitLabel(col("doc_id").cast("string"))
+          .as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    }, Some(s"""
+      WITH $MinhashPairsCte,
+      f AS (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents),
+      sp AS (
+        SELECT doc_id, CASE WHEN frac < 0.8 THEN 'train'
+                            WHEN frac < 0.9 THEN 'val'
+                            ELSE 'test' END AS split
+        FROM f),
+      lab AS (
+        SELECT least(a.split, b.split) AS split_lo,
+               greatest(a.split, b.split) AS split_hi
+        FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+                     JOIN sp b ON b.doc_id = p.doc_b)
+      SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+             split_lo <> split_hi AS leaky
+      FROM lab GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // The full curation run, composed end to end like pipe5 composes the
     // calendar lifecycle: quality + language gate -> exact dedup (min-id
     // representative) -> near-dup drop (higher id of any pair at jaccard

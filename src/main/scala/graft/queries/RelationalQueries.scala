@@ -733,6 +733,32 @@ object RelationalQueries {
              count(*) AS n, round(sum(value), 2) AS sv
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // w3 — RANGE-interval sliding window over event time: per event, the
+    // count and mean of the SAME USER's events in the trailing hour —
+    // the rate-limiter / rolling-feature window shape. RangeFrame over
+    // unix micros (Spark's rangeBetween needs a numeric sort key), frame
+    // membership by time distance, so ts ties all join the frame in both
+    // engines.
+    Q("w3_range_window", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("tsm"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("tsm", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(avg(col("value")).over(w), 6).as("mean_1h"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             round(avg(value) OVER w, 6) AS mean_1h
+      FROM (SELECT event_id, user_id, value, epoch_us(ts) AS tsm
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsm
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
     // st2 — session windows per user (gap-merged), batch form of the
     // streaming `session_window` aggregation (streaming form in
     // StreamingSpec). Oracle: classic lag→gap-flag→cumsum sessionization.

@@ -32,4 +32,27 @@ object Indexing {
       .filter(col("df") >= minDf)
       .select("term", "shard", "df", "n_docs", "postings")
   }
+
+  /** Positional-index phrase search — the serve path [[invertedIndex]]'s
+    * structure promises: (term, doc, pos) postings, each phrase word's
+    * posting list filtered out scan-side (the selective index access),
+    * then consecutive positions intersected by equi-join on
+    * (doc, pos − offset). Shuffle is ∝ the matched postings, never the
+    * corpus. Returns (doc_id, n_hits) per document containing the
+    * phrase. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a 1-word phrase is a plain posting lookup")
+    val pos = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "term")))
+    val first = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(pos.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -2052,6 +2052,26 @@ object LlmQueries {
       SELECT term, shard, df, n_docs, postings FROM tot WHERE df >= 5
       ORDER BY term, shard""")),
 
+    // Positional-index phrase search — the serve path ix1 promises: each
+    // phrase word's posting list is filtered scan-side, consecutive
+    // positions intersect via equi-join on (doc, pos − offset); shuffle ∝
+    // matched postings, never the corpus. Graded on per-doc hit counts.
+    Q("ix2_phrase_query", (s, dir) =>
+      graft.operators.Indexing.phraseSearch(
+        t(s, dir, "documents"), "doc_id", "text", Seq("table", "hash"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH p AS (
+        SELECT doc_id, i AS pos, w[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(generate_series(1, len(w))) AS t(i)),
+      m AS (
+        SELECT a.doc_id
+        FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'table' AND b.term = 'hash')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
     // Fixed-size token chunks with overlap (64-token windows, stride 48) —
     // the context-window shaping step before embedding or training. Pure
     // per-row array slicing, no shuffle; graded on the chunk text itself,
@@ -2282,6 +2302,38 @@ object LlmQueries {
       SELECT source, CAST(n_s AS BIGINT) AS n_docs,
              round(list_sum(list(contrib ORDER BY bin)), 4) AS psi
       FROM c GROUP BY source, n_s ORDER BY source""")),
+
+    // Zipf rank-frequency audit: OLS slope/intercept of ln(freq) vs
+    // ln(rank) over the top-500 words — natural corpora fit slope ≈ −1;
+    // a synthetic or template-heavy corpus shows up as a flat or kinked
+    // fit. One aggregation over the bounded top-k (regr_slope is native
+    // in both engines).
+    Q("cs4_zipf_slope", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w")).limit(500)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+      top.agg(count(lit(1)).as("n_words"),
+        round(regr_slope(log(col("cnt")), log(col("rank"))), 6)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("cnt")), log(col("rank"))), 6)
+          .as("zipf_intercept"))
+    }, Some("""
+      WITH tw AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      top AS (
+        SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+        FROM tw QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= 500)
+      SELECT CAST(count(*) AS BIGINT) AS n_words,
+             round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+             round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept
+      FROM top""")),
 
     // Benchmark decontamination: distinct shared word 5-grams between each
     // training doc and a pseudo eval set (doc_id % 41 = 0). Eval shingles

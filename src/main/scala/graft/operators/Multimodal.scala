@@ -223,6 +223,72 @@ object Multimodal {
     }.toDF()
   }
 
+  /** mm6's graded row: decoded format fields plus EXACT per-channel
+    * sample sums and the peak magnitude — integers, so the grade never
+    * rests on float rounding. */
+  final case class WavStats(media_id: Long, sample_rate: Int, channels: Int,
+                            n_frames: Long, sum_l: Long, sum_r: Long,
+                            peak: Int)
+
+  /** Encode each document's text bytes as a REAL stereo 16-bit PCM WAV:
+    * sample i's low byte is text byte i, its high byte is a deterministic
+    * mix ((text[(i+1) mod m]·3 + i) mod 256, so negative samples occur and
+    * the int16 sign path is exercised), channels interleave L/R by sample
+    * parity. Even-id docs get a LIST chunk planted between fmt and data —
+    * the decoder must WALK chunks, not assume offsets. Both engines can
+    * rebuild the identical samples from the text, so the decode grades. */
+  def wavFromText(df: DataFrame, idCol: String, textCol: String,
+                  sampleRate: Int = 8000): Dataset[MediaRow] = {
+    implicit val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val rowEnc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .filter((r: (Long, Array[Byte])) => r._2 != null && r._2.length >= 2)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, txt) =>
+          val m = txt.length - (txt.length % 2)
+          val samples = Array.tabulate[Short](m) { i =>
+            val low = txt(i) & 0xFF
+            val high = ((txt((i + 1) % m) & 0xFF) * 3 + i) % 256
+            ((high << 8) | low).toShort
+          }
+          val extra =
+            if (id % 2 == 0) Some(txt.take(math.min(5, txt.length))) else None
+          val payload = WavCodec.encode(sampleRate, 2, samples, extra)
+          md.reset()
+          val digest = md.digest(payload).map("%02x".format(_)).mkString
+          MediaRow(id, "audio/wav", payload.length.toLong, digest, payload)
+        }
+      }
+  }
+
+  /** mm6: REAL audio decode graded — parse the RIFF container (chunk walk
+    * incl. the planted LIST chunks), decode int16 LE PCM, and grade the
+    * per-channel sample sums, frame count and peak magnitude. A header-
+    * offset, endianness or sign bug moves a graded integer. Executor-side
+    * per partition, like every media op. */
+  def wavStats(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[WavStats]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, samples) = WavCodec.decode(r.payload)
+        var sl = 0L
+        var sr = 0L
+        var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toInt
+          if (i % 2 == 0) sl += v else sr += v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        WavStats(r.media_id, rate, ch, (samples.length / ch).toLong,
+          sl, sr, peak)
+      }
+    }.toDF()
+  }
+
   /** REAL decode read-out over PPM media: parse the P6 payload, sum each
     * channel, resize nearest-neighbor to (max(w/2,1), max(h/2,1)) and sum
     * the resized bytes. Any header-parse or pixel-offset bug moves these

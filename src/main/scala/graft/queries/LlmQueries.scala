@@ -3369,6 +3369,49 @@ object LlmQueries {
         FROM px GROUP BY doc_id, w, h)
       SELECT doc_id AS media_id, w AS width, h AS height,
              sum_r, sum_g, sum_b, md5(pixhex) AS pix_hex_md5
-      FROM agg ORDER BY media_id"""))
+      FROM agg ORDER BY media_id""")),
+
+    // REAL audio decode — RIFF/WAVE 16-bit PCM: documents become stereo
+    // WAV payloads (text-derived samples with negative values, LIST
+    // chunks planted on even ids so the parser must walk chunks), parsed
+    // back by the real decoder; per-channel sums, frame count and peak
+    // grade against sample arithmetic rebuilt from the source bytes. An
+    // endianness, sign, or chunk-offset bug moves a graded integer.
+    Q("mm6_wav_stats", (s, dir) =>
+      Multimodal.wavStats(
+        Multimodal.wavFromText(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("media_id"),
+      Some("""
+      WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text))
+                 - (octet_length(encode(text)) % 2) AS m
+        FROM documents WHERE octet_length(encode(text)) >= 2),
+      bts AS (
+        SELECT doc_id, m,
+               list_transform(generate_series(1, m), i ->
+                 (strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i - 1 AS INTEGER), 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i AS INTEGER), 1)) - 1) AS b
+        FROM d),
+      sv AS (
+        SELECT doc_id, m, i,
+               b[CAST(i AS INTEGER) + 1]
+                 + 256 * ((b[CAST((i + 1) % m AS INTEGER) + 1] * 3 + i)
+                          % 256) AS v0
+        FROM bts, UNNEST(generate_series(0, m - 1)) AS t(i)),
+      sgn AS (
+        SELECT doc_id, m, i,
+               CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END AS v
+        FROM sv)
+      SELECT doc_id AS media_id, 8000 AS sample_rate, 2 AS channels,
+             CAST(m / 2 AS BIGINT) AS n_frames,
+             CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_l,
+             CAST(sum(CASE WHEN i % 2 = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_r,
+             CAST(max(abs(v)) AS INTEGER) AS peak
+      FROM sgn GROUP BY doc_id, m ORDER BY media_id"""))
   )
 }

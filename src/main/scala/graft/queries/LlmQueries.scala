@@ -2116,6 +2116,61 @@ object LlmQueries {
                AS spans_boundary
       FROM c ORDER BY doc_id""")),
 
+    // Pack-efficiency read-out over ck2's assignments: apportion every
+    // document's tokens to the context windows it overlaps and grade the
+    // per-pack fill. Concat-and-cut tiles gaplessly, so every fill must
+    // be exactly the capacity except the tail pack — the audit that
+    // catches any prefix-sum arithmetic error as a fill <> 2048 — plus
+    // docs-touching vs docs-starting per pack (the split-document cost
+    // the trainer pays).
+    Q("ck3_pack_efficiency", (s, dir) => {
+      val cap = 2048L
+      val a = graft.operators.Chunking.packAssignments(
+        t(s, dir, "documents"), "doc_id", "text", capacity = cap)
+      a.select(col("doc_id"), col("n_tokens"), col("start_off"),
+          explode(expr(
+            s"sequence(start_off div $cap, (start_off + n_tokens - 1) div $cap)"))
+            .as("pack_id"))
+        .withColumn("fill",
+          least(col("start_off") + col("n_tokens"), (col("pack_id") + 1) * cap)
+            - greatest(col("start_off"), col("pack_id") * cap))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("fill").as("fill_tokens"),
+          sum(when(col("start_off") >= col("pack_id") * cap, 1).otherwise(0))
+            .as("docs_started"),
+          round(sum("fill") / lit(cap.toDouble), 6).as("utilization"))
+        .orderBy("pack_id")
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_off
+        FROM tk),
+      e AS (
+        SELECT doc_id, n_tokens, start_off,
+               unnest(generate_series(start_off // 2048,
+                                      (start_off + n_tokens - 1) // 2048))
+                 AS pack_id
+        FROM c),
+      f AS (
+        SELECT pack_id,
+               least(start_off + n_tokens, (pack_id + 1) * 2048)
+                 - greatest(start_off, pack_id * 2048) AS fill,
+               CASE WHEN start_off >= pack_id * 2048 THEN 1 ELSE 0 END
+                 AS started
+        FROM e)
+      SELECT CAST(pack_id AS BIGINT) AS pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(fill) AS BIGINT) AS fill_tokens,
+             CAST(sum(started) AS BIGINT) AS docs_started,
+             round(sum(fill) / 2048.0, 6) AS utilization
+      FROM f GROUP BY pack_id ORDER BY pack_id""")),
+
     // Corpus rollup: per predicted language, doc count + token-count mean /
     // exact interpolated median / p95 — the monitoring query a corpus run
     // reports; exact percentile so both engines agree bit for bit.

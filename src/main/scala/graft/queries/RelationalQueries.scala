@@ -346,6 +346,107 @@ object RelationalQueries {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // Grouping-set / reshaping aggregations — the OLAP subtotal and
+    // wide↔long shapes a reporting layer over the loaded statements needs.
+    // All single-shuffle plans: ROLLUP/CUBE expand grouping sets inside one
+    // Expand+HashAggregate (no per-level rescans), pivot is one hash
+    // aggregate with conditional accumulators, unpivot is a scan-side
+    // Expand (zero shuffles before the output sort).
+    // ------------------------------------------------------------------
+
+    // A9 — ROLLUP subtotal hierarchy over (status, priority), subtotal rows
+    // disambiguated by grouping_id. Grouped keys are coalesced to a
+    // sentinel so the cross-engine ORDER BY never depends on NULL
+    // placement (Spark sorts NULLS FIRST, DuckDB NULLS LAST by default).
+    Q("a9_rollup", (s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("gid", "status", "priority"),
+      Some("""
+      SELECT CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+                  AS BIGINT) AS gid,
+             coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS priority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority""")),
+
+    // A10 — CUBE over (status, order-year): every subtotal combination in
+    // one Expand pass. The year key gets a -1 sentinel for its subtotal
+    // rows (same NULL-placement rationale as a9).
+    Q("a10_cube", (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("y", year(dt(col("o_orderdate"))))
+        .cube("o_orderstatus", "y")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(avg("o_totalprice"), 4).as("mean_price"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("y"), lit(-1)).as("y"),
+          col("n"), col("mean_price"))
+        .orderBy("gid", "status", "y"),
+      Some("""
+      SELECT CAST(2 * GROUPING(o_orderstatus) + GROUPING(y) AS BIGINT) AS gid,
+             coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(y, -1) AS y,
+             count(*) AS n, round(avg(o_totalprice), 4) AS mean_price
+      FROM (SELECT o_orderstatus, o_totalprice,
+                   CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y
+            FROM orders)
+      GROUP BY CUBE(o_orderstatus, y)
+      ORDER BY gid, status, y""")),
+
+    // A11 — pivot long→wide: per-priority counts and rounded totals with
+    // one column per order status. Explicit value list (F/O/P) so the plan
+    // is a single hash aggregate — no distinct-scan to discover columns,
+    // which is the 100-TB-safe form (an implicit pivot adds a full
+    // pre-scan and an unbounded column budget).
+    Q("a11_pivot_status", (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .na.fill(0, Seq("F_n", "O_n", "P_n"))
+        .select(col("o_orderpriority"),
+          col("F_n").as("n_f"), col("F_total").as("total_f"),
+          col("O_n").as("n_o"), col("O_total").as("total_o"),
+          col("P_n").as("n_p"), col("P_total").as("total_p"))
+        .orderBy("o_orderpriority"),
+      Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+             round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // A12 — unpivot wide→long (melt): part's numeric measures to
+    // (key, metric, value) rows via Dataset.unpivot — a scan-side Expand,
+    // no shuffle, output 2× rows regardless of metric count added later.
+    Q("a12_unpivot_metrics", (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+          "metric", "v")
+        .orderBy("p_partkey", "metric"),
+      Some("""
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS v FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS v FROM part
+      ORDER BY p_partkey, metric""")),
+
+    // ------------------------------------------------------------------
     // §2.6 windows / sorts / set ops
     // ------------------------------------------------------------------
 

@@ -1628,6 +1628,40 @@ object LlmQueries {
               4) AS quality
       FROM documents ORDER BY doc_id""")),
 
+    // Quality deciles: ntile(10) over the tx2 score with a doc_id
+    // tie-break (a deterministic total order is what makes ntile
+    // cross-engine stable), then per-decile population + score range —
+    // the "how much survives each quality cut" curation report. One
+    // window sort + one aggregate; at 100 TB the same report comes off
+    // the mergeable histogram (hq1) instead of the exact sort — this is
+    // the exact-grade twin.
+    Q("tx17_quality_deciles", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("quality"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min("quality"), 4).as("q_min"),
+          round(max("quality"), 4).as("q_max"))
+        .orderBy("decile")
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id,
+          round((CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.5
+                + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5,
+                4) AS quality
+        FROM documents)
+      SELECT ntile AS decile, count(*) AS n,
+             round(min(quality), 4) AS q_min, round(max(quality), 4) AS q_max
+      FROM (SELECT quality, ntile(10) OVER (ORDER BY quality, doc_id) AS ntile
+            FROM scored)
+      GROUP BY 1 ORDER BY 1""")),
+
     // Token counting: whitespace + BPE-ish regex.
     Q("tx3_token_count", (s, dir) =>
       t(s, dir, "documents")

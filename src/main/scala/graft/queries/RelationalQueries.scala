@@ -495,6 +495,74 @@ object RelationalQueries {
       SELECT s_nationkey, s_suppkey, s_name FROM supplier
       ORDER BY s_nationkey, s_suppkey""")),
 
+    // W4/SCD — collapse a change log into a type-2 slowly-changing
+    // dimension: per customer, consecutive equal statuses merge into one
+    // validity interval [valid_from, valid_to), open intervals closed with
+    // a 9999-12-31 sentinel. Two windows over the SAME
+    // (o_custkey)×(d, o_orderkey) partitioning/ordering, so the plan pays
+    // one shuffle + one sort and runs both window passes on it — the
+    // standard warehouse dimension-build, scale-safe because state never
+    // leaves the per-key window.
+    Q("scd1_type2_history", (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dt(col("o_orderdate")).as("d"), col("o_orderstatus"))
+        .withColumn("__prev", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("o_orderstatus"))
+        .withColumn("valid_to",
+          coalesce(lead(col("d"), 1).over(w), lit("9999-12-31").cast("date")))
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("d").as("valid_from"), col("valid_to"),
+          col("__prev").isNull.as("is_initial"))
+        .orderBy("o_custkey", "valid_from", "status")
+    }, Some("""
+      WITH chg AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               o_orderstatus,
+               lag(o_orderstatus) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                     o_orderkey)),
+      collapsed AS (SELECT * FROM chg
+                    WHERE prev IS NULL OR prev <> o_orderstatus)
+      SELECT o_custkey, o_orderstatus AS status, d AS valid_from,
+             coalesce(lead(d) OVER w2, DATE '9999-12-31') AS valid_to,
+             prev IS NULL AS is_initial
+      FROM collapsed
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      ORDER BY o_custkey, valid_from, status""")),
+
+    // OL1 — winsorized aggregation: clamp the value column at the exact
+    // interpolated p01/p99 before summing, the standard outlier-robust
+    // metric. The two global percentiles are one 1-row aggregate
+    // broadcast back onto the scan (scalar-subquery shape) — the clamp
+    // itself is per-row, so the plan is scan → broadcast-join → one hash
+    // aggregate, no global sort of the fact table.
+    Q("ol1_winsorize", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val pcts = orders.agg(
+        percentile(col("o_totalprice"), lit(0.01)).as("__p01"),
+        percentile(col("o_totalprice"), lit(0.99)).as("__p99"))
+      orders.crossJoin(broadcast(pcts))
+        .withColumn("__clamped",
+          least(greatest(col("o_totalprice"), col("__p01")), col("__p99")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("__clamped"), 2).as("wsum"),
+          round(min("__clamped"), 2).as("wmin"),
+          round(max("__clamped"), 2).as("wmax"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      WITH p AS (SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+                        quantile_cont(o_totalprice, 0.99) AS p99
+                 FROM orders)
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(least(greatest(o_totalprice, p01), p99)), 2) AS wsum,
+             round(min(least(greatest(o_totalprice, p01), p99)), 2) AS wmin,
+             round(max(least(greatest(o_totalprice, p01), p99)), 2) AS wmax
+      FROM orders, p GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ------------------------------------------------------------------
     // §2.2 sinks as DataFrame rewrites
     // ------------------------------------------------------------------

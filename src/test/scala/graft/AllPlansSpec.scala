@@ -24,6 +24,7 @@ class AllPlansSpec extends AnyFunSuite {
     "sim10_rp_rerank" -> "bounded 20-row probe-set broadcast; the coarse cross side carries only the 16-dim projected vectors (brute-force truth arm is the audit's budgeted full scan)",
     "sim5c_kmeans_distortion" -> "1-row centroid-array + two 1-row objective-scalar broadcasts",
     "j5_scalar_subquery" -> "1-row max(last_seen) scalar broadcast",
+    "ol1_winsorize" -> "1-row p01/p99 percentile scalar broadcast",
     "p1_universe_filter" -> "1-row max(last_seen) scalar broadcast",
     "tx10_tfidf_terms" -> "1-row corpus-count scalar broadcast",
     "hq1_hist_quantiles" -> "3-row quantile-probe broadcast over the bounded bin list",

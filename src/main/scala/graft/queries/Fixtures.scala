@@ -170,6 +170,41 @@ object Fixtures {
       (o, c)
     })
 
+  /** K9 — ORC snapshot export, once per (JVM, sfDir): the columnar
+    * interchange sink for ORC-reading engines (Hive/Trino warehouses).
+    * The registered query grades the round trip — a type-mapping or
+    * encoding bug in either direction breaks the hash. */
+  private val k9Dirs = scala.collection.concurrent.TrieMap[String, String]()
+  def k9OrcExport(s: SparkSession, sfDir: String): String =
+    k9Dirs.getOrElseUpdate(sfDir, {
+      val out = tmp(s"graft_k9_orc_${math.abs(sfDir.hashCode)}")
+      rm(out)
+      Tables.t(s, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("d"))
+        .write.mode("overwrite").orc(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+
+  /** K10 — date-partitioned parquet layout: `repartition(d)` then
+    * `partitionBy(d)` so every date directory is exactly one file (the
+    * hash-repartition puts each day in one task — without it, every one of
+    * the N write tasks opens a file per day it happens to hold: N× small
+    * files, the classic 100-TB layout bug). Reads with a date predicate
+    * then scan only the matching directories (PlanSpec gates the
+    * PartitionFilters). */
+  private val k10Dirs = scala.collection.concurrent.TrieMap[String, String]()
+  def k10PartitionedEvents(s: SparkSession, sfDir: String): String =
+    k10Dirs.getOrElseUpdate(sfDir, {
+      val out = tmp(s"graft_k10_part_${math.abs(sfDir.hashCode)}")
+      rm(out)
+      Tables.t(s, sfDir, "events")
+        .withColumn("d", to_date(col("ts")))
+        .repartition(col("d"))
+        .write.mode("overwrite").partitionBy("d").parquet(out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+
   /** Harness entry point: materialize every fixture before the registry is
     * swept, so each registered query executes as a pure read. */
   def ensureAll(s: SparkSession, sfDir: String): Unit = {
@@ -178,6 +213,8 @@ object Fixtures {
     st3Snapshot(s)
     bucketedPair(s, sfDir)
     k8JsonlExport(s, sfDir)
+    k9OrcExport(s, sfDir)
+    k10PartitionedEvents(s, sfDir)
     ()
   }
 }

@@ -846,6 +846,38 @@ object PipelineQueries {
       SELECT doc_id, text, lang, source, n_chars
       FROM documents ORDER BY doc_id""")),
 
+    // K9 — ORC round trip: the orders snapshot written as ORC (in
+    // Fixtures) read back and graded against the parquet source — the
+    // interchange path for ORC-native warehouses. Any type-mapping drift
+    // (decimal widening, date encoding) between Spark's ORC writer and
+    // reader surfaces as a hash mismatch here.
+    Q("k9_orc_roundtrip", (s, dir) =>
+      s.read.orc(Fixtures.k9OrcExport(s, dir))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d")
+        .orderBy("o_orderkey"),
+      Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders ORDER BY o_orderkey""")),
+
+    // K10 — partition-pruned read over the date-partitioned layout the
+    // K10 fixture wrote (one directory per day, one file per directory):
+    // the predicate on the partition column must resolve to directory
+    // pruning (PartitionFilters in the scan — PlanSpec gates it), so at
+    // 100 TB a 6-day probe reads 6/30ths of the bytes, not a full scan
+    // plus filter.
+    Q("k10_partition_pruned_read", (s, dir) =>
+      s.read.parquet(Fixtures.k10PartitionedEvents(s, dir))
+        .filter(col("d").between(lit("2024-01-10").cast("date"),
+          lit("2024-01-15").cast("date")))
+        .select("event_id", "user_id", "event_type", "value", "d")
+        .orderBy("event_id"),
+      Some("""
+      SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS d
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
+      ORDER BY event_id""")),
+
     // D8 — posix @ 6am request key (`earnings-calendar-extract.rkt:25`).
     Q("d8_posix_6am", (s, dir) =>
       t(s, dir, "orders").select(to_date(col("o_orderdate")).as("d"))

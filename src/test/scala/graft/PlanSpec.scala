@@ -24,6 +24,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_extendedprice"))
   }
 
+  test("k10 date predicate becomes directory pruning, not a post-scan filter") {
+    val df = SparkEntry.queries("k10_partition_pruned_read")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*d#".r.findFirstIn(plan).isDefined,
+      "expected the date predicate inside PartitionFilters")
+    // the pruned scan must touch only the 6 matching day directories
+    // (sparkPlan, not executedPlan: AQE wraps the tree until execution)
+    val scanned = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned == 6, s"expected 6 day partitions scanned, saw $scanned")
+  }
+
+  test("k10 layout is one file per day directory (no small-file fan-out)") {
+    val base = new java.io.File(
+      graft.queries.Fixtures.k10PartitionedEvents(spark, dir))
+    val dayDirs = base.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("d="))
+    assert(dayDirs.nonEmpty)
+    dayDirs.foreach { dd =>
+      val files = dd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${dd.getName}: expected exactly 1 parquet file, saw ${files.length}")
+    }
+  }
+
   test("sim1 top-k is TakeOrderedAndProject, not a global sort") {
     val plan = planOf("sim1_cosine_topk")
     assert(plan.contains("TakeOrderedAndProject"))

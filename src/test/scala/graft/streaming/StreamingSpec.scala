@@ -160,6 +160,51 @@ class StreamingSpec extends AnyFunSuite {
       "deterministic in-batch winner (min payload); later-batch re-arrival dropped")
   }
 
+  test("intervalEventJoin joins two live streams within the time bound") {
+    val viewDir = Files.createTempDirectory("graft_ssj_v").toFile
+    val buyDir = Files.createTempDirectory("graft_ssj_b").toFile
+    val vSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("view_id", LongType),
+      StructField("vts", TimestampType)))
+    val bSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("purchase_id", LongType),
+      StructField("pts", TimestampType)))
+    val views = spark.readStream.schema(vSchema).json(viewDir.getAbsolutePath)
+    val buys = spark.readStream.schema(bSchema).json(buyDir.getAbsolutePath)
+    val joined = StreamingLoad.intervalEventJoin(
+      views, buys, "user_id", "vts", "pts",
+      maxGap = "30 minutes", watermark = "1 hour")
+      .select("user_id", "view_id", "purchase_id")
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    // user 7: a view at 10:00 → purchases at 10:20 (match) and 11:30 (out
+    // of range); user 8: purchase with no prior view (no match);
+    // user 9: purchase 5 min BEFORE the view (no match — range is one-sided)
+    Files.writeString(new java.io.File(viewDir, "v1.json").toPath,
+      """{"user_id":7,"view_id":70,"vts":"2024-01-01T10:00:00.000Z"}
+        |{"user_id":9,"view_id":90,"vts":"2024-01-01T10:10:00.000Z"}
+        |""".stripMargin)
+    Files.writeString(new java.io.File(buyDir, "b1.json").toPath,
+      """{"user_id":7,"purchase_id":700,"pts":"2024-01-01T10:20:00.000Z"}
+        |{"user_id":7,"purchase_id":701,"pts":"2024-01-01T11:30:00.000Z"}
+        |{"user_id":8,"purchase_id":800,"pts":"2024-01-01T10:15:00.000Z"}
+        |{"user_id":9,"purchase_id":900,"pts":"2024-01-01T10:05:00.000Z"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    // a second micro-batch still matches the buffered view's window:
+    // inner-join emission is immediate, cleanup is what the watermark gates
+    Files.writeString(new java.io.File(buyDir, "b2.json").toPath,
+      """{"user_id":7,"purchase_id":702,"pts":"2024-01-01T10:25:00.000Z"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("ssj").orderBy("view_id", "purchase_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((70L, 700L), (70L, 702L)))
+  }
+
   test("sessionAggs merges gap-adjacent events on a stream") {
     val inDir = Files.createTempDirectory("graft_session").toFile
     val evSchema = StructType(Seq(

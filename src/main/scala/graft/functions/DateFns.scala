@@ -61,4 +61,20 @@ object DateFns {
 
   /** D9 — 6-month export lookback (`dump-dolt-estimates.rkt:212`). */
   def sixMonthsBack(d: Column): Column = add_months(d, -6)
+
+  /** Weekday test — Spark's dayofweek is 1=Sunday … 7=Saturday. */
+  def isBusinessDay(d: Column): Column =
+    dayofweek(d) =!= 1 && dayofweek(d) =!= 7
+
+  /** Next business day: the following calendar day, rolled forward off a
+    * weekend (Fri→Mon, Sat→Mon, Sun→Mon) — the settlement/announcement
+    * date arithmetic the calendar pipelines need. Pure scan-side codegen,
+    * no calendar table. (Holiday rolls would compose a broadcast holiday
+    * dim on top; out of scope for the synthetic data.) */
+  def nextBusinessDay(d: Column): Column = {
+    val n = date_add(d, 1)
+    when(dayofweek(n) === 7, date_add(n, 2))   // lands Saturday → Monday
+      .when(dayofweek(n) === 1, date_add(n, 1)) // lands Sunday → Monday
+      .otherwise(n)
+  }
 }

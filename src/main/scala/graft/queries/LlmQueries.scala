@@ -3224,6 +3224,82 @@ object LlmQueries {
                         ELSE 24.0 / fr[25] END, 4) AS kmv_estimate
       FROM st ORDER BY source""")),
 
+    // KMV set-operation estimates: per-language k-min-values sketches of
+    // the token space, then pairwise union cardinality ((k-1)/kth) and
+    // Jaccard (shared fraction of the combined top-k) — the mergeable-
+    // sketch path to "how much vocabulary do these corpora share" at
+    // 100 TB, where the exact pair join is the thing you can't afford.
+    // Both the estimates AND their exact counterparts are graded, so the
+    // oracle pins estimator math, not just plumbing. The pair join is a
+    // bounded cross of one 25-double row per language (5 rows/side).
+    Q("ks3_kmv_set_ops", (s, dir) => {
+      val k = 25
+      val f = t(s, dir, "documents").select(col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+        .withColumn("frac", graft.operators.Sampling.hashFraction(col("tok")))
+        .select("lang", "frac").distinct()
+      val w = Window.partitionBy("lang").orderBy("frac")
+      val per = f.withColumn("rn", row_number().over(w))
+        .groupBy("lang").agg(
+          sort_array(collect_list(when(col("rn") <= k, col("frac")))).as("fr"),
+          count(lit(1)).as("nd"))
+      val inter = f.select(col("lang").as("lang_a"), col("frac"))
+        .join(f.select(col("lang").as("lang_b"), col("frac")), "frac")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_inter"))
+      per.select(col("lang").as("lang_a"), col("fr").as("fr_a"),
+          col("nd").as("nd_a"))
+        .join(per.select(col("lang").as("lang_b"), col("fr").as("fr_b"),
+          col("nd").as("nd_b")), col("lang_a") < col("lang_b"))
+        .join(inter, Seq("lang_a", "lang_b"), "left")
+        .withColumn("comb",
+          expr(s"slice(array_sort(array_union(fr_a, fr_b)), 1, $k)"))
+        .withColumn("exact_union",
+          col("nd_a") + col("nd_b") - coalesce(col("n_inter"), lit(0L)))
+        .select(col("lang_a"), col("lang_b"),
+          round(lit((k - 1).toDouble) / expr(s"element_at(comb, $k)"), 4)
+            .as("kmv_union"),
+          round(expr(("size(filter(comb, x -> array_contains(fr_a, x)" +
+            " AND array_contains(fr_b, x)))")).cast("double") / k, 4)
+            .as("kmv_jaccard"),
+          col("exact_union"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            col("exact_union"), 4).as("exact_jaccard"))
+        .orderBy("lang_a", "lang_b")
+    }, Some("""
+      WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      f AS (
+        SELECT DISTINCT lang,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM toks),
+      per AS (
+        SELECT lang, count(*) AS nd,
+               list_slice(list_sort(list(frac)), 1, 25) AS fr
+        FROM f GROUP BY lang),
+      inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_inter
+        FROM f a JOIN f b ON a.frac = b.frac AND a.lang < b.lang
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, a.fr AS fr_a, b.fr AS fr_b,
+               a.nd AS nd_a, b.nd AS nd_b
+        FROM per a JOIN per b ON a.lang < b.lang)
+      SELECT lang_a, lang_b,
+             round(24.0 / comb[25], 4) AS kmv_union,
+             round(len(list_filter(comb, x -> list_contains(fr_a, x)
+                     AND list_contains(fr_b, x))) / 25.0, 4) AS kmv_jaccard,
+             CAST(nd_a + nd_b - coalesce(n_inter, 0) AS BIGINT) AS exact_union,
+             round(coalesce(n_inter, 0)
+                   / CAST(nd_a + nd_b - coalesce(n_inter, 0) AS DOUBLE), 4)
+               AS exact_jaccard
+      FROM (SELECT *, list_slice(list_sort(list_distinct(fr_a || fr_b)), 1, 25)
+                      AS comb
+            FROM pairs LEFT JOIN inter USING (lang_a, lang_b))
+      ORDER BY lang_a, lang_b""")),
+
     // Count-min sketch heavy-hitter audit: a 4×512 mergeable sketch
     // (fixed-size shuffle state, the vocabulary-free path to corpus word
     // stats at 100 TB) probed at the top-20 true words — estimate, truth,

@@ -563,6 +563,70 @@ object RelationalQueries {
              round(max(least(greatest(o_totalprice, p01), p99)), 2) AS wmax
       FROM orders, p GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // CS7 — event funnel (view → click-after-view → purchase-after-click):
+    // each stage is a keyed min-aggregate equi-joined to the prior stage's
+    // timestamp, so the whole funnel is three hash aggregates + two
+    // user-keyed joins — no window over the full event stream, no
+    // sessionize-then-scan. At 100 TB every shuffle here is on user_id;
+    // pre-bucketing events by user makes the chain exchange-free.
+    Q("cs7_event_funnel", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val tc = ev.filter(col("event_type") === "click")
+        .join(tv, "user_id").filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .join(tc, "user_id").filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      tv.join(tc, Seq("user_id"), "left").join(tp, Seq("user_id"), "left")
+        .orderBy("user_id")
+    }, Some("""
+      WITH tv AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      tc AS (SELECT e.user_id, min(e.ts) AS t_click
+             FROM events e JOIN tv USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts >= tv.t_view GROUP BY 1),
+      tp AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             FROM events e JOIN tc USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts >= tc.t_click
+             GROUP BY 1)
+      SELECT tv.user_id, tv.t_view, tc.t_click, tp.t_purchase
+      FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)
+      ORDER BY user_id""")),
+
+    // CS8 — daily actives / new users / cumulative reach: the growth
+    // report. n_new comes from each user's first-seen date (one keyed
+    // aggregate), cum_users is a running sum over the 30-row daily frame —
+    // the global window runs on post-aggregation rows (days), never on
+    // the event stream.
+    Q("cs8_daily_actives", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val daily = ev.groupBy("d").agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active"))
+      val firstSeen = ev.groupBy("user_id").agg(min("d").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(firstSeen, Seq("d"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .orderBy("d")
+    }, Some("""
+      WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      daily AS (SELECT d, count(*) AS n_events,
+                       count(DISTINCT user_id) AS n_active
+                FROM ev GROUP BY d),
+      fs AS (SELECT d, count(*) AS n_new
+             FROM (SELECT user_id, min(d) AS d FROM ev GROUP BY user_id)
+             GROUP BY d)
+      SELECT d, n_events, n_active, coalesce(n_new, 0) AS n_new,
+             sum(coalesce(n_new, 0)) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS cum_users
+      FROM daily LEFT JOIN fs USING (d)
+      ORDER BY d""")),
+
     // CS6 — single-pass column profile (the data-quality report a loader
     // runs before trusting a new drop): per column, null count, EXACT
     // distinct count, and numeric min/max. One agg computes all five
@@ -944,6 +1008,46 @@ object RelationalQueries {
       FROM (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS s
             FROM orders)
       ORDER BY d""")),
+
+    // D10 — next-business-day arithmetic over the distinct date spine:
+    // weekend landings roll to Monday (Spark dayofweek 1=Sun…7=Sat vs
+    // DuckDB 0=Sun…6=Sat — the oracle mirrors the roll, not the encoding).
+    Q("d10_business_day", (s, dir) =>
+      t(s, dir, "orders").select(dt(col("o_orderdate")).as("d")).distinct()
+        .select(col("d"), D.isBusinessDay(col("d")).as("is_bd"),
+          D.nextBusinessDay(col("d")).as("next_bd"))
+        .orderBy("d"),
+      Some("""
+      SELECT d, dayofweek(d) NOT IN (0, 6) AS is_bd,
+             CASE WHEN dayofweek(d + 1) = 6 THEN CAST(d + 3 AS DATE)
+                  WHEN dayofweek(d + 1) = 0 THEN CAST(d + 2 AS DATE)
+                  ELSE CAST(d + 1 AS DATE) END AS next_bd
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+      ORDER BY d""")),
+
+    // K11 — incremental aggregate maintenance: a running per-(status,
+    // priority) summary merged with a fresh slice's PARTIAL aggregate —
+    // counters add, sums add — and graded against the full recompute.
+    // This is the foreachBatch summary-table pattern: at 100 TB the
+    // "old" side is a tiny stored summary (|groups| rows), so each
+    // refresh costs one aggregation of the delta slice plus a
+    // groups-sized merge, never a rescan of history.
+    Q("k11_incremental_agg", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("date")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sp"))
+      val stored = partial(orders.filter(dt(col("o_orderdate")) < cut))
+      val delta = partial(orders.filter(dt(col("o_orderdate")) >= cut))
+      stored.unionByName(delta)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(sum("n").as("n"), round(sum("sp"), 2).as("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ------------------------------------------------------------------
     // §2.8 streaming-shaped: tumbling-window aggregation via the streaming

@@ -79,4 +79,19 @@ class DateFnsSpec extends AnyFunSuite {
   test("D8 posix at 6am UTC") {
     assert(evalLong(DateFns.posixAt6am(d("1970-01-02"))) === 86400L + 21600L)
   }
+
+  test("D10 next business day rolls weekend landings to Monday") {
+    // 2024-01-04 Thu → Fri; Fri → Mon (skips Sat); Sat → Mon; Sun → Mon
+    assert(evalDate(DateFns.nextBusinessDay(d("2024-01-04"))) ===
+      Date.valueOf("2024-01-05"))
+    assert(evalDate(DateFns.nextBusinessDay(d("2024-01-05"))) ===
+      Date.valueOf("2024-01-08"))
+    assert(evalDate(DateFns.nextBusinessDay(d("2024-01-06"))) ===
+      Date.valueOf("2024-01-08"))
+    assert(evalDate(DateFns.nextBusinessDay(d("2024-01-07"))) ===
+      Date.valueOf("2024-01-08"))
+    def bd(s: String): Boolean = spark.range(1).select(
+      DateFns.isBusinessDay(d(s)).as("v")).head().getBoolean(0)
+    assert(bd("2024-01-05") && !bd("2024-01-06") && !bd("2024-01-07"))
+  }
 }

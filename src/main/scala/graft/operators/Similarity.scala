@@ -868,6 +868,59 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** Matryoshka truncation audit: recall@k of cosine over the FIRST `m`
+    * dimensions against the full-dim truth, for each m — the
+    * "MRL-truncated coarse stage" question (how many leading dims can the
+    * index store, at 1/8th–1/2 the IO and FLOPs, before recall needs a
+    * re-rank to recover). One corpus×probes cross join feeds every arm:
+    * each width's score is just another column over the same pair rows,
+    * so adding a width costs an expression, not a join. Truncated slices
+    * and their norms are precomputed per ROW (corpus and probes) before
+    * the cross, so the pair loop does one native dot per width, no
+    * per-pair slicing. */
+  def matryoshkaRecallAtK(emb: DataFrame, idCol: String, vecCol: String,
+                          widths: Seq[Int] = Seq(8, 16, 32),
+                          nQueries: Int = 20, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSlices = widths.foldLeft(
+      widened(emb, idCol, vecCol).withColumn("nrm", l2norm(col("v")))) {
+      (df, m) =>
+        df.withColumn(s"v$m", slice(col("v"), 1, m))
+          .withColumn(s"n$m", l2norm(col(s"v$m")))
+    }.localCheckpoint(eager = false) // feeds probes, the cross, every arm
+    val probes = withSlices.filter(col(idCol) < nQueries).select(
+      col(idCol).as("qid") +: col("v").as("qv") +: col("nrm").as("qn") +:
+        widths.flatMap(m => Seq(col(s"v$m").as(s"qv$m"),
+          col(s"n$m").as(s"qn$m"))): _*)
+    val scored = widths.foldLeft(
+      withSlices.crossJoin(broadcast(probes))
+        .withColumn("s_full",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))) {
+      (df, m) =>
+        df.withColumn(s"s$m",
+          round(dot(col(s"v$m"), col(s"qv$m")) / (col(s"n$m") * col(s"qn$m")),
+            6))
+    }.localCheckpoint(eager = false) // one pair table, |widths|+1 rankings
+
+    def arm(scoreCol: String, label: String): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col(scoreCol).desc, col(idCol))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("qid"), col(idCol)).withColumn("method", lit(label))
+    }
+
+    val bf = arm("s_full", "full").drop("method")
+    val arms = widths.map(m => arm(s"s$m", f"trunc_$m%02d"))
+      .reduce(_ unionByName _)
+    val denom = nQueries.toLong * k
+    arms.join(bf, Seq("qid", idCol))
+      .groupBy("method")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("method"), col("hits"), lit(denom).as("denom"),
+        round(col("hits") / lit(denom.toDouble), 4).as("recall_at_k"))
+      .orderBy("method")
+  }
+
   /** Symmetric int8 scalar quantization audit — the compression step an
     * ANN index applies before storing vectors (IVF+SQ): per vector, the
     * max-abs scale and the reconstruction MSE of

@@ -1427,6 +1427,62 @@ object LlmQueries {
       GROUP BY method ORDER BY method"""
       }),
 
+    // Matryoshka truncation audit: recall@10 of cosine over the FIRST
+    // 8/16/32 dims vs the full 64-dim truth — how many leading dims an
+    // MRL-truncated coarse stage can store (8x/4x/2x less IO) before a
+    // re-rank is needed. One corpus×probes cross feeds all three arms;
+    // each width is one more expression on the same pair rows, not
+    // another join.
+    Q("sim11_matryoshka_recall", (s, dir) =>
+      Similarity.matryoshkaRecallAtK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", widths = Seq(8, 16, 32), nQueries = 20, k = 10),
+      Some {
+        def dotm(m: Int) =
+          s"list_sum(list_transform(generate_series(1, $m), i -> c.v[i] * p.qv[i]))"
+        def armCte(m: Int) = s"""
+      a$m AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(${dotm(m)} / (c.n$m * p.qn$m), 6) DESC,
+                   c.vec_id) AS rn
+          FROM n c CROSS JOIN probes p)
+        WHERE rn <= 10)"""
+        s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               sqrt(list_sum(list_transform(v[1:8], x -> x * x))) AS n8,
+               sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS n16,
+               sqrt(list_sum(list_transform(v[1:32], x -> x * x))) AS n32
+        FROM e),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn,
+               n8 AS qn8, n16 AS qn16, n32 AS qn32
+        FROM n WHERE vec_id < 20),
+      bf AS (
+        SELECT qid, vec_id FROM (
+          SELECT p.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY p.qid ORDER BY
+                   round(list_sum(list_transform(
+                       generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i])) / (c.nrm * p.qn), 6) DESC,
+                   c.vec_id) AS rn
+          FROM n c CROSS JOIN probes p)
+        WHERE rn <= 10),${armCte(8)},${armCte(16)},${armCte(32)},
+      ann AS (
+        SELECT 'trunc_08' AS method, qid, vec_id FROM a8
+        UNION ALL SELECT 'trunc_16', qid, vec_id FROM a16
+        UNION ALL SELECT 'trunc_32', qid, vec_id FROM a32)
+      SELECT method, CAST(count(*) AS BIGINT) AS hits,
+             CAST(200 AS BIGINT) AS denom,
+             round(count(*) / 200.0, 4) AS recall_at_k
+      FROM ann JOIN bf USING (qid, vec_id)
+      GROUP BY method ORDER BY method"""
+      }),
+
     // Metadata-FILTERED ANN: top-k among label=3 vectors only, with the
     // filter applied to the corpus side BEFORE the bucket probe
     // (filter-then-probe — the selective-filter pruning shape; the query

@@ -22,6 +22,7 @@ class AllPlansSpec extends AnyFunSuite {
     "sim6c_filtered_autowiden" -> "1-row radius-cutoff scalar + 2^bits-row probe-set broadcasts",
     "sim9_binary_rerank" -> "bounded 20-row probe-set broadcast; the coarse cross side carries only 24-byte binary code rows (brute-force truth arm is the audit's budgeted full scan)",
     "sim10_rp_rerank" -> "bounded 20-row probe-set broadcast; the coarse cross side carries only the 16-dim projected vectors (brute-force truth arm is the audit's budgeted full scan)",
+    "sim11_matryoshka_recall" -> "bounded 20-row probe-set broadcast; one pair table feeds all truncation arms (brute-force truth arm is the audit's budgeted full scan)",
     "sim5c_kmeans_distortion" -> "1-row centroid-array + two 1-row objective-scalar broadcasts",
     "j5_scalar_subquery" -> "1-row max(last_seen) scalar broadcast",
     "ol1_winsorize" -> "1-row p01/p99 percentile scalar broadcast",

@@ -495,6 +495,77 @@ object RelationalQueries {
       SELECT s_nationkey, s_suppkey, s_name FROM supplier
       ORDER BY s_nationkey, s_suppkey""")),
 
+    // J10 — INTERSECT / EXCEPT set semantics: the 1995∩1996 and 1995∖1996
+    // customer cohorts in one tagged output. Spark plans both as hash
+    // semi/anti joins over the distinct key sets — same shuffle economics
+    // as j4's FK anti-join, never a sort-based set difference.
+    Q("j10_intersect_except", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      def cohort(y: Int) = orders
+        .filter(year(dt(col("o_orderdate"))) === y)
+        .select("o_custkey").distinct()
+      cohort(1995).intersect(cohort(1996))
+        .withColumn("tag", lit("both"))
+        .unionByName(cohort(1995).except(cohort(1996))
+          .withColumn("tag", lit("only_1995")))
+        .orderBy("tag", "o_custkey")
+    }, Some("""
+      WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+      c96 AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+      SELECT o_custkey, 'both' AS tag
+      FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+      UNION ALL
+      SELECT o_custkey, 'only_1995' AS tag
+      FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+      ORDER BY tag, o_custkey""")),
+
+    // W5 — the analytic-rank family (percent_rank / cume_dist /
+    // dense_rank) per priority over the price ordering: ties collapse
+    // identically in both engines, so the values are cross-engine exact;
+    // the output sort is on the unique PK.
+    Q("w5_rank_family", (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          dense_rank().over(w).as("dr"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderpriority,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             CAST(dense_rank() OVER w AS INT) AS dr
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+      ORDER BY o_orderkey""")),
+
+    // HLL1 — approx_count_distinct (HyperLogLog++) audited against the
+    // exact distinct per priority: the estimate itself is engine-internal
+    // (deterministic — sketch insertion is order-independent — but not
+    // reproducible in DuckDB), so the graded columns are the exact count
+    // and the within-tolerance verdict. rsd=0.05 is a STANDARD DEVIATION,
+    // not a bound — the audit gates at 3σ (15%), which a healthy sketch
+    // clears at every SF while a broken one (collapsed registers, bad
+    // merge) still fails the hash honestly. This is the cardinality path
+    // that replaces cs6's exact countDistinct at 100 TB: fixed sketch
+    // state, no Expand.
+    Q("hll1_approx_distinct_audit", (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact"),
+          approx_count_distinct(col("o_custkey"), 0.05).as("__est"))
+        .select(col("o_orderpriority"), col("exact"),
+          (abs(col("__est") - col("exact")) <=
+            col("exact") * 0.15).as("within_3sigma"))
+        .orderBy("o_orderpriority"),
+      Some("""
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact,
+             TRUE AS within_3sigma
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // W4/SCD — collapse a change log into a type-2 slowly-changing
     // dimension: per customer, consecutive equal statuses merge into one
     // validity interval [valid_from, valid_to), open intervals closed with

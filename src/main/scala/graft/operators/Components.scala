@@ -106,4 +106,40 @@ object Components {
       if (r.isNullAt(1)) 0L else r.getLong(1),
       if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
   }
+
+  /** Fixed-iteration PageRank over a directed edge list — the authority
+    * score of a link/citation graph (which duplicate cluster, source, or
+    * host carries the mass). Simplified formulation without dangling-mass
+    * redistribution: r ← (1-d) + d·Σ_in r/outdeg, iterated a FIXED number
+    * of rounds so re-runs and the SQL oracle agree term for term.
+    *
+    * Scale shape: per round one equi-join (edges ⋈ ranks on src — shuffle
+    * keyed by node id) + one groupBy-sum on dst; the edge set is never
+    * mutated and its join-side partitioning is reusable round to round.
+    * No driver-side graph state; lineage truncated per round with a lazy
+    * localCheckpoint. Nodes with no in-links settle at (1-d) immediately.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               nodes: DataFrame, nodeCol: String,
+               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val n = nodes.select(col(nodeCol).as("node")).distinct()
+    val deg = edges.groupBy(srcCol).agg(count(lit(1)).as("__outdeg"))
+    val e = edges.join(deg, srcCol)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col("__outdeg"))
+      .localCheckpoint(eager = false)
+    var ranks = n.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("__src") === ranks("node"))
+        .select(col("__dst").as("node"),
+          (col("rank") / col("__outdeg")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__s"))
+      ranks = n.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
 }

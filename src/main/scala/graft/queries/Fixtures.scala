@@ -205,6 +205,26 @@ object Fixtures {
       out.getAbsolutePath
     })
 
+  /** K13 — schema-evolution layout: an early batch written WITHOUT the
+    * event_type column next to a later batch WITH it — the add-a-column
+    * migration every long-lived dataset hits. The graded query reads the
+    * union with mergeSchema and the old rows surface the new column as
+    * NULL. */
+  private val k13Dirs = scala.collection.concurrent.TrieMap[String, String]()
+  def k13EvolvedEvents(s: SparkSession, sfDir: String): String =
+    k13Dirs.getOrElseUpdate(sfDir, {
+      val out = tmp(s"graft_k13_evolve_${math.abs(sfDir.hashCode)}")
+      rm(out)
+      val ev = Tables.t(s, sfDir, "events")
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"${out.getAbsolutePath}/batch=1")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"${out.getAbsolutePath}/batch=2")
+      out.getAbsolutePath
+    })
+
   /** Harness entry point: materialize every fixture before the registry is
     * swept, so each registered query executes as a pure read. */
   def ensureAll(s: SparkSession, sfDir: String): Unit = {
@@ -215,6 +235,7 @@ object Fixtures {
     k8JsonlExport(s, sfDir)
     k9OrcExport(s, sfDir)
     k10PartitionedEvents(s, sfDir)
+    k13EvolvedEvents(s, sfDir)
     ()
   }
 }

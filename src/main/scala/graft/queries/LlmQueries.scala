@@ -888,6 +888,46 @@ object LlmQueries {
       SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
       ORDER BY doc_id""")),
 
+    // PageRank over a deterministic synthetic link graph (chains + decade
+    // hubs over doc_id arithmetic — same fixture philosophy as cc1): 5
+    // fixed power-iteration rounds, damping 0.85, no dangling-mass
+    // redistribution, so the SQL oracle can unroll the exact same terms.
+    // Per round: one node-keyed equi-join + one groupBy-sum — no driver
+    // graph state, lineage checkpoint-truncated per round.
+    Q("pr1_pagerank", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val chain = ids.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val hub = ids.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 10).as("b"))
+      graft.operators.Components.pageRank(
+        chain.unionByName(hub), "a", "b", ids, "doc_id", iters = 5)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }, Some {
+      val rounds = (1 to 5).map { i =>
+        s"""
+      r$i AS (
+        SELECT nodes.n, 0.15 + 0.85 * coalesce(c.s, 0) AS r
+        FROM nodes LEFT JOIN (
+          SELECT e.b AS n, sum(p.r / e.outdeg) AS s
+          FROM e JOIN r${i - 1} p ON e.a = p.n GROUP BY e.b) c USING (n))"""
+      }.mkString(",")
+      s"""
+      WITH nodes AS (SELECT doc_id AS n FROM documents),
+      e0 AS (
+        SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+        WHERE doc_id % 100 <> 0
+        UNION ALL
+        SELECT doc_id, doc_id - (doc_id % 10) FROM documents
+        WHERE doc_id % 10 <> 0),
+      deg AS (SELECT a, count(*) AS outdeg FROM e0 GROUP BY a),
+      e AS (SELECT e0.a, e0.b, deg.outdeg FROM e0 JOIN deg USING (a)),
+      r0 AS (SELECT n, 1.0 AS r FROM nodes),$rounds
+      SELECT n AS doc_id, round(r, 6) AS rank FROM r5 ORDER BY doc_id"""
+    }),
+
     // Embedding-cosine near-dup pairs: sign-LSH bucket, exact cosine within
     // bucket, threshold filter (on the rounded score in both engines).
     Q("dd5_embedding_neardup", (s, dir) =>

@@ -860,6 +860,23 @@ object PipelineQueries {
              CAST(o_orderdate AS DATE) AS d
       FROM orders ORDER BY o_orderkey""")),
 
+    // K13 — schema evolution read: the k13 fixture holds an early batch
+    // without event_type beside a later batch with it; mergeSchema unifies
+    // the footer schemas and the old rows surface the added column as
+    // NULL — the add-a-column migration path, graded against the source
+    // recompute. (mergeSchema costs one footer read per file at planning;
+    // at 100 TB you set the unified schema explicitly and skip the sweep —
+    // this grades the semantics, not the discovery.)
+    Q("k13_schema_evolution_read", (s, dir) =>
+      s.read.option("mergeSchema", "true")
+        .parquet(Fixtures.k13EvolvedEvents(s, dir))
+        .select("event_id", "user_id", "value", "event_type")
+        .orderBy("event_id"),
+      Some("""
+      SELECT event_id, user_id, value,
+             CASE WHEN event_id % 2 <> 0 THEN event_type END AS event_type
+      FROM events ORDER BY event_id""")),
+
     // K10 — partition-pruned read over the date-partitioned layout the
     // K10 fixture wrote (one directory per day, one file per directory):
     // the predicate on the partition column must resolve to directory

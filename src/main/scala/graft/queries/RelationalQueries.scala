@@ -698,6 +698,35 @@ object RelationalQueries {
       FROM daily LEFT JOIN fs USING (d)
       ORDER BY d""")),
 
+    // OL2 — robust outlier detection via MAD (median absolute deviation):
+    // flag |0.6745·(x−med)/MAD| > 3.5 over the heavy-tailed event values.
+    // Unlike ol1's winsorize, the center AND spread are both medians, so
+    // one contaminated tail can't drag the threshold. Two 1-row exact-
+    // percentile broadcasts (scalar-subquery shape); the same plumbing
+    // takes hq1's mergeable-histogram medians at 100 TB.
+    Q("ol2_mad_outliers", (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val med = ev.agg(percentile(col("value"), lit(0.5)).as("__med"))
+      val wm = ev.crossJoin(broadcast(med))
+      val mad = wm.agg(
+        percentile(abs(col("value") - col("__med")), lit(0.5)).as("__mad"))
+      wm.crossJoin(broadcast(mad))
+        .withColumn("z", round(
+          lit(0.6745) * (col("value") - col("__med")) / col("__mad"), 4))
+        .filter(abs(col("z")) > 3.5)
+        .select(col("event_id"), col("value"), col("z"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH m AS (SELECT quantile_cont(value, 0.5) AS med
+                 FROM events WHERE value IS NOT NULL),
+      mad AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad
+              FROM events, m WHERE value IS NOT NULL)
+      SELECT event_id, value, z FROM (
+        SELECT event_id, value,
+               round(0.6745 * (value - med) / mad, 4) AS z
+        FROM events, m, mad WHERE value IS NOT NULL)
+      WHERE abs(z) > 3.5 ORDER BY event_id""")),
+
     // CS6 — single-pass column profile (the data-quality report a loader
     // runs before trusting a new drop): per column, null count, EXACT
     // distinct count, and numeric min/max. One agg computes all five

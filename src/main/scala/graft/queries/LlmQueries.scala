@@ -444,46 +444,36 @@ object LlmQueries {
       FROM batch b LEFT JOIN store s ON b.k = s.k
       ORDER BY b.doc_id""")),
 
-    // Edit-distance near-dup verification: Levenshtein ≤ 15 over
-    // length-bucketed candidates (bucket 20 chars wide, each doc probes
-    // its own and the next bucket — a ≤15-char edit can't move a doc
-    // further than one bucket). The O(len²) distance only ever runs on
-    // the bucket-join candidates, never all pairs; in production the
-    // candidate source is the LSH join (dd2) and this is the verifier
-    // stage. Pair order normalized via least/greatest + distinct.
+    // Edit-distance near-dup verification, production composition:
+    // candidates come from the LSH band join (dd2's signature buckets —
+    // pair count ∝ duplicate mass, never all-pairs or all-length-buckets),
+    // and Levenshtein runs ONLY as the verifier on those candidates, with
+    // the threshold passed down so Spark's banded implementation can bail
+    // out at O(len·d) instead of O(len²) on far pairs (-1 → above
+    // threshold, filtered like the oracle's plain >15).
     Q("dd19_edit_distance", (s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          (col("n_chars") / 20).cast("long").as("bucket"))
-      val probes = docs
-        .withColumn("probe", explode(array(col("bucket"), col("bucket") + 1)))
-        .select(col("doc_id").as("id_a"), col("text").as("text_a"),
-          col("probe"))
-      probes.join(docs.select(col("doc_id").as("id_b"),
-          col("text").as("text_b"), col("bucket").as("probe")), "probe")
-        .filter(col("id_a") =!= col("id_b"))
-        .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-        .filter(col("dist") <= 15)
-        .select(least(col("id_a"), col("id_b")).as("doc_a"),
-          greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
-        .distinct()
+      val sh = Dedup.shingleMultiset(docs, "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
+      val texts = docs.select(col("doc_id"), col("text"))
+      Dedup.lshCandidatePairs(sig, "doc_id")
+        .join(texts.select(col("doc_id").as("doc_a"),
+          col("text").as("text_a")), "doc_a")
+        .join(texts.select(col("doc_id").as("doc_b"),
+          col("text").as("text_b")), "doc_b")
+        .withColumn("dist", levenshtein(col("text_a"), col("text_b"), 15))
+        .filter(col("dist") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
         .orderBy("doc_a", "doc_b")
-    }, Some("""
-      WITH d AS (SELECT doc_id, text, n_chars // 20 AS bucket
-                 FROM documents),
-      p AS (SELECT doc_id AS id_a, text AS text_a, unnest([bucket, bucket + 1])
-                   AS probe
-            FROM d),
-      cand AS (
-        SELECT p.id_a, p.text_a, b.doc_id AS id_b, b.text AS text_b
-        FROM p JOIN d b ON b.bucket = p.probe
-        WHERE p.id_a <> b.doc_id)
-      SELECT DISTINCT least(id_a, id_b) AS doc_a,
-             greatest(id_a, id_b) AS doc_b,
-             CAST(levenshtein(text_a, text_b) AS INT) AS dist
-      FROM cand
-      WHERE levenshtein(text_a, text_b) <= 15
-      ORDER BY doc_a, doc_b""")),
+    }, Some(s"""
+      WITH $MinhashPairsCte
+      SELECT p.doc_a, p.doc_b,
+             CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      FROM pairs p JOIN documents a ON a.doc_id = p.doc_a
+                   JOIN documents b ON b.doc_id = p.doc_b
+      WHERE levenshtein(a.text, b.text) <= 15
+      ORDER BY p.doc_a, p.doc_b""")),
 
     // MinHash + LSH banding: candidate pairs via (band, signature) buckets.
     // The signature table feeds both sides of the candidate self-join —

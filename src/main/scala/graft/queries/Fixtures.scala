@@ -225,6 +225,29 @@ object Fixtures {
       out.getAbsolutePath
     })
 
+  /** K12 — two deterministic snapshot versions of an orders projection for
+    * the CDC diff grade: v1 holds keys %7≠0, v2 holds keys %5≠0 (so both
+    * added and removed keys exist) and doubles the price where %50=0
+    * (changed rows). */
+  private val k12Dirs = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  def k12SnapshotPair(s: SparkSession, sfDir: String): (String, String) =
+    k12Dirs.getOrElseUpdate(sfDir, {
+      val base = tmp(s"graft_k12_versions_${math.abs(sfDir.hashCode)}")
+      rm(base)
+      val src = Tables.t(s, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v1 = s"${base.getAbsolutePath}/v1"
+      val v2 = s"${base.getAbsolutePath}/v2"
+      src.filter(col("o_orderkey") % 7 =!= 0)
+        .write.mode("overwrite").parquet(v1)
+      src.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 50 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(v2)
+      (v1, v2)
+    })
+
   /** Harness entry point: materialize every fixture before the registry is
     * swept, so each registered query executes as a pure read. */
   def ensureAll(s: SparkSession, sfDir: String): Unit = {
@@ -236,6 +259,7 @@ object Fixtures {
     k9OrcExport(s, sfDir)
     k10PartitionedEvents(s, sfDir)
     k13EvolvedEvents(s, sfDir)
+    k12SnapshotPair(s, sfDir)
     ()
   }
 }

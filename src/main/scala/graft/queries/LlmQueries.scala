@@ -2781,6 +2781,40 @@ object LlmQueries {
              split_lo <> split_hi AS leaky
       FROM lab GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Class rebalancing by deterministic undersampling: every language
+    // keeps exactly min-class-count docs, chosen by md5-fraction rank
+    // (not arrival order, not rand()) — the imbalanced-corpus equalizer
+    // before training. One window rank per class + a 1-row min-count
+    // broadcast; the kept doc set is layout-invariant and re-runnable.
+    Q("sa8_class_rebalance", (s, dir) => {
+      val key = col("doc_id").cast("string")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.operators.Sampling.hashFraction(key).as("__frac"))
+      val minN = docs.groupBy("lang").agg(count(lit(1)).as("__n"))
+        .agg(min("__n").as("__min"))
+      val w = Window.partitionBy("lang").orderBy(col("__frac"), col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(minN))
+        .filter(col("__rn") <= col("__min"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents),
+      m AS (SELECT min(n) AS mn
+            FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+      r AS (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY frac, doc_id) AS rn
+            FROM f)
+      SELECT doc_id, lang FROM r, m WHERE rn <= mn ORDER BY doc_id""")),
+
     // The full curation run, composed end to end like pipe5 composes the
     // calendar lifecycle: quality + language gate -> exact dedup (min-id
     // representative) -> near-dup drop (higher id of any pair at jaccard

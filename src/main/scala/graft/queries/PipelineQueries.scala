@@ -860,6 +860,42 @@ object PipelineQueries {
              CAST(o_orderdate AS DATE) AS d
       FROM orders ORDER BY o_orderkey""")),
 
+    // K12 — snapshot CDC diff: two stored versions of the orders
+    // projection (fixture: %7/%5 key sets + doubled price on %50=0)
+    // classified added/removed/changed by one full-outer PK join,
+    // unchanged majority dropped — what a downstream consumer syncs on
+    // instead of re-reading the whole new snapshot. Bucketing both
+    // versions on the PK (k3b) makes the join exchange-free.
+    Q("k12_snapshot_diff", (s, dir) => {
+      val (v1, v2) = Fixtures.k12SnapshotPair(s, dir)
+      graft.sinks.SnapshotStore.diff(
+        s.read.parquet(v1), s.read.parquet(v2),
+        pk = Seq("o_orderkey"),
+        payload = Seq("o_orderstatus", "o_totalprice"))
+        .select("o_orderkey", "change", "old_o_orderstatus",
+          "new_o_orderstatus", "old_o_totalprice", "new_o_totalprice")
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey % 7 <> 0),
+      v2 AS (SELECT o_orderkey, o_orderstatus,
+                    CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS o_totalprice
+             FROM orders WHERE o_orderkey % 5 <> 0)
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                  WHEN v2.o_orderkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change,
+             v1.o_orderstatus AS old_o_orderstatus,
+             v2.o_orderstatus AS new_o_orderstatus,
+             v1.o_totalprice AS old_o_totalprice,
+             v2.o_totalprice AS new_o_totalprice
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+         OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+         OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+      ORDER BY o_orderkey""")),
+
     // K13 — schema evolution read: the k13 fixture holds an early batch
     // without event_type beside a later batch with it; mergeSchema unifies
     // the footer schemas and the old rows surface the added column as

@@ -727,6 +727,56 @@ object RelationalQueries {
         FROM events, m, mad WHERE value IS NOT NULL)
       WHERE abs(z) > 3.5 ORDER BY event_id""")),
 
+    // CS9 — weekly cohort retention triangle: users grouped by first-seen
+    // week, counted again at each later week offset — the classic
+    // retention report. Three keyed aggregates (user-week activity,
+    // per-user cohort, cohort×offset rollup), all shuffles on user_id or
+    // the tiny cohort grid.
+    Q("cs9_cohort_retention", (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          / 7).cast("int").as("wk"))
+      val activity = ev.distinct()
+      val cohort = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      activity.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_wk", "offset")
+    }, Some("""
+      WITH a AS (
+        SELECT DISTINCT user_id,
+               CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS INT) AS wk
+        FROM events),
+      c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+      SELECT c.cohort_wk, a.wk - c.cohort_wk AS offset,
+             count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // W6 — framed first/last/nth over the full per-customer history: the
+    // "first order vs latest order vs second order" enrichment columns.
+    // Unbounded-both-ways frame on a unique (date, key) ordering keeps
+    // last_value/nth_value cross-engine deterministic.
+    Q("w6_first_last_nth", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_totalprice").over(w).as("first_price"),
+          last("o_totalprice").over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")),
+
     // CS6 — single-pass column profile (the data-quality report a loader
     // runs before trusting a new drop): per column, null count, EXACT
     // distinct count, and numeric min/max. One agg computes all five

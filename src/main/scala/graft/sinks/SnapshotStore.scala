@@ -70,4 +70,32 @@ object SnapshotStore {
     }
     fs.delete(old, true)
   }
+
+  /** Snapshot CDC diff: classify every PK of two table versions as
+    * `added` / `removed` / `changed` (any payload column differing,
+    * null-safe), dropping the unchanged majority — what a downstream
+    * consumer syncs on instead of re-reading the whole new snapshot.
+    * One full-outer hash join keyed on the PK; with both versions
+    * bucketed on the PK ([[writeBucketed]]) the join runs exchange-free.
+    * Output: pk columns ++ `change` ++ old_/new_ payload columns. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String],
+           payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = payload.foldLeft(oldDf.select((pk ++ payload).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"old_$c")
+    }.withColumn("__in_old", lit(1))
+    val n = payload.foldLeft(newDf.select((pk ++ payload).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"new_$c")
+    }.withColumn("__in_new", lit(1))
+    val differs = payload.map(c =>
+      !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, pk, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .drop("__in_old", "__in_new")
+  }
 }

@@ -95,4 +95,19 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(after === 1)
     assert(SnapshotStore.read(spark, path).count() === 40)
   }
+
+  test("diff classifies added/removed/changed and drops the unchanged majority") {
+    val old = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+      (4L, null.asInstanceOf[String], 40.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((2L, "B", 20.0), (3L, "C", 99.0),
+      (4L, "D", 40.0), (5L, "E", 50.0))
+      .toDF("k", "s", "v")
+    val out = SnapshotStore.diff(old, neu, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("change")).toMap
+    // 1 only in old, 5 only in new, 3 payload-changed, 4 null→D changed
+    // (null-safe compare), 2 identical → absent
+    assert(out == Map(1L -> "removed", 5L -> "added",
+      3L -> "changed", 4L -> "changed"))
+  }
 }

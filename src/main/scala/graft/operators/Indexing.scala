@@ -55,4 +55,37 @@ object Indexing {
     }
     matched.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
+
+  /** BM25 ranked retrieval (Lucene-flavored): for a bounded query-term
+    * set, score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    * with idf = ln((N − df + ½)/(df + ½) + 1) — nonnegative for every df.
+    *
+    * Scale shape: the token stream is scanned ONCE; doc lengths and the
+    * (N, avglen) corpus scalars come from keyed/1-row aggregates, the
+    * per-(doc, term) tf table is filtered to the query terms scan-side
+    * (postings-sized, not corpus-sized), and the final ranking is a
+    * TakeOrderedAndProject top-k, never a global sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+      .localCheckpoint(eager = false) // feeds lengths + the tf table
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg("len").as("avglen"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfs, "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("len") / col("avglen"))))
+      .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

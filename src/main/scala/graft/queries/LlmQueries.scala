@@ -2089,6 +2089,47 @@ object LlmQueries {
              md5(string_agg(s, '|' ORDER BY i)) AS tok_md5
       FROM tk GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Tokenizer fertility per language: tokens-per-word under the trained
+    // merges — the number that tells you which languages your vocabulary
+    // is taxing (high fertility = more sequence length per content word).
+    // Reuses the tok2 apply path; one lang join + one rollup on top.
+    Q("tok4_fertility", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTokenizer
+        .trainMerges(docs, "text", ranks = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.BpeTokenizer
+        .tokenizeDigest(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang"),
+          expr("size(filter(split(text, ' '), x -> length(x) > 0))")
+            .as("n_words")), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_tokens").as("tokens"), sum("n_words").as("words"),
+          round(sum("n_tokens") / sum("n_words").cast("double"), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH $BpeWf0Cte,${bpeCtes(6)},
+      dw AS (
+        SELECT d.doc_id, u.i, d.ws[u.i] AS w0
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> len(x) > 0) AS ws
+              FROM documents) d,
+             UNNEST(generate_series(1, len(d.ws))) AS u(i)),
+      tk AS (
+        SELECT dw.doc_id, dw.i, wf6.s
+        FROM dw JOIN wf6 ON wf6.w = dw.w0)
+      SELECT d.lang,
+             CAST(sum(len(string_split(trim(tk.s), ' '))) AS BIGINT)
+               AS tokens,
+             CAST(count(*) AS BIGINT) AS words,
+             round(CAST(sum(len(string_split(trim(tk.s), ' '))) AS DOUBLE)
+                   / count(*), 6) AS fertility
+      FROM tk JOIN documents d USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang""")),
+
     // The batched trainer (2 merges per pair-count aggregation — half the
     // driver round-trips), graded against a DuckDB chain that mirrors the
     // batched selection exactly: even ranks pick the best symbol-disjoint
@@ -2780,6 +2821,35 @@ object LlmQueries {
       SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
              split_lo <> split_hi AS leaky
       FROM lab GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // BM25 ranked retrieval over the token postings: the index SERVE path
+    // beside ix1's build and ix2's phrase intersection. One token-stream
+    // scan feeds doc lengths and the query-filtered tf table; ranking
+    // ends in a top-k (TakeOrderedAndProject), never a global sort.
+    Q("ix3_bm25_topk", (s, dir) =>
+      graft.operators.Indexing.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", queryTerms = Seq("spark", "shuffle", "broadcast"), k = 10)
+        .orderBy(col("score").desc, col("doc_id")),
+      Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, avg(len) AS avglen FROM lens),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'shuffle', 'broadcast')
+             GROUP BY doc_id, term),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+               sum(ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avglen)))
+                 AS score
+        FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, round(score, 6) AS score FROM scored
+      ORDER BY round(score, 6) DESC, doc_id LIMIT 10""")),
 
     // Class rebalancing by deterministic undersampling: every language
     // keeps exactly min-class-count docs, chosen by md5-fraction rank

@@ -28,6 +28,7 @@ class AllPlansSpec extends AnyFunSuite {
     "ol1_winsorize" -> "1-row p01/p99 percentile scalar broadcast",
     "ol2_mad_outliers" -> "two 1-row median/MAD scalar broadcasts",
     "sa8_class_rebalance" -> "1-row min-class-count scalar broadcast",
+    "ix3_bm25_topk" -> "1-row (N, avglen) corpus-stats scalar broadcast",
     "ks3_kmv_set_ops" -> "bounded cross of one 25-double sketch row per language (5 rows/side)",
     "p1_universe_filter" -> "1-row max(last_seen) scalar broadcast",
     "tx10_tfidf_terms" -> "1-row corpus-count scalar broadcast",

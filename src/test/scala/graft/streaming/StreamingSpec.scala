@@ -160,6 +160,36 @@ class StreamingSpec extends AnyFunSuite {
       "deterministic in-batch winner (min payload); later-batch re-arrival dropped")
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-arrivals inside the watermark window") {
+    // the built-in bounded-state sibling of firstSeenDedup: state for a key
+    // is droppable once the watermark passes its event time + the window,
+    // where flatMapGroupsWithState keeps it until an explicit TTL
+    val inDir = Files.createTempDirectory("graft_ddww").toFile
+    val evSchema = StructType(Seq(
+      StructField("act_symbol", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(evSchema).json(inDir.getAbsolutePath)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("act_symbol")
+    val query = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ddww").start()
+    Files.writeString(new java.io.File(inDir, "b1.json").toPath,
+      """{"act_symbol":"AAPL","ts":"2024-01-01T10:00:00.000Z"}
+        |{"act_symbol":"AAPL","ts":"2024-01-01T10:05:00.000Z"}
+        |{"act_symbol":"MSFT","ts":"2024-01-01T10:10:00.000Z"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    // second micro-batch: AAPL re-arrives within the watermark → dropped
+    Files.writeString(new java.io.File(inDir, "b2.json").toPath,
+      """{"act_symbol":"AAPL","ts":"2024-01-01T10:20:00.000Z"}
+        |{"act_symbol":"NVDA","ts":"2024-01-01T10:30:00.000Z"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("ddww").collect().map(_.getString(0)).sorted
+    assert(out.toSeq === Seq("AAPL", "MSFT", "NVDA"))
+  }
+
   test("intervalEventJoin joins two live streams within the time bound") {
     val viewDir = Files.createTempDirectory("graft_ssj_v").toFile
     val buyDir = Files.createTempDirectory("graft_ssj_b").toFile

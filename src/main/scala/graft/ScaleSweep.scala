@@ -223,7 +223,52 @@ object ScaleSweep {
       // batched trainer: same 6 merges as tok1_train in HALF the driver
       // round-trips — the row prices what batching saves at fixed ranks
       "tok3_train_batched" -> (d =>
-        BpeTokenizer.trainMergesBatched(d, "text", ranks = 6, batch = 2)))
+        BpeTokenizer.trainMergesBatched(d, "text", ranks = 6, batch = 2)),
+      // bloom incremental dedup: the store bitset builds inside the timed
+      // window (in production it amortizes across batches), then probe +
+      // confirm — the ratio should track the store scan, the join side
+      // stays |dups| + FP-sized
+      "dd18_bloom" -> { d =>
+        val keyOf = conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long")
+        graft.operators.BloomDedup.flagNew(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0), keyOf)
+      },
+      // Levenshtein verifier over LSH candidates: cost ∝ candidate pairs
+      // (duplicate mass), with the threshold bail-out bounding each
+      // distance at O(len·d)
+      "dd19_lev_verify" -> { d =>
+        val sh = Dedup.shingleMultiset(d, "doc_id", "text")
+        val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+          .localCheckpoint(eager = false)
+        val texts = d.select(col("doc_id"), col("text"))
+        Dedup.lshCandidatePairs(sig, "doc_id")
+          .join(texts.select(col("doc_id").as("doc_a"),
+            col("text").as("text_a")), "doc_a")
+          .join(texts.select(col("doc_id").as("doc_b"),
+            col("text").as("text_b")), "doc_b")
+          .withColumn("dist",
+            levenshtein(col("text_a"), col("text_b"), 15))
+          .filter(col("dist") >= 0)
+      },
+      // 5 pagerank rounds over the chain+hub fixture graph: per round one
+      // node-keyed join + one groupBy-sum; 10× nodes → 10× edges, the
+      // ratio should be linear-ish with the per-round plan overhead
+      // amortized
+      "pr1_pagerank" -> { d =>
+        val ids = d.select(col("doc_id"))
+        val chain = ids.filter(col("doc_id") % 100 =!= 0)
+          .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+        val hub = ids.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("a"),
+            (col("doc_id") - col("doc_id") % 10).as("b"))
+        Components.pageRank(chain.unionByName(hub), "a", "b",
+          ids, "doc_id", iters = 5)
+      },
+      // BM25 serve: one token-stream scan + postings-sized joins + top-k
+      "ix3_bm25" -> (d => Indexing.bm25TopK(d, "doc_id", "text",
+        Seq("spark", "shuffle", "broadcast"), k = 10)))
 
     def time(fn: DataFrame => DataFrame, d: DataFrame): (Double, Long) = {
       var best = Double.MaxValue; var rows = 0L

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Intervals, Sampling, Triangles, ZOrder}
+import Tables.t
+
+/** Round-11 third wave: warehouse analytics / layout / graph operators that
+  * round out the engine beyond SURVEY §2 — interval coalescing, sketch-vs-
+  * exact audits, data-quality expectations, split-fairness statistics,
+  * Z-order layout, and degree-oriented triangle counting. Every entry is
+  * DuckDB-oracle graded; scale notes live on the operator objects.
+  */
+object AnalyticsQueries {
+
+  private def dt(c: Column): Column = to_date(c)
+
+  val all: Seq[Q] = Seq(
+
+    // W7 — gaps-and-islands: merge each user's half-open activity intervals
+    // [ts, ts+30min) into maximal islands (`operators/Intervals.scala`; the
+    // overlap-sessionization twin of st2's gap-based session windows). One
+    // shuffle on user_id; the groupBy reuses the window's partitioning.
+    Q("w7_gap_islands", (s, dir) => {
+      val iv = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        col("ts").as("st"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+      Intervals.coalesceIntervals(iv, "user_id", "st", "en", "event_id")
+        .select(col("user_id"), col("island_id").cast("long").as("island_id"),
+          col("island_start"), col("island_end"), col("n_rows"))
+        .orderBy("user_id", "island_id")
+    }, Some("""
+      WITH iv AS (
+        SELECT user_id, event_id, ts AS st,
+               ts + INTERVAL 30 MINUTE AS en
+        FROM events),
+      m AS (
+        SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM iv),
+      o AS (
+        SELECT *, CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END AS opens
+        FROM m),
+      i AS (
+        SELECT *, sum(opens) OVER (PARTITION BY user_id ORDER BY st, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        FROM o)
+      SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+             min(st) AS island_start, max(en) AS island_end,
+             count(*) AS n_rows
+      FROM i GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // HQ3 — approx_percentile accuracy audit (the hll1 pattern applied to
+    // quantiles): Spark's t-digest-style sketch estimate must land inside
+    // the exact p40–p60 band; the graded columns are the exact median and
+    // the band verdict, both engine-reproducible. At 100 TB the sketch IS
+    // the plan (mergeable, one pass); this audit is what certifies it.
+    Q("hq3_approx_percentile_audit", (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__ap"),
+          expr("percentile(o_totalprice, 0.4)").as("__lo"),
+          expr("percentile(o_totalprice, 0.6)").as("__hi"))
+        .select(col("o_orderpriority"), col("exact_p50"),
+          (col("__ap") >= col("__lo") && col("__ap") <= col("__hi"))
+            .as("within_band"))
+        .orderBy("o_orderpriority"),
+      Some("""
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+             TRUE AS within_band
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // CS10 — one-pass constraint audit (the dbt-style expectation suite a
+    // loader runs before publishing a drop): PK uniqueness, FK non-null,
+    // enum domain, value range, date bounds — ALL from a single aggregate
+    // (one scan, one 1-row shuffle), melted to a (check, passed, observed)
+    // report via stack. The reference encodes these as Postgres constraints
+    // (`schema.sql`: PRIMARY KEY / NOT NULL / CHECK); this is their
+    // scan-time equivalent when the sink has no constraint engine.
+    Q("cs10_constraint_audit", (s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("d_pk"),
+        count(col("o_custkey")).as("c_fk"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0))
+          .as("c_dom"),
+        round(min("o_totalprice"), 2).as("mn_tp"),
+        min(dt(col("o_orderdate"))).as("mn_d"),
+        max(dt(col("o_orderdate"))).as("mx_d"))
+        .select(expr("""stack(5,
+          'pk_unique',          d_pk = n,        CAST(d_pk AS DOUBLE),
+          'fk_custkey_nonnull', c_fk = n,        CAST(c_fk AS DOUBLE),
+          'status_in_domain',   c_dom = n,       CAST(c_dom AS DOUBLE),
+          'totalprice_positive', mn_tp > 0.0,    mn_tp,
+          'orderdate_in_range',
+            mn_d >= DATE '1992-01-01' AND mx_d <= DATE '1998-12-31',
+            CAST(datediff(mx_d, mn_d) AS DOUBLE))
+          AS (check_name, passed, observed)"""))
+        .orderBy("check_name"),
+      Some("""
+      WITH a AS (
+        SELECT count(*) AS n,
+               count(DISTINCT o_orderkey) AS d_pk,
+               count(o_custkey) AS c_fk,
+               sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS c_dom,
+               round(min(o_totalprice), 2) AS mn_tp,
+               min(CAST(o_orderdate AS DATE)) AS mn_d,
+               max(CAST(o_orderdate AS DATE)) AS mx_d
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'pk_unique' AS check_name, d_pk = n AS passed,
+               CAST(d_pk AS DOUBLE) AS observed FROM a
+        UNION ALL
+        SELECT 'fk_custkey_nonnull', c_fk = n, CAST(c_fk AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'status_in_domain', c_dom = n, CAST(c_dom AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'totalprice_positive', mn_tp > 0.0, mn_tp FROM a
+        UNION ALL
+        SELECT 'orderdate_in_range',
+               mn_d >= DATE '1992-01-01' AND mx_d <= DATE '1998-12-31',
+               CAST(mx_d - mn_d AS DOUBLE) FROM a)
+      ORDER BY check_name""")),
+
+    // SA9 — split-fairness chi-square: is the language distribution
+    // independent of the sa1 train/val/test assignment? Pearson chi² over
+    // the full splits×langs contingency table (absent cells count as 0 —
+    // the cross join materializes them), expected counts from the marginal
+    // products. A skewed hash would trip this long before a model does.
+    // All shuffles are on the tiny contingency table; the only corpus-sized
+    // work is the one groupBy building it.
+    Q("sa9_split_chisq", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        Sampling.splitLabel(col("doc_id").cast("string")).as("split"))
+      val cells = docs.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      val full = cells.select("split").distinct()
+        .crossJoin(cells.select("lang").distinct())
+        .join(cells, Seq("split", "lang"), "left")
+        .na.fill(0, Seq("n"))
+      val rs = full.groupBy("split").agg(sum("n").as("rs"))
+      val cs = full.groupBy("lang").agg(sum("n").as("cs"))
+      val tot = full.agg(sum("n").as("tot"))
+      full.join(rs, "split").join(cs, "lang").crossJoin(broadcast(tot))
+        .withColumn("e", col("rs") * col("cs") / col("tot"))
+        .agg(
+          round(sum(pow(col("n") - col("e"), 2) / col("e")), 4).as("chi2"),
+          ((countDistinct("split") - 1) * (countDistinct("lang") - 1))
+            .cast("long").as("df"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents),
+      d AS (
+        SELECT lang, CASE WHEN frac < 0.8 THEN 'train'
+                          WHEN frac < 0.9 THEN 'val'
+                          ELSE 'test' END AS split FROM f),
+      cells AS (SELECT split, lang, count(*) AS n FROM d GROUP BY 1, 2),
+      fl AS (
+        SELECT s.split, l.lang, coalesce(c.n, 0) AS n
+        FROM (SELECT DISTINCT split FROM cells) s
+        CROSS JOIN (SELECT DISTINCT lang FROM cells) l
+        LEFT JOIN cells c ON c.split = s.split AND c.lang = l.lang),
+      m AS (
+        SELECT split, lang, n,
+               sum(n) OVER (PARTITION BY split) AS rs,
+               sum(n) OVER (PARTITION BY lang) AS cs,
+               sum(n) OVER () AS tot
+        FROM fl)
+      SELECT round(sum((n - rs * cs / tot) ** 2 / (rs * cs / tot)), 4) AS chi2,
+             CAST((count(DISTINCT split) - 1) * (count(DISTINCT lang) - 1)
+                  AS BIGINT) AS df
+      FROM m""")),
+
+    // ZO1 — Z-order layout audit (`operators/ZOrder.scala`): events keyed
+    // by (user_id mod 1024, day-of-year), Morton-interleaved, range-split
+    // into 16 "files"; the graded report is each file's min/max envelope in
+    // BOTH dimensions — the zone-map a scan would prune against. The write
+    // path at scale is `repartitionByRange(zkey)` + sortWithinPartitions;
+    // ntile here stands in for the range split so the file boundaries are
+    // engine-reproducible.
+    Q("zo1_zorder_layout", (s, dir) => {
+      val keyed = t(s, dir, "events").select(
+        col("event_id"),
+        (col("user_id") % 1024).cast("int").as("x"),
+        dayofyear(col("ts")).as("y"))
+        .withColumn("zkey", ZOrder.mortonKey(col("x"), col("y")))
+      keyed
+        .withColumn("file_id",
+          ntile(16).over(Window.orderBy(col("zkey"), col("event_id"))))
+        .groupBy("file_id")
+        .agg(min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"),
+          count(lit(1)).as("n"))
+        .orderBy("file_id")
+    }, Some(s"""
+      WITH keyed AS (
+        SELECT event_id,
+               CAST(user_id % 1024 AS INT) AS x,
+               CAST(date_part('doy', ts) AS INT) AS y
+        FROM events),
+      z AS (
+        SELECT *, ${ZOrder.mortonKeySql("x", "y")} AS zkey FROM keyed),
+      f AS (
+        SELECT *, ntile(16) OVER (ORDER BY zkey, event_id) AS file_id FROM z)
+      SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y, count(*) AS n
+      FROM f GROUP BY 1 ORDER BY 1""")),
+
+    // GR1 — degree-oriented triangle counting (`operators/Triangles.scala`)
+    // over the part-co-occurrence graph of one shipping year (parts are
+    // connected when the same order ships both). The orientation bounds
+    // every node's wedge fan-out at O(√E) — the hub-killer that makes the
+    // count feasible when the co-occurrence graph is power-law at 100 TB.
+    Q("gr1_triangle_count", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(dt(col("l_shipdate"))
+          .between(lit("1995-01-01"), lit("1995-12-31")))
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("node"))
+        .distinct()
+      val edges = li.as("l1").join(li.as("l2"), "okey")
+        .filter(col("l1.node") < col("l2.node"))
+        .select(col("l1.node").as("u"), col("l2.node").as("v"))
+      Triangles.trianglesPerApex(edges).orderBy("apex")
+    }, Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS node
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE)
+              BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      und AS (
+        SELECT DISTINCT a.node AS a, b.node AS b
+        FROM li a JOIN li b USING (okey) WHERE a.node < b.node),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+      ori AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS dst
+        FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+      wed AS (
+        SELECT e1.src, e1.dst AS x, e2.dst AS y
+        FROM ori e1 JOIN ori e2 USING (src) WHERE e1.dst < e2.dst),
+      clo AS (SELECT least(src, dst) AS x, greatest(src, dst) AS y FROM ori)
+      SELECT w.src AS apex, count(*) AS n_tri
+      FROM wed w JOIN clo USING (x, y)
+      GROUP BY 1 ORDER BY 1"""))
+  )
+}

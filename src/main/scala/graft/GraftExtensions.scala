@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{KmvDistinct, NormalizeNfc, VecDot, VecDotRewrite, VecNormSq}
+import graft.expressions.{JaroWinkler, KmvDistinct, NormalizeNfc, VecDot, VecDotRewrite, VecNormSq}
 
 /** Session extensions: registers the native vector expressions so SQL users
   * get `vec_dot(a, b)` / `vec_norm_sq(v)` alongside the Column API in
@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
       (args: Seq[Expression]) => {
         arity("nfc_normalize", 1, args); NormalizeNfc(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        arity("jaro_winkler", 2, args); JaroWinkler(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("kmv_distinct"),

@@ -34,4 +34,9 @@ object VecFns {
     * path (see [[NormalizeNfc]]). */
   def nfc(s: Column): Column =
     B.column(NormalizeNfc(B.expression(s)))
+
+  /** Codegen'd Jaro-Winkler similarity over UTF-8 bytes (see
+    * [[JaroWinkler]]); DuckDB-parity semantics. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    B.column(JaroWinkler(B.expression(a), B.expression(b)))
 }

@@ -254,6 +254,35 @@ object AnalyticsQueries {
       clo AS (SELECT least(src, dst) AS x, greatest(src, dst) AS y FROM ori)
       SELECT w.src AS apex, count(*) AS n_tri
       FROM wed w JOIN clo USING (x, y)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // RL1 — record-linkage verification: Jaro-Winkler similarity (native
+    // codegen'd expression, `expressions/StringSimExprs.scala`) over
+    // BLOCKED part-name candidate pairs — the blocking equi-join on
+    // (brand, size) bounds pair count the way every verifier in this repo
+    // does; JW never runs all-pairs. The threshold filters on the ROUNDED
+    // score so the cut is reproducible across engines; DuckDB's
+    // jaro_winkler_similarity is the oracle (byte-level semantics,
+    // fuzz-verified — see the expression's Scaladoc).
+    Q("rl1_jaro_winkler_block", (s, dir) => {
+      val p = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+      p.as("x").join(p.as("y"),
+        col("x.p_brand") === col("y.p_brand") &&
+          col("x.p_size") === col("y.p_size") &&
+          col("x.p_partkey") < col("y.p_partkey"))
+        .select(col("x.p_partkey").as("k1"), col("y.p_partkey").as("k2"),
+          round(graft.expressions.VecFns.jaroWinkler(
+            col("x.p_name"), col("y.p_name")), 4).as("jw"))
+        .filter(col("jw") >= 0.8)
+        .orderBy("k1", "k2")
+    }, Some("""
+      SELECT x.p_partkey AS k1, y.p_partkey AS k2,
+             round(jaro_winkler_similarity(x.p_name, y.p_name), 4) AS jw
+      FROM part x JOIN part y
+        ON x.p_brand = y.p_brand AND x.p_size = y.p_size
+       AND x.p_partkey < y.p_partkey
+      WHERE round(jaro_winkler_similarity(x.p_name, y.p_name), 4) >= 0.8
+      ORDER BY 1, 2"""))
   )
 }

@@ -496,4 +496,48 @@ object TextAnalysis {
             i => array_min(slice(g, i, lit(w))))))
           .otherwise(emptyArr)).as("fp"))
   }
+
+  /** Sparse TF-IDF cosine similarity via inverted-index join, over
+    * word-shingle terms.
+    *
+    * The classic sparse twin of the dense `sim*` family: document vectors
+    * are TF-IDF weights over n-word shingles (not unigrams — a small-
+    * vocabulary corpus makes every unigram a stop term, while the shingle
+    * vocabulary grows combinatorially and keeps document frequencies low),
+    * restricted to terms with `2 <= df <= maxDf` — df-1 terms can never
+    * co-occur so they generate no pairs (dropped from the space entirely,
+    * which keeps norms consistent with the pair dot products), and high-df
+    * stop terms are capped exactly like dd10's stop-fingerprint cap,
+    * because a term shared by f documents fans out f² pair contributions.
+    *
+    * Plan shape: explode → tf agg → df agg (dictionary-sized) → self-join
+    * ON TOK (shuffle ∝ postings, never docs²) → per-pair sum → normalize by
+    * the two precomputed norms. The df cap is what bounds the join: worst
+    * case work is Σ_t df(t)² ≤ maxDf · Σ_t df(t) = maxDf · |postings| —
+    * linear in corpus size for a fixed cap. That bound is the whole 100-TB
+    * story; without the cap one "the"-like term is a corpus² join.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDf: Int, shingle: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.wordShingles(col(textCol), shingle)).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+      col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("doc_id").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+  }
 }

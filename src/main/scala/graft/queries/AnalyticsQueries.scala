@@ -283,6 +283,166 @@ object AnalyticsQueries {
         ON x.p_brand = y.p_brand AND x.p_size = y.p_size
        AND x.p_partkey < y.p_partkey
       WHERE round(jaro_winkler_similarity(x.p_name, y.p_name), 4) >= 0.8
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""")),
+
+    // RL2 — entity resolution end-to-end: the rl1 match pairs (tightened to
+    // jw >= 0.9) become edges, transitive closure via the alternating-star
+    // connected components gives each part an entity id (min member key).
+    // Ground truth is DuckDB's recursive-CTE reachability over the SAME
+    // jaro_winkler-derived edges — the cc1 grading pattern applied to
+    // similarity edges instead of a synthetic fixture.
+    Q("rl2_entity_clusters", (s, dir) => {
+      val p = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+      val pairs = p.as("x").join(p.as("y"),
+        col("x.p_brand") === col("y.p_brand") &&
+          col("x.p_size") === col("y.p_size") &&
+          col("x.p_partkey") < col("y.p_partkey"))
+        .filter(round(graft.expressions.VecFns.jaroWinkler(
+          col("x.p_name"), col("y.p_name")), 4) >= 0.9)
+        .select(col("x.p_partkey").as("k1"), col("y.p_partkey").as("k2"))
+      val cc = graft.operators.Components
+        .connectedComponents(pairs, "k1", "k2")
+      val keys = p.select("p_partkey")
+      keys.join(cc, keys("p_partkey") === cc("node"), "left")
+        .select(keys("p_partkey"),
+          coalesce(col("component"), keys("p_partkey")).as("entity"))
+        .orderBy("p_partkey")
+    }, Some("""
+      WITH RECURSIVE
+      pairs AS (
+        SELECT x.p_partkey AS u, y.p_partkey AS v
+        FROM part x JOIN part y
+          ON x.p_brand = y.p_brand AND x.p_size = y.p_size
+         AND x.p_partkey < y.p_partkey
+        WHERE round(jaro_winkler_similarity(x.p_name, y.p_name), 4) >= 0.9),
+      edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      reach(u, v) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      SELECT u AS p_partkey, min(v) AS entity FROM reach GROUP BY u
+      ORDER BY p_partkey""")),
+
+    // SIM12 — sparse TF-IDF cosine pairs via inverted-index join
+    // (`TextAnalysis.sparseCosinePairs`): the sparse twin of the dense ANN
+    // family, over 3-word shingle terms (the unigram vocabulary of this
+    // corpus is ~31 terms — all stop terms; shingles keep df low). The df
+    // cap (= dd10's stop-term move) is what bounds the postings self-join
+    // at Σdf² ≤ maxDf·|postings|; the threshold filters on the ROUNDED
+    // cosine for an engine-portable cut.
+    Q("sim12_sparse_cosine", (s, dir) =>
+      graft.operators.TextAnalysis
+        .sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text", maxDf = 50)
+        .filter(col("cosine") >= 0.5)
+        .orderBy("d1", "d2"),
+      Some("""
+      WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+        FROM ws WHERE len(w) >= 3),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (
+        SELECT tok, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks)
+        GROUP BY tok HAVING count(*) BETWEEN 2 AND 50),
+      n AS (SELECT count(*) AS n FROM documents),
+      w AS (
+        SELECT t.doc_id, t.tok, t.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS w
+        FROM tf t JOIN dfreq d USING (tok), n),
+      nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cosine
+      FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+      WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.5
+      ORDER BY 1, 2""")),
+
+    // TS1 — seasonal-residual anomaly detection on the daily event count:
+    // day-of-week means are the seasonal baseline, residuals beyond
+    // 2×stddev_pop flag as anomalies. All comparisons run on ROUNDED
+    // values so the boundary verdicts are engine-portable. The corpus-
+    // sized work is one groupBy(day); everything after runs on the tiny
+    // day table.
+    Q("ts1_seasonal_residuals", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      val wDow = Window.partitionBy(dayofweek(col("d")))
+      val wAll = Window.partitionBy()
+      daily
+        .withColumn("baseline", avg(col("n")).over(wDow))
+        .withColumn("resid", col("n") - col("baseline"))
+        .withColumn("thr", lit(2.0) * stddev_pop(col("resid")).over(wAll))
+        .select(col("d"), col("n"),
+          round(col("baseline"), 4).as("baseline"),
+          round(col("resid"), 4).as("resid"),
+          (abs(round(col("resid"), 4)) > round(col("thr"), 4)).as("anomaly"))
+        .orderBy("d")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1),
+      b AS (
+        SELECT d, n,
+               avg(n) OVER (PARTITION BY date_part('dow', d)) AS baseline
+        FROM daily),
+      r AS (SELECT *, n - baseline AS resid FROM b),
+      s AS (SELECT *, 2.0 * stddev_pop(resid) OVER () AS thr FROM r)
+      SELECT d, n, round(baseline, 4) AS baseline, round(resid, 4) AS resid,
+             abs(round(resid, 4)) > round(thr, 4) AS anomaly
+      FROM s ORDER BY d""")),
+
+    // LP1 — synchronous label propagation, 2 fixed rounds, over the cc1/pr1
+    // deterministic fixture graph (chains + decade hubs from doc_id
+    // arithmetic). Each round every node adopts its neighbors' most
+    // frequent label, min label on ties — deterministic, so the oracle
+    // unrolls the identical two rounds in SQL (the pr1 grading pattern).
+    Q("lp1_label_propagation", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val chain = ids.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val hub = ids.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 10).as("b"))
+      graft.operators.Components
+        .labelPropagation(chain.unionByName(hub), "a", "b", rounds = 2)
+        .orderBy("node")
+    }, Some("""
+      WITH fixture AS (
+        SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+        WHERE doc_id % 100 <> 0
+        UNION ALL
+        SELECT doc_id, doc_id - doc_id % 10 FROM documents
+        WHERE doc_id % 10 <> 0),
+      e AS (SELECT u, v FROM fixture UNION SELECT v, u FROM fixture),
+      nodes AS (SELECT DISTINCT u AS node FROM e),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      r1c AS (
+        SELECT e.u AS node, l.label, count(*) AS cnt
+        FROM e JOIN l0 l ON e.v = l.node GROUP BY 1, 2),
+      r1 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label) AS rn
+          FROM r1c) WHERE rn = 1),
+      l1 AS (
+        SELECT n.node, coalesce(r.label, n.node) AS label
+        FROM nodes n LEFT JOIN r1 r USING (node)),
+      r2c AS (
+        SELECT e.u AS node, l.label, count(*) AS cnt
+        FROM e JOIN l1 l ON e.v = l.node GROUP BY 1, 2),
+      r2 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label) AS rn
+          FROM r2c) WHERE rn = 1)
+      SELECT n.node, coalesce(r.label, n.node) AS label
+      FROM nodes n LEFT JOIN r2 r USING (node)
+      ORDER BY node"""))
   )
 }

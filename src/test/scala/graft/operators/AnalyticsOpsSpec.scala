@@ -166,4 +166,70 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val rows = run("gr1_triangle_count").collect()
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  // ------------------------------------------------------------------
+  // Components.labelPropagation
+  // ------------------------------------------------------------------
+
+  test("label propagation: two cliques with one bridge settle to clique minima") {
+    val s = spark
+    import s.implicits._
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(10L, 11L, 12L, 13L, 14L)) ++ Seq((5L, 10L))).toDF("a", "b")
+    val labels = Components.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each clique's interior converges to the clique's min id; the mode/
+    // min tie-break keeps the bridge from merging the two communities
+    assert(Seq(2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(11L, 12L, 13L, 14L).forall(labels(_) == 10L))
+    assert(labels(1L) != labels(14L), "bridge merged distinct communities")
+  }
+
+  test("label propagation: deterministic min tie-break on a triangle") {
+    val s = spark
+    import s.implicits._
+    val tri = Seq((7L, 8L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    // round 1: each node sees two labels once each -> min of the two
+    val labels = Components.labelPropagation(tri, "a", "b", rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(7L -> 8L, 8L -> 7L, 9L -> 7L))
+  }
+
+  // ------------------------------------------------------------------
+  // TextAnalysis.sparseCosinePairs
+  // ------------------------------------------------------------------
+
+  test("sparse cosine: identical docs score 1.0, disjoint docs never pair") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "red fox jumps over the dog"),
+      (2L, "red fox jumps over the dog"),
+      (3L, "entirely different words here now"),
+      (4L, "red fox jumps over the cat")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosinePairs(docs, "doc_id", "text", maxDf = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    // 1 and 4 share shingles "red fox jumps", "fox jumps over" -> partial
+    assert(out.contains((1L, 4L)) && out((1L, 4L)) > 0 && out((1L, 4L)) < 1)
+    // doc 3 shares no shingle with anyone: absent from every pair
+    assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("sparse cosine: df cap removes stop-shingle-only pairs") {
+    val s = spark
+    import s.implicits._
+    // the shingle "a b c" appears in ALL four docs (df=4); with maxDf=3 it
+    // is a stop term, so docs sharing ONLY it never pair
+    val docs = Seq(
+      (1L, "a b c x1 y1 z1"), (2L, "a b c x2 y2 z2"),
+      (3L, "a b c q r t"), (4L, "a b c q r t")
+    ).toDF("doc_id", "text")
+    val capped = TextAnalysis.sparseCosinePairs(docs, "doc_id", "text", maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((3L, 4L)), s"got $capped")
+  }
 }

@@ -15,6 +15,7 @@ import graft.expressions.{JaroWinkler, KmvDistinct, NormalizeNfc, VecDot, VecDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // arity/foldability checked here so a malformed SQL call surfaces as an
     // analysis-time error message, not a builder IndexOutOfBounds/eval crash
     def arity(name: String, n: Int, args: Seq[Expression]): Unit =

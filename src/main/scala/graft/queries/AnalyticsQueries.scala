@@ -443,6 +443,33 @@ object AnalyticsQueries {
           FROM r2c) WHERE rn = 1)
       SELECT n.node, coalesce(r.label, n.node) AS label
       FROM nodes n LEFT JOIN r2 r USING (node)
-      ORDER BY node"""))
+      ORDER BY node""")),
+
+    // J7b — the as-of join through the CUSTOM PHYSICAL OPERATOR
+    // (`plans/AsOfJoinPlan.scala`: LogicalPlan → Strategy → AsOfJoinExec,
+    // injected via GraftExtensions): same semantics and same DuckDB ASOF
+    // oracle as j7, but planned as one key-aligned merge pass per
+    // partition instead of union+window — half the sorted bytes, no
+    // combined-stream materialization, no post-filter. AsOfExecSpec gates
+    // row-equality with the composition and the exchange/sort plan shape.
+    Q("j7b_asof_native", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          round(col("value"), 4).as("view_value"))
+      graft.plans.AsOfJoinPlan.asOfNative(purchases, views, Seq("user_id"),
+        probeTime = "ts", factTime = "view_ts",
+        factPayload = Seq("view_value"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id, p.ts, v.view_ts, v.view_value
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT user_id, ts AS view_ts, round(value, 4) AS view_value
+                 FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.view_ts
+      ORDER BY event_id"""))
   )
 }

@@ -12,4 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a custom LogicalPlan (`classic.Dataset.ofRows` is
+    * `private[sql]`) — the seam graft's whole-operator plans
+    * (`plans/AsOfJoinPlan.scala`) use to surface a Dataset API. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

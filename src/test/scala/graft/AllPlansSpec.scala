@@ -41,7 +41,9 @@ class AllPlansSpec extends AnyFunSuite {
     "tx14_bigram_logprob" -> "1-row vocabulary-size broadcast onto the bigram table",
     "tx15_perplexity_buckets" -> "tx14's 1-row vocabulary-size broadcast + 1-row tercile-threshold scalar + hq1's quantile-probe broadcast onto the bounded bin list",
     "pipe8_curation_v2" -> "1-row mixture-normalizer broadcast (sa4's, composed)",
-    "pipe10_curation_full" -> "1-row mixture-normalizer broadcast (sa4's, composed)")
+    "pipe10_curation_full" -> "1-row mixture-normalizer broadcast (sa4's, composed)",
+    "sa9_split_chisq" -> "bounded splits x langs contingency cross (3 x |langs| rows) + 1-row grand-total broadcast",
+    "sim12_sparse_cosine" -> "1-row corpus-count scalar broadcast (tx10's idf move)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

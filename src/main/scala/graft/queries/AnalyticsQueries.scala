@@ -470,6 +470,26 @@ object AnalyticsQueries {
       ASOF JOIN (SELECT user_id, ts AS view_ts, round(value, 4) AS view_value
                  FROM events WHERE event_type = 'view') v
         ON p.user_id = v.user_id AND p.ts >= v.view_ts
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // ST6 — stream-static enrichment join, batch form
+    // (`StreamingLoad.streamStaticEnrich`; the streaming form — a live
+    // file stream against the same static dim — is exercised in
+    // StreamingSpec): events enriched with the customer dim, dim
+    // broadcast so the fact side never exchanges. Inner keep drops
+    // FK orphans (the J4 policy at the streaming door).
+    Q("st6_stream_static_enrich", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"),
+          col("c_mktsegment"))
+      graft.streaming.StreamingLoad.streamStaticEnrich(ev, dim, "user_id")
+        .orderBy("event_id")
+    }, Some("""
+      SELECT e.event_id, e.user_id, e.event_type,
+             c.c_nationkey, c.c_mktsegment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""))
   )
 }

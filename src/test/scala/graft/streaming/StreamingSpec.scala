@@ -262,4 +262,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
       === Seq((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0)))
   }
+
+  test("streamStaticEnrich joins a live stream to a static dim without " +
+    "shuffling the stream") {
+    val s = spark
+    import s.implicits._
+    val inDir = Files.createTempDirectory("graft_enrich").toFile
+    val evSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val dim = Seq((7L, "US"), (8L, "DE")).toDF("user_id", "region")
+    val stream = spark.readStream.schema(evSchema)
+      .json(inDir.getAbsolutePath)
+    val joined = StreamingLoad.streamStaticEnrich(stream, dim, "user_id")
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    // two batches; user 9 has no dim row and must drop (inner)
+    Files.writeString(new java.io.File(inDir, "b1.json").toPath,
+      """{"user_id":7,"value":1.0}
+        |{"user_id":9,"value":9.0}
+        |""".stripMargin)
+    query.processAllAvailable()
+    Files.writeString(new java.io.File(inDir, "b2.json").toPath,
+      """{"user_id":8,"value":2.0}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("enriched").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq == Seq((7L, 1.0, "US"), (8L, 2.0, "DE")))
+    // left-keep variant preserves the orphan with a NULL dim column
+    val leftJoined = StreamingLoad.streamStaticEnrich(
+      Seq((9L, 3.0)).toDF("user_id", "value"), dim, "user_id", keep = "left")
+      .collect()
+    assert(leftJoined.length == 1 && leftJoined.head.isNullAt(2))
+    // plan shape (batch twin): the dim is broadcast — no exchange on the
+    // fact side at all
+    val batch = StreamingLoad.streamStaticEnrich(
+      Seq((7L, 1.0)).toDF("user_id", "value"), dim, "user_id")
+    batch.collect()
+    val plan = batch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }

@@ -490,6 +490,161 @@ object AnalyticsQueries {
       SELECT e.event_id, e.user_id, e.event_type,
              c.c_nationkey, c.c_mktsegment
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id""")),
+
+    // W8 — EWMA rolling feature: per user, the exponentially-weighted mean
+    // of the last 8 event values (alpha 0.7, weights renormalized over the
+    // visible frame — the standard warm-up convention). The frame's values
+    // are collected per row and folded with position weights — the only
+    // way to weight BY OFFSET WITHIN the frame in either engine — so state
+    // is the 8-row frame, one shuffle on user_id. Rounded to 6 for the
+    // cross-engine hash.
+    Q("w8_ewma_features", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+      t(s, dir, "events")
+        .withColumn("vals", collect_list(round(col("value"), 4)).over(w))
+        .select(col("event_id"), col("user_id"),
+          round(expr("""
+            aggregate(vals, named_struct('num', 0.0d, 'den', 0.0d),
+              (acc, v) -> named_struct(
+                'num', acc.num * 0.3d + v * 0.7d,
+                'den', acc.den * 0.3d + 0.7d),
+              acc -> acc.num / acc.den)"""), 6).as("ewma"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH f AS (
+        SELECT event_id, user_id,
+               list(round(value, 4)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+        FROM events),
+      r AS (
+        SELECT event_id, user_id,
+               list_reduce(
+                 list_prepend(
+                   {'num': CAST(0.0 AS DOUBLE), 'den': CAST(0.0 AS DOUBLE),
+                    'v': CAST(0.0 AS DOUBLE)},
+                   list_transform(vals, v ->
+                     {'num': CAST(0.0 AS DOUBLE), 'den': CAST(0.0 AS DOUBLE),
+                      'v': CAST(v AS DOUBLE)})),
+                 (a, x) -> {'num': a.num * CAST(0.3 AS DOUBLE)
+                                     + x.v * CAST(0.7 AS DOUBLE),
+                            'den': a.den * CAST(0.3 AS DOUBLE)
+                                     + CAST(0.7 AS DOUBLE),
+                            'v': CAST(0.0 AS DOUBLE)}) AS acc
+        FROM f)
+      SELECT event_id, user_id, round(acc.num / acc.den, 6) AS ewma
+      FROM r ORDER BY event_id""")),
+
+    // W9 — forward fill (LOCF): a deterministically-nulled metric (view
+    // events hide their value) is repaired per user by carrying the last
+    // non-null observation forward — `last(_, ignoreNulls)` over the
+    // unbounded-preceding frame, the standard sensor/tick repair. One
+    // shuffle on user_id; rows before any observation stay NULL.
+    Q("w9_forward_fill", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("gapped",
+          when(col("event_type") === "view", lit(null).cast("double"))
+            .otherwise(round(col("value"), 4)))
+        .select(col("event_id"), col("user_id"), col("gapped"),
+          last(col("gapped"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id, gapped,
+             last_value(gapped IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM (SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'view' THEN NULL
+                        ELSE round(value, 4) END AS gapped
+            FROM events)
+      ORDER BY event_id""")),
+
+    // TS2 — resample to a daily grid + linear interpolation: each user's
+    // sparse daily means become a dense [min_day, max_day] series, missing
+    // days linearly interpolated between the bracketing observations (the
+    // classic tick/sensor regularization before any rolling feature). Grid
+    // = sequence() explode per user (rows ∝ users × span, never a cross
+    // join); interpolation = two LOCF-style windows (last/next observed
+    // day+value), so the whole repair is one user_id shuffle + two sorted
+    // window passes. Edges before the first / after the last observation
+    // hold (no extrapolation).
+    Q("ts2_resample_interpolate", (s, dir) => {
+      // daily means carried as 1e4-SCALED INTEGERS: the interpolation
+      // below is then exact integer arithmetic + ONE identical float
+      // division per row in either engine — midpoint values can't land
+      // astride a decimal rounding boundary (they did when interpolating
+      // rounded doubles: (a+b)/2 of 4-decimal values has an exact 5 in
+      // the 5th place 10% of the time)
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(round(avg(col("value")) * 10000).cast("long").as("vs"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("d").as("__mn"), max("d").as("__mx"))
+        .select(col("user_id"),
+          explode(expr("sequence(__mn, __mx, interval 1 day)")).as("d"))
+      val wPrev = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .withColumn("pv", last(col("vs"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("vs").isNotNull, col("d")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("vs"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("vs").isNotNull, col("d")),
+          ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("d"),
+          when(col("vs").isNotNull, col("vs") / lit(10000.0))
+            .when(col("pv").isNull, col("nv") / lit(10000.0))
+            .when(col("nv").isNull, col("pv") / lit(10000.0))
+            .otherwise(
+              (col("pv") * datediff(col("nd"), col("d")) +
+                col("nv") * datediff(col("d"), col("pd"))) /
+                (datediff(col("nd"), col("pd")) * lit(10000.0))).as("v"),
+          col("vs").isNotNull.as("observed"))
+        .orderBy("user_id", "d")
+    }, Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(round(avg(value) * 10000) AS BIGINT) AS vs
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                 CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        FROM (SELECT user_id, min(d) AS mn, max(d) AS mx
+              FROM daily GROUP BY 1)),
+      j AS (
+        SELECT g.user_id, g.d, daily.vs FROM grid g
+        LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d),
+      w AS (
+        SELECT *,
+          last_value(vs IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN vs IS NOT NULL THEN d END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          first_value(vs IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN vs IS NOT NULL THEN d END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j)
+      SELECT user_id, d,
+             CASE WHEN vs IS NOT NULL THEN vs / 10000.0
+                  WHEN pv IS NULL THEN nv / 10000.0
+                  WHEN nv IS NULL THEN pv / 10000.0
+                  ELSE (pv * (nd - d) + nv * (d - pd))
+                       / ((nd - pd) * 10000.0)
+             END AS v,
+             vs IS NOT NULL AS observed
+      FROM w ORDER BY user_id, d"""))
   )
 }

@@ -645,6 +645,150 @@ object AnalyticsQueries {
                        / ((nd - pd) * 10000.0)
              END AS v,
              vs IS NOT NULL AS observed
-      FROM w ORDER BY user_id, d"""))
+      FROM w ORDER BY user_id, d""")),
+
+    // CS11 — key-skew diagnostic report: the top-10 heaviest join/agg keys
+    // with their share and cumulative share of the table — the report that
+    // decides between a plain shuffle, a salted aggregate (a8) and an AQE
+    // skew join. One groupBy sizes the keys; everything after runs on the
+    // key-cardinality table.
+    Q("cs11_skew_report", (s, dir) => {
+      val sizes = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+      val tot = sizes.agg(sum("n").as("tot"))
+      val w = Window.orderBy(col("n").desc, col("key"))
+      sizes.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum", sum("n").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("key"), col("n"),
+          round(col("n") / col("tot"), 6).as("share"),
+          round(col("cum") / col("tot"), 6).as("cum_share"))
+        .orderBy("rnk")
+    }, Some("""
+      WITH sizes AS (
+        SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(n) AS tot FROM sizes),
+      r AS (
+        SELECT key, n,
+               row_number() OVER (ORDER BY n DESC, key) AS rnk,
+               sum(n) OVER (ORDER BY n DESC, key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sizes)
+      SELECT rnk, key, n, round(n / tot, 6) AS share,
+             round(cum / tot, 6) AS cum_share
+      FROM r, t WHERE rnk <= 10 ORDER BY rnk""")),
+
+    // CS12 — one-pass correlation matrix over lineitem's numeric columns:
+    // all six Pearson pairs from a single aggregate (each corr is three
+    // running sums — one scan, one 1-row shuffle), melted long. The
+    // feature-selection / drift primer at corpus scale.
+    Q("cs12_corr_matrix", (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("c_qty_price"),
+        round(corr("l_quantity", "l_discount"), 6).as("c_qty_disc"),
+        round(corr("l_quantity", "l_tax"), 6).as("c_qty_tax"),
+        round(corr("l_extendedprice", "l_discount"), 6).as("c_price_disc"),
+        round(corr("l_extendedprice", "l_tax"), 6).as("c_price_tax"),
+        round(corr("l_discount", "l_tax"), 6).as("c_disc_tax"))
+        .select(expr("""stack(6,
+          'quantity~extendedprice', c_qty_price,
+          'quantity~discount',      c_qty_disc,
+          'quantity~tax',           c_qty_tax,
+          'extendedprice~discount', c_price_disc,
+          'extendedprice~tax',      c_price_tax,
+          'discount~tax',           c_disc_tax)
+          AS (pair, pearson)"""))
+        .orderBy("pair"),
+      Some("""
+      SELECT * FROM (
+        SELECT 'quantity~extendedprice' AS pair,
+               round(corr(l_quantity, l_extendedprice), 6) AS pearson
+        FROM lineitem
+        UNION ALL SELECT 'quantity~discount',
+               round(corr(l_quantity, l_discount), 6) FROM lineitem
+        UNION ALL SELECT 'quantity~tax',
+               round(corr(l_quantity, l_tax), 6) FROM lineitem
+        UNION ALL SELECT 'extendedprice~discount',
+               round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        UNION ALL SELECT 'extendedprice~tax',
+               round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        UNION ALL SELECT 'discount~tax',
+               round(corr(l_discount, l_tax), 6) FROM lineitem)
+      ORDER BY pair""")),
+
+    // ML4 — group-wise closed-form linear regression (totalprice over
+    // order-date epoch day, per priority): slope = cov/var from the same
+    // one-pass aggregates the corr plan uses, intercept from the means —
+    // a regression per group with zero iterations and one shuffle. The
+    // "is this metric drifting over time, per segment" primitive.
+    Q("ml4_groupwise_linreg", (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1992-01-01").cast("date")).cast("double").as("x"),
+          col("o_totalprice").as("y"))
+        .groupBy("o_orderpriority")
+        .agg(covar_pop(col("x"), col("y")).as("__cxy"),
+          var_pop(col("x")).as("__vx"),
+          avg(col("x")).as("__mx"), avg(col("y")).as("__my"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("__cxy") / col("__vx"), 4).as("slope"),
+          round(col("__my") - col("__cxy") / col("__vx") * col("__mx"), 2)
+            .as("intercept"))
+        .orderBy("o_orderpriority"),
+      Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+             round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 2)
+               AS intercept
+      FROM (SELECT o_orderpriority,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                        AS DOUBLE) AS x,
+                   o_totalprice AS y
+            FROM orders)
+      GROUP BY 1 ORDER BY 1""")),
+
+    // CS13 — A/B z-test: users hash-split into two arms (sa1's md5
+    // fraction, so assignment is engine-reproducible), Welch z on the
+    // per-arm means of the event value. The experiment-analysis shape:
+    // corpus work is one groupBy(arm); the verdict math runs on 2 rows.
+    Q("cs13_ab_ztest", (s, dir) => {
+      val armed = t(s, dir, "events").select(
+        when(Sampling.hashFraction(col("user_id").cast("string")) < 0.5, "A")
+          .otherwise("B").as("arm"),
+        col("value"))
+      val stats = armed.groupBy("arm")
+        .agg(count(lit(1)).as("n"), avg("value").as("m"),
+          var_samp(col("value")).as("v"))
+      val a = stats.filter(col("arm") === "A")
+        .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+      val b = stats.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("n_a"), col("n_b"),
+          round(col("m_a") - col("m_b"), 6).as("mean_diff"),
+          round((col("m_a") - col("m_b")) /
+            sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 4)
+            .as("z"))
+    }, Some("""
+      WITH f AS (
+        SELECT CASE WHEN
+                 list_sum(list_transform(generate_series(1, 8), i ->
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                   * (16.0 ** (8 - i)))) / 4294967296.0 < 0.5
+               THEN 'A' ELSE 'B' END AS arm, value
+        FROM events),
+      s AS (
+        SELECT arm, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        FROM f GROUP BY 1),
+      a AS (SELECT n AS n_a, m AS m_a, v AS v_a FROM s WHERE arm = 'A'),
+      b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM s WHERE arm = 'B')
+      SELECT n_a, n_b, round(m_a - m_b, 6) AS mean_diff,
+             round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS z
+      FROM a, b"""))
   )
 }

@@ -43,7 +43,9 @@ class AllPlansSpec extends AnyFunSuite {
     "pipe8_curation_v2" -> "1-row mixture-normalizer broadcast (sa4's, composed)",
     "pipe10_curation_full" -> "1-row mixture-normalizer broadcast (sa4's, composed)",
     "sa9_split_chisq" -> "bounded splits x langs contingency cross (3 x |langs| rows) + 1-row grand-total broadcast",
-    "sim12_sparse_cosine" -> "1-row corpus-count scalar broadcast (tx10's idf move)")
+    "sim12_sparse_cosine" -> "1-row corpus-count scalar broadcast (tx10's idf move)",
+    "cs11_skew_report" -> "1-row table-total scalar broadcast onto the key-cardinality table",
+    "cs13_ab_ztest" -> "1-row arm-B stats broadcast onto the 1-row arm-A stats")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

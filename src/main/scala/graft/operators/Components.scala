@@ -143,6 +143,51 @@ object Components {
     ranks
   }
 
+  /** Multi-source BFS levels over an undirected edge list: the minimum hop
+    * distance from any source node, up to `maxRounds` hops — the reach /
+    * influence-radius primitive (how far does a seed set of known-bad docs,
+    * compromised hosts, or labeled exemplars propagate through a similarity
+    * graph). Returns `(node, dist)` for every node within `maxRounds` hops
+    * of a source (sources themselves at dist 0); unreached nodes are
+    * absent, so output is proportional to the reached set, not the graph.
+    *
+    * Scale shape: per round one frontier⋈edges equi-join (shuffle keyed on
+    * node id) + one anti-join against the visited set — frontier-sized,
+    * not graph-sized, work per round. The hop bound is chosen up front, so
+    * a long-diameter component cannot stall the job; the only driver-side
+    * action is the 1-row empty-frontier early exit, and lineage is cut per
+    * round with a lazy localCheckpoint like [[pageRank]].
+    */
+  def bfsLevels(edges: DataFrame, aCol: String, bCol: String,
+                sources: DataFrame, srcCol: String,
+                maxRounds: Int): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    val e = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var frontier = sources.select(col(srcCol).cast("long").as("node"))
+      .distinct().localCheckpoint(eager = false)
+    var visited = frontier.withColumn("dist", lit(0))
+    var r = 1
+    var exhausted = frontier.isEmpty
+    while (!exhausted && r <= maxRounds) {
+      val next = e.join(frontier.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = visited.unionByName(next.withColumn("dist", lit(r)))
+          .localCheckpoint(eager = false)
+        frontier = next
+      }
+      r += 1
+    }
+    visited
+  }
+
   /** Synchronous label propagation (community detection), fixed iteration
     * count, fully deterministic: every round each node adopts its
     * neighbors' MOST FREQUENT current label, ties broken by the smallest

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Basket, Components}
+import Tables.t
+
+/** Round-11 fourth wave: behavioral analytics and statistics operators —
+  * market-basket association rules, two-sample distribution testing,
+  * Benford fraud auditing, RFM segmentation, autocorrelation, Markov event
+  * transitions, and multi-source BFS reach. Every entry is DuckDB-oracle
+  * graded; invariants live in `BehaviorOpsSpec`.
+  */
+object BehaviorQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // MB1 — association rules over the order/part basket table
+    // (`operators/Basket.scala`). The Apriori level-1 gate (items in ≥ 20
+    // baskets) and the oversized-basket cap run BEFORE the pair self-join,
+    // so pair generation is bounded; the basket total is a 1-row broadcast.
+    Q("mb1_association_rules", (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      Basket.associationRules(items, "basket", "item",
+        minItemCount = 20, minPairCount = 2, maxBasketSize = 1000)
+        .orderBy("p1", "p2")
+    }, Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem),
+      sized AS (
+        SELECT basket, item FROM (
+          SELECT *, count(*) OVER (PARTITION BY basket) AS bsz FROM b)
+        WHERE bsz <= 1000),
+      n AS (SELECT count(DISTINCT basket) AS n_baskets FROM sized),
+      ic AS (SELECT item, count(*) AS cnt FROM sized GROUP BY 1
+             HAVING count(*) >= 20),
+      f AS (SELECT s.basket, s.item, ic.cnt FROM sized s JOIN ic USING (item)),
+      p AS (
+        SELECT a.item AS p1, c.item AS p2, a.cnt AS c1, c.cnt AS c2,
+               count(*) AS co
+        FROM f a JOIN f c ON a.basket = c.basket AND a.item < c.item
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+      SELECT p1, p2, co, c1, c2,
+             round(co / c1, 4) AS confidence,
+             round((co * n_baskets) / (c1 * c2), 4) AS lift
+      FROM p, n ORDER BY p1, p2""")),
+
+    // CS14 — two-sample Kolmogorov–Smirnov test: is the `value`
+    // distribution of click events the same as view events? D = max over
+    // the pooled support of |F_click − F_view|, with the α=0.05 rejection
+    // threshold 1.358·√((n1+n2)/(n1·n2)). Scale shape: the corpus-sized
+    // work is one groupBy on the 0.01-binned value (the empirical CDF
+    // support); the ordered cumulative window then runs over the BINNED
+    // table — bounded by the value range / bin width, never the corpus.
+    Q("cs14_ks_test", (s, dir) => {
+      val src = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view") &&
+          col("value").isNotNull)
+        .select(round(col("value"), 2).as("v"),
+          when(col("event_type") === "click", 1).otherwise(0).as("g"))
+      val binned = src.groupBy("v")
+        .agg(sum(col("g")).as("n1b"), sum(lit(1) - col("g")).as("n2b"))
+      val totals = binned.agg(sum("n1b").as("t1"), sum("n2b").as("t2"))
+      val cum = binned
+        .withColumn("c1", sum("n1b").over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("c2", sum("n2b").over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(totals))
+        .select(col("t1"), col("t2"),
+          abs(col("c1") / col("t1") - col("c2") / col("t2")).as("d"))
+      cum.groupBy("t1", "t2").agg(round(max("d"), 4).as("d_stat"))
+        .select(col("t1").as("n1"), col("t2").as("n2"), col("d_stat"),
+          (col("d_stat") >
+            lit(1.358) * sqrt((col("t1") + col("t2")) /
+              (col("t1") * col("t2")))).as("reject_same_dist"))
+    }, Some("""
+      WITH s AS (
+        SELECT round(value, 2) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      binned AS (SELECT v, sum(g) AS n1b, sum(1 - g) AS n2b FROM s GROUP BY 1),
+      tot AS (SELECT sum(n1b) AS t1, sum(n2b) AS t2 FROM binned),
+      cum AS (
+        SELECT t1, t2,
+               abs(sum(n1b) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t1
+                 - sum(n2b) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t2)
+                 AS d
+        FROM binned, tot)
+      SELECT t1 AS n1, t2 AS n2, round(max(d), 4) AS d_stat,
+             round(max(d), 4) >
+               1.358 * sqrt((t1 + t2) / (t1 * t2)) AS reject_same_dist
+      FROM cum GROUP BY t1, t2""")),
+
+    // CS15 — Benford first-digit audit on order totals: observed share of
+    // each leading digit vs the Benford expectation (literal table in both
+    // engines — no engine-side log10, so no libm ulp hazards). The digit is
+    // extracted through integer/string ops only. One scan + one 9-row
+    // aggregate; the total is a 1-row broadcast.
+    Q("cs15_benford_audit", (s, dir) => {
+      val d = t(s, dir, "orders").filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum("n").as("t"))
+      val expected = typedLit(Map(
+        "1" -> 0.30103, "2" -> 0.17609, "3" -> 0.12494, "4" -> 0.09691,
+        "5" -> 0.07918, "6" -> 0.06695, "7" -> 0.05799, "8" -> 0.05115,
+        "9" -> 0.04576))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("t"), 4).as("share"),
+          expected(col("digit")).as("expected"))
+        .withColumn("dev", round(col("share") - col("expected"), 4))
+        .orderBy("digit")
+    }, Some("""
+      WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit,
+               count(*) AS n
+        FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      tot AS (SELECT sum(n) AS t FROM d),
+      exp AS (SELECT * FROM (VALUES
+        ('1', 0.30103), ('2', 0.17609), ('3', 0.12494), ('4', 0.09691),
+        ('5', 0.07918), ('6', 0.06695), ('7', 0.05799), ('8', 0.05115),
+        ('9', 0.04576)) AS v(digit, expected))
+      SELECT d.digit, d.n, round(d.n / t, 4) AS share, exp.expected,
+             round(round(d.n / t, 4) - exp.expected, 4) AS dev
+      FROM d, tot JOIN exp ON exp.digit = d.digit
+      ORDER BY d.digit""")),
+
+    // CS16 — RFM segmentation: per customer, recency (days since last
+    // order), frequency (order count), monetary (total spend), each cut
+    // into quartiles with a deterministic custkey tie-break, concatenated
+    // into the classic 3-digit segment. The corpus-sized work is one
+    // groupBy(custkey); the ntile windows run over the customer-grain
+    // aggregate (the tx17 quality-decile shape), and the corpus max date
+    // is a 1-row broadcast.
+    Q("cs16_rfm_segments", (s, dir) => {
+      val byCust = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("f"),
+          round(sum("o_totalprice"), 2).as("m"))
+      val mx = t(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      byCust.crossJoin(broadcast(mx))
+        .withColumn("r_days", datediff(col("mxd"), col("last_d")))
+        .withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("r_days"), col("o_custkey"))))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("f").desc, col("o_custkey"))))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("m").desc, col("o_custkey"))))
+        .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
+          concat(col("r_q"), col("f_q"), col("m_q")).as("rfm"))
+        .orderBy("o_custkey")
+    }, Some("""
+      WITH byc AS (
+        SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+               count(*) AS f, round(sum(o_totalprice), 2) AS m
+        FROM orders GROUP BY 1),
+      mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+      r AS (SELECT byc.*, datediff('day', last_d, mxd) AS r_days
+            FROM byc, mx)
+      SELECT o_custkey, CAST(r_days AS INT) AS r_days, f, m,
+             CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) AS VARCHAR)
+             || CAST(ntile(4) OVER (ORDER BY f DESC, o_custkey) AS VARCHAR)
+             || CAST(ntile(4) OVER (ORDER BY m DESC, o_custkey) AS VARCHAR)
+               AS rfm
+      FROM r ORDER BY o_custkey""")),
+
+    // TS3 — autocorrelation function of the daily event count at lags
+    // 1–7 (Box–Jenkins: overall-mean centering, normalized by the full
+    // series sum of squares) — the seasonality detector that says WHICH
+    // period ts1's day-of-week baseline should use. Corpus-sized work is
+    // one groupBy(day); the lag pairing is a self-join of the day table
+    // (≤ series length) against a 7-row literal, and the mean/SS are 1-row
+    // broadcasts.
+    Q("ts3_acf", (s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .localCheckpoint(eager = false)
+      val mean = days.agg(avg("x").as("mu"))
+      val centered = days.crossJoin(broadcast(mean))
+      val ss = centered
+        .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("ss"))
+      import s.implicits._
+      val lags = (1 to 7).map(k => (k, k)).toDF("k", "off")
+      centered.crossJoin(broadcast(lags))
+        .join(days.select(col("day").as("pday"), col("x").as("px")),
+          expr("pday = date_sub(day, off)"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("x") - col("mu")) * (col("px") - col("mu"))).as("num"))
+        .crossJoin(broadcast(ss))
+        .select(col("k"), col("n_pairs"),
+          round(col("num") / col("ss"), 4).as("acf"))
+        .orderBy("k")
+    }, Some("""
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1),
+      mean AS (SELECT avg(x) AS mu FROM days),
+      ss AS (SELECT sum((x - mu) * (x - mu)) AS ss FROM days, mean),
+      ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS k)
+      SELECT k, count(*) AS n_pairs,
+             round(sum((a.x - mu) * (b.x - mu)) / ss, 4) AS acf
+      FROM days a, mean, ss, ks, days b
+      WHERE b.day = a.day - k
+      GROUP BY k, ss ORDER BY k""")),
+
+    // TS4 — Markov transition matrix over per-user event sequences: the
+    // behavioral fingerprint (what follows what) and the generative model
+    // behind session simulation. One lag window per user (shuffle keyed on
+    // user_id) + one 25-cell aggregate; the per-prev normalizer is a window
+    // over the tiny transition table.
+    Q("ts4_markov_transitions", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum("n").over(Window.partitionBy("prev_type")), 4))
+        .orderBy("prev_type", "next_type")
+    }, Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      tr AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+             round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+      FROM tr ORDER BY prev_type, next_type""")),
+
+    // GR2 — multi-source BFS levels (`Components.bfsLevels`): minimum hop
+    // distance from a seed set through an undirected graph, hop-bounded so
+    // a long-diameter component cannot stall the job. Fixture graph:
+    // doc_id ↔ 7·doc_id mod 499 (multiplication-cycle structure with
+    // nontrivial distances), seeds at doc_id ≡ 0 (mod 125); graded against
+    // a depth-bounded recursive-CTE reachability oracle.
+    Q("gr2_bfs_levels", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * 7) % 499).as("b"))
+      val sources = docs.filter(col("doc_id") % 125 === 0)
+      Components.bfsLevels(edges, "a", "b", sources, "doc_id", maxRounds = 6)
+        .orderBy("node")
+    }, Some("""
+      WITH RECURSIVE
+      fixture AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      e2 AS (SELECT u, v FROM fixture UNION ALL SELECT v, u FROM fixture),
+      edges AS (SELECT u, v FROM e2 WHERE u <> v),
+      reach(node, d) AS (
+        SELECT DISTINCT doc_id, 0 FROM documents WHERE doc_id % 125 = 0
+        UNION
+        SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.d < 6)
+      SELECT node, CAST(min(d) AS INT) AS dist FROM reach GROUP BY node
+      ORDER BY node"""))
+  )
+}

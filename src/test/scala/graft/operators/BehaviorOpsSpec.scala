@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, TestSpark}
+
+/** Invariants for the fourth-wave behavioral operators — association rules,
+  * the KS test, Benford audit, RFM segmentation, ACF, Markov transitions,
+  * and multi-source BFS — the properties that must hold at any scale,
+  * complementing the DuckDB hash grade. */
+class BehaviorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  // ------------------------------------------------------------------
+  // Basket.associationRules
+  // ------------------------------------------------------------------
+
+  test("basket: brute-force parity on a hand-built basket set") {
+    val s = spark
+    import s.implicits._
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,b} 4:{b,c} 5:{a} — plus a duplicate
+    // (1,a) row that must collapse.
+    val items = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "b"), (4L, "c"), (5L, "a")
+    ).toDF("basket", "item")
+    val out = Basket.associationRules(items, "basket", "item",
+      minItemCount = 2, minPairCount = 2)
+      .orderBy("p1", "p2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // a: 4 baskets, b: 4, c: 2, N=5. pairs: (a,b) co=3, (a,c) co=1 (dropped
+    // by minPairCount), (b,c) co=2.
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, 4L, 4L, 0.75, 5.0 * 3 / 16),
+      ("b", "c", 2L, 4L, 2L, 0.5, 5.0 * 2 / 8)))
+  }
+
+  test("basket: the oversized-basket cap drops the hot basket's pairs") {
+    val s = spark
+    import s.implicits._
+    val hot = (1 to 50).map(i => (99L, s"i$i"))
+    val normal = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+    val items = (hot ++ normal).toDF("basket", "item")
+    val out = Basket.associationRules(items, "basket", "item",
+      minItemCount = 1, minPairCount = 1, maxBasketSize = 10)
+      .collect()
+    // only the (x,y) pair survives; none of the 50-item basket's 1225 pairs
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "x" && out(0).getString(1) == "y")
+    // and the basket total N excludes the dropped basket: lift = co·N/(c1·c2)
+    // = 2·2/(2·2) = 1
+    assert(out(0).getDouble(6) == 1.0)
+  }
+
+  // ------------------------------------------------------------------
+  // KS test
+  // ------------------------------------------------------------------
+
+  test("ks: D = 0 on identical samples, 1 on disjoint supports") {
+    val s = spark
+    import s.implicits._
+    def ks(df: org.apache.spark.sql.DataFrame): Double = {
+      val binned = df.groupBy("v")
+        .agg(sum("g").as("n1b"), sum(expr("1 - g")).as("n2b"))
+      val totals = binned.agg(sum("n1b").as("t1"), sum("n2b").as("t2"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      binned
+        .withColumn("c1", sum("n1b").over(w))
+        .withColumn("c2", sum("n2b").over(w))
+        .crossJoin(broadcast(totals))
+        .select(abs(col("c1") / col("t1") - col("c2") / col("t2")).as("d"))
+        .agg(max("d")).collect()(0).getDouble(0)
+    }
+    val same = (1 to 100).flatMap(i => Seq((i.toDouble, 1), (i.toDouble, 0)))
+      .toDF("v", "g")
+    assert(ks(same) == 0.0)
+    val disjoint = ((1 to 50).map(i => (i.toDouble, 1)) ++
+      (51 to 100).map(i => (i.toDouble, 0))).toDF("v", "g")
+    assert(ks(disjoint) == 1.0)
+  }
+
+  test("ks: graded query emits one row with d in [0,1]") {
+    val r = run("cs14_ks_test").collect()
+    assert(r.length == 1)
+    val d = r(0).getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
+  // ------------------------------------------------------------------
+  // Benford audit
+  // ------------------------------------------------------------------
+
+  test("benford: shares sum to ~1 and digits are 1-9") {
+    val rows = run("cs15_benford_audit").collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val digits = rows.map(_.getString(0)).toSet
+    assert(digits.subsetOf((1 to 9).map(_.toString).toSet))
+    val share = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(share - 1.0) < 1e-2) // 4-dp rounding slack × ≤9 rows
+  }
+
+  // ------------------------------------------------------------------
+  // RFM segmentation
+  // ------------------------------------------------------------------
+
+  test("rfm: quartile digits are 1-4 and balanced within ntile bounds") {
+    val rows = run("cs16_rfm_segments").collect()
+    assert(rows.nonEmpty)
+    val segs = rows.map(_.getAs[String]("rfm"))
+    assert(segs.forall(s => s.length == 3 && s.forall(c => c >= '1' && c <= '4')))
+    // each quartile of each dimension holds n/4 (±1) customers
+    val n = rows.length
+    (0 until 3).foreach { pos =>
+      val byQ = segs.groupBy(_.charAt(pos)).view.mapValues(_.size)
+      byQ.values.foreach(c => assert(math.abs(c - n / 4.0) <= 1.0))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // ACF
+  // ------------------------------------------------------------------
+
+  test("acf: an alternating series has strongly negative lag-1, positive lag-2") {
+    val s = spark
+    import s.implicits._
+    // direct computation mirroring ts3's shape on a synthetic day table
+    val days = (0 until 40)
+      .map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i)), if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("day", "x")
+    val mean = days.agg(avg("x").as("mu"))
+    val centered = days.crossJoin(broadcast(mean))
+    val ss = centered
+      .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("ss"))
+    val lags = Seq((1, 1), (2, 2)).toDF("k", "off")
+    val acf = centered.crossJoin(broadcast(lags))
+      .join(days.select(col("day").as("pday"), col("x").as("px")),
+        expr("pday = date_sub(day, off)"))
+      .groupBy("k")
+      .agg(sum((col("x") - col("mu")) * (col("px") - col("mu"))).as("num"))
+      .crossJoin(broadcast(ss))
+      .select(col("k"), (col("num") / col("ss")).as("acf"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(acf(1) < -0.8)
+    assert(acf(2) > 0.8)
+  }
+
+  // ------------------------------------------------------------------
+  // Markov transitions
+  // ------------------------------------------------------------------
+
+  test("markov: per-prev probabilities sum to ~1") {
+    val rows = run("ts4_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("p")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ps) =>
+      assert(math.abs(ps.map(_._2).sum - 1.0) < 1e-2)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Components.bfsLevels
+  // ------------------------------------------------------------------
+
+  test("bfs: hand graph distances, hop bound, unreachable exclusion") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5, branch 2-6; island 10-11; sources {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (10L, 11L)).toDF("a", "b")
+    val src = Seq(Tuple1(1L)).toDF("s")
+    val out = Components.bfsLevels(edges, "a", "b", src, "s", maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3))
+    // hop bound: node 5 (dist 4) and the 10-11 island are absent
+  }
+
+  test("bfs: multi-source takes the minimum distance over sources") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val src = Seq(Tuple1(1L), Tuple1(5L)).toDF("s")
+    val out = Components.bfsLevels(edges, "a", "b", src, "s", maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfs: empty source set returns empty, terminates immediately") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val src = Seq.empty[Tuple1[Long]].toDF("s")
+    assert(Components.bfsLevels(edges, "a", "b", src, "s", 5).isEmpty)
+  }
+}

@@ -267,6 +267,118 @@ object BehaviorQueries {
         SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.node
         WHERE r.d < 6)
       SELECT node, CAST(min(d) AS INT) AS dist FROM reach GROUP BY node
-      ORDER BY node"""))
+      ORDER BY node""")),
+
+    // F11 — semi-structured JSON property extraction: events.props is a
+    // JSON payload; pull the typed `k` field scan-side (get_json_object is
+    // codegen'd — no UDF) and aggregate per event type. The canonical
+    // "schema-on-read the raw event blob" operator; at 100 TB the
+    // extraction rides the scan, and only the 5-row aggregate shuffles.
+    Q("f11_json_extract", (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_parsed"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          round(avg("k"), 4).as("k_avg"))
+        .orderBy("event_type"),
+      Some("""
+      SELECT event_type,
+             count(CAST(props ->> 'k' AS INTEGER)) AS n_parsed,
+             min(CAST(props ->> 'k' AS INTEGER)) AS k_min,
+             max(CAST(props ->> 'k' AS INTEGER)) AS k_max,
+             round(avg(CAST(props ->> 'k' AS INTEGER)), 4) AS k_avg
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ST7 — sliding (hopping) window counts: 2-hour windows every hour, so
+    // each event lands in exactly two windows — the smoothing twin of st1's
+    // tumbling counts. Spark's window() explodes scan-side into
+    // window-per-event rows; the only shuffle is the (window, type)
+    // aggregate. The streaming form is the same expression under
+    // readStream + watermark (st1's gate covers that plumbing).
+    Q("st7_sliding_windows", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+        .orderBy("wstart", "event_type"),
+      Some("""
+      WITH e AS (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+               event_type
+        FROM events)
+      SELECT wstart, event_type, count(*) AS n
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // TS5 — CUSUM changepoint detection on the daily event count: the
+    // cumulative sum of mean deviations peaks (in absolute value) at the
+    // most likely mean-shift point. Corpus-sized work is one groupBy(day);
+    // the sequential cumsum runs over the day table (series length), and
+    // the argmax is a deterministic (|s| desc, day) top-1.
+    Q("ts5_cusum_changepoint", (s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val mean = days.agg(avg("x").as("mu"))
+      days.crossJoin(broadcast(mean))
+        .withColumn("s", sum(col("x") - col("mu")).over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day").as("changepoint_day"), round(col("s"), 4).as("cusum"),
+          signum(round(col("s"), 4)).cast("int").as("direction"))
+        .orderBy(abs(col("cusum")).desc, col("changepoint_day"))
+        .limit(1)
+    }, Some("""
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1),
+      mean AS (SELECT avg(x) AS mu FROM days),
+      c AS (
+        SELECT day, sum(x - mu) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM days, mean)
+      SELECT day AS changepoint_day, round(s, 4) AS cusum,
+             CAST(sign(round(s, 4)) AS INT) AS direction
+      FROM c ORDER BY abs(round(s, 4)) DESC, day LIMIT 1""")),
+
+    // AT1 — last-touch attribution: each purchase is credited to the
+    // user's most recent PRIOR marketing touch (click/view) within 7 days
+    // — the as-of-join shape expressed as one per-user IGNORE NULLS window
+    // over the unioned event stream (j7's union+window pattern), so the
+    // only shuffle is keyed on user_id and there is no range join.
+    Q("at1_last_touch_attribution", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"),
+        struct(col("ts"), col("event_id"), col("event_type")))
+      t(s, dir, "events")
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"),
+          when(col("lt.ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("lt.event_id")).as("touch_id"),
+          when(col("lt.ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("lt.event_type")).as("touch_type"))
+        .orderBy("purchase_id")
+    }, Some("""
+      WITH seq AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                 THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                 THEN event_id END IGNORE NULLS) OVER w AS lt_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                 THEN event_type END IGNORE NULLS) OVER w AS lt_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+             CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN lt_id END AS touch_id,
+             CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN lt_type END
+               AS touch_type
+      FROM seq WHERE event_type = 'purchase' ORDER BY purchase_id"""))
   )
 }

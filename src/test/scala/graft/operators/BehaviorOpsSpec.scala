@@ -198,4 +198,62 @@ class BehaviorOpsSpec extends AnyFunSuite {
     val src = Seq.empty[Tuple1[Long]].toDF("s")
     assert(Components.bfsLevels(edges, "a", "b", src, "s", 5).isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // Fifth batch: JSON extract, sliding windows, CUSUM, attribution
+  // ------------------------------------------------------------------
+
+  test("json extract: every event's props parses to a k value") {
+    val rows = run("f11_json_extract").collect()
+    val parsed = rows.map(_.getAs[Long]("n_parsed")).sum
+    val total = graft.queries.Tables.t(spark, dir, "events").count()
+    assert(parsed == total)
+  }
+
+  test("sliding windows: every event lands in exactly two 2h/1h windows") {
+    val winTotal = run("st7_sliding_windows").agg(sum("n"))
+      .collect()(0).getLong(0)
+    val events = graft.queries.Tables.t(spark, dir, "events").count()
+    assert(winTotal == 2 * events)
+  }
+
+  test("cusum: a planted mean shift is found at the step boundary") {
+    val s = spark
+    import s.implicits._
+    // 20 days at 10/day then 20 days at 30/day -> |CUSUM| peaks at the
+    // last low day (index 19)
+    val days = (0 until 40).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i)),
+        if (i < 20) 10.0 else 30.0)
+    }.toDF("day", "x")
+    val mean = days.agg(avg("x").as("mu"))
+    val top = days.crossJoin(broadcast(mean))
+      .withColumn("s", sum(col("x") - col("mu")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .orderBy(abs(col("s")).desc, col("day"))
+      .limit(1).collect()(0)
+    assert(top.getDate(0) ==
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 20)))
+    assert(top.getAs[Double]("s") < 0) // low-regime run pulls the cumsum negative
+  }
+
+  test("attribution: touches are strictly prior, marketing-typed, in-window") {
+    val out = run("at1_last_touch_attribution")
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("event_id").as("touch_id"), col("ts").as("touch_ts"),
+        col("event_type").as("t_type"))
+    val joined = out.filter(col("touch_id").isNotNull)
+      .join(ev, "touch_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(Set("click", "view").contains(r.getAs[String]("t_type")))
+      val pts = r.getAs[java.sql.Timestamp]("purchase_ts").getTime
+      val tts = r.getAs[java.sql.Timestamp]("touch_ts").getTime
+      assert(tts < pts || (tts == pts &&
+        r.getAs[Long]("touch_id") < r.getAs[Long]("purchase_id")))
+      assert(pts - tts <= 7L * 24 * 3600 * 1000)
+    }
+  }
 }

@@ -188,6 +188,41 @@ object Components {
     visited
   }
 
+  /** Fixed-round k-core peeling: repeatedly drop nodes with degree < k and
+    * the edges touching them — the standard "dense-core" extraction that
+    * separates structurally-embedded nodes from peripheral tendrils
+    * (spam-farm detection, community seeding, graph sparsification).
+    * Returns `(node, deg)` for nodes surviving `rounds` peels, with their
+    * degree in the surviving subgraph.
+    *
+    * A full k-core decomposition iterates to fixpoint; the FIXED round
+    * count is what makes the result engine-reproducible (the oracle chains
+    * the same number of peels) and bounds the 100 TB cost up front —
+    * `rounds` × (one degree groupBy + two semi-joins), all shuffles keyed
+    * on node ids, lineage cut per round, no driver-side graph state. Deep
+    * tendrils that survive R rounds are reported with their current
+    * degree, exactly as the oracle sees them.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    var e = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(eager = false) // symmetric: every edge in both rows
+    (1 to rounds).foreach { _ =>
+      val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("u")
+      e = e.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint(eager = false)
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Synchronous label propagation (community detection), fixed iteration
     * count, fully deterministic: every round each node adopts its
     * neighbors' MOST FREQUENT current label, ties broken by the smallest

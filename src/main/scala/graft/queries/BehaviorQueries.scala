@@ -379,6 +379,207 @@ object BehaviorQueries {
              CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN lt_id END AS touch_id,
              CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN lt_type END
                AS touch_type
-      FROM seq WHERE event_type = 'purchase' ORDER BY purchase_id"""))
+      FROM seq WHERE event_type = 'purchase' ORDER BY purchase_id""")),
+
+    // GR3 — fixed-round k-core peeling (`Components.kCore`): 4 rounds of
+    // drop-degree-<3 over an irregular fixture graph (mod-7 permutation
+    // cycles + halving/thirding divisor chains — varied degrees 2..6, so
+    // the peel cascades non-trivially). The oracle chains the same 4 peels
+    // as CTE stages; surviving nodes are graded with their residual degree.
+    Q("gr3_kcore", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cyc = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * 7) % 499).as("b"))
+      val halves = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("a"), (col("doc_id") / 2).cast("long").as("b"))
+      val thirds = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("a"), (col("doc_id") / 3).cast("long").as("b"))
+      Components.kCore(cyc.unionByName(halves).unionByName(thirds),
+        "a", "b", k = 3, rounds = 4)
+        .orderBy("node")
+    }, Some("""
+      WITH cyc AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      divi AS (
+        SELECT doc_id AS u, doc_id // 2 AS v FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      raw AS (SELECT u, v FROM cyc UNION ALL SELECT u, v FROM divi),
+      sym AS (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) WHERE u <> v),
+      keep1 AS (SELECT u FROM sym GROUP BY u HAVING count(*) >= 3),
+      g1 AS (SELECT s.u, s.v FROM sym s JOIN keep1 a ON a.u = s.u
+             JOIN keep1 b ON b.u = s.v),
+      keep2 AS (SELECT u FROM g1 GROUP BY u HAVING count(*) >= 3),
+      g2 AS (SELECT s.u, s.v FROM g1 s JOIN keep2 a ON a.u = s.u
+             JOIN keep2 b ON b.u = s.v),
+      keep3 AS (SELECT u FROM g2 GROUP BY u HAVING count(*) >= 3),
+      g3 AS (SELECT s.u, s.v FROM g2 s JOIN keep3 a ON a.u = s.u
+             JOIN keep3 b ON b.u = s.v),
+      keep4 AS (SELECT u FROM g3 GROUP BY u HAVING count(*) >= 3),
+      g4 AS (SELECT s.u, s.v FROM g3 s JOIN keep4 a ON a.u = s.u
+             JOIN keep4 b ON b.u = s.v)
+      SELECT u AS node, count(*) AS deg FROM g4 GROUP BY u ORDER BY node""")),
+
+    // GR4 — Adamic–Adar link prediction: score non-adjacent node pairs by
+    // Σ 1/ln(deg z) over common neighbors z — the "people you may know" /
+    // related-entity primitive. The wedge self-join is keyed on the hub z
+    // and CAPPED (deg ≤ 64) — the dd10-style skew guard that keeps a
+    // web-scale hub from emitting deg² wedges; the adjacency exclusion is
+    // one left_anti on the edge set. Same fixture graph as gr3.
+    Q("gr4_adamic_adar", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val cyc = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * 7) % 499).as("b"))
+      val halves = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("a"), (col("doc_id") / 2).cast("long").as("b"))
+      val thirds = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("a"), (col("doc_id") / 3).cast("long").as("b"))
+      val raw = cyc.unionByName(halves).unionByName(thirds)
+        .filter(col("a") =!= col("b"))
+      val sym = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds degrees, wedges, exclusion
+      val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2 && col("d") <= 64)
+      // the cap joins BEFORE the wedge self-join, so a hub over the cap
+      // never fans out deg² pairs
+      val capped = sym.join(deg, sym("a") === deg("z"))
+        .select(col("z"), col("b"), col("d"))
+        .localCheckpoint(eager = false)
+      val l = capped.select(col("z"), col("b").as("pa"), col("d"))
+      val r = capped.select(col("z"), col("b").as("pb"))
+      l.join(r, Seq("z")).filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(round(sum(lit(1.0) / log(col("d"))), 4).as("score"),
+          count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+        .join(sym.select(col("a").as("pa"), col("b").as("pb")),
+          Seq("pa", "pb"), "left_anti")
+        .orderBy("pa", "pb")
+    }, Some("""
+      WITH cyc AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      divi AS (
+        SELECT doc_id AS u, doc_id // 2 AS v FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      raw AS (SELECT u, v FROM cyc UNION ALL SELECT u, v FROM divi),
+      sym AS (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) WHERE u <> v),
+      deg AS (SELECT u AS z, count(*) AS d FROM sym GROUP BY u
+              HAVING count(*) >= 2 AND count(*) <= 64),
+      aa AS (
+        SELECT a.v AS pa, b.v AS pb,
+               round(sum(1.0 / ln(d)), 4) AS score, count(*) AS common
+        FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+        JOIN deg ON deg.z = a.u
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT aa.pa, aa.pb, aa.score, aa.common
+      FROM aa LEFT JOIN sym e ON e.u = aa.pa AND e.v = aa.pb
+      WHERE e.u IS NULL ORDER BY aa.pa, aa.pb""")),
+
+    // CS17 — month-over-month revenue decomposition: per (month, priority)
+    // revenue, its MoM delta, and the growth rate — the BI "what moved the
+    // number" report. Deltas are computed FROM THE ROUNDED revenues so the
+    // lag arithmetic is engine-exact; all windows run over the tiny
+    // month×priority table after one corpus groupBy.
+    Q("cs17_mom_contribution", (s, dir) => {
+      val w = Window.partitionBy("priority").orderBy("mon")
+      t(s, dir, "orders")
+        .groupBy(trunc(to_date(col("o_orderdate")), "MM").as("mon"),
+          col("o_orderpriority").as("priority"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .withColumn("mom_delta",
+          round(col("rev") - lag("rev", 1).over(w), 2))
+        .withColumn("growth_pct",
+          round((col("rev") - lag("rev", 1).over(w)) /
+            lag("rev", 1).over(w) * 100, 2))
+        .orderBy("mon", "priority")
+    }, Some("""
+      WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+               o_orderpriority AS priority,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1, 2)
+      SELECT mon, priority, rev,
+             round(rev - lag(rev) OVER w, 2) AS mom_delta,
+             round((rev - lag(rev) OVER w) / lag(rev) OVER w * 100, 2)
+               AS growth_pct
+      FROM m WINDOW w AS (PARTITION BY priority ORDER BY mon)
+      ORDER BY mon, priority""")),
+
+    // CS18 — Gini coefficient of customer revenue concentration (the
+    // inequality audit: how top-heavy is the revenue base). Rank-weighted
+    // formula G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n over customers ordered by
+    // (spend, custkey). One corpus groupBy; the rank window runs over the
+    // customer-grain table.
+    Q("cs18_gini", (s, dir) => {
+      val c = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("x"))
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("x"), col("o_custkey"))).cast("double"))
+      c.agg(count(lit(1)).as("n_customers"),
+        sum(col("i") * col("x")).as("__six"), sum("x").as("__sx"))
+        .select(col("n_customers"),
+          round(lit(2.0) * col("__six") / (col("n_customers") * col("__sx"))
+            - (col("n_customers") + lit(1)) / col("n_customers"), 4)
+            .as("gini"))
+    }, Some("""
+      WITH c AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+        FROM orders GROUP BY 1),
+      r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+                      AS DOUBLE) AS i FROM c)
+      SELECT count(*) AS n_customers,
+             round(2.0 * sum(i * x) / (count(*) * sum(x))
+                   - (count(*) + 1) / count(*), 4) AS gini
+      FROM r""")),
+
+    // SA10 — deterministic Poisson(1) bootstrap: 32 resamples of the mean
+    // document length, each row's per-resample weight drawn by inverting
+    // the Poisson CDF (literal thresholds in both engines) on the
+    // md5-fraction of (doc_id, b) — the spark-free way to put a CI on a
+    // corpus statistic in ONE pass (weights ride the scan; no resampled
+    // copies of the data exist anywhere). Weighted sums are integer-exact
+    // (weight × n_chars), so the 32 means are engine-identical before
+    // rounding.
+    Q("sa10_poisson_bootstrap", (s, dir) => {
+      import s.implicits._
+      val bs = (1 to 32).map(b => Tuple1(b)).toDF("b")
+      val f = graft.operators.Sampling.hashFraction(
+        concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string")))
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(bs))
+        .withColumn("w",
+          when(f < 0.36788, 0).when(f < 0.73576, 1).when(f < 0.91970, 2)
+            .when(f < 0.98101, 3).when(f < 0.99634, 4).when(f < 0.99941, 5)
+            .otherwise(6))
+        .groupBy("b")
+        .agg(round(sum(col("w") * col("n_chars")) / sum("w"), 4)
+          .as("resample_mean"), sum("w").as("n_eff"))
+        .orderBy("b")
+    }, Some("""
+      WITH bs AS (SELECT CAST(unnest(generate_series(1, 32)) AS INTEGER) AS b),
+      f AS (
+        SELECT d.doc_id, d.n_chars, bs.b,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                    CAST(bs.b AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents d, bs),
+      w AS (
+        SELECT b, n_chars,
+               CASE WHEN frac < 0.36788 THEN 0 WHEN frac < 0.73576 THEN 1
+                    WHEN frac < 0.91970 THEN 2 WHEN frac < 0.98101 THEN 3
+                    WHEN frac < 0.99634 THEN 4 WHEN frac < 0.99941 THEN 5
+                    ELSE 6 END AS w
+        FROM f)
+      SELECT b, round(sum(w * n_chars) / sum(w), 4) AS resample_mean,
+             CAST(sum(w) AS BIGINT) AS n_eff
+      FROM w GROUP BY b ORDER BY b"""))
   )
 }

@@ -239,6 +239,88 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(top.getAs[Double]("s") < 0) // low-regime run pulls the cumsum negative
   }
 
+  // ------------------------------------------------------------------
+  // Sixth batch: k-core, Adamic-Adar, MoM, Gini, bootstrap
+  // ------------------------------------------------------------------
+
+  test("kcore: triangle survives k=2, the tail peels off") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 with a path tail 3-4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Components.kCore(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2, 2L -> 2, 3L -> 2))
+  }
+
+  test("kcore: k above max degree empties the graph") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Components.kCore(edges, "a", "b", k = 3, rounds = 2).isEmpty)
+  }
+
+  test("adamic-adar: hand-computed score on a shared-hub pair") {
+    val rows = run("gr4_adamic_adar").collect()
+    assert(rows.nonEmpty)
+    // every scored pair has >= 2 common neighbors and a positive score
+    rows.foreach { r =>
+      assert(r.getAs[Long]("common") >= 2)
+      assert(r.getAs[Double]("score") > 0)
+    }
+  }
+
+  test("gini: degenerate distributions hit the closed-form bounds") {
+    val s = spark
+    import s.implicits._
+    def gini(xs: Seq[Double]): Double = {
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("id", "x")
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("id")))
+          .cast("double"))
+      val r = df.agg(count(lit(1)).as("n"), sum(col("i") * col("x")).as("six"),
+        sum("x").as("sx")).collect()(0)
+      val n = r.getLong(0); val six = r.getDouble(1); val sx = r.getDouble(2)
+      2.0 * six / (n * sx) - (n + 1.0) / n
+    }
+    assert(math.abs(gini(Seq.fill(100)(5.0))) < 1e-9) // perfect equality
+    val oneHasAll = gini(Seq.fill(99)(0.0) :+ 100.0)
+    assert(math.abs(oneHasAll - 0.99) < 1e-9) // 1 - 1/n
+  }
+
+  test("mom: deltas reconcile against the lagged revenue") {
+    val rows = run("cs17_mom_contribution").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1),
+        r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, ms) =>
+      val sorted = ms.sortBy(_._1)
+      assert(sorted.head._4.isEmpty) // first month has no delta
+      sorted.sliding(2).foreach {
+        case Array((_, _, prev, _), (_, _, cur, Some(d))) =>
+          assert(math.abs(d - BigDecimal(cur - prev)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 0.011)
+        case _ => ()
+      }
+    }
+  }
+
+  test("bootstrap: resample mass ~ corpus size and means bracket the truth") {
+    val rows = run("sa10_poisson_bootstrap").collect()
+    assert(rows.length == 32)
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val n = docs.count().toDouble
+    val truth = docs.agg(avg("n_chars")).collect()(0).getDouble(0)
+    val means = rows.map(_.getAs[Double]("resample_mean"))
+    rows.foreach(r => // Poisson(1): E[Σw] = n, sd ≈ √n
+      assert(math.abs(r.getAs[Long]("n_eff") - n) < 6 * math.sqrt(n)))
+    // the truth lies inside the resample range, and spread ~ se, not 0
+    assert(means.min <= truth && truth <= means.max)
+    assert(means.distinct.length > 1)
+  }
+
   test("attribution: touches are strictly prior, marketing-typed, in-window") {
     val out = run("at1_last_touch_attribution")
     val ev = graft.queries.Tables.t(spark, dir, "events")

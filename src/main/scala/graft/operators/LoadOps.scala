@@ -190,6 +190,39 @@ object LoadOps {
       .drop("__max_seen")
   }
 
+  /** CDC MERGE: apply a change batch of (pk, op ∈ I/U/D, seq, payload) to a
+    * base snapshot — the lakehouse upsert the reference approximates with
+    * ON CONFLICT + delete-reload ([[dedupAppend]]/[[overwriteFutureSlice]]),
+    * here as the full three-verb merge a foreachBatch sink needs when the
+    * upstream emits inserts, updates, AND deletes with sequence numbers.
+    *
+    * Semantics: per key, only the LATEST cdc row by (seq, op) wins
+    * (deterministic tie-break so replayed batches agree); 'D' removes the
+    * key, 'I'/'U' upsert the payload columns, keys untouched by the batch
+    * pass through. Scale shape: one per-key window over the BATCH (batch-
+    * sized, not base-sized) + one equi-join on the pk — base-side work is
+    * the join only, exactly the merge-on-read cost model; no driver state.
+    *
+    * `payload` columns must exist in both frames; base columns win for
+    * keys with no cdc row, cdc columns win for upserts.
+    */
+  def cdcMerge(base: DataFrame, cdc: DataFrame, pk: String,
+               seqCol: String, opCol: String,
+               payload: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk).orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = cdc
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(pk) +: col(opCol).as("__op") +:
+        payload.map(c => col(c).as(s"__cdc_$c")): _*)
+    base.join(latest, Seq(pk), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(pk) +: payload.map(c =>
+        when(col("__op").isin("I", "U"), col(s"__cdc_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
   def universe(symbols: DataFrame,
                range: Option[(String, String)] = None): DataFrame = {
     val filtered = latestGeneration(symbols).filter(universePredicate)

@@ -580,6 +580,197 @@ object BehaviorQueries {
         FROM f)
       SELECT b, round(sum(w * n_chars) / sum(w), 4) AS resample_mean,
              CAST(sum(w) AS BIGINT) AS n_eff
-      FROM w GROUP BY b ORDER BY b"""))
+      FROM w GROUP BY b ORDER BY b""")),
+
+    // J9 — point-in-time join against an SCD2 dimension: enrich each event
+    // with the dimension row valid AT the event's date. The interval
+    // predicate `valid_from <= d < valid_to` is NOT a range join here —
+    // because SCD2 intervals are contiguous per key, "the interval
+    // containing d" IS "the latest valid_from <= d", i.e. the as-of
+    // operator ([[AsOfJoin]]) — one union+window pass keyed on the entity,
+    // no interval explosion, no nested loop. Same-day status flips collapse
+    // to the last arrival (max orderkey) in BOTH engines so intervals are
+    // unique per (key, valid_from).
+    Q("j9_scd2_pit_join", (s, dir) => {
+      val w = Window.partitionBy("k").orderBy(col("d"), col("o_orderkey"))
+      val wd = Window.partitionBy("k", "d").orderBy(col("o_orderkey").desc)
+      val dim = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"), col("o_orderstatus"))
+        .withColumn("__prev", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("o_orderstatus"))
+        .withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") === 1)
+        .withColumn("valid_to",
+          coalesce(lead(col("d"), 1).over(w), lit("9999-12-31").cast("date")))
+        .select(col("k"), col("d").as("valid_from"), col("valid_to"),
+          col("o_orderstatus").as("status"))
+      val probes = t(s, dir, "events")
+        .select(col("event_id"), col("user_id").as("k"),
+          to_date(col("ts")).as("d"))
+      graft.operators.AsOfJoin.asOf(probes, dim, Seq("k"),
+        "d", "valid_from", Seq("status", "valid_to"))
+        .filter(col("d") < col("valid_to"))
+        .select(col("event_id"), col("k").as("user_id"), col("d"),
+          col("status"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH chg AS (
+        SELECT o_custkey AS k, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               o_orderstatus,
+               lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+        FROM orders),
+      collapsed AS (
+        SELECT * FROM chg WHERE prev IS NULL OR prev <> o_orderstatus
+        QUALIFY row_number() OVER (PARTITION BY k, d
+                                   ORDER BY o_orderkey DESC) = 1),
+      ivl AS (
+        SELECT k, d AS valid_from,
+               coalesce(lead(d) OVER (PARTITION BY k ORDER BY d, o_orderkey),
+                        DATE '9999-12-31') AS valid_to,
+               o_orderstatus AS status
+        FROM collapsed)
+      SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d, i.status
+      FROM events e JOIN ivl i ON i.k = e.user_id
+        AND CAST(e.ts AS DATE) >= i.valid_from
+        AND CAST(e.ts AS DATE) < i.valid_to
+      ORDER BY e.event_id""")),
+
+    // K14 — CDC MERGE (`LoadOps.cdcMerge`): apply a deterministic change
+    // batch (updates on orderkey ≡ 0 mod 97 — with a competing seq-2 row
+    // that must win; deletes on ≡ 0 mod 89; inserts at key+10M for
+    // ≡ 0 mod 101) to the orders snapshot. The three-verb lakehouse merge:
+    // per-key latest-wins over the BATCH, one pk equi-join against base.
+    Q("k14_cdc_merge", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val src = t(s, dir, "orders")
+      val u1 = src.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), lit(1L).as("seq"),
+          lit("X").as("o_orderstatus"),
+          round(col("o_totalprice") + 100, 2).as("o_totalprice"))
+      val u2 = src.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+          lit("Y").as("o_orderstatus"),
+          round(col("o_totalprice") + 200, 2).as("o_totalprice"))
+      val d1 = src.filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey"), lit("D").as("op"), lit(1L).as("seq"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val i1 = src.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("I").as("op"), lit(1L).as("seq"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val cdc = u1.unionByName(u2).unionByName(d1).unionByName(i1)
+      graft.operators.LoadOps.cdcMerge(base, cdc, "o_orderkey", "seq", "op",
+        Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH cdc AS (
+        SELECT o_orderkey, 'U' AS op, 1 AS seq, 'X' AS st,
+               round(o_totalprice + 100, 2) AS tp
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, 'Y', round(o_totalprice + 200, 2)
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', 1, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 89 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'I', 1, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0),
+      latest AS (
+        SELECT * FROM cdc
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC, op DESC) = 1)
+      SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+             CASE WHEN l.op IN ('I', 'U') THEN l.st
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN l.op IN ('I', 'U') THEN l.tp
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM orders b FULL OUTER JOIN latest l USING (o_orderkey)
+      WHERE l.op IS NULL OR l.op <> 'D'
+      ORDER BY o_orderkey""")),
+
+    // TS6 — Holt linear-trend smoothing of the daily event count (level +
+    // trend double exponential, α=0.5 β=0.25 — dyadic so every fold step is
+    // exact): per day the running fold over the expanding history prefix,
+    // replicated term-for-term in DuckDB via list_reduce (the w8 EWMA
+    // parity trick). Corpus-sized work is one groupBy(day); the O(n²)
+    // prefix folds run over the ≤series-length day table.
+    Q("ts6_holt_trend", (s, dir) => {
+      val wexp = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .withColumn("vals", collect_list(col("x")).over(wexp))
+        .select(col("day"),
+          expr("""
+            aggregate(vals, named_struct('l', 0.0d, 'b', 0.0d, 'i', 0),
+              (acc, v) -> CASE WHEN acc.i = 0
+                THEN named_struct('l', v, 'b', 0.0d, 'i', 1)
+                ELSE named_struct(
+                  'l', 0.5d * v + 0.5d * (acc.l + acc.b),
+                  'b', 0.125d * (v - acc.l) + 0.875d * acc.b,
+                  'i', acc.i + 1) END) AS st"""))
+        .select(col("day"), round(col("st.l"), 6).as("level"),
+          round(col("st.b"), 6).as("trend"),
+          round(col("st.l") + col("st.b"), 6).as("forecast_next"))
+        .orderBy("day")
+    }, Some("""
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1),
+      pre AS (
+        SELECT day, list(x) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vals
+        FROM days),
+      -- state as a LIST [l, b, i, v]: DuckDB struct-literal lambdas update
+      -- fields sequentially in place (a.l read by the 'b' field would see
+      -- the NEW level); list construction evaluates every element against
+      -- the OLD accumulator, matching Spark's named_struct semantics.
+      f AS (
+        SELECT day,
+               list_reduce(
+                 list_prepend(
+                   [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                   list_transform(vals, v ->
+                     [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                      CAST(0.0 AS DOUBLE), CAST(v AS DOUBLE)])),
+                 (a, x) -> CASE WHEN a[3] = 0
+                   THEN [x[4], CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+                         CAST(0.0 AS DOUBLE)]
+                   ELSE [CAST(0.5 AS DOUBLE) * x[4]
+                           + CAST(0.5 AS DOUBLE) * (a[1] + a[2]),
+                         CAST(0.125 AS DOUBLE) * (x[4] - a[1])
+                           + CAST(0.875 AS DOUBLE) * a[2],
+                         a[3] + 1, CAST(0.0 AS DOUBLE)] END) AS st
+        FROM pre)
+      SELECT day, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+             round(st[1] + st[2], 6) AS forecast_next
+      FROM f ORDER BY day""")),
+
+    // KS4 — HLL sketch union audit: per-type HLL sketches of the user set,
+    // UNIONED into a corpus estimate — the two-level mergeable-sketch
+    // aggregation that replaces a global countDistinct shuffle at 100 TB
+    // (partial sketches merge associatively; hll1 audits the one-level
+    // form). Graded like hq3: the exact count plus the sketch-inside-band
+    // verdict, both engine-reproducible.
+    Q("ks4_hll_union_audit", (s, dir) => {
+      val sk = t(s, dir, "events").groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val est = sk.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+      val exact = t(s, dir, "events")
+        .agg(countDistinct("user_id").as("n_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_exact"),
+          (abs(col("__est") - col("n_exact")) / col("n_exact") < 0.05)
+            .as("within_band"))
+    }, Some("""
+      SELECT count(DISTINCT user_id) AS n_exact, TRUE AS within_band
+      FROM events"""))
   )
 }

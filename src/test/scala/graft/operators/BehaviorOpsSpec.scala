@@ -321,6 +321,81 @@ class BehaviorOpsSpec extends AnyFunSuite {
     assert(means.distinct.length > 1)
   }
 
+  // ------------------------------------------------------------------
+  // Seventh batch: CDC merge, PIT join, Holt, HLL union
+  // ------------------------------------------------------------------
+
+  test("cdc merge: three-verb hand fixture with latest-wins sequencing") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("pk", "st", "tp")
+    val cdc = Seq(
+      (1L, "U", 1L, "A1", 11.0), (1L, "U", 2L, "A2", 12.0), // seq 2 wins
+      (2L, "D", 1L, "B", 20.0),
+      (4L, "I", 1L, "N", 40.0)
+    ).toDF("pk", "op", "seq", "st", "tp")
+    val out = LoadOps.cdcMerge(base, cdc, "pk", "seq", "op", Seq("st", "tp"))
+      .orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "A2", 12.0), (3L, "C", 30.0),
+      (4L, "N", 40.0)))
+  }
+
+  test("cdc merge: replaying the same batch is idempotent") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("pk", "st", "tp")
+    val cdc = Seq((1L, "U", 1L, "A1", 11.0), (2L, "D", 1L, "B", 20.0))
+      .toDF("pk", "op", "seq", "st", "tp")
+    val once = LoadOps.cdcMerge(base, cdc, "pk", "seq", "op", Seq("st", "tp"))
+    val twice = LoadOps.cdcMerge(once, cdc, "pk", "seq", "op", Seq("st", "tp"))
+    assert(once.orderBy("pk").collect().toSeq ==
+      twice.orderBy("pk").collect().toSeq)
+  }
+
+  test("pit join: every event of a known user matches exactly one interval") {
+    val out = run("j9_scd2_pit_join")
+    val events = graft.queries.Tables.t(spark, dir, "events")
+    // users present in orders (custkey range covers user_id at every SF)
+    val expected = events.join(
+      graft.queries.Tables.t(spark, dir, "orders")
+        .select(col("o_custkey").as("user_id")).distinct(), "user_id")
+      .count()
+    assert(out.count() == expected)
+    assert(out.groupBy("event_id").count()
+      .filter(col("count") > 1).isEmpty) // one dimension row per event
+  }
+
+  test("holt: constant series has flat level and zero trend") {
+    val s = spark
+    import s.implicits._
+    val days = (0 until 20).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 5, 1).plusDays(i)),
+        42.0)).toDF("day", "x")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = days.withColumn("vals", collect_list(col("x")).over(w))
+      .select(expr("""
+        aggregate(vals, named_struct('l', 0.0d, 'b', 0.0d, 'i', 0),
+          (acc, v) -> CASE WHEN acc.i = 0
+            THEN named_struct('l', v, 'b', 0.0d, 'i', 1)
+            ELSE named_struct('l', 0.5d * v + 0.5d * (acc.l + acc.b),
+              'b', 0.125d * (v - acc.l) + 0.875d * acc.b,
+              'i', acc.i + 1) END) AS st"""))
+      .select(col("st.l"), col("st.b")).collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 42.0) < 1e-9)
+      assert(math.abs(r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("hll union: the sketch estimate lands inside the band") {
+    val r = run("ks4_hll_union_audit").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Boolean]("within_band"))
+  }
+
   test("attribution: touches are strictly prior, marketing-typed, in-window") {
     val out = run("at1_last_touch_attribution")
     val ev = graft.queries.Tables.t(spark, dir, "events")

@@ -316,4 +316,64 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  final case class BmpStats(media_id: Long, width: Int, height: Int,
+                            sum_r: Long, sum_g: Long, sum_b: Long,
+                            top_half_sum: Long, first_px: Long)
+
+  /** Deterministic BMP corpus from text — [[ppmFromText]]'s shape through
+    * [[BmpCodec]]: h = 1 + (len mod 16), w = 7 (odd on purpose: a 21-byte
+    * row forces the 4-byte stride padding every real BMP reader must
+    * honor), pixel bytes cycle the raw UTF-8 text. */
+  def bmpFromText(df: DataFrame, idCol: String, textCol: String,
+                  width: Int = 7): Dataset[MediaRow] = {
+    implicit val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val rowEnc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long"), col(textCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .filter((r: (Long, Array[Byte])) => r._2 != null && r._2.nonEmpty)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, txt) =>
+          val h = 1 + (txt.length % 16)
+          val rgb = Array.tabulate(width * h * 3)(i => txt(i % txt.length))
+          val payload = BmpCodec.encode(width, h, rgb)
+          md.reset()
+          val digest = md.digest(payload).map("%02x".format(_)).mkString
+          MediaRow(id, "image/bmp", payload.length.toLong, digest, payload)
+        }
+      }
+  }
+
+  /** Decode-and-audit for BMP payloads: per-channel sums (row-order
+    * invariant) PLUS two positional probes that are NOT — the top-half
+    * all-channel sum (wrong if bottom-up rows aren't flipped) and the
+    * first pixel packed as R·65536+G·256+B (wrong if BGR isn't swapped or
+    * the stride padding shifts row starts). */
+  def bmpStats(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[BmpStats]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, rgb) = BmpCodec.decode(r.payload)
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < rgb.length) {
+          sums(i % 3) += java.lang.Byte.toUnsignedInt(rgb(i))
+          i += 1
+        }
+        var topHalf = 0L
+        var j = 0
+        val topEnd = (h / 2) * w * 3
+        while (j < topEnd) {
+          topHalf += java.lang.Byte.toUnsignedInt(rgb(j)); j += 1
+        }
+        val firstPx =
+          java.lang.Byte.toUnsignedInt(rgb(0)).toLong * 65536 +
+            java.lang.Byte.toUnsignedInt(rgb(1)) * 256 +
+            java.lang.Byte.toUnsignedInt(rgb(2))
+        BmpStats(r.media_id, w, h, sums(0), sums(1), sums(2), topHalf,
+          firstPx)
+      }
+    }.toDF()
+  }
 }

@@ -771,6 +771,133 @@ object BehaviorQueries {
             .as("within_band"))
     }, Some("""
       SELECT count(DISTINCT user_id) AS n_exact, TRUE AS within_band
-      FROM events"""))
+      FROM events""")),
+
+    // MM7 — BMP round trip (`operators/BmpCodec.scala`): text-derived
+    // rasters encoded as real bottom-up/BGR/stride-padded 24bpp BMPs
+    // (w = 7 forces 3 pad bytes per row), decoded back, and graded on
+    // per-channel sums PLUS two order-SENSITIVE probes — the top-half sum
+    // (red if bottom-up rows aren't flipped) and the first pixel (red if
+    // BGR isn't swapped or padding shifts a row). The oracle recomputes
+    // everything from the source BYTES (mm3's hex-decode idiom), so a
+    // container bug in either direction breaks the hash.
+    Q("mm7_bmp_roundtrip", (s, dir) =>
+      graft.operators.Multimodal.bmpStats(
+        graft.operators.Multimodal.bmpFromText(
+          t(s, dir, "documents"), "doc_id", "text", width = 7))
+        .orderBy("media_id"),
+      Some("""
+      WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      dims AS (
+        SELECT doc_id, n, 7 AS w, 1 + (n % 16) AS h,
+               list_transform(generate_series(1, n), i ->
+                 (strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i - 1 AS INTEGER), 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i AS INTEGER), 1)) - 1) AS bts
+        FROM d),
+      px AS (
+        SELECT doc_id, w, h, i, bts[CAST(i % n AS INTEGER) + 1] AS b
+        FROM dims,
+             UNNEST(generate_series(0, CAST(w * h * 3 - 1 AS BIGINT)))
+               AS t(i)),
+      agg AS (
+        SELECT doc_id, w, h,
+               CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_r,
+               CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_g,
+               CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT)
+                 AS sum_b,
+               CAST(sum(CASE WHEN i < (h // 2) * w * 3 THEN b ELSE 0 END)
+                 AS BIGINT) AS top_half_sum
+        FROM px GROUP BY doc_id, w, h)
+      SELECT agg.doc_id AS media_id, agg.w AS width, agg.h AS height,
+             sum_r, sum_g, sum_b, top_half_sum,
+             CAST(bts[CAST(0 % n AS INTEGER) + 1] AS BIGINT) * 65536
+               + bts[CAST(1 % n AS INTEGER) + 1] * 256
+               + bts[CAST(2 % n AS INTEGER) + 1] AS first_px
+      FROM agg JOIN dims ON dims.doc_id = agg.doc_id
+      ORDER BY media_id""")),
+
+    // K15 — incremental JOIN-view maintenance: the materialized join
+    // V = orders ⋈ customer updated from deltas on BOTH sides as
+    // ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (k11's pattern for aggregates, here for
+    // joins — the foreachBatch shape when fact AND dimension both receive
+    // appends). The Spark side materializes V_old ∪ ΔV from four
+    // delta-joins; the oracle computes the FULL join of the final state —
+    // hash equality IS the delta-join identity. Every join is a pk
+    // equi-join; delta-side work is batch-sized.
+    Q("k15_join_ivm", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val aOrders = o.filter(to_date(col("o_orderdate")) < "1996-01-01")
+      val dOrders = o.filter(to_date(col("o_orderdate")) >= "1996-01-01")
+      val bCust = c.filter(col("c_acctbal") < 5000)
+      val dCust = c.filter(col("c_acctbal") >= 5000)
+      def jn(x: org.apache.spark.sql.DataFrame,
+             y: org.apache.spark.sql.DataFrame) =
+        x.join(y, x("o_custkey") === y("c_custkey"))
+          .select(x("o_orderkey"), y("c_custkey"), y("c_mktsegment"),
+            round(x("o_totalprice"), 2).as("price"))
+      jn(aOrders, bCust).unionByName(jn(dOrders, bCust))
+        .unionByName(jn(aOrders, dCust)).unionByName(jn(dOrders, dCust))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, c_custkey, c_mktsegment,
+             round(o_totalprice, 2) AS price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""")),
+
+    // W10 — sessionized path analysis: split each user's stream at 30-min
+    // gaps (st2's session semantics in batch form), take each session's
+    // first 5 event types as an ordered path, count path frequencies — the
+    // "what do users actually do" report. Order inside a path comes from an
+    // array_sort over (rank, type) structs, not from collect_list frame
+    // luck; all corpus-sized shuffles are keyed on user_id.
+    Q("w10_session_paths", (s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("__gap",
+          when(lag("ts", 1).over(wOrd).isNull ||
+            col("ts").cast("long") - lag("ts", 1).over(wOrd).cast("long")
+              > 1800, 1).otherwise(0))
+        .withColumn("__sess", sum("__gap").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id", "__sess").orderBy("ts", "event_id")))
+        .filter(col("__rn") <= 5)
+        .groupBy("user_id", "__sess")
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct(col("__rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 2)
+        .orderBy("path")
+    }, Some("""
+      WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s2 AS (
+        SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM s),
+      s3 AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                 ORDER BY ts, event_id) AS rn
+        FROM s2),
+      p AS (
+        SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM s3 WHERE rn <= 5 GROUP BY user_id, sess)
+      SELECT path, count(*) AS n_sessions
+      FROM p GROUP BY path HAVING count(*) >= 2 ORDER BY path"""))
   )
 }

@@ -390,6 +390,37 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join ivm: the four delta-joins partition the full join exactly") {
+    val s = spark
+    import s.implicits._
+    // A/dA on the fact side, B/dB on the dim side, keys overlapping all
+    // four quadrants
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("ok", "ck")
+    val da = Seq((3L, 10L), (4L, 30L)).toDF("ok", "ck")
+    val b = Seq((10L, "x")).toDF("ck", "seg")
+    val db = Seq((20L, "y"), (30L, "z")).toDF("ck", "seg")
+    def jn(x: org.apache.spark.sql.DataFrame,
+           y: org.apache.spark.sql.DataFrame) =
+      x.join(y, "ck").select("ok", "ck", "seg")
+    val inc = jn(a, b).unionByName(jn(da, b)).unionByName(jn(a, db))
+      .unionByName(jn(da, db)).orderBy("ok").collect().toSeq
+    val full = jn(a.unionByName(da), b.unionByName(db))
+      .orderBy("ok").collect().toSeq
+    assert(inc == full)
+    assert(inc.size == 4) // every quadrant contributed
+  }
+
+  test("session paths: frequent paths are short, typed, and truly repeated") {
+    val rows = run("w10_session_paths").collect()
+    assert(rows.nonEmpty)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">")
+      assert(parts.length <= 5 && parts.forall(types.contains))
+      assert(r.getAs[Long]("n_sessions") >= 2)
+    }
+  }
+
   test("hll union: the sketch estimate lands inside the band") {
     val r = run("ks4_hll_union_audit").collect()
     assert(r.length == 1)

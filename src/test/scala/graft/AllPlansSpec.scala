@@ -18,6 +18,14 @@ class AllPlansSpec extends AnyFunSuite {
     "sim3_multiprobe_ann" -> "bits+1-row probe-set broadcast",
     "sim4_ivf_ann" -> "1-row centroid-array + 1-row query broadcast",
     "sim5_ann_recall" -> "bounded 20-row probe-set broadcast (the brute-force arm of the recall audit)",
+    "cs14_ks_test" -> "1-row group-totals broadcast onto the binned CDF table",
+    "cs15_benford_audit" -> "1-row corpus-total broadcast onto the 9-digit table",
+    "cs16_rfm_segments" -> "1-row corpus-max-date broadcast (scalar subquery)",
+    "ks4_hll_union_audit" -> "1-row sketch-estimate × 1-row exact-count broadcast",
+    "mb1_association_rules" -> "1-row basket-total broadcast (the lift denominator)",
+    "sa10_poisson_bootstrap" -> "32-row resample-index literal broadcast",
+    "ts3_acf" -> "1-row mean + 1-row SS + 7-row lag-literal broadcasts onto the day table",
+    "ts5_cusum_changepoint" -> "1-row series-mean broadcast onto the day table",
     "sim5b_ivf_trained_recall" -> "bounded 20-row probe-set + 1-row centroid-array broadcasts (brute-force truth arm + Lloyd assignment)",
     "sim6c_filtered_autowiden" -> "1-row radius-cutoff scalar + 2^bits-row probe-set broadcasts",
     "sim9_binary_rerank" -> "bounded 20-row probe-set broadcast; the coarse cross side carries only 24-byte binary code rows (brute-force truth arm is the audit's budgeted full scan)",

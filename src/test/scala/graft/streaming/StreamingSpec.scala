@@ -306,4 +306,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("streaming CDC merge: foreachBatch ∘ cdcMerge across micro-batches " +
+    "equals the one-shot batch merge") {
+    val s = spark
+    import s.implicits._
+    val inDir = Files.createTempDirectory("graft_cdc_in").toFile
+    var store: DataFrame = Seq((1L, "A", 10.0), (2L, "B", 20.0),
+      (3L, "C", 30.0)).toDF("pk", "st", "tp").localCheckpoint(eager = true)
+    val cdcSchema = StructType(Seq(
+      StructField("pk", LongType), StructField("op", StringType),
+      StructField("seq", LongType), StructField("st", StringType),
+      StructField("tp", DoubleType)))
+    val stream = spark.readStream.schema(cdcSchema).json(inDir.getAbsolutePath)
+    val query = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store = LoadOps.cdcMerge(store,
+          batch.select(cdcSchema.fieldNames.map(col).toSeq: _*),
+          "pk", "seq", "op", Seq("st", "tp"))
+          .localCheckpoint(eager = true)
+        ()
+      }
+      .start()
+    // batch 1: update pk 1, delete pk 2
+    Files.writeString(new java.io.File(inDir, "c1.json").toPath,
+      """{"pk":1,"op":"U","seq":1,"st":"A1","tp":11.0}
+        |{"pk":2,"op":"D","seq":1,"st":null,"tp":null}
+        |""".stripMargin)
+    query.processAllAvailable()
+    // batch 2: a LATER update to pk 1 and an insert
+    Files.writeString(new java.io.File(inDir, "c2.json").toPath,
+      """{"pk":1,"op":"U","seq":2,"st":"A2","tp":12.0}
+        |{"pk":4,"op":"I","seq":1,"st":"N","tp":40.0}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = store.orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // one-shot equivalent: all four ops in a single sequenced batch
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("pk", "st", "tp")
+    val all = Seq((1L, "U", 1L, "A1", 11.0), (2L, "D", 1L, "B", 20.0),
+      (1L, "U", 2L, "A2", 12.0), (4L, "I", 1L, "N", 40.0))
+      .toDF("pk", "op", "seq", "st", "tp")
+    val oneShot = LoadOps.cdcMerge(base, all, "pk", "seq", "op",
+      Seq("st", "tp")).orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(streamed == oneShot)
+    assert(streamed == Seq((1L, "A2", 12.0), (3L, "C", 30.0),
+      (4L, "N", 40.0)))
+  }
 }

@@ -57,4 +57,58 @@ object ZOrder {
     * errors on integer overflow rather than wrapping. */
   def mortonKeySql(a: String, b: String): String =
     s"(CAST(${spreadSql(a)} AS BIGINT) | (CAST(${spreadSql(b)} AS BIGINT) << 1))"
+
+  /** Hilbert-curve index of an (a, b) cell on the 256×256 grid (values are
+    * masked to 8 bits) — Morton's locality-superior sibling: consecutive
+    * Hilbert indices are ALWAYS grid-adjacent (Morton jumps across the
+    * plane at power-of-two boundaries), so range-partitioned files get
+    * tighter per-file min/max envelopes on both dimensions.
+    *
+    * The classic xy2d bit walk (8 rounds of quadrant classification +
+    * reflect/swap rotation) is expressed as an `aggregate` fold over the
+    * power-of-two literal array — scan-side integer math, codegen'd, no
+    * shuffle, engine-reproducible. Spark lambda-struct semantics evaluate
+    * every field against the OLD accumulator; the SQL twin
+    * ([[hilbertKeySql]]) uses LIST state because DuckDB struct-literal
+    * lambdas update fields sequentially in place. */
+  def hilbertKey(aSql: String, bSql: String): Column = expr(
+    s"""aggregate(array(128, 64, 32, 16, 8, 4, 2, 1),
+       |  named_struct('x', CAST(($aSql) AS INT) & 255,
+       |               'y', CAST(($bSql) AS INT) & 255,
+       |               'd', CAST(0 AS BIGINT)),
+       |  (a, s) -> named_struct(
+       |    'x', CASE WHEN (a.y & s) = 0
+       |           THEN CASE WHEN (a.x & s) > 0 THEN s - 1 - a.y ELSE a.y END
+       |           ELSE a.x END,
+       |    'y', CASE WHEN (a.y & s) = 0
+       |           THEN CASE WHEN (a.x & s) > 0 THEN s - 1 - a.x ELSE a.x END
+       |           ELSE a.y END,
+       |    'd', a.d + CAST(s AS BIGINT) * s *
+       |         ((3 * (CASE WHEN (a.x & s) > 0 THEN 1 ELSE 0 END)) ^
+       |          (CASE WHEN (a.y & s) > 0 THEN 1 ELSE 0 END))),
+       |  acc -> acc.d)""".stripMargin)
+
+  /** [[hilbertKey]] as DuckDB SQL. State rides a BIGINT LIST
+    * [x, y, d, s] (struct literals would see in-place-updated fields). */
+  def hilbertKeySql(a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend([CAST((($a) & 255) AS BIGINT),
+       |                CAST((($b) & 255) AS BIGINT),
+       |                CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+       |    list_transform([128, 64, 32, 16, 8, 4, 2, 1], s ->
+       |      [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |       CAST(s AS BIGINT)])),
+       |  (a, e) -> [
+       |    CASE WHEN (a[2] & e[4]) = 0
+       |         THEN CASE WHEN (a[1] & e[4]) > 0 THEN e[4] - 1 - a[2]
+       |              ELSE a[2] END
+       |         ELSE a[1] END,
+       |    CASE WHEN (a[2] & e[4]) = 0
+       |         THEN CASE WHEN (a[1] & e[4]) > 0 THEN e[4] - 1 - a[1]
+       |              ELSE a[1] END
+       |         ELSE a[2] END,
+       |    a[3] + e[4] * e[4] *
+       |      xor(3 * (CASE WHEN (a[1] & e[4]) > 0 THEN 1 ELSE 0 END),
+       |          CASE WHEN (a[2] & e[4]) > 0 THEN 1 ELSE 0 END),
+       |    CAST(0 AS BIGINT)])[3]""".stripMargin
 }

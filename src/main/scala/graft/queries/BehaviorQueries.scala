@@ -898,6 +898,124 @@ object BehaviorQueries {
                string_agg(event_type, '>' ORDER BY rn) AS path
         FROM s3 WHERE rn <= 5 GROUP BY user_id, sess)
       SELECT path, count(*) AS n_sessions
-      FROM p GROUP BY path HAVING count(*) >= 2 ORDER BY path"""))
+      FROM p GROUP BY path HAVING count(*) >= 2 ORDER BY path""")),
+
+    // D11 — calendar dimension build: the warehouse date-dim generated
+    // from the fact span (sequence explode — one 1-row aggregate, zero
+    // scans of the fact beyond min/max). Day-of-week comes from pure date
+    // arithmetic against a known Monday (1996-01-01), NOT from locale- or
+    // convention-dependent dow functions, so both engines agree by
+    // construction.
+    Q("d11_date_dim", (s, dir) => {
+      val span = t(s, dir, "orders").agg(
+        min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      span.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+        .select(col("d"), year(col("d")).as("y"),
+          quarter(col("d")).as("q"), month(col("d")).as("m"),
+          dayofmonth(col("d")).as("dom"),
+          (((datediff(col("d"), lit("1996-01-01").cast("date")) % 7) + 7) % 7
+            + 1).as("iso_dow"),
+          ((((datediff(col("d"), lit("1996-01-01").cast("date")) % 7) + 7) % 7)
+            < 5).as("is_weekday"),
+          trunc(col("d"), "MM").as("month_start"),
+          last_day(col("d")).as("month_end"),
+          dayofmonth(last_day(col("d"))).as("days_in_month"))
+        .orderBy("d")
+    }, Some("""
+      WITH span AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+               max(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders),
+      days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+          AS d
+        FROM span)
+      SELECT d, CAST(year(d) AS INT) AS y, CAST(quarter(d) AS INT) AS q,
+             CAST(month(d) AS INT) AS m, CAST(day(d) AS INT) AS dom,
+             CAST(((d - DATE '1996-01-01') % 7 + 7) % 7 + 1 AS INT)
+               AS iso_dow,
+             ((d - DATE '1996-01-01') % 7 + 7) % 7 < 5 AS is_weekday,
+             date_trunc('month', d) AS month_start,
+             last_day(d) AS month_end,
+             CAST(day(last_day(d)) AS INT) AS days_in_month
+      FROM days ORDER BY d""")),
+
+    // CS20 — seasonality strength: 1 − Var(residual)/Var(series) after
+    // removing the day-of-week baseline (ts1's decomposition reduced to the
+    // one scalar a pipeline alerts on). Variances from explicit sum/sum²
+    // so both engines run the identical textbook formula; dow from the
+    // same arithmetic as d11.
+    Q("cs20_seasonality_strength", (s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .withColumn("dw",
+          ((datediff(col("day"), lit("1996-01-01").cast("date")) % 7) + 7) % 7)
+      val base = days.groupBy("dw").agg(avg("x").as("bx"))
+      days.join(base, "dw")
+        .withColumn("r", col("x") - col("bx"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum(col("x") * col("x")).as("sx2"),
+          sum("r").as("sr"), sum(col("r") * col("r")).as("sr2"))
+        .select(col("n_days"),
+          round(lit(1.0) -
+            (col("sr2") / col("n_days") -
+              (col("sr") / col("n_days")) * (col("sr") / col("n_days"))) /
+            (col("sx2") / col("n_days") -
+              (col("sx") / col("n_days")) * (col("sx") / col("n_days"))), 4)
+            .as("strength"))
+    }, Some("""
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1),
+      d2 AS (
+        SELECT day, x,
+               ((day - DATE '1996-01-01') % 7 + 7) % 7 AS dw
+        FROM days),
+      base AS (SELECT dw, avg(x) AS bx FROM d2 GROUP BY 1),
+      j AS (SELECT d2.*, d2.x - base.bx AS r FROM d2 JOIN base USING (dw))
+      SELECT count(*) AS n_days,
+             round(1.0 -
+               (sum(r * r) / count(*)
+                 - (sum(r) / count(*)) * (sum(r) / count(*))) /
+               (sum(x * x) / count(*)
+                 - (sum(x) / count(*)) * (sum(x) / count(*))), 4) AS strength
+      FROM j""")),
+
+    // ZO2 — Hilbert-curve layout (`ZOrder.hilbertKey`): zo1's report with
+    // the locality-superior key — consecutive Hilbert indices are ALWAYS
+    // grid-adjacent, where Morton jumps across the plane at power-of-two
+    // seams, so range-cut files get tighter two-dimensional envelopes. The
+    // xy2d bit walk folds scan-side over a literal power array (zero
+    // exchanges for the key itself); prod write path is
+    // repartitionByRange(hkey), the graded ntile stands in for the cut.
+    Q("zo2_hilbert_layout", (s, dir) => {
+      val keyed = t(s, dir, "events").select(col("event_id"),
+        (col("user_id") % 256).cast("int").as("x"),
+        (dayofyear(col("ts")) % 256).cast("int").as("y"))
+        .withColumn("hkey", graft.operators.ZOrder.hilbertKey("x", "y"))
+      keyed
+        .withColumn("file_id",
+          ntile(16).over(Window.orderBy(col("hkey"), col("event_id"))))
+        .groupBy("file_id")
+        .agg(min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"),
+          count(lit(1)).as("n"))
+        .orderBy("file_id")
+    }, Some(s"""
+      WITH keyed AS (
+        SELECT event_id,
+               CAST(user_id % 256 AS INT) AS x,
+               CAST(date_part('doy', ts) % 256 AS INT) AS y
+        FROM events),
+      z AS (
+        SELECT *, ${graft.operators.ZOrder.hilbertKeySql("x", "y")} AS hkey
+        FROM keyed),
+      f AS (
+        SELECT *, ntile(16) OVER (ORDER BY hkey, event_id) AS file_id FROM z)
+      SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y, count(*) AS n
+      FROM f GROUP BY 1 ORDER BY 1"""))
   )
 }

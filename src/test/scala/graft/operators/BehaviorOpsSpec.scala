@@ -421,6 +421,86 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Ninth batch: date dim, seasonality strength, Hilbert layout
+  // ------------------------------------------------------------------
+
+  test("date dim: continuous span, java-verified weekday arithmetic") {
+    val rows = run("d11_date_dim").collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getDate(0).toLocalDate)
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b == a.plusDays(1))
+      case _ => ()
+    }
+    rows.take(400).foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getAs[Int]("iso_dow") == d.getDayOfWeek.getValue)
+      assert(r.getAs[Boolean]("is_weekday") == (d.getDayOfWeek.getValue <= 5))
+      assert(r.getAs[Int]("days_in_month") == d.lengthOfMonth)
+    }
+  }
+
+  test("seasonality strength: bounded above by 1, removing a real baseline helps") {
+    val r = run("cs20_seasonality_strength").collect()
+    assert(r.length == 1)
+    val strength = r(0).getAs[Double]("strength")
+    assert(strength <= 1.0 + 1e-9)
+  }
+
+  /** Reference xy2d (Wikipedia's Hilbert-curve bit walk). */
+  private def xy2d(n: Int, x0: Int, y0: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L); var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbert: the SQL fold matches the JVM reference, and is a bijection") {
+    val s = spark
+    import s.implicits._
+    val pts = (for (x <- 0 until 256; y <- 0 until 256) yield (x, y))
+      .toDF("x", "y")
+    val got = pts.withColumn("h", ZOrder.hilbertKey("x", "y"))
+    // spot parity on a deterministic sample
+    got.filter(col("x") % 37 === 0 && col("y") % 41 === 0).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("h") ==
+          xy2d(256, r.getAs[Int]("x"), r.getAs[Int]("y")))
+      }
+    // full-grid bijection onto [0, 65535]
+    val stats = got.agg(countDistinct("h").as("d"), min("h").as("mn"),
+      max("h").as("mx")).collect()(0)
+    assert(stats.getLong(0) == 65536L)
+    assert(stats.getLong(1) == 0L && stats.getLong(2) == 65535L)
+  }
+
+  test("hilbert: successive indices are always grid-adjacent (locality)") {
+    val s = spark
+    import s.implicits._
+    val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    // invert on a 64-point stripe of the 256-curve: order by h, check
+    // neighbors in curve order differ by exactly one grid step
+    val ordered = pts.withColumn("h", ZOrder.hilbertKey("x", "y"))
+      .orderBy("h").collect()
+      .map(r => (r.getAs[Int]("x"), r.getAs[Int]("y"), r.getAs[Long]("h")))
+    ordered.sliding(2).foreach {
+      case Array((x1, y1, h1), (x2, y2, h2)) if h2 == h1 + 1 =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"($x1,$y1)->($x2,$y2) not adjacent at h=$h1")
+      case _ => () // curve leaves the 64x64 window: no adjacency claim
+    }
+  }
+
   test("hll union: the sketch estimate lands inside the band") {
     val r = run("ks4_hll_union_audit").collect()
     assert(r.length == 1)

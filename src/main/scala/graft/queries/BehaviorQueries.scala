@@ -1016,6 +1016,69 @@ object BehaviorQueries {
         SELECT *, ntile(16) OVER (ORDER BY hkey, event_id) AS file_id FROM z)
       SELECT file_id, min(x) AS min_x, max(x) AS max_x,
              min(y) AS min_y, max(y) AS max_y, count(*) AS n
-      FROM f GROUP BY 1 ORDER BY 1"""))
+      FROM f GROUP BY 1 ORDER BY 1""")),
+
+    // ML5 — kNN classification over the embedding corpus: each held-out
+    // probe (vec_id ≡ 0 mod 50) takes the majority label of its 10 exact
+    // nearest neighbors (cosine via the native vec_dot), smallest-label
+    // tie-break — the serve-path loop closed: the ANN family's index
+    // feeds a classifier, and this grades the exact reference the
+    // approximate paths are audited against. Probes broadcast; per-probe
+    // rank + vote windows run on the scored candidate table.
+    Q("ml5_knn_classifier", (s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("label").as("true_label"))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id"))
+      val wVote = Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("label"))
+      corpus.crossJoin(broadcast(probes))
+        .withColumn("score", round(
+          expr("vec_dot(v, qv)") /
+            (sqrt(expr("vec_norm_sq(v)")) * sqrt(expr("vec_norm_sq(qv)"))),
+          6))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 10)
+        .groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("__rn", row_number().over(wVote))
+        .filter(col("__rn") === 1)
+        .select(col("qid"), col("true_label"),
+          col("label").as("predicted_label"), col("votes"),
+          (col("label") === col("true_label")).as("correct"))
+        .orderBy("qid")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings),
+      corpus AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+      probes AS (
+        SELECT vec_id AS qid, v AS qv, label AS true_label
+        FROM e WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT p.qid, p.true_label, c.vec_id, c.label,
+               round(list_sum(list_transform(generate_series(1, len(c.v)),
+                       i -> c.v[i] * p.qv[i]))
+                     / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(p.qv, x -> x * x)))),
+                     6) AS score
+        FROM corpus c, probes p),
+      topk AS (
+        SELECT * FROM scored
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) <= 10),
+      votes AS (
+        SELECT qid, true_label, label, count(*) AS votes
+        FROM topk GROUP BY 1, 2, 3)
+      SELECT qid, true_label, label AS predicted_label, votes,
+             label = true_label AS correct
+      FROM votes
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY votes DESC, label) = 1
+      ORDER BY qid"""))
   )
 }

@@ -501,6 +501,18 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn: votes are bounded by k, flags agree, neighbors exclude probes") {
+    val rows = run("ml5_knn_classifier").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("votes")
+      assert(votes >= 1 && votes <= 10)
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("predicted_label") == r.getAs[Int]("true_label")))
+      assert(r.getAs[Long]("qid") % 50 == 0)
+    }
+  }
+
   test("hll union: the sketch estimate lands inside the band") {
     val r = run("ks4_hll_union_audit").collect()
     assert(r.length == 1)

@@ -1029,7 +1029,10 @@ object BehaviorQueries {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"), col("label"))
       val corpus = e.filter(col("vec_id") % 50 =!= 0)
-      val probes = e.filter(col("vec_id") % 50 === 0)
+      // the probe set is CAPPED (≤ 50) so the broadcast×corpus score pass
+      // stays linear in the corpus at any SF — the exact arm is an audit
+      // reference; a corpus-fraction holdout would ride batchTopK instead
+      val probes = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("label").as("true_label"))
       val wRank = Window.partitionBy("qid")
@@ -1058,7 +1061,7 @@ object BehaviorQueries {
       corpus AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
       probes AS (
         SELECT vec_id AS qid, v AS qv, label AS true_label
-        FROM e WHERE vec_id % 50 = 0),
+        FROM e WHERE vec_id % 50 = 0 AND vec_id < 2500),
       scored AS (
         SELECT p.qid, p.true_label, c.vec_id, c.label,
                round(list_sum(list_transform(generate_series(1, len(c.v)),

@@ -1082,6 +1082,60 @@ object BehaviorQueries {
       FROM votes
       QUALIFY row_number() OVER (PARTITION BY qid
                                  ORDER BY votes DESC, label) = 1
-      ORDER BY qid"""))
+      ORDER BY qid""")),
+
+    // J9B — the SCD2 point-in-time join on the NATIVE as-of operator
+    // (`plans/AsOfJoinPlan.asOfNative` → AsOfJoinExec): j9's exact shape
+    // through the custom physical plan — one key-aligned merge pass with
+    // O(1) carried state instead of the union+window composition. Same
+    // DuckDB interval oracle; j7b proved exec↔composition row equality on
+    // raw events, this grades it on a derived dimension with sentinel
+    // intervals.
+    Q("j9b_scd2_pit_native", (s, dir) => {
+      val w = Window.partitionBy("k").orderBy(col("d"), col("o_orderkey"))
+      val wd = Window.partitionBy("k", "d").orderBy(col("o_orderkey").desc)
+      val dim = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"), col("o_orderstatus"))
+        .withColumn("__prev", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("o_orderstatus"))
+        .withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") === 1)
+        .withColumn("valid_to",
+          coalesce(lead(col("d"), 1).over(w), lit("9999-12-31").cast("date")))
+        .select(col("k"), col("d").as("valid_from"), col("valid_to"),
+          col("o_orderstatus").as("status"))
+      val probes = t(s, dir, "events")
+        .select(col("event_id"), col("user_id").as("k"),
+          to_date(col("ts")).as("d"))
+      graft.plans.AsOfJoinPlan.asOfNative(probes, dim, Seq("k"),
+        probeTime = "d", factTime = "valid_from",
+        factPayload = Seq("status", "valid_to"))
+        .filter(col("d") < col("valid_to"))
+        .select(col("event_id"), col("k").as("user_id"), col("d"),
+          col("status"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH chg AS (
+        SELECT o_custkey AS k, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               o_orderstatus,
+               lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+        FROM orders),
+      collapsed AS (
+        SELECT * FROM chg WHERE prev IS NULL OR prev <> o_orderstatus
+        QUALIFY row_number() OVER (PARTITION BY k, d
+                                   ORDER BY o_orderkey DESC) = 1),
+      ivl AS (
+        SELECT k, d AS valid_from,
+               coalesce(lead(d) OVER (PARTITION BY k ORDER BY d, o_orderkey),
+                        DATE '9999-12-31') AS valid_to,
+               o_orderstatus AS status
+        FROM collapsed)
+      SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d, i.status
+      FROM events e JOIN ivl i ON i.k = e.user_id
+        AND CAST(e.ts AS DATE) >= i.valid_from
+        AND CAST(e.ts AS DATE) < i.valid_to
+      ORDER BY e.event_id"""))
   )
 }

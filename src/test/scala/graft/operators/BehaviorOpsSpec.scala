@@ -354,6 +354,12 @@ class BehaviorOpsSpec extends AnyFunSuite {
       twice.orderBy("pk").collect().toSeq)
   }
 
+  test("pit join: the native exec and the union+window form agree row-for-row") {
+    val a = run("j9_scd2_pit_join").collect().map(_.toString).sorted
+    val b = run("j9b_scd2_pit_native").collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("pit join: every event of a known user matches exactly one interval") {
     val out = run("j9_scd2_pit_join")
     val events = graft.queries.Tables.t(spark, dir, "events")

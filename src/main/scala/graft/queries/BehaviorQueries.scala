@@ -1136,6 +1136,174 @@ object BehaviorQueries {
       FROM events e JOIN ivl i ON i.k = e.user_id
         AND CAST(e.ts AS DATE) >= i.valid_from
         AND CAST(e.ts AS DATE) < i.valid_to
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id""")),
+
+    // MB2 — Apriori level 3: frequent TRIPLES, with the candidate space
+    // generated from the frequent-PAIR self-join (the whole point of
+    // Apriori — candidates are pairs-of-frequent-pairs sharing a prefix
+    // and closed under the third pair, never items³) and only candidates
+    // counted against baskets. mb1's gates (item support, basket cap)
+    // still run first.
+    Q("mb2_frequent_triples", (s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
+        .distinct().localCheckpoint(eager = false)
+      val items = b.groupBy("i").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 20).select("i")
+      val bf = b.join(items, "i").select("k", "i")
+        .localCheckpoint(eager = false)
+      val l = bf.select(col("k"), col("i").as("p1"))
+      val r = bf.select(col("k"), col("i").as("p2"))
+      val fp = l.join(r, Seq("k")).filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2).select("p1", "p2")
+        .localCheckpoint(eager = false)
+      // candidate gen: (a,b)+(a,c) sharing the prefix, closed under (b,c)
+      val cand = fp.select(col("p1").as("i1"), col("p2").as("i2"))
+        .join(fp.select(col("p1").as("i1"), col("p2").as("i3")), Seq("i1"))
+        .filter(col("i2") < col("i3"))
+        .join(fp.select(col("p1").as("i2"), col("p2").as("i3")),
+          Seq("i2", "i3"))
+      cand
+        .join(bf.select(col("k"), col("i").as("i1")), "i1")
+        .join(bf.select(col("k"), col("i").as("i2")), Seq("k", "i2"))
+        .join(bf.select(col("k"), col("i").as("i3")), Seq("k", "i3"))
+        .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+        .select("i1", "i2", "i3", "co")
+        .orderBy("i1", "i2", "i3")
+    }, Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+                 FROM lineitem),
+      items AS (SELECT i FROM b GROUP BY 1 HAVING count(*) >= 20),
+      bf AS (SELECT k, i FROM b WHERE i IN (SELECT i FROM items)),
+      fp AS (
+        SELECT a.i AS p1, c.i AS p2
+        FROM bf a JOIN bf c ON a.k = c.k AND a.i < c.i
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      cand AS (
+        SELECT x.p1 AS i1, x.p2 AS i2, y.p2 AS i3
+        FROM fp x JOIN fp y ON x.p1 = y.p1 AND x.p2 < y.p2
+        WHERE EXISTS (SELECT 1 FROM fp z
+                      WHERE z.p1 = x.p2 AND z.p2 = y.p2))
+      SELECT c.i1, c.i2, c.i3, count(*) AS co
+      FROM cand c
+      JOIN bf a ON a.i = c.i1
+      JOIN bf d ON d.k = a.k AND d.i = c.i2
+      JOIN bf e ON e.k = a.k AND e.i = c.i3
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      ORDER BY 1, 2, 3""")),
+
+    // A13 — GROUPING SETS (the explicit-set sibling of a9's ROLLUP and
+    // a10's CUBE — a different Expand shape: only the sets asked for, one
+    // shuffle): per-priority, per-status, and grand-total aggregates in
+    // one pass, grouping_id disambiguating the levels.
+    Q("a13_grouping_sets", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("__gs_orders")
+      s.sql("""
+        SELECT grouping_id() AS gid,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, priority, status""")
+    }, Some("""
+      SELECT CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, priority, status""")),
+
+    // GR5 — modularity of the lp1 communities: Q = Σ_c (e_c/m − (d_c/2m)²)
+    // over the 2-round label-propagation partition — the number that says
+    // whether the communities are real structure or noise. Edge/degree
+    // sums are integer-exact; only the final Q divides. The oracle
+    // replays lp1's unrolled 2-round LPA and the same closed form.
+    Q("gr5_modularity", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val chain = ids.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val hub = ids.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 10).as("b"))
+      val raw = chain.unionByName(hub)
+      val labels = graft.operators.Components
+        .labelPropagation(raw, "a", "b", rounds = 2)
+      // undirected distinct edge set (one row per {u,v})
+      val und = raw
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(eager = false)
+      val m = und.agg(count(lit(1)).as("m"))
+      val withLabels = und
+        .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      val intra = withLabels.filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("c")).agg(count(lit(1)).as("ec"))
+      val deg = withLabels.select(col("u").as("node"), col("lu").as("c"))
+        .unionByName(withLabels.select(col("v").as("node"), col("lv").as("c")))
+        .groupBy("c").agg(count(lit(1)).as("dc"))
+      deg.join(intra, Seq("c"), "left")
+        .select(col("c"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+        .crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_communities"),
+          round(sum(col("ec") / col("m") -
+            (col("dc") / (lit(2.0) * col("m"))) *
+            (col("dc") / (lit(2.0) * col("m")))), 4).as("modularity"))
+    }, Some("""
+      WITH fixture AS (
+        SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+        WHERE doc_id % 100 <> 0
+        UNION ALL
+        SELECT doc_id, doc_id - doc_id % 10 FROM documents
+        WHERE doc_id % 10 <> 0),
+      e AS (SELECT u, v FROM fixture UNION SELECT v, u FROM fixture),
+      nodes AS (SELECT DISTINCT u AS node FROM e),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      r1c AS (
+        SELECT e.u AS node, l.label, count(*) AS cnt
+        FROM e JOIN l0 l ON e.v = l.node GROUP BY 1, 2),
+      r1 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label) AS rn
+          FROM r1c) WHERE rn = 1),
+      l1 AS (
+        SELECT n.node, coalesce(r.label, n.node) AS label
+        FROM nodes n LEFT JOIN r1 r USING (node)),
+      r2c AS (
+        SELECT e.u AS node, l.label, count(*) AS cnt
+        FROM e JOIN l1 l ON e.v = l.node GROUP BY 1, 2),
+      r2 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label) AS rn
+          FROM r2c) WHERE rn = 1),
+      labels AS (
+        SELECT n.node, coalesce(r.label, n.node) AS label
+        FROM nodes n LEFT JOIN r2 r USING (node)),
+      und AS (
+        SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        FROM fixture WHERE u <> v),
+      m AS (SELECT count(*) AS m FROM und),
+      wl AS (
+        SELECT und.u, und.v, lu.label AS lu, lv.label AS lv
+        FROM und JOIN labels lu ON lu.node = und.u
+                 JOIN labels lv ON lv.node = und.v),
+      intra AS (
+        SELECT lu AS c, count(*) AS ec FROM wl WHERE lu = lv GROUP BY 1),
+      deg AS (
+        SELECT c, count(*) AS dc FROM (
+          SELECT u AS node, lu AS c FROM wl
+          UNION ALL SELECT v, lv FROM wl) GROUP BY 1)
+      SELECT count(*) AS n_communities,
+             round(sum(coalesce(ec, 0) / m
+                       - (dc / (2.0 * m)) * (dc / (2.0 * m))), 4)
+               AS modularity
+      FROM deg LEFT JOIN intra USING (c), m"""))
   )
 }

@@ -27,6 +27,7 @@ class AllPlansSpec extends AnyFunSuite {
     "ts3_acf" -> "1-row mean + 1-row SS + 7-row lag-literal broadcasts onto the day table",
     "ts5_cusum_changepoint" -> "1-row series-mean broadcast onto the day table",
     "ml5_knn_classifier" -> "capped ≤50-probe broadcast (the exact-kNN audit arm; a corpus-fraction holdout rides batchTopK)",
+    "gr5_modularity" -> "1-row total-edge-count broadcast (the modularity denominator)",
     "sim5b_ivf_trained_recall" -> "bounded 20-row probe-set + 1-row centroid-array broadcasts (brute-force truth arm + Lloyd assignment)",
     "sim6c_filtered_autowiden" -> "1-row radius-cutoff scalar + 2^bits-row probe-set broadcasts",
     "sim9_binary_rerank" -> "bounded 20-row probe-set broadcast; the coarse cross side carries only 24-byte binary code rows (brute-force truth arm is the audit's budgeted full scan)",

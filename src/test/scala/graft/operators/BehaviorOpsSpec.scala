@@ -519,6 +519,36 @@ class BehaviorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triples: downward closure — every member pair of a frequent triple is frequent") {
+    val triples = run("mb2_frequent_triples").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(triples.nonEmpty)
+    // rebuild the frequent-pair set the way mb1 does
+    val pairs = run("mb1_association_rules").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    triples.foreach { case (i1, i2, i3, co) =>
+      assert(co >= 2 && i1 < i2 && i2 < i3)
+      assert(pairs((i1, i2)) && pairs((i1, i3)) && pairs((i2, i3)))
+    }
+  }
+
+  test("grouping sets: the grand total reconciles each single-column level") {
+    val rows = run("a13_grouping_sets").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val total = rows.filter(_._1 == 3).map(_._4).sum
+    val byPriority = rows.filter(_._1 == 1).map(_._4).sum
+    val byStatus = rows.filter(_._1 == 2).map(_._4).sum
+    assert(total > 0 && byPriority == total && byStatus == total)
+  }
+
+  test("modularity: the hub communities score as real structure") {
+    val r = run("gr5_modularity").collect()
+    assert(r.length == 1)
+    val q = r(0).getAs[Double]("modularity")
+    assert(q > 0.2 && q <= 1.0) // hub fixture has genuine communities
+    assert(r(0).getAs[Long]("n_communities") > 1)
+  }
+
   test("hll union: the sketch estimate lands inside the band") {
     val r = run("ks4_hll_union_audit").collect()
     assert(r.length == 1)

@@ -48,6 +48,33 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Harness-parity metadata (VERDICT r11 item 7): when a driver grade
+    // disagrees with the local replica, this stamp turns the forensics into
+    // a one-line diff — engine versions, session TZ, and a fingerprint
+    // (size + mtime) of every input parquet, so a testdata regeneration or
+    // an engine upgrade mid-grading is visible in the artifact itself.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fp = tables.flatMap { t =>
+      val p = Paths.get(s"$sfDir/$t.parquet")
+      if (Files.exists(p))
+        Some(s"${q(t)}: {\"bytes\": ${Files.size(p)}, \"mtime_ms\": ${Files.getLastModifiedTime(p).toMillis}}")
+      else None
+    }.mkString("{", ",", "}")
+    val meta = Seq(
+      s"\"spark_version\": ${q(spark.version)}",
+      s"\"scala_version\": ${q(scala.util.Properties.versionString)}",
+      s"\"java_version\": ${q(System.getProperty("java.version"))}",
+      s"\"java_vendor\": ${q(System.getProperty("java.vendor"))}",
+      s"\"session_tz\": ${q(spark.conf.get("spark.sql.session.timeZone"))}",
+      s"\"default_tz\": ${q(java.util.TimeZone.getDefault.getID)}",
+      s"\"sf_dir\": ${q(sfDir)}",
+      s"\"n_queries\": ${SparkEntry.queries.size}",
+      s"\"n_oracles\": ${SparkEntry.oracleSql.size}",
+      s"\"dumped_at_ms\": ${System.currentTimeMillis()}",
+      s"\"testdata_fingerprint\": $fp"
+    ).mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

@@ -489,18 +489,40 @@ object LlmQueries {
       WITH $MinhashPairsCte
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")),
 
-    // dd2's PRODUCTION hash mode: band-seeded xxhash64 signatures instead
-    // of md5 slices — same groupBy-parallel-minima plan, no digest/hex cost,
-    // not capped at four bands. Rows-only (no DuckDB xxhash64); the md5
-    // twin above stays the hash-matched path; HashModeSpec gates collision
-    // behavior.
+    // dd2's PRODUCTION hash mode, VALUE-graded (r11 item 2): band-seeded
+    // xxhash64 signatures instead of md5 slices — same groupBy-parallel-
+    // minima plan, no digest/hex cost, not capped at four bands. DuckDB has
+    // no xxhash64, so the grade is the block-then-verify RECALL projection:
+    // xx-LSH candidates filtered by integer-exact Jaccard >= 1/2 (the
+    // fixture's near-dup gap is [0.07, 0.9], so the threshold sits in open
+    // water), against an oracle that recomputes the FULL exact pair set
+    // above the same threshold from raw shingles. Any true near-dup the
+    // xxhash64 banding fails to bucket together hashes red — a stronger
+    // claim than set-equality with the md5 twin (whose candidate set is
+    // hash-specific). HashModeSpec still gates mode equivalence; dd2 above
+    // stays the md5 hash-matched candidate-set grade.
     Q("dd2b_minhash_lsh_xxhash", (s, dir) => {
-      val sh = Dedup.shingleMultiset(t(s, dir, "documents"), "doc_id", "text")
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleMultiset(docs, "doc_id", "text")
       val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4,
         mode = graft.operators.HashMode.XxHash64)
         .localCheckpoint(eager = false)
-      Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
-    }, None),
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id")
+      Dedup.verifiedPairs(cand, Dedup.shingleSet(docs, "doc_id", "text"),
+          "doc_id", "doc_a", "doc_b", minNum = 1, minDen = 2)
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $ShingleCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, shared, ca.n + cb.n - shared AS union_sz
+      FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                   JOIN cnt cb ON cb.doc_id = i.doc_b
+      WHERE shared * 2 >= ca.n + cb.n - shared
+      ORDER BY doc_a, doc_b""")),
 
     // MinHash ESTIMATE-quality audit (sim5's theme for the dedup family):
     // per candidate pair, the banded-minhash Jaccard estimate (share of
@@ -771,17 +793,40 @@ object LlmQueries {
       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
       ORDER BY id_a, id_b""")),
 
-    // dd7's PRODUCTION size: 64-bit simhash (xxhash64 tokens), eight byte
-    // bands. The scale sweep (SCALE.md) showed the 32-bit space saturating
-    // at ~50k docs — random pairs drift inside small Hamming distances and
-    // candidate pairs grow superlinearly; 64 bits push that wall out by
-    // 2^32. Rows-only (no DuckDB xxhash64); DedupProps gates the pigeonhole
-    // recall at both widths.
-    Q("dd7b_simhash64_pairs", (s, dir) =>
-      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bits = 64)
-        .orderBy("id_a", "id_b"),
-      None),
+    // dd7's PRODUCTION size, VALUE-graded (r11 item 2): 64-bit simhash
+    // (xxhash64 tokens), eight byte bands. The scale sweep (SCALE.md)
+    // showed the 32-bit space saturating at ~50k docs — random pairs drift
+    // inside small Hamming distances and candidate pairs grow
+    // superlinearly; 64 bits push that wall out by 2^32. DuckDB has no
+    // xxhash64 to replicate the signature, so the grade is the
+    // block-then-verify RECALL projection: simhash blocking at the full
+    // pigeonhole bound (maxHamming = 7 < 8 bands — every pair within
+    // hamming 7 shares an unchanged byte band BY THEOREM, so blocking
+    // recall is exact, not probabilistic) then integer-exact Jaccard >= 1/2
+    // verification. The oracle recomputes the full exact pair set above the
+    // threshold: a true near-dup whose 64-bit signatures drift past
+    // hamming 7 would hash red (fixture near-dups measure hamming <= 5).
+    // DedupProps still gates the pigeonhole property at both widths; dd7
+    // above stays the hash-matched 32-bit hamming-pair grade.
+    Q("dd7b_simhash64_pairs", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 7, bits = 64)
+      Dedup.verifiedPairs(cand, Dedup.shingleSet(docs, "doc_id", "text"),
+          "doc_id", "id_a", "id_b", minNum = 1, minDen = 2)
+        .orderBy("id_a", "id_b")
+    }, Some(s"""
+      WITH $ShingleCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.id_a, i.id_b, shared, ca.n + cb.n - shared AS union_sz
+      FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a
+                   JOIN cnt cb ON cb.doc_id = i.id_b
+      WHERE shared * 2 >= ca.n + cb.n - shared
+      ORDER BY id_a, id_b""")),
 
     // Cross-source duplication matrix in boilerplate mode: document pairs
     // sharing a 5-token prefix per unordered source pair — which feeds

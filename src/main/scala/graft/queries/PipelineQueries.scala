@@ -980,18 +980,62 @@ object PipelineQueries {
       WHERE p <= len - 7 - 3
       ORDER BY doc_id, fp""")),
 
-    // tx5's PRODUCTION hash mode: same winnowing plan with the codegen'd
-    // xxhash64 in place of the per-position md5 digest. DuckDB has no
-    // xxhash64 → rows-only entry; HashModeSpec gates the winnowing
-    // guarantee and plan shape, the md5 twin above stays the hash-matched
-    // one. Registered primarily as the bench datapoint for the constant-
-    // factor swap.
-    Q("tx5b_winnowing_xxhash", (s, dir) =>
-      graft.operators.TextAnalysis.winnowingFingerprints(
-        t(s, dir, "documents"), "doc_id", "text", k = 8, w = 4,
+    // tx5's PRODUCTION hash mode, VALUE-graded (r11 item 2): same winnowing
+    // plan with the codegen'd xxhash64 in place of the per-position md5
+    // digest. DuckDB has no xxhash64 to replicate the fingerprint VALUES,
+    // so the grade is the winnowing THEOREM itself: any two documents
+    // sharing a substring of length >= w+k-1 = 11 are guaranteed to share a
+    // selected fingerprint (both select the minimum of identical hash
+    // windows inside the match). The query intersects xx-fingerprint-
+    // sharing candidate pairs with exact shared-11-gram pairs (df <= 20
+    // stop-gram cap, dd10's argument, applied identically in the oracle);
+    // by the theorem that intersection IS the exact 11-gram pair set, which
+    // DuckDB recomputes from raw text — a fingerprint the xx mode fails to
+    // select hashes red. Runs on the deterministic doc_id%10 sample so the
+    // >=1-shared-fp candidate join stays bounded at bench SF (the full-
+    // corpus winnowing plan is still benched + hash-graded as tx5/dd10).
+    Q("tx5b_winnowing_xxhash", (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val fps = graft.operators.TextAnalysis.winnowingFingerprints(
+        docs, "doc_id", "text", k = 8, w = 4,
         mode = graft.operators.HashMode.XxHash64)
-        .orderBy("doc_id", "fp"),
-      None),
+        .localCheckpoint(eager = false)
+      val cand = fps.as("a")
+        .join(fps.as("b"), col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val g11 = when(length(col("text")) >= 11,
+        array_distinct(transform(sequence(lit(1), length(col("text")) - 10),
+          p => col("text").substr(p, lit(11)))))
+        .otherwise(array().cast("array<string>"))
+      val grams = docs.select(col("doc_id"), explode(g11).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .localCheckpoint(eager = false)
+      val rare = grams.join(
+        grams.groupBy("gh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20).select("gh"), "gh")
+      cand
+        .join(rare.select(col("doc_id").as("doc_a"), col("gh")), "doc_a")
+        .join(rare.select(col("doc_id").as("doc_b"), col("gh")),
+          Seq("doc_b", "gh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_grams"))
+        .select("doc_a", "doc_b", "shared_grams")
+        .orderBy("doc_a", "doc_b")
+    }, Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      grams AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 11) AS g
+        FROM d, LATERAL (SELECT unnest(generate_series(1,
+          greatest(length(text) - 10, 0))) AS p)),
+      rare AS (
+        SELECT doc_id, g FROM (
+          SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM grams)
+        WHERE df <= 20)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_grams
+      FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")),
 
     // The winnowing read-out: document pairs sharing >= 10 selected
     // fingerprints (each witnesses a common substring of length >= 11) —
@@ -1051,18 +1095,28 @@ object PipelineQueries {
         AS t(act_symbol, nchars, body)
       ORDER BY act_symbol""")),
 
-    // §2.8 — the streaming calendar round trip as a graded (rows-only)
-    // entry. The stream itself (file source over a drop dir, two
-    // micro-batches through foreachFolderBatch composing K5 slide-forward +
-    // K1 dedup-append per trigger) runs in Fixtures.st3Snapshot, which
-    // parks the final store as parquet; the registered query is a pure read
-    // of that snapshot. DuckDB cannot see the drop dir — the driver records
-    // a rows-only check; StreamingSpec asserts the same composition value
-    // by value. Expected: AAPL 01-10, MSFT 01-14, NVDA 01-20,
-    // AMZN 01-25 -> 4 rows.
+    // §2.8 — the streaming calendar round trip, VALUE-graded. The stream
+    // itself (file source over a drop dir, two micro-batches through
+    // foreachFolderBatch composing K5 slide-forward + K1 dedup-append per
+    // trigger) runs in Fixtures.st3Snapshot, which parks the final store as
+    // parquet; the registered query is a pure read of that snapshot. DuckDB
+    // cannot see the drop dir, but the drop-dir CONTENT is a deterministic
+    // two-day fixture, so the exactly-once end state is a known literal:
+    // the oracle is a VALUES table of it (the s5 convention). A duplicate
+    // PK surviving K1, a missed K5 retraction of MSFT 01-12, or a dropped
+    // batch all hash red here — this was r11's last rows-only entry.
     Q("st3_foreachbatch_calendar", (s, dir) =>
       s.read.schema(Schemas.tables("earnings_calendar"))
         .parquet(Fixtures.st3Snapshot(s))
-        .orderBy("act_symbol", "date"), None)
+        .orderBy("act_symbol", "date"),
+      Some("""
+      SELECT act_symbol, d AS date, w AS "when"
+      FROM (VALUES
+        ('AAPL', DATE '2024-01-10', 'Before market open'),
+        ('AMZN', DATE '2024-01-25', 'Before market open'),
+        ('MSFT', DATE '2024-01-14', 'After market close'),
+        ('NVDA', DATE '2024-01-20', CAST(NULL AS VARCHAR)))
+        AS t(act_symbol, d, w)
+      ORDER BY act_symbol, d"""))
   )
 }

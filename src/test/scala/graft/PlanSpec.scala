@@ -111,12 +111,23 @@ class PlanSpec extends AnyFunSuite {
   test("tx5 winnowing is per-document array work — no window shuffle") {
     // the fingerprint selection must not exchange per character position;
     // the only allowed exchange is the presentation ORDER BY
-    Seq("tx5_winnowing", "tx5b_winnowing_xxhash").foreach { q =>
-      val plan = planOf(q)
-      val exchanges = "Exchange".r.findAllIn(plan).size
-      assert(exchanges <= 1, s"$q: only the final sort may exchange, got $exchanges")
-      assert(!plan.contains("Window"), s"$q: no per-position window remains")
-    }
+    val plan = planOf("tx5_winnowing")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"only the final sort may exchange, got $exchanges")
+    assert(!plan.contains("Window"), "no per-position window remains")
+  }
+
+  test("tx5b verified winnowing blocks then verifies with equi-joins only") {
+    // tx5b is the block-then-verify GRADE of the xx winnowing mode (r12):
+    // candidate pairs from shared fingerprints, verification from shared
+    // 11-grams — every join is a hash equi-join, the per-position work
+    // stays array-shaped (no Window), and nothing degenerates to a
+    // cartesian/nested-loop pairing
+    val plan = planOf("tx5b_winnowing_xxhash")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay an equi-join on fp / gram hash")
+    assert(!plan.contains("Window"), "no per-position window remains")
   }
 
   test("j4's FK anti-join carries no broadcast hint — AQE's call") {

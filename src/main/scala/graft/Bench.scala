@@ -36,8 +36,17 @@ object Bench {
     // committed artifact always covers the full registry.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Audit-tier queries (full-corpus S-curve / copy-detection audits) are
+    // correctness-graded by Verify but skipped in the timed per-round bench
+    // — each has a registered sampled twin (dd17b/dd10b) carrying the bench
+    // datapoint, per BENCH.md "audit tier". SPARK_GRAFT_BENCH_AUDIT=1 times
+    // them too for ad-hoc audit-cost tracking.
+    val auditTier: Set[String] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_AUDIT").contains("1")) Set.empty
+      else Set("dd17_lsh_scurve", "dd10_fingerprint_matches")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.isDefined || !auditTier.contains(n) }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // steady-state warmup: one untimed pass of every query AT THE
     // BENCHMARKED SF. This fills the codegen cache and — critically —

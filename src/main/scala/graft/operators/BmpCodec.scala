@@ -82,13 +82,26 @@ object BmpCodec {
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0, s"bad dims ${width}x$rawHeight")
+    // header-driven size math runs in Long: a hostile/corrupt header with
+    // huge dims (or INT_MIN height, whose abs stays negative in Int) or a
+    // negative/sub-header dataOffset must fail HERE as a clean rejection,
+    // not later as ArrayIndexOutOfBounds/NegativeArraySize. 1<<26 px/side
+    // caps the decoded buffer at 12 TiB of header lie; real payloads in a
+    // binary column are orders of magnitude below it.
+    require(dataOffset >= 54 && dataOffset <= payload.length,
+      s"bad pixel-data offset $dataOffset")
+    require(width <= (1 << 26) && height <= (1 << 26),
+      s"implausible dims ${width}x$rawHeight")
     require(rd16(payload, 28) == 24,
       s"unsupported bpp ${rd16(payload, 28)} (24bpp only)")
     require(rd32(payload, 30) == 0,
       s"unsupported compression ${rd32(payload, 30)} (BI_RGB only)")
     val stride = rowStride(width)
-    require(payload.length >= dataOffset + stride * height,
-      s"truncated pixel data (${payload.length} < ${dataOffset + stride * height})")
+    val needed = dataOffset.toLong + stride.toLong * height
+    require(payload.length >= needed,
+      s"truncated pixel data (${payload.length} < $needed)")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"decoded size ${width.toLong * height * 3} exceeds one array")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

@@ -205,16 +205,31 @@ object LoadOps {
     *
     * `payload` columns must exist in both frames; base columns win for
     * keys with no cdc row, cdc columns win for upserts.
+    *
+    * Op codes are VALIDATED in-plan: any op outside {I, U, D} fails the
+    * batch with a named error instead of silently degrading to a keep-base
+    * no-op (a sink feeding arbitrary codes must hear about it). Equal-seq
+    * ties break lexicographically on op DESC — 'U' > 'I' > 'D' — so a
+    * same-seq delete-vs-insert resolves to the INSERT; feed strictly
+    * increasing seq per key if the upstream can emit same-seq conflicts
+    * with different intent.
     */
   def cdcMerge(base: DataFrame, cdc: DataFrame, pk: String,
                seqCol: String, opCol: String,
                payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, lit}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pk).orderBy(col(seqCol).desc, col(opCol).desc)
+    // evaluated on each per-key WINNER (post-window) — i.e. exactly the
+    // rows that can affect the output; throws with the bad code named
+    val checkedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(when(assert_true(lit(false),
+        concat(lit(s"cdcMerge: op '$opCol' must be I/U/D, got '"),
+          col(opCol), lit("'"))).isNull, col(opCol)))
     val latest = cdc
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col(pk) +: col(opCol).as("__op") +:
+      .select(col(pk) +: checkedOp.as("__op") +:
         payload.map(c => col(c).as(s"__cdc_$c")): _*)
     base.join(latest, Seq(pk), "full_outer")
       .filter(col("__op").isNull || col("__op") =!= "D")

@@ -1072,6 +1072,39 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING count(*) >= 10
       ORDER BY 1, 2""")),
 
+    // dd10's BENCH-TIER twin (r11 item 6): the identical copy-detection
+    // read-out on the deterministic doc_id%5 sample — same k/w, same
+    // stop-fingerprint cap, same minShared. The full-corpus version above
+    // is the audit (and stays Verify-graded); the per-round bench times
+    // this 20% sample instead (Bench.AuditTier).
+    Q("dd10b_fingerprint_sampled", (s, dir) =>
+      graft.operators.TextAnalysis.fingerprintMatchPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 8, w = 4, minShared = 10, maxDf = 20)
+        .orderBy("doc_a", "doc_b"),
+      Some("""
+      WITH grams AS (
+        SELECT doc_id, p, length(text) AS len,
+               substr(md5(substr(text, CAST(p AS INTEGER), 8)), 1, 8) AS h
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1,
+               greatest(length(text) - 7, 0))) AS p)
+        WHERE doc_id % 5 = 0),
+      wins AS (
+        SELECT doc_id, p, len,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams),
+      fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE p <= len - 7 - 3),
+      rare AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        WHERE df <= 20)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 10
+      ORDER BY 1, 2""")),
+
     // S5 — raw-zone scan: dated fixture folder + suffix glob + symbol from
     // filename. The fixture folder (Fixtures.s5Base) is deterministic —
     // three fixed documents plus one wrong-suffix file the glob must skip —

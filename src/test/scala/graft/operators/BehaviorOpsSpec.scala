@@ -342,6 +342,20 @@ class BehaviorOpsSpec extends AnyFunSuite {
       (4L, "N", 40.0)))
   }
 
+  test("cdc merge: an op outside I/U/D fails the batch with a named error") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "A", 10.0)).toDF("pk", "st", "tp")
+    val cdc = Seq((1L, "Z", 1L, "A1", 11.0)).toDF("pk", "op", "seq", "st", "tp")
+    val e = intercept[Exception] {
+      LoadOps.cdcMerge(base, cdc, "pk", "seq", "op", Seq("st", "tp")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("I/U/D") || m.contains("ASSERT")),
+      s"expected the op validation to fire, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("cdc merge: replaying the same batch is idempotent") {
     val s = spark
     import s.implicits._

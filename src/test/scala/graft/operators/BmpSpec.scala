@@ -54,6 +54,29 @@ class BmpSpec extends AnyFunSuite {
     assert(back.sameElements(rgb))
   }
 
+  test("hostile headers are rejected cleanly, never via index/alloc errors") {
+    def mutated(off: Int, v: Int): Array[Byte] = {
+      val p = BmpCodec.encode(4, 3, rgbOf(4, 3))
+      val le = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      System.arraycopy(le, 0, p, off, 4)
+      p
+    }
+    // each lie must die in a require() — Int-overflow paths previously let
+    // these pass the size check and fail later inside the pixel loop
+    val lies = Seq(
+      mutated(18, 0x40000000),        // width: stride*height overflows Int
+      mutated(18, 1 << 27),           // width over the plausibility cap
+      mutated(22, 1 << 27),           // height over the plausibility cap
+      mutated(22, Int.MinValue),      // abs(height) stays negative
+      mutated(10, -4),                // negative pixel-data offset
+      mutated(10, 12),                // offset inside the header
+      mutated(10, 0x7ffffff0))        // offset past the payload
+    lies.foreach { p =>
+      intercept[IllegalArgumentException](BmpCodec.decode(p))
+    }
+  }
+
   test("ImageIO reads our payloads: pixel-exact both ways") {
     val (w, h) = (7, 5)
     val rgb = rgbOf(w, h)

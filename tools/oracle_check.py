@@ -37,6 +37,10 @@ def h(df: pd.DataFrame) -> str:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
+    # harness-parity stamp (pairs with Verify's verify_meta.json): when a
+    # driver grade disagrees with this replica, diff the engine versions first
+    print(f"[meta] duckdb={duckdb.__version__} pandas={pd.__version__}",
+          file=sys.stderr)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:

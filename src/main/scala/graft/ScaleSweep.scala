@@ -50,13 +50,25 @@ object ScaleSweep {
     val mode = args.drop(1).headOption.getOrElse("llm")
     // fail fast on a typo'd mode: an unrecognized argument must not fall
     // through the guards below and silently run only the tail sections
-    require(Set("llm", "load", "dup", "inc", "vec", "pipe").contains(mode),
-      s"unknown mode '$mode' (expected llm|load|dup|inc|vec|pipe)")
+    require(Set("llm", "load", "dup", "inc", "vec", "pipe",
+        "graph", "behavior", "skew").contains(mode),
+      s"unknown mode '$mode' (expected llm|load|dup|inc|vec|pipe|graph|behavior|skew)")
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     if (mode == "load") {
       graft.queries.LoadSweep.run(spark, sfDir)
       spark.stop()
       return
+    }
+    // round-12 modes (VERDICT r11 items 4/5) live in SweepExtras
+    val factor0 = sys.env.getOrElse("SPARK_GRAFT_SWEEP_FACTOR", "10").toInt
+    if (mode == "graph") {
+      SweepExtras.runGraph(spark, sfDir, factor0, only); spark.stop(); return
+    }
+    if (mode == "behavior") {
+      SweepExtras.runBehavior(spark, sfDir, factor0, only); spark.stop(); return
+    }
+    if (mode == "skew") {
+      SweepExtras.runSkew(spark, sfDir, factor0); spark.stop(); return
     }
 
     if (mode == "pipe") {

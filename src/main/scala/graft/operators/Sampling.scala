@@ -120,4 +120,48 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .drop("__frac")
   }
+
+  /** Epoch-aware importance resampling — the UPSAMPLING half of
+    * [[temperatureMix]] (DoReMi/FineWeb-style source reweighting under a
+    * document budget): source s's target share is n_s^alpha / Z, so its
+    * per-doc emission rate is
+    *   rate_s = multiplier · N · n_s^alpha / Z / n_s
+    * which may EXCEED 1 — small high-value sources repeat for multiple
+    * epochs instead of merely surviving a keep-filter. Every doc emits
+    * floor(rate) whole copies plus one more when its [[hashFraction]]
+    * clears the fractional remainder, so the expected output is
+    * multiplier·N docs and every per-row decision is deterministic (no
+    * `rand()`; re-runs and engine migrations agree row-for-row). Output:
+    * the input row × 1-based `copy` index, plus the source `rate`
+    * (rounded for reporting; the emission decision uses the unrounded
+    * value).
+    *
+    * Scale shape: one 1-row-per-source aggregate joined back via
+    * broadcast + one scan with a per-row explode whose multiplicity is
+    * the source rate — the corpus itself never shuffles. The alpha=0.5
+    * default keeps the weight function inside sqrt, which both Spark and
+    * DuckDB round identically (general pow is only ~1-ulp reproducible
+    * across engines).
+    */
+  def epochResample(df: DataFrame, key: Column, source: Column,
+                    alpha: Double = 0.5, multiplier: Double = 1.0): DataFrame = {
+    require(multiplier > 0, s"multiplier must be positive, got $multiplier")
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum("n_s").as("__n_tot"),
+      sum(pow(col("n_s"), alpha)).as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("__src"),
+        (lit(multiplier) * col("__n_tot") * pow(col("n_s"), alpha)
+          / col("__z") / col("n_s")).as("__rate"))
+    df.join(broadcast(rates), source === col("__src"))
+      .withColumn("__n_copies",
+        (floor(col("__rate")) +
+          when(hashFraction(key) < col("__rate") - floor(col("__rate")), 1)
+            .otherwise(0)).cast("long"))
+      .filter(col("__n_copies") >= 1)
+      .withColumn("copy",
+        explode(sequence(lit(1), col("__n_copies").cast("int"))))
+      .withColumn("rate", round(col("__rate"), 6))
+      .drop("__src", "__rate", "__n_copies")
+  }
 }

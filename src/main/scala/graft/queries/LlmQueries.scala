@@ -975,6 +975,56 @@ object LlmQueries {
       SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
       ORDER BY doc_id""")),
 
+    // Cluster-keep-BEST dedup (the FineWeb/Dolma production rep-selection
+    // rule): within each transitive duplicate cluster (dd9's components
+    // over the LSH candidate graph) keep the HIGHEST-QUALITY document —
+    // not the min-id — with (rounded quality DESC, doc_id) as the
+    // deterministic total order on both engines. Composition cost is
+    // dd9's plus ONE argmax window keyed on cluster_id; the quality
+    // score rides the original document scan.
+    Q("dd20_cluster_keep_best", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleMultiset(docs, "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
+      val cc = graft.operators.Components.connectedComponents(
+        Dedup.lshCandidatePairs(sig, "doc_id"), "doc_a", "doc_b")
+      docs.select(col("doc_id"),
+          TA.qualityScore(col("text")).as("quality"))
+        .join(cc, docs("doc_id") === cc("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          col("quality"))
+        .withColumn("kept", row_number().over(
+          Window.partitionBy("cluster_id")
+            .orderBy(col("quality").desc, col("doc_id"))) === 1)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH RECURSIVE $MinhashPairsCte,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+      q AS (
+        SELECT doc_id,
+          round((CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.5
+                + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5,
+                4) AS quality
+        FROM documents)
+      SELECT c.doc_id, c.cluster_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.doc_id) = 1 AS kept
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+      ORDER BY c.doc_id""")),
+
     // PageRank over a deterministic synthetic link graph (chains + decade
     // hubs over doc_id arithmetic — same fixture philosophy as cc1): 5
     // fixed power-iteration rounds, damping 0.85, no dangling-mass
@@ -2811,6 +2861,45 @@ object LlmQueries {
         FROM documents d JOIN p USING (source))
       SELECT doc_id, source, round(kp, 6) AS keep_p FROM f
       WHERE frac < kp ORDER BY doc_id""")),
+
+    // Epoch-aware importance RESAMPLING — the upsampling half sa4 lacks
+    // (DoReMi/FineWeb source reweighting): per-doc emission rate
+    // multiplier·N·√n_s/Z/n_s may exceed 1, so small high-value sources
+    // repeat for whole epochs; the fractional remainder resolves by md5
+    // hash fraction (no rand() — identical copies on every run/engine).
+    // alpha is pinned at 0.5: sqrt is correctly rounded in both engines,
+    // general pow is only ~1-ulp reproducible.
+    Q("sa11_epoch_resample", (s, dir) =>
+      graft.operators.Sampling.epochResample(
+        t(s, dir, "documents"), col("doc_id").cast("string"), col("source"),
+        alpha = 0.5, multiplier = 2.0)
+        .select(col("doc_id"), col("source"), col("copy"), col("rate"))
+        .orderBy("doc_id", "copy"),
+      Some("""
+      WITH cnt AS (SELECT source, count(*) AS n_s FROM documents
+                   GROUP BY source),
+      tot AS (SELECT sum(n_s) AS n_tot, sum(power(n_s, 0.5)) AS z FROM cnt),
+      r AS (SELECT source,
+              2.0 * n_tot * power(n_s, 0.5) / z / n_s AS rate
+            FROM cnt, tot),
+      f AS (
+        SELECT doc_id, d.source, rate,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents d JOIN r USING (source)),
+      c AS (
+        SELECT doc_id, source, rate,
+               CAST(floor(rate) AS BIGINT)
+                 + CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END
+                 AS n_copies
+        FROM f)
+      SELECT doc_id, source, CAST(t.copy AS INTEGER) AS copy,
+             round(rate, 6) AS rate
+      FROM c, UNNEST(generate_series(1, CAST(n_copies AS INTEGER))) AS t(copy)
+      WHERE n_copies >= 1
+      ORDER BY doc_id, copy""")),
 
     // Deterministic global shuffle + shard export: every doc gets a
     // reproducible pseudorandom position (md5 fraction), 16 equal-width

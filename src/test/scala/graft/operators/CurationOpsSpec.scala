@@ -35,6 +35,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("epochResample upsamples the small source for whole epochs, " +
+    "deterministically and near the doc budget") {
+    val out = Sampling.epochResample(docs, col("doc_id").cast("string"),
+      col("source"), alpha = 0.5, multiplier = 2.0)
+    // expected rate_s = 2·400·√n_s/Z/n_s with Z = √300+√100
+    val z = math.sqrt(300) + math.sqrt(100)
+    val rateBig = 2.0 * 400 * math.sqrt(300) / z / 300
+    val rateSmall = 2.0 * 400 * math.sqrt(100) / z / 100
+    assert(rateSmall > 1.0 && rateSmall > rateBig,
+      s"small source must repeat for epochs: $rateSmall vs $rateBig")
+    val copies = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per source, copy totals land within ±10% of rate·n (hash-uniform
+    // rounding of the fractional remainder)
+    assert(math.abs(copies("big") - rateBig * 300) <= 0.1 * rateBig * 300,
+      s"big-source copies off budget: $copies")
+    assert(math.abs(copies("small") - rateSmall * 100) <= 0.1 * rateSmall * 100,
+      s"small-source copies off budget: $copies")
+    // every doc emits at least floor(rate) copies, and copy indices are
+    // dense 1..n per doc
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+    assert(perDoc.filter(col("n") =!= col("mx") || col("mn") =!= 1)
+      .isEmpty, "copy indices must be dense 1..n")
+    val floorSmall = math.floor(rateSmall).toLong
+    assert(perDoc.join(docs.filter(col("source") === "small"), "doc_id")
+      .filter(col("n") < floorSmall).isEmpty,
+      s"small-source docs must emit >= $floorSmall copies")
+    // layout-invariant: identical (doc_id, copy) multiset on a re-run
+    val again = Sampling.epochResample(docs.repartition(13),
+      col("doc_id").cast("string"), col("source"), 0.5, 2.0)
+      .select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == out.select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
   test("invertedIndex postings are complete, sorted, and df-consistent") {
     val idx = Indexing.invertedIndex(docs, "doc_id", "text",
       minDf = 2, shardSize = 50)

@@ -37,4 +37,35 @@ object IntervalJoin {
       .filter(col(probeCol) >= col(startCol) && col(probeCol) <= col(endCol))
       .drop("__bkt")
   }
+
+  /** Bucketed interval-OVERLAP join — BOTH sides carry `[start, end]`
+    * ranges (downtime × incident correlation, campaign × session
+    * attribution): pairs where `lStart <= rEnd && rStart <= lEnd`.
+    *
+    * Same hash-equi-join-on-buckets trick as [[bucketedIntervalJoin]],
+    * with one extra subtlety: an overlapping pair shares EVERY bucket its
+    * intersection covers, so a naive bucket join emits it once per shared
+    * bucket and needs a corpus-sized distinct. Instead the pair is kept
+    * only at its FIRST shared bucket — the bucket of the LATER start
+    * (`greatest(bkt(lStart), bkt(rStart))`), which both sides cover by
+    * definition of overlap — making the output exactly-once with a
+    * residual filter, no dedup shuffle. Expansion is span/bucketDays rows
+    * per interval; both sides co-partition on the bucket key.
+    */
+  def bucketedOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          bucketDays: Int = 7): DataFrame = {
+    require(bucketDays > 0)
+    val epoch = to_date(lit("1970-01-01"))
+    def bkt(c: org.apache.spark.sql.Column) =
+      (datediff(c, epoch) / bucketDays).cast("long")
+    val l = left.withColumn("__bkt",
+      explode(sequence(bkt(col(lStart)), bkt(col(lEnd)))))
+    val r = right.withColumn("__bkt",
+      explode(sequence(bkt(col(rStart)), bkt(col(rEnd)))))
+    l.join(r, Seq("__bkt"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bkt") === greatest(bkt(col(lStart)), bkt(col(rStart))))
+      .drop("__bkt")
+  }
 }

@@ -1453,6 +1453,82 @@ object RelationalQueries {
       FROM iv JOIN orders o
         ON CAST(o.o_orderdate AS DATE) BETWEEN iv.iv_start AND iv.iv_end
       GROUP BY 1, 2, 3, 4
-      ORDER BY 1, 2"""))
+      ORDER BY 1, 2""")),
+
+    // J11 — interval-OVERLAP join (both sides are ranges: downtime ×
+    // incident correlation). Same bucket-equi-join discipline as j8, plus
+    // the exactly-once trick: a pair overlaps in EVERY shared bucket, so
+    // it is kept only at the bucket of the LATER start — no post-join
+    // distinct. Graded aggregate: per left interval, how many supplier-2
+    // intervals overlap and for how many total days.
+    Q("j11_interval_overlap_join", (s, dir) => {
+      def ivs(suppkey: Int, p: String) =
+        t(s, dir, "lineitem").filter(col("l_suppkey") === suppkey)
+          .select(col("l_orderkey").as(s"${p}_okey"),
+            col("l_linenumber").as(s"${p}_line"),
+            to_date(col("l_shipdate")).as(s"${p}_start"),
+            date_add(to_date(col("l_shipdate")),
+              (col("l_quantity").cast("int") % 30) + 1).as(s"${p}_end"))
+      graft.operators.IntervalJoin.bucketedOverlapJoin(
+        ivs(1, "a"), "a_start", "a_end",
+        ivs(2, "b"), "b_start", "b_end", bucketDays = 7)
+        .groupBy("a_okey", "a_line", "a_start", "a_end")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(datediff(least(col("a_end"), col("b_end")),
+            greatest(col("a_start"), col("b_start"))) + 1)
+            .as("overlap_days"))
+        .orderBy("a_okey", "a_line")
+    }, Some("""
+      WITH a AS (
+        SELECT l_orderkey AS a_okey, l_linenumber AS a_line,
+               CAST(l_shipdate AS DATE) AS a_start,
+               CAST(l_shipdate
+                 + INTERVAL ((CAST(l_quantity AS INT) % 30) + 1) DAY
+                 AS DATE) AS a_end
+        FROM lineitem WHERE l_suppkey = 1),
+      b AS (
+        SELECT CAST(l_shipdate AS DATE) AS b_start,
+               CAST(l_shipdate
+                 + INTERVAL ((CAST(l_quantity AS INT) % 30) + 1) DAY
+                 AS DATE) AS b_end
+        FROM lineitem WHERE l_suppkey = 2)
+      SELECT a_okey, a_line, a_start, a_end,
+             count(*) AS n_overlaps,
+             sum(date_diff('day', greatest(a_start, b_start),
+                           least(a_end, b_end)) + 1) AS overlap_days
+      FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+      GROUP BY 1, 2, 3, 4
+      ORDER BY 1, 2""")),
+
+    // ST8 — watermark late-data audit (batch replay of streaming
+    // semantics): against the watermark a withWatermark(600s) stream
+    // would have held at each row's ARRIVAL (event_id = ingest sequence),
+    // how many rows per tumbling hour would a streaming aggregate have
+    // dropped? The capacity-planning readout run over history before
+    // committing an allowed-lateness to production. The global
+    // prefix-max over arrival order runs as a TWO-LEVEL scan (per-bucket
+    // maxima + bounded bucket-table prefix), never a single-partition
+    // window — the oracle's naive global window is the semantics spec,
+    // not the plan.
+    Q("st8_late_data_audit", (s, dir) =>
+      graft.streaming.StreamingLoad.lateDataAudit(
+        t(s, dir, "events"), "event_id", "ts",
+        delaySec = 600, windowSec = 3600)
+        .orderBy("win"),
+    Some("""
+      WITH e AS (SELECT event_id, epoch(ts) AS sec FROM events),
+      w AS (
+        SELECT sec,
+               max(sec) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600
+                 AS wm
+        FROM e)
+      SELECT CAST(floor(sec / 3600) AS BIGINT) AS win,
+             count(*) AS n_events,
+             sum(CASE WHEN wm IS NOT NULL AND sec < wm
+                      THEN 1 ELSE 0 END) AS n_late,
+             count(*) - sum(CASE WHEN wm IS NOT NULL AND sec < wm
+                                 THEN 1 ELSE 0 END) AS n_ontime
+      FROM w GROUP BY 1 ORDER BY win"""))
   )
 }

@@ -174,4 +174,53 @@ object StreamingLoad {
     val d = if (broadcastDim) broadcast(dim) else dim
     events.join(d, Seq(keyCol), keep)
   }
+
+  /** Watermark late-data audit, batch form: for a stream replayed in
+    * arrival order (`arrivalCol` — an ingest sequence / offset), classify
+    * each event against the watermark a `withWatermark(delay)` stream
+    * would have held when it arrived — `late` iff
+    * `ts < max(ts over all EARLIER arrivals) - delaySec` — and report per
+    * tumbling event-time window how many rows a streaming aggregate would
+    * have dropped. This is the capacity-planning / delay-tuning readout
+    * ("is 10 minutes of allowed lateness enough?") run over history
+    * before committing a watermark to production.
+    *
+    * The running max over arrival order is a GLOBAL prefix scan — the
+    * naive `Window.orderBy(arrival)` moves the corpus to one partition.
+    * Instead it runs as a two-level distributed prefix max (ck2's prefix
+    * scheme): per-arrival-bucket maxima (one corpus-keyed groupBy),
+    * prefix-max over the BOUNDED bucket table (the only global window,
+    * corpus/bucketSize rows), then a per-bucket window joined back. All
+    * corpus-sized shuffles are keyed on the arrival bucket.
+    *
+    * Timestamps compare as epoch SECONDS (integer-exact on any engine).
+    */
+  def lateDataAudit(events: DataFrame, arrivalCol: String, tsCol: String,
+                    delaySec: Long, windowSec: Long,
+                    bucketSize: Long = 1024): DataFrame = {
+    require(delaySec >= 0 && windowSec > 0 && bucketSize > 0)
+    val w = org.apache.spark.sql.expressions.Window
+    val sec = col(tsCol).cast("long")
+    val ev = events.select(col(arrivalCol).as("__arr"), sec.as("__sec"))
+      .withColumn("__bkt", (col("__arr") / bucketSize).cast("long"))
+    // level 1: per-bucket max, then prefix max over earlier buckets —
+    // the global window runs over the bounded bucket table only
+    val bktPrev = ev.groupBy("__bkt").agg(max("__sec").as("__bmax"))
+      .withColumn("__prev_bmax", max("__bmax").over(
+        w.orderBy("__bkt").rowsBetween(w.unboundedPreceding, -1)))
+      .select("__bkt", "__prev_bmax")
+    // level 2: running max WITHIN the bucket, strictly-earlier arrivals
+    val inBkt = max("__sec").over(
+      w.partitionBy("__bkt").orderBy("__arr")
+        .rowsBetween(w.unboundedPreceding, -1))
+    // greatest() skips nulls, so __wm is null exactly when NO earlier
+    // arrival exists (first row overall) — never late by definition
+    ev.join(bktPrev, Seq("__bkt"))
+      .withColumn("__wm", greatest(inBkt, col("__prev_bmax")) - delaySec)
+      .withColumn("__late", coalesce(col("__sec") < col("__wm"), lit(false)))
+      .groupBy((col("__sec") / windowSec).cast("long").as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"))
+      .withColumn("n_ontime", col("n_events") - col("n_late"))
+  }
 }

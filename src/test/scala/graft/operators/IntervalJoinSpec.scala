@@ -59,4 +59,44 @@ class IntervalJoinSpec extends AnyFunSuite {
       .select("p_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(2L, 3L))
   }
+
+  private val rightIvs = (1 to 40).map { i =>
+    val s = rnd.nextInt(200).toLong
+    (i.toLong + 100, d(s), d(s + rnd.nextInt(40).toLong))
+  }.toDF("b_id", "bs", "be")
+
+  private def bruteOverlap: Set[(Long, Long)] = {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDate(2).toLocalDate.toEpochDay))
+    (for {
+      (a, as_, ae) <- rows(intervals.toDF("a_id", "s", "e"))
+      (b, bs, be) <- rows(rightIvs)
+      if as_ <= be && bs <= ae
+    } yield (a, b)).toSet
+  }
+
+  test("overlap join matches brute force and emits each pair EXACTLY once " +
+    "for any bucket width (the later-start-bucket dedup trick)") {
+    val want = bruteOverlap
+    for (bucket <- Seq(1, 7, 30, 365)) {
+      val out = IntervalJoin.bucketedOverlapJoin(
+        intervals.toDF("a_id", "s", "e"), "s", "e",
+        rightIvs, "bs", "be", bucket)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.toSet == want, s"bucketDays=$bucket")
+      // a long mutual overlap spans MANY buckets — still one output row
+      assert(out.length == want.size, s"duplicate pairs at bucketDays=$bucket")
+    }
+  }
+
+  test("overlap boundaries: touching endpoints overlap, disjoint do not") {
+    val a = Seq((1L, d(10), d(20))).toDF("a_id", "s", "e")
+    val b = Seq((1L, d(20), d(30)), (2L, d(21), d(30)), (3L, d(1), d(10)),
+      (4L, d(1), d(9))).toDF("b_id", "bs", "be")
+    val got = IntervalJoin.bucketedOverlapJoin(a, "s", "e", b, "bs", "be", 7)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
 }

@@ -356,4 +356,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq((1L, "A2", 12.0), (3L, "C", 30.0),
       (4L, "N", 40.0)))
   }
+
+  test("lateDataAudit classifies rows against the arrival-order watermark " +
+    "and the two-level prefix max equals the naive single-window scan") {
+    import spark.implicits._
+    // arrivals (id, epoch-sec): wm before each row = max(earlier ts) - 30
+    //   id 1 ts 100 -> wm null        -> on time
+    //   id 2 ts 200 -> wm 100-30=70   -> on time
+    //   id 3 ts 150 -> wm 200-30=170  -> LATE (150 < 170)
+    //   id 4 ts 300 -> wm 170         -> on time
+    //   id 5 ts 110 -> wm 300-30=270  -> LATE
+    //   id 6 ts 290 -> wm 270         -> on time (within the 30s allowance)
+    val ev = Seq((1L, 100L), (2L, 200L), (3L, 150L), (4L, 300L),
+      (5L, 110L), (6L, 290L))
+      .toDF("event_id", "sec")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"))
+    def audit(bucketSize: Long) = StreamingLoad.lateDataAudit(
+        ev, "event_id", "ts", delaySec = 30, windowSec = 100, bucketSize)
+      .orderBy("win").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // windows of 100s: [100,200)={100,150,110}, [200,300)={200,290}, [300,400)={300}
+    val expected = Seq((1L, 3L, 2L, 1L), (2L, 2L, 0L, 2L), (3L, 1L, 0L, 1L))
+    assert(audit(1024) == expected, "single-bucket (naive-equivalent) run")
+    // bucketSize=2 forces the cross-bucket prefix path over 3 buckets —
+    // identical classification proves level-1 + level-2 compose correctly
+    assert(audit(2) == expected, "two-level prefix path")
+    assert(audit(1) == expected, "degenerate one-row buckets")
+  }
 }

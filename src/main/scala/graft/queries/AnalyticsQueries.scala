@@ -789,6 +789,39 @@ object AnalyticsQueries {
       b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM s WHERE arm = 'B')
       SELECT n_a, n_b, round(m_a - m_b, 6) AS mean_diff,
              round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS z
-      FROM a, b"""))
+      FROM a, b""")),
+
+    // ML6 — smoothed leave-one-out target encoding (the high-cardinality
+    // categorical → numeric transform; leaving the row's own target out
+    // prevents the classic mean-encoding leak). Integer 0/1 target keeps
+    // every sum integer-exact, so the emitted doubles are single
+    // correctly-rounded expressions on both engines. One category
+    // aggregate broadcast back + one 1-row global — the fact table never
+    // shuffles.
+    Q("ml6_target_encoding", (s, dir) =>
+      graft.operators.FeatureOps.looTargetEncode(
+        t(s, dir, "orders"),
+        col("o_orderpriority"),
+        (col("o_totalprice") > 100000.0).cast("int"),
+        smoothing = 20.0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("target_enc"), 6).as("target_enc"))
+        .orderBy("o_orderkey"),
+      Some("""
+      WITH g AS (SELECT sum(CASE WHEN o_totalprice > 100000.0
+                                 THEN 1 ELSE 0 END) AS ts,
+                        count(*) AS tn FROM orders),
+      c AS (SELECT o_orderpriority AS cat,
+                   sum(CASE WHEN o_totalprice > 100000.0
+                            THEN 1 ELSE 0 END) AS cs,
+                   count(*) AS cn
+            FROM orders GROUP BY 1)
+      SELECT o.o_orderkey, o.o_orderpriority,
+             round((c.cs - (CASE WHEN o.o_totalprice > 100000.0
+                                 THEN 1 ELSE 0 END)
+                    + 20.0 * (CAST(g.ts AS DOUBLE) / g.tn))
+                   / (c.cn - 1 + 20.0), 6) AS target_enc
+      FROM orders o JOIN c ON c.cat = o.o_orderpriority, g
+      ORDER BY o.o_orderkey"""))
   )
 }

@@ -916,6 +916,53 @@ object BehaviorQueries {
       SELECT path, count(*) AS n_sessions
       FROM p GROUP BY path HAVING count(*) >= 2 ORDER BY path""")),
 
+    // W11 — sequential pattern detection, MATCH_RECOGNIZE shape: every
+    // click followed by a purchase within 30 min with NO error event
+    // strictly between — the funnel-with-negative-condition cs7 cannot
+    // express. No per-candidate join: for each row, "ts of the next
+    // purchase/error after me" is a conditional reverse-min window
+    // (min(CASE type) OVER (1 FOLLOWING .. UNBOUNDED)), so the whole
+    // pattern evaluates in ONE user-keyed window pass; the match predicate
+    // is then pure row-local arithmetic on epoch seconds.
+    Q("w11_pattern_match", (s, dir) => {
+      val wFwd = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("sec"))
+        .withColumn("next_b",
+          min(when(col("event_type") === "purchase", col("sec"))).over(wFwd))
+        .withColumn("next_c",
+          min(when(col("event_type") === "error", col("sec"))).over(wFwd))
+        .filter(col("event_type") === "click" &&
+          col("next_b").isNotNull &&
+          col("next_b") - col("sec") <= 1800 &&
+          (col("next_c").isNull || col("next_c") >= col("next_b")))
+        .select(col("user_id"), col("event_id").as("click_id"),
+          (col("next_b") - col("sec")).as("sec_to_purchase"))
+        .orderBy("user_id", "click_id")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events),
+      w AS (
+        SELECT *,
+          min(CASE WHEN event_type = 'purchase' THEN sec END)
+            OVER nxt AS next_b,
+          min(CASE WHEN event_type = 'error' THEN sec END)
+            OVER nxt AS next_c
+        FROM e
+        WINDOW nxt AS (PARTITION BY user_id ORDER BY sec, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT user_id, event_id AS click_id,
+             next_b - sec AS sec_to_purchase
+      FROM w
+      WHERE event_type = 'click' AND next_b IS NOT NULL
+        AND next_b - sec <= 1800
+        AND (next_c IS NULL OR next_c >= next_b)
+      ORDER BY user_id, click_id""")),
+
     // D11 — calendar dimension build: the warehouse date-dim generated
     // from the fact span (sequence explode — one 1-row aggregate, zero
     // scans of the fact beyond min/max). Day-of-week comes from pure date

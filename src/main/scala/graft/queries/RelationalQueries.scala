@@ -1516,7 +1516,7 @@ object RelationalQueries {
         delaySec = 600, windowSec = 3600)
         .orderBy("win"),
     Some("""
-      WITH e AS (SELECT event_id, epoch(ts) AS sec FROM events),
+      WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
       w AS (
         SELECT sec,
                max(sec) OVER (ORDER BY event_id

@@ -46,6 +46,7 @@ class AllPlansSpec extends AnyFunSuite {
     "hq2_grouped_quantiles" -> "2-row quantile-probe broadcast over the bounded per-group bin list",
     "sa4_temperature_mix" -> "1-row mixture-normalizer broadcast",
     "sa11_epoch_resample" -> "1-row (N, Z) normalizer broadcast onto the per-source rate table (sa4's shape, upsampling half)",
+    "ml6_target_encoding" -> "1-row global-prior broadcast (the smoothing target) onto the fact scan",
     "ml2_classifier_gate" -> "1-row score-threshold scalar broadcast + hq1's quantile-probe broadcast onto the bounded bin list",
     "cs2_source_psi" -> "1-row corpus-total broadcast onto the bounded source x bin grid",
     "tx13_unigram_logprob" -> "1-row token-total broadcast onto the vocab dictionary",

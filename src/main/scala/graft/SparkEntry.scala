@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticsQueries, BehaviorQueries, ExtractQueries, LlmQueries, PipelineQueries, Q, RelationalQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, ExtractQueries, LlmQueries, PipelineQueries, Q, RelationalQueries, SignalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private lazy val registry: Seq[Q] =
     RelationalQueries.all ++ LlmQueries.all ++ ExtractQueries.all ++
-      PipelineQueries.all ++ AnalyticsQueries.all ++ BehaviorQueries.all
+      PipelineQueries.all ++ AnalyticsQueries.all ++ BehaviorQueries.all ++
+      SignalQueries.all
 
   /** Flagship: star join + window keep-latest + universe-style filter +
     * quarter-end projection over sf0.001; exercises scan→filter→join→agg→

@@ -265,4 +265,78 @@ object Components {
     }
     labels
   }
+
+  /** Hop-bounded weighted single-source shortest paths (multi-source
+    * Bellman-Ford): after `maxRounds` relaxation rounds, `d(node)` is the
+    * minimum total weight over any path from the seed set using at most
+    * `maxRounds` edges. The FIXED round count (vs iterate-to-convergence)
+    * is what makes the result engine-reproducible — the oracle bounds its
+    * recursive expansion by the same hop count — and bounds the 100 TB
+    * cost up front: rounds × (one edge⋈dist join + one min groupBy), every
+    * shuffle keyed on node ids, per-round lineage cut, no driver-side
+    * state. Integer weights keep every candidate distance exact, so the
+    * min is bit-reproducible. Negative edges are fine (Bellman-Ford), but
+    * hop-bounding means no negative-cycle divergence either way.
+    */
+  def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+                   wCol: String, sources: DataFrame, srcIdCol: String,
+                   maxRounds: Int): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .localCheckpoint(eager = false)
+    var dist = sources.select(col(srcIdCol).cast("long").as("node"))
+      .distinct().withColumn("d", lit(0L))
+      .localCheckpoint(eager = false)
+    (1 to maxRounds).foreach { _ =>
+      val relaxed = e
+        .join(dist.select(col("node").as("u"), col("d").as("__du")), "u")
+        .select(col("v").as("node"), (col("__du") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
+  /** HITS hubs/authorities, fixed iteration count, INTEGER propagation:
+    * h₀ ≡ 1; each iteration computes a(v) = Σ_{u→v} h(u) then
+    * h(u) = Σ_{u→v} a(v). Skipping the per-iteration L2 normalization
+    * (which only rescales — the ranking is unchanged) keeps every score an
+    * exact integer, so the result is bit-reproducible on any engine; the
+    * single normalization happens once at the end as one float division
+    * against the max. Scores grow like deg^(2·iters), so `iters` must stay
+    * small (2–3) — that's also the 100 TB cost bound: iters × two keyed
+    * shuffles (edge⋈score + sum groupBy), no driver state. Nodes with no
+    * in-edges get authority 0, no out-edges hub 0 — reported, not dropped.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    var hub = nodes.withColumn("h", lit(1L))
+    var auth = nodes.withColumn("a", lit(0L))
+    (1 to iters).foreach { _ =>
+      auth = nodes.join(
+        e.join(hub.select(col("node").as("u"), col("h")), "u")
+          .groupBy(col("v").as("node")).agg(sum("h").as("a")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+        .localCheckpoint(eager = false)
+      hub = nodes.join(
+        e.join(auth.select(col("node").as("v"), col("a")), "v")
+          .groupBy(col("u").as("node")).agg(sum("a").as("h")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+        .localCheckpoint(eager = false)
+    }
+    hub.join(auth, "node")
+  }
 }

@@ -57,7 +57,10 @@ class AllPlansSpec extends AnyFunSuite {
     "sa9_split_chisq" -> "bounded splits x langs contingency cross (3 x |langs| rows) + 1-row grand-total broadcast",
     "sim12_sparse_cosine" -> "1-row corpus-count scalar broadcast (tx10's idf move)",
     "cs11_skew_report" -> "1-row table-total scalar broadcast onto the key-cardinality table",
-    "cs13_ab_ztest" -> "1-row arm-B stats broadcast onto the 1-row arm-A stats")
+    "cs13_ab_ztest" -> "1-row arm-B stats broadcast onto the 1-row arm-A stats",
+    "cs21_source_jsd" -> "bounded lang-grid + 1-row corpus-total + 1-row vocab-count broadcasts (cs2's PSI grid shape)",
+    "gr7_hits" -> "1-row max-hub/max-auth normalizer broadcast onto the node score table",
+    "ml7_naive_bayes" -> "|langs|-row class-stats + 1-row vocab-count + 1-row train-doc-count broadcasts (the bounded NB model side)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -143,6 +143,50 @@ object Components {
     ranks
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass restricted
+    * to a SEED set — the "relevance to these known-good/known-bad nodes"
+    * score (seed-anchored spam/quality propagation, related-item ranking),
+    * where plain PageRank measures global authority. Same simplified
+    * no-dangling formulation, same fixed iteration count for term-for-term
+    * oracle parity: r ← (1-d)·1[seed] + d·Σ_in r/outdeg, seeds start at
+    * rank 1, everything else at 0 — so mass only ever flows OUT of the
+    * seed neighborhood and unreachable nodes stay exactly 0.
+    *
+    * Scale shape: identical to [[pageRank]] (per round one keyed equi-join
+    * + one groupBy-sum, lineage cut per round); the seed flag is a
+    * left-join-derived 0/1 column on the bounded node table, no extra
+    * shuffle inside the loop.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           nodes: DataFrame, nodeCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 4,
+                           damping: Double = 0.85): DataFrame = {
+    val n = nodes.select(col(nodeCol).as("node")).distinct()
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("__seed", lit(1.0)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0.0)).as("__seed"))
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy(srcCol).agg(count(lit(1)).as("__outdeg"))
+    val e = edges.join(deg, srcCol)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col("__outdeg"))
+      .localCheckpoint(eager = false)
+    var ranks = n.select(col("node"), col("__seed").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("__src") === ranks("node"))
+        .select(col("__dst").as("node"),
+          (col("rank") / col("__outdeg")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__s"))
+      ranks = n.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__seed") +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** Multi-source BFS levels over an undirected edge list: the minimum hop
     * distance from any source node, up to `maxRounds` hops — the reach /
     * influence-radius primitive (how far does a seed set of known-bad docs,

@@ -506,6 +506,84 @@ object SignalQueries {
              round(st[4 + CAST(st[3] - 1 AS INTEGER) % 7], 6) AS season,
              round(st[1] + st[2]
                + st[4 + CAST(st[3] AS INTEGER) % 7], 6) AS forecast_next
-      FROM f ORDER BY day"""))
+      FROM f ORDER BY day""")),
+
+    // ST9 — OUTER watermarked stream-stream interval join: st5's
+    // view→purchase attribution kept LEFT-outer, so non-converting views
+    // survive with a NULL purchase — the funnel-drop side of the join. In
+    // streaming form the NULL-matched row legally emits only once the
+    // watermark proves no match can arrive (asserted live in
+    // StreamingSpec); this batch twin grades the join semantics the state
+    // machine must converge to.
+    Q("st9_interval_join_outer", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      graft.streaming.StreamingLoad.intervalEventJoin(
+        views, buys, "user_id", "vts", "pts", maxGap = "30 minutes",
+        joinType = "left_outer")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("purchase_id").isNotNull.as("converted"),
+          (unix_micros(col("pts")) - unix_micros(col("vts"))).as("lag_us"))
+        .orderBy("view_id", "purchase_id")
+    }, Some("""
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             p.event_id IS NOT NULL AS converted,
+             epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      ORDER BY view_id, purchase_id""")),
+
+    // GR8 — personalized PageRank (`Components.personalizedPageRank`):
+    // pr1's chain+hub fixture graph re-scored with teleport mass pinned to
+    // the century seeds (doc_id % 100 = 0) — relevance-to-the-seed-set
+    // instead of global authority, so nodes unreachable from a seed stay
+    // exactly 0 where pr1 gives every node its 0.15 floor. Oracle unrolls
+    // the same 4 rounds term for term.
+    Q("gr8_personalized_pagerank", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val chain = ids.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val hub = ids.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 10).as("b"))
+      val seeds = ids.filter(col("doc_id") % 100 === 0)
+      graft.operators.Components.personalizedPageRank(
+        chain.unionByName(hub), "a", "b", ids, "doc_id",
+        seeds, "doc_id", iters = 4)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }, Some {
+      val rounds = (1 to 4).map { i =>
+        s"""
+      r$i AS (
+        SELECT nodes.n, 0.15 * nodes.seed + 0.85 * coalesce(c.s, 0) AS r
+        FROM nodes LEFT JOIN (
+          SELECT e.b AS n, sum(p.r / e.outdeg) AS s
+          FROM e JOIN r${i - 1} p ON e.a = p.n GROUP BY e.b) c USING (n))"""
+      }.mkString(",")
+      s"""
+      WITH nodes AS (
+        SELECT doc_id AS n,
+               CASE WHEN doc_id % 100 = 0 THEN 1.0 ELSE 0.0 END AS seed
+        FROM documents),
+      e0 AS (
+        SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+        WHERE doc_id % 100 <> 0
+        UNION ALL
+        SELECT doc_id, doc_id - (doc_id % 10) FROM documents
+        WHERE doc_id % 10 <> 0),
+      deg AS (SELECT a, count(*) AS outdeg FROM e0 GROUP BY a),
+      e AS (SELECT e0.a, e0.b, deg.outdeg FROM e0 JOIN deg USING (a)),
+      r0 AS (SELECT n, seed AS r FROM nodes),$rounds
+      SELECT nodes.n AS doc_id, round(r4.r, 6) AS rank
+      FROM nodes JOIN r4 ON r4.n = nodes.n ORDER BY doc_id"""
+    })
   )
 }

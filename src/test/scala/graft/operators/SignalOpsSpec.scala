@@ -74,6 +74,28 @@ class SignalOpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Components.personalizedPageRank
+  // ------------------------------------------------------------------
+
+  test("personalizedPageRank: mass flows only out of the seed set; unreachable nodes stay 0") {
+    val s = spark
+    import s.implicits._
+    // 0→1→2 with seed {0}; node 9 isolated (no in/out edges to the seed)
+    val e = Seq((0L, 1L), (1L, 2L), (9L, 8L)).toDF("u", "v")
+    val nodes = Seq(0L, 1L, 2L, 8L, 9L).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    val r = Components.personalizedPageRank(e, "u", "v", nodes, "id",
+      seeds, "id", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // hand-rolled: r0=(1,0,0); r1=(0.15, 0.85, 0); r2=(0.15, 0.1275, 0.7225)
+    assert(math.abs(r(0L) - 0.15) < 1e-12)
+    assert(math.abs(r(1L) - 0.85 * 0.15) < 1e-12)
+    assert(math.abs(r(2L) - 0.85 * 0.85) < 1e-12)
+    assert(r(8L) == 0.0 && r(9L) == 0.0,
+      "nodes unreachable from the seed set must score exactly 0")
+  }
+
+  // ------------------------------------------------------------------
   // Chunking.cdcChunks
   // ------------------------------------------------------------------
 

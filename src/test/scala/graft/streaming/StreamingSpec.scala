@@ -235,6 +235,60 @@ class StreamingSpec extends AnyFunSuite {
       Seq((70L, 700L), (70L, 702L)))
   }
 
+  test("outer intervalEventJoin emits the unmatched left row only after the watermark proves no match") {
+    val viewDir = Files.createTempDirectory("graft_ssjo_v").toFile
+    val buyDir = Files.createTempDirectory("graft_ssjo_b").toFile
+    val vSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("view_id", LongType),
+      StructField("vts", TimestampType)))
+    val bSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("purchase_id", LongType),
+      StructField("pts", TimestampType)))
+    val views = spark.readStream.schema(vSchema).json(viewDir.getAbsolutePath)
+    val buys = spark.readStream.schema(bSchema).json(buyDir.getAbsolutePath)
+    val joined = StreamingLoad.intervalEventJoin(
+      views, buys, "user_id", "vts", "pts",
+      maxGap = "30 minutes", watermark = "10 minutes",
+      joinType = "left_outer")
+      .select("user_id", "view_id", "purchase_id")
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjo").start()
+    // user 7 converts; user 9's view has NO purchase in range
+    Files.writeString(new java.io.File(viewDir, "v1.json").toPath,
+      """{"user_id":7,"view_id":70,"vts":"2024-01-01T10:00:00.000Z"}
+        |{"user_id":9,"view_id":90,"vts":"2024-01-01T10:00:00.000Z"}
+        |""".stripMargin)
+    Files.writeString(new java.io.File(buyDir, "b1.json").toPath,
+      """{"user_id":7,"purchase_id":700,"pts":"2024-01-01T10:10:00.000Z"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    // the inner match is out; the unmatched view 90 must NOT be — a match
+    // could still arrive inside [10:00, 10:30] + 10 min delay
+    val early = spark.table("ssjo").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    assert(early == Set((70L, Some(700L))),
+      s"outer row leaked before the watermark allowed it: $early")
+    // advance BOTH watermarks past 10:30 + 10 min (global watermark is the
+    // min across inputs), then run the extra no-data batch that flushes
+    // the expired outer state
+    Files.writeString(new java.io.File(viewDir, "v2.json").toPath,
+      """{"user_id":1,"view_id":10,"vts":"2024-01-01T12:00:00.000Z"}
+        |""".stripMargin)
+    Files.writeString(new java.io.File(buyDir, "b2.json").toPath,
+      """{"user_id":2,"purchase_id":200,"pts":"2024-01-01T12:00:00.000Z"}
+        |""".stripMargin)
+    query.processAllAvailable()
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("ssjo").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    assert(out.contains((90L, None)),
+      s"unmatched view never emitted with a NULL right side: $out")
+    assert(out.contains((70L, Some(700L))))
+  }
+
   test("sessionAggs merges gap-adjacent events on a stream") {
     val inDir = Files.createTempDirectory("graft_session").toFile
     val evSchema = StructType(Seq(

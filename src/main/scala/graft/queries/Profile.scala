@@ -43,10 +43,11 @@ object Profile {
     val which = args.drop(1).headOption.getOrElse("all")
 
     if (which == "q") {
-      // profile any registered query by name, 3 passes
-      val name = args(2)
-      val fn = graft.SparkEntry.queries(name)
-      (1 to 3).foreach(i => time(s"$name pass $i")(fn(spark, sfDir)))
+      // profile registered queries by name (comma-separated), 3 passes each
+      args(2).split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        (1 to 3).foreach(i => time(s"$name pass $i")(fn(spark, sfDir)))
+      }
     }
 
     if (which == "all" || which == "pipe2") {

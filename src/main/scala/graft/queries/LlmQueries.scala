@@ -26,7 +26,7 @@ object LlmQueries {
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
         FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
         WHERE len(w) >= 3)"""
-  private val ShingleCte = shingleCte("")
+  private[queries] val ShingleCte = shingleCte("")
 
   /** Oracle CTE chain: `iters` Lloyd iterations UNROLLED (the iteration
     * count is a fixed parameter, so no recursive CTE is needed) — mirrors

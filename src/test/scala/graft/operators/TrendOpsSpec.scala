@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, TestSpark}
+
+/** Invariants for the round-12 third wave — RANGE-frame rolling revenue,
+  * rolling distinct actives, Theil–Sen slopes, moment profiling, basket
+  * co-occurrence, neighbor Jaccard, and the exact prefix-filter join —
+  * the properties that must hold at any scale, complementing the DuckDB
+  * hash grade. */
+class TrendOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  // ------------------------------------------------------------------
+  // Dedup.prefixFilterJaccardJoin — the lossless-block theorem
+  // ------------------------------------------------------------------
+
+  test("prefixFilterJoin: exactly the brute-force pair set on a fixture") {
+    val s = spark
+    import s.implicits._
+    // overlapping word sequences with controlled jaccard, plus noise docs
+    val base = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                        // 10 shingles
+      (2L, base + " w12"),                               // superset: jac 10/11
+      (3L, (3 until 15).map(i => s"w$i").mkString(" ")), // shifted overlap
+      (4L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "alpha beta gamma delta epsilon eta"),        // shares a 3-prefix
+      (6L, "completely different words here entirely"),
+      (7L, "one two"),                                   // below shingle size
+      (8L, base)                                         // exact dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardJoin(docs, "doc_id", "text", 2, 5)
+      .select("doc_a", "doc_b", "shared", "union_sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute force over ALL pairs (no blocking) at the same threshold
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ids = cnt.select(col("doc_id").as("doc_a"))
+      .crossJoin(cnt.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    val want = Dedup.verifiedPairs(ids, sh, "doc_id", "doc_a", "doc_b", 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(want.contains((1L, 8L, 10L, 10L))) // the exact dup survives intact
+    assert(want.exists { case (a, b, _, _) => a == 1L && b == 2L })
+  }
+
+  test("prefixFilterJoin: every emitted pair clears the threshold exactly") {
+    val out = run("dd22_prefix_filter_join").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val shared = r.getAs[Long]("shared"); val u = r.getAs[Long]("union_sz")
+      assert(shared * 5 >= u * 2, s"pair below threshold: $r")
+      assert(shared <= u)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // ts9 — Theil–Sen
+  // ------------------------------------------------------------------
+
+  test("theil-sen: robust to an outlier that drags OLS") {
+    val s = spark
+    import s.implicits._
+    // y = x on days 0..8, except day 8 spikes to 100 (an endpoint spike —
+    // a center spike sits on the x-mean and leaves OLS slope untouched).
+    // The pairwise-slope median stays exactly 1.0; OLS is pulled far off.
+    val pts = (0 to 8).map(d => (d, if (d == 8) 100.0 else d.toDouble))
+    val df = pts.toDF("d", "n")
+    val a = df.select(col("d").as("d1"), col("n").as("n1"))
+    val b = df.select(col("d").as("d2"), col("n").as("n2"))
+    val slopes = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(((col("n2") - col("n1")) / (col("d2") - col("d1"))).as("s"))
+      .collect().map(_.getDouble(0)).sorted
+    val m = slopes.length
+    val median = (slopes((m - 1) / 2) + slopes(m / 2)) / 2.0
+    assert(median == 1.0)
+    val ols = {
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    assert(math.abs(ols - 1.0) > 1.0) // the outlier wrecks OLS, not Theil–Sen
+  }
+
+  test("ts9: one row per event type, pair count = days*(days-1)/2") {
+    val s = spark
+    import graft.queries.Tables.t
+    val days = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("event_type").agg(countDistinct("day").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = run("ts9_theil_sen").collect()
+    assert(out.length == days.size)
+    out.foreach { r =>
+      val nd = days(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_pairs") == nd * (nd - 1) / 2)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // w13 — RANGE frame
+  // ------------------------------------------------------------------
+
+  test("w13: RANGE frame honors calendar gaps (hand fixture)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // days 0, 1, 5: the 3-day range at day 5 must NOT see days 0/1,
+    // where a 3-ROW frame would sum all three.
+    val d = Seq((0, 10L), (1, 20L), (5, 40L)).toDF("day", "cents")
+    val range = d.withColumn("rc", sum("cents").over(
+        Window.orderBy("day").rangeBetween(-3, 0)))
+      .orderBy("day").collect().map(_.getAs[Long]("rc")).toSeq
+    assert(range == Seq(10L, 30L, 40L))
+    val rows = d.withColumn("rc", sum("cents").over(
+        Window.orderBy("day").rowsBetween(-3, 0)))
+      .orderBy("day").collect().map(_.getAs[Long]("rc")).toSeq
+    assert(rows == Seq(10L, 30L, 70L)) // proves the two frames differ here
+  }
+
+  test("w13: rolling revenue >= daily revenue, equality only at gaps") {
+    val out = run("w13_range_rolling_revenue").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("roll_rev") >= r.getAs[Double]("rev") - 1e-9)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // w14 — rolling distinct
+  // ------------------------------------------------------------------
+
+  test("w14: wau7 bounds — at least dau, at most 7-day dau sum, exact on a fixture") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val ts = (d: Int, u: Long) =>
+      (1L, Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00"), u)
+    // u1 active days 1,8; u2 active days 1..3; u3 active day 8 only
+    val ev = Seq(ts(1, 1), ts(8, 1), ts(1, 2), ts(2, 2), ts(3, 2), ts(8, 3))
+      .toDF("event_id", "ts", "user_id")
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select("day").distinct()
+    val wau = ud.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 2: u1 (active day1) + u2 -> 2; day 8: u1(day8)+u2(days2,3 in window)+u3 -> 3
+    assert(wau("2024-01-02") == 2L)
+    assert(wau("2024-01-03") == 2L)
+    assert(wau("2024-01-08") == 3L)
+    val out = run("w14_rolling_distinct_users").collect()
+    out.foreach(r =>
+      assert(r.getAs[Long]("wau7") >= r.getAs[Long]("dau")))
+  }
+
+  // ------------------------------------------------------------------
+  // cs22 — moments
+  // ------------------------------------------------------------------
+
+  test("cs22: symmetric fixture has zero skew and known kurtosis") {
+    val s = spark
+    import s.implicits._
+    // integer-symmetric values around 30: skew exactly 0; for a two-point
+    // distribution {10,50} kurtosis is -2 (excess)
+    val df = Seq(10.0, 50.0, 10.0, 50.0).toDF("o_totalprice")
+      .withColumn("o_orderpriority", lit("X"))
+    val q = floor(col("o_totalprice")).cast("long")
+    val r = df.groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n"), sum(q).cast("double").as("s1"),
+        sum((q * q).cast("decimal(38,0)")).cast("double").as("s2"),
+        sum((q * q * q).cast("decimal(38,0)")).cast("double").as("s3"),
+        sum((q * q).cast("decimal(38,0)") * (q * q)).cast("double").as("s4"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("mu") * (col("s2") / col("n"))
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("mu") * (col("s3") / col("n"))
+        + lit(6.0) * col("mu") * col("mu") * (col("s2") / col("n"))
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .select(
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("skew"),
+        (col("m4") / (col("m2") * col("m2")) - 3.0).as("kurt"))
+      .collect().head
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == -2.0)
+  }
+
+  test("cs22: real data — every group profiled, m2 positive via finite skew") {
+    val out = run("cs22_moment_skewness").collect()
+    assert(out.length >= 2)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("skewness")))
+      assert(!r.getAs[Double]("skewness").isNaN)
+      assert(!r.getAs[Double]("excess_kurtosis").isNaN)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // mb3 — co-occurrence cosine
+  // ------------------------------------------------------------------
+
+  test("mb3: cosine in (0,1], support bounded by item counts") {
+    val s = spark
+    import graft.queries.Tables.t
+    val b = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val ic = b.groupBy("p").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = run("mb3_item_cooccurrence").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val pa = r.getAs[Long]("pa"); val pb = r.getAs[Long]("pb")
+      val cij = r.getAs[Long]("cij"); val cos = r.getAs[Double]("cosine")
+      assert(cos > 0.0 && cos <= 1.0 + 1e-12)
+      assert(cij <= math.min(ic(pa), ic(pb)))
+      assert(pa < pb)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // gr9 — neighbor jaccard
+  // ------------------------------------------------------------------
+
+  test("gr9: scores in (0,1], pairs ordered, common >= 2") {
+    val out = run("gr9_neighbor_jaccard").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Long]("common") >= 2)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("gr9: hand graph — square plus diagonal candidate") {
+    val s = spark
+    import s.implicits._
+    // square 1-2-3-4 (edges 12,23,34,41): non-adjacent pairs (1,3) and
+    // (2,4) each share BOTH their neighbors -> jaccard = 2/(2+2-2) = 1.0
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val sym = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+    val l = sym.select(col("a").as("z"), col("b").as("pa"))
+    val r = sym.select(col("a").as("z"), col("b").as("pb"))
+    val jac = l.join(r, Seq("z")).filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("common"))
+      .join(sym.select(col("a").as("pa"), col("b").as("pb")),
+        Seq("pa", "pb"), "left_anti")
+      .join(deg.select(col("z").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("z").as("pb"), col("d").as("db")), "pb")
+      .select(col("pa"), col("pb"),
+        (col("common") / (col("da") + col("db") - col("common"))).as("j"))
+      .collect().map(x => (x.getAs[Long]("pa"), x.getAs[Long]("pb")) -> x.getAs[Double]("j"))
+      .toMap
+    assert(jac == Map((1L, 3L) -> 1.0, (2L, 4L) -> 1.0))
+  }
+}

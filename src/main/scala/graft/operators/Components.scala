@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** The deterministic synthetic document graph the gr4/gr9/gr10 family
+    * runs on: a 499-cycle permutation edge (id·7 mod 499) plus divisor
+    * edges (id/2, id/3), symmetrized and de-duplicated. Derived purely
+    * from `doc_id` so both engines rebuild the identical graph from the
+    * parquet alone. Returns undirected symmetric edges (a, b). */
+  def docGraph(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val cyc = ids.select(col("doc_id").as("a"),
+      ((col("doc_id") * 7) % 499).as("b"))
+    val halves = ids.filter(col("doc_id") % 2 === 0 && col("doc_id") > 0)
+      .select(col("doc_id").as("a"), (col("doc_id") / 2).cast("long").as("b"))
+    val thirds = ids.filter(col("doc_id") % 3 === 0 && col("doc_id") > 0)
+      .select(col("doc_id").as("a"), (col("doc_id") / 3).cast("long").as("b"))
+    val raw = cyc.unionByName(halves).unionByName(thirds)
+      .filter(col("a") =!= col("b"))
+    raw.unionByName(raw.select(col("b").as("a"), col("a").as("b"))).distinct()
+  }
+
   /** Connected components of an undirected edge list. Returns
     * `(node, component)` for every non-root node that appears in an edge;
     * `component` is the minimum node id of the node's component. Roots

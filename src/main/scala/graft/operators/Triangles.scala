@@ -27,7 +27,24 @@ object Triangles {
     * cleaned here). Returns one row per triangle apex (the lowest-ranked
     * vertex), with its triangle count; `sum(n_tri)` is the global count.
     */
-  def trianglesPerApex(edges: DataFrame): DataFrame = {
+  def trianglesPerApex(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .groupBy(col("src").as("apex"))
+      .agg(count(lit(1)).as("n_tri"))
+
+  /** Triangle count per VERTEX — each triangle credited to all three
+    * corners (vs once at the apex above). This is the numerator of the
+    * local clustering coefficient; the only work beyond the oriented
+    * wedge join is a 3-way explode whose size IS the triangle count. */
+  def trianglesPerNode(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** One row per triangle, as (src, x, y) with src the lowest-ranked
+    * (degree, id) vertex and x < y — the degree-oriented enumeration both
+    * aggregations above share. */
+  private def triangles(edges: DataFrame): DataFrame = {
     // canonical undirected simple edges: a < b, no loops, no dups
     val und = edges
       .selectExpr("least(u, v) AS a", "greatest(u, v) AS b")
@@ -61,7 +78,6 @@ object Triangles {
       least(col("src"), col("dst")).as("x"),
       greatest(col("src"), col("dst")).as("y"))
     wedges.join(closing, Seq("x", "y"))
-      .groupBy(col("src").as("apex"))
-      .agg(count(lit(1)).as("n_tri"))
+      .select("src", "x", "y")
   }
 }

@@ -445,17 +445,7 @@ object BehaviorQueries {
     // web-scale hub from emitting deg² wedges; the adjacency exclusion is
     // one left_anti on the edge set. Same fixture graph as gr3.
     Q("gr4_adamic_adar", (s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val cyc = docs.select(col("doc_id").as("a"),
-        ((col("doc_id") * 7) % 499).as("b"))
-      val halves = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") > 0)
-        .select(col("doc_id").as("a"), (col("doc_id") / 2).cast("long").as("b"))
-      val thirds = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") > 0)
-        .select(col("doc_id").as("a"), (col("doc_id") / 3).cast("long").as("b"))
-      val raw = cyc.unionByName(halves).unionByName(thirds)
-        .filter(col("a") =!= col("b"))
-      val sym = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
+      val sym = Components.docGraph(t(s, dir, "documents"))
         .localCheckpoint(eager = false) // feeds degrees, wedges, exclusion
       val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2 && col("d") <= 64)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Components, Dedup, Triangles}
 import Tables.t
 
 /** Round-12 third wave: calendar-aware RANGE-frame windows, rolling
@@ -239,17 +239,7 @@ object TrendQueries {
     // wedge join at deg² per node BEFORE it runs — the same guard that
     // keeps gr4/dd10 off the skew cliff.
     Q("gr9_neighbor_jaccard", (s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val cyc = docs.select(col("doc_id").as("a"),
-        ((col("doc_id") * 7) % 499).as("b"))
-      val halves = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") > 0)
-        .select(col("doc_id").as("a"), (col("doc_id") / 2).cast("long").as("b"))
-      val thirds = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") > 0)
-        .select(col("doc_id").as("a"), (col("doc_id") / 3).cast("long").as("b"))
-      val raw = cyc.unionByName(halves).unionByName(thirds)
-        .filter(col("a") =!= col("b"))
-      val sym = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
+      val sym = Components.docGraph(t(s, dir, "documents"))
       val core = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d0"))
         .filter(col("d0") >= 2 && col("d0") <= 64).select("z")
       val edges = sym
@@ -325,6 +315,417 @@ object TrendQueries {
       FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
                    JOIN cnt cb ON cb.doc_id = i.doc_b
       WHERE shared * 5 >= (ca.n + cb.n - shared) * 2
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b""")),
+
+    // W15 — HLL rolling distinct (the sketch twin of w14): per-day HLL
+    // sketches of the user set, merged over each 7-day window via
+    // hll_union_agg — at 100 TB the per-day sketch table is kilobytes per
+    // day and the rolling union never re-touches the corpus, which is the
+    // production replacement for w14's exact explode. Graded ks4-style:
+    // the graded columns are the EXACT wau7 and the in-band verdict
+    // (sketch within 5% of exact), both engine-reproducible.
+    Q("w15_rolling_hll_wau", (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val daySk = ud.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .localCheckpoint(eager = false) // feeds day list AND the explode
+      val days = daySk.select("day")
+      val est = daySk
+        .select(col("sk"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+      val exact = ud.distinct()
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct("user_id").as("wau7_exact"))
+      exact.join(est, "day")
+        .select(col("day"), col("wau7_exact"),
+          (abs(col("__est") - col("wau7_exact")) / col("wau7_exact") < 0.05)
+            .as("within_band"))
+        .orderBy("day")
+    }, Some("""
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      days AS (SELECT DISTINCT day FROM ud),
+      wau AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau7_exact
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1)
+      SELECT day, wau7_exact, TRUE AS within_band
+      FROM wau ORDER BY day""")),
+
+    // TS10 — seasonal-naive backtest: forecast each (type, day) count with
+    // the value 7 days earlier, score MAE + sMAPE per type — the baseline
+    // every fancier forecaster must beat, and the eval harness is the
+    // operator. Engine parity: the error terms are integer |n−f| sums
+    // (MAE is one division), and each sMAPE term is quantized to a
+    // 1e9-scaled integer BEFORE summation (ml7's discipline) so the
+    // per-type sum is immune to float summation order. Scale shape: one
+    // day-grain aggregate + a self-join on the bounded (type, day) table.
+    Q("ts10_seasonal_backtest", (s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val f = d.select(col("event_type"), (col("d") + 7).as("d"),
+        col("n").as("__f"))
+      d.join(f, Seq("event_type", "d"))
+        .select(col("event_type"), col("n"), col("__f"),
+          abs(col("n") - col("__f")).as("__ad"),
+          floor(lit(2.0e9) * abs(col("n") - col("__f")) /
+            (col("n") + col("__f"))).cast("long").as("__sq"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          round(sum(col("__ad")) / count(lit(1)).cast("double"), 4).as("mae"),
+          round(sum(col("__sq")) / 1.0e9 / count(lit(1)), 6).as("smape"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      j AS (
+        SELECT a.event_type, a.n, f.n AS f,
+               abs(a.n - f.n) AS ad,
+               CAST(floor(2.0e9 * abs(a.n - f.n) / (a.n + f.n)) AS BIGINT)
+                 AS sq
+        FROM d a JOIN d f ON a.event_type = f.event_type AND a.d = f.d + 7)
+      SELECT event_type, count(*) AS n_eval,
+             round(sum(ad) / CAST(count(*) AS DOUBLE), 4) AS mae,
+             round(sum(sq) / 1.0e9 / count(*), 6) AS smape
+      FROM j GROUP BY event_type ORDER BY event_type""")),
+
+    // GR10 — local clustering coefficient on the doc graph: per node,
+    // 2·triangles / (deg·(deg−1)) — how close the neighborhood is to a
+    // clique, the per-node refinement of gr1's global count and gr5's
+    // modularity. Triangle counts come from the degree-ORIENTED wedge
+    // join (`Triangles.trianglesPerNode` — O(E^1.5) worst case, hub-proof
+    // by the Suri–Vassilvitskii argument), then one join against the
+    // bounded node-degree table; coefficient is a single float division
+    // over exact integers.
+    Q("gr10_clustering_coefficient", (s, dir) => {
+      val sym = Components.docGraph(t(s, dir, "documents"))
+        .localCheckpoint(eager = false) // feeds degrees AND the edge list
+      val und = sym.filter(col("a") < col("b"))
+        .select(col("a").as("u"), col("b").as("v"))
+      val tri = Triangles.trianglesPerNode(und)
+      sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6).as("cc"))
+        .orderBy("node")
+    }, Some("""
+      WITH cyc AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      divi AS (
+        SELECT doc_id AS u, doc_id // 2 AS v FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      raw AS (SELECT u, v FROM cyc UNION ALL SELECT u, v FROM divi),
+      sym AS (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) WHERE u <> v),
+      und AS (SELECT u AS a, v AS b FROM sym WHERE u < v),
+      deg AS (SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      ori AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS dst
+        FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+      wed AS (
+        SELECT e1.src, e1.dst AS x, e2.dst AS y
+        FROM ori e1 JOIN ori e2 USING (src) WHERE e1.dst < e2.dst),
+      clo AS (SELECT least(src, dst) AS x, greatest(src, dst) AS y FROM ori),
+      tris AS (SELECT w.src, w.x, w.y FROM wed w JOIN clo USING (x, y)),
+      pern AS (
+        SELECT t.node, count(*) AS n_tri
+        FROM tris, UNNEST([src, x, y]) AS t(node) GROUP BY 1)
+      SELECT d.node, d.deg,
+             CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+             round(2.0 * coalesce(p.n_tri, 0)
+                   / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS cc
+      FROM deg d LEFT JOIN pern p USING (node)
+      WHERE d.deg >= 2
+      ORDER BY d.node""")),
+
+    // DD23 — blocking-quality audit: the two numbers that justify ANY
+    // blocking scheme — pair completeness (recall of true pairs) and
+    // reduction ratio (fraction of the n² pair space never generated) —
+    // measured for the dd2 MinHash-LSH blocker against EXACT ground truth
+    // from the lossless prefix-filter join (dd22). This is the audit that
+    // says "4 bands at τ=0.4 keeps X% of true dups while doing 1e-5 of
+    // the work"; at 100 TB both inputs stay bucketed (truth via prefix
+    // tokens, candidates via band signatures) and the metrics are three
+    // 1-row aggregates.
+    Q("dd23_blocking_quality", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.prefixFilterJaccardJoin(docs, "doc_id", "text", 2, 5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager = false) // counted AND intersected below
+      val sh = Dedup.shingleSet(docs, "doc_id", "text")
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(sh, "doc_id", bands = 4), "doc_id")
+        .localCheckpoint(eager = false)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nFound = truth.join(cand, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_found"))
+      nDocs.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(nFound))
+        .select(col("n_docs"), col("n_true"), col("n_cand"), col("n_found"),
+          round(col("n_found") / col("n_true").cast("double"), 6)
+            .as("pair_completeness"),
+          round(lit(1.0) - col("n_cand") /
+            expr("CAST(n_docs * (n_docs - 1) div 2 AS DOUBLE)"), 6)
+            .as("reduction_ratio"))
+    }, Some(s"""
+      WITH ${LlmQueries.ShingleCte},
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                     JOIN cnt cb ON cb.doc_id = i.doc_b
+        WHERE shared * 5 >= (ca.n + cb.n - shared) * 2),
+      sig AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh
+                   AND a.doc_id < b.doc_id),
+      nums AS (
+        SELECT (SELECT count(*) FROM documents) AS nd,
+               (SELECT count(*) FROM truth) AS nt,
+               (SELECT count(*) FROM cand) AS nc,
+               (SELECT count(*) FROM truth t JOIN cand c
+                  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS nf)
+      SELECT nd AS n_docs, nt AS n_true, nc AS n_cand, nf AS n_found,
+             round(nf / CAST(nt AS DOUBLE), 6) AS pair_completeness,
+             round(1.0 - nc / CAST(nd * (nd - 1) // 2 AS DOUBLE), 6)
+               AS reduction_ratio
+      FROM nums""")),
+
+    // GR11 — degree assortativity (Newman): Pearson correlation of the
+    // endpoint degrees over the directed form of the doc graph (each
+    // undirected edge contributes both directions, the standard
+    // convention). All five correlation sums are exact integers (degrees
+    // are small, products fit long); the coefficient is ONE identically
+    // written float expression. Negative r = hub-to-leaf wiring
+    // (disassortative), the expected shape for this divisor graph.
+    Q("gr11_degree_assortativity", (s, dir) => {
+      val sym = Components.docGraph(t(s, dir, "documents"))
+        .localCheckpoint(eager = false) // feeds degrees AND the edge scan
+      val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+      sym
+        .join(deg.select(col("z").as("a"), col("d").as("__x")), "a")
+        .join(deg.select(col("z").as("b"), col("d").as("__y")), "b")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("__x")).cast("double").as("__sx"),
+          sum(col("__y")).cast("double").as("__sy"),
+          sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+          sum(col("__x") * col("__x")).cast("double").as("__sxx"),
+          sum(col("__y") * col("__y")).cast("double").as("__syy"))
+        .select(col("n_edges"),
+          round((col("n_edges") * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(col("n_edges") * col("__sxx") - col("__sx") * col("__sx")) *
+             sqrt(col("n_edges") * col("__syy") - col("__sy") * col("__sy"))),
+            6).as("assortativity"))
+    }, Some("""
+      WITH cyc AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      divi AS (
+        SELECT doc_id AS u, doc_id // 2 AS v FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      raw AS (SELECT u, v FROM cyc UNION ALL SELECT u, v FROM divi),
+      sym AS (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) WHERE u <> v),
+      deg AS (SELECT u AS z, count(*) AS d FROM sym GROUP BY u),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(da.d) AS DOUBLE) AS sx,
+               CAST(sum(db.d) AS DOUBLE) AS sy,
+               CAST(sum(da.d * db.d) AS DOUBLE) AS sxy,
+               CAST(sum(da.d * da.d) AS DOUBLE) AS sxx,
+               CAST(sum(db.d * db.d) AS DOUBLE) AS syy
+        FROM sym JOIN deg da ON da.z = sym.u JOIN deg db ON db.z = sym.v)
+      SELECT n_edges,
+             round((n_edges * sxy - sx * sy) /
+                   (sqrt(n_edges * sxx - sx * sx) *
+                    sqrt(n_edges * syy - sy * sy)), 6) AS assortativity
+      FROM a""")),
+
+    // J12 — temporal ABSENCE anti-join: views NOT followed by a purchase
+    // from the same user within 7 days — at1's last-touch attribution
+    // mirrored into negative space (abandonment). The next-purchase
+    // timestamp is ONE conditional forward-min window per user (w11's
+    // reverse-min trick, forward) — no per-view join, no range join; the
+    // 7-day horizon is exact timestamp-interval arithmetic on both
+    // engines. Output at day grain.
+    Q("j12_view_abandonment", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("__np",
+          min(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "view")
+        .withColumn("__conv",
+          col("__np").isNotNull &&
+            col("__np") <= col("ts") + expr("INTERVAL 7 DAYS"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("__conv"), 1L).otherwise(0L)).as("n_converted"),
+          round(sum(when(col("__conv"), 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 4).as("conversion_rate"))
+        .orderBy("day")
+    }, Some("""
+      WITH np AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS np
+        FROM events),
+      v AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN np IS NOT NULL AND np <= ts + INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS conv
+        FROM np WHERE event_type = 'view')
+      SELECT day, count(*) AS n_views,
+             CAST(sum(conv) AS BIGINT) AS n_converted,
+             round(sum(conv) / CAST(count(*) AS DOUBLE), 4)
+               AS conversion_rate
+      FROM v GROUP BY day ORDER BY day""")),
+
+    // K17 — incremental CDC merge invariance: applying the seq-1 batch
+    // then the seq-2 batch through `LoadOps.cdcMerge` must land on the
+    // SAME state as one merge of the full feed — the replay/exactly-once
+    // algebra a streaming foreachBatch sink relies on (StreamingSpec runs
+    // the live micro-batch form; this grades the end state value-level
+    // against the one-shot oracle). Fixture reuses k14's derived feed so
+    // the two queries differ ONLY in merge composition.
+    Q("k17_cdc_merge_incremental", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val src = t(s, dir, "orders")
+      val u1 = src.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), lit(1L).as("seq"),
+          lit("X").as("o_orderstatus"),
+          round(col("o_totalprice") + 100, 2).as("o_totalprice"))
+      val u2 = src.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+          lit("Y").as("o_orderstatus"),
+          round(col("o_totalprice") + 200, 2).as("o_totalprice"))
+      val d1 = src.filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey"), lit("D").as("op"), lit(1L).as("seq"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val i1 = src.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("I").as("op"), lit(1L).as("seq"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val batch1 = u1.unionByName(d1).unionByName(i1)
+      val after1 = graft.operators.LoadOps.cdcMerge(base, batch1,
+        "o_orderkey", "seq", "op", Seq("o_orderstatus", "o_totalprice"))
+      graft.operators.LoadOps.cdcMerge(after1, u2,
+        "o_orderkey", "seq", "op", Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH cdc AS (
+        SELECT o_orderkey, 'U' AS op, 1 AS seq, 'X' AS st,
+               round(o_totalprice + 100, 2) AS tp
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, 'Y', round(o_totalprice + 200, 2)
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', 1, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 89 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'I', 1, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0),
+      latest AS (
+        SELECT * FROM cdc
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC, op DESC) = 1)
+      SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+             CASE WHEN l.op IN ('I', 'U') THEN l.st
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN l.op IN ('I', 'U') THEN l.tp
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM orders b FULL OUTER JOIN latest l USING (o_orderkey)
+      WHERE l.op IS NULL OR l.op <> 'D'
+      ORDER BY o_orderkey""")),
+
+    // IX4 — Dirichlet-smoothed query-likelihood retrieval (the language-
+    // model scoring that complements ix3's BM25): score(d) = Σ_t
+    // ln((tf + μ·cf(t)/T) / (len_d + μ)), μ = 2000, over ALL docs (a
+    // missing term still contributes its smoothed background mass — the
+    // grid is docs × |q| with |q| = 3). Per-term scores are quantized to
+    // 1e6-scaled integers BEFORE the sum (ml7's discipline), so ranking
+    // and top-k ties are integer-deterministic. Scale shape: tf postings
+    // for 3 terms + a 1-row (T) broadcast; the docs×terms grid is 3 rows
+    // per doc.
+    Q("ix4_lm_retrieval", (s, dir) => {
+      val terms = Seq("spark", "shuffle", "broadcast")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .localCheckpoint(eager = false) // feeds lens, cf, tf
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val total = toks.agg(count(lit(1)).as("__T"))
+      val cf = toks.filter(col("term").isin(terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("cf"))
+      val tf = toks.filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val grid = lens.crossJoin(broadcast(
+          cf.crossJoin(broadcast(total))))
+        .join(tf, Seq("doc_id", "term"), "left")
+        .withColumn("__tf", coalesce(col("tf"), lit(0L)))
+      grid
+        .withColumn("__q", floor(lit(1.0e6) *
+          log((col("__tf") + lit(2000.0) * col("cf") / col("__T")) /
+            (col("len") + lit(2000.0)))).cast("long"))
+        .groupBy("doc_id").agg(sum(col("__q")).as("__sq"))
+        .select(col("doc_id"), round(col("__sq") / 1.0e6, 6).as("score"))
+        .orderBy(col("__sq").desc, col("doc_id")).limit(10)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      tot AS (SELECT count(*) AS t FROM toks),
+      cf AS (SELECT term, count(*) AS cf FROM toks
+             WHERE term IN ('spark', 'shuffle', 'broadcast') GROUP BY term),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'shuffle', 'broadcast')
+             GROUP BY doc_id, term),
+      grid AS (
+        SELECT lens.doc_id, lens.len, cf.term, cf.cf, tot.t,
+               coalesce(tf.tf, 0) AS tfv
+        FROM lens CROSS JOIN cf CROSS JOIN tot
+        LEFT JOIN tf ON tf.doc_id = lens.doc_id AND tf.term = cf.term),
+      q AS (
+        SELECT doc_id,
+               CAST(floor(1.0e6 *
+                 ln((tfv + 2000.0 * cf / t) / (len + 2000.0))) AS BIGINT)
+                 AS qv
+        FROM grid),
+      sc AS (SELECT doc_id, sum(qv) AS sq FROM q GROUP BY doc_id)
+      SELECT doc_id, round(sq / 1.0e6, 6) AS score
+      FROM sc ORDER BY sq DESC, doc_id LIMIT 10"""))
   )
 }

@@ -60,7 +60,9 @@ class AllPlansSpec extends AnyFunSuite {
     "cs13_ab_ztest" -> "1-row arm-B stats broadcast onto the 1-row arm-A stats",
     "cs21_source_jsd" -> "bounded lang-grid + 1-row corpus-total + 1-row vocab-count broadcasts (cs2's PSI grid shape)",
     "gr7_hits" -> "1-row max-hub/max-auth normalizer broadcast onto the node score table",
-    "ml7_naive_bayes" -> "|langs|-row class-stats + 1-row vocab-count + 1-row train-doc-count broadcasts (the bounded NB model side)")
+    "ml7_naive_bayes" -> "|langs|-row class-stats + 1-row vocab-count + 1-row train-doc-count broadcasts (the bounded NB model side)",
+    "dd23_blocking_quality" -> "four 1-row count-aggregate broadcasts (the audit's scalar metrics row)",
+    "ix4_lm_retrieval" -> "3-row query-term × 1-row corpus-total broadcast (the docs×terms smoothing grid)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -246,6 +246,137 @@ class TrendOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // wave 4: w15 / ts10 / gr10 / dd23
+  // ------------------------------------------------------------------
+
+  test("trianglesPerNode: K4 credits every vertex with 3 triangles") {
+    val s = spark
+    import s.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Triangles.trianglesPerNode(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // apex counting still sums to the global count: K4 has 4 triangles
+    val apex = Triangles.trianglesPerApex(k4)
+      .agg(sum("n_tri")).collect().head.getLong(0)
+    assert(apex == 4L)
+  }
+
+  test("gr10: coefficients in [0,1]; triangle bound deg*(deg-1)/2") {
+    val out = run("gr10_clustering_coefficient").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cc = r.getAs[Double]("cc"); val d = r.getAs[Long]("deg")
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_tri") <= d * (d - 1) / 2)
+    }
+  }
+
+  test("w15: sketch stays in band at fixture scale (HLL exact on small sets)") {
+    val out = run("w15_rolling_hll_wau").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("within_band")))
+  }
+
+  test("ts10: an exactly 7-periodic series backtests to zero error") {
+    val s = spark
+    import s.implicits._
+    val d = (0 until 28).map(i => ("a", i, (i % 7 + 1).toLong)).toDF("event_type", "d", "n")
+    val f = d.select(col("event_type"), (col("d") + 7).as("d"), col("n").as("f"))
+    val j = d.join(f, Seq("event_type", "d"))
+      .agg(sum(abs(col("n") - col("f"))).as("sae"),
+        sum(floor(lit(2.0e9) * abs(col("n") - col("f")) /
+          (col("n") + col("f"))).cast("long")).as("sq"))
+      .collect().head
+    assert(j.getLong(0) == 0L && j.getLong(1) == 0L)
+  }
+
+  test("dd23: metrics bounded and consistent with their counts") {
+    val out = run("dd23_blocking_quality").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val nt = r.getAs[Long]("n_true"); val nc = r.getAs[Long]("n_cand")
+    val nf = r.getAs[Long]("n_found")
+    assert(nf <= math.min(nt, nc))
+    val pc = r.getAs[Double]("pair_completeness")
+    val rr = r.getAs[Double]("reduction_ratio")
+    assert(pc >= 0.0 && pc <= 1.0)
+    assert(rr >= 0.0 && rr <= 1.0)
+  }
+
+  // ------------------------------------------------------------------
+  // wave 5: gr11 / j12 / k17 / ix4
+  // ------------------------------------------------------------------
+
+  test("gr11: star graph is perfectly disassortative (r = -1)") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val sym = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+    val r = sym
+      .join(deg.select(col("z").as("a"), col("d").as("x")), "a")
+      .join(deg.select(col("z").as("b"), col("d").as("y")), "b")
+      .agg(count(lit(1)).as("n"),
+        sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+      .collect().head.getDouble(0)
+    assert(math.abs(r - (-1.0)) < 1e-12)
+    val out = run("gr11_degree_assortativity").collect()
+    assert(out.length == 1)
+    val a = out.head.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+  }
+
+  test("j12: conversion window semantics on a hand fixture") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.expressions.Window
+    def row(id: Long, u: Long, d: Int, tp: String) =
+      (id, u, Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00"), tp)
+    val ev = Seq(
+      row(1, 1, 1, "view"), row(2, 1, 3, "purchase"),   // converts (2 days)
+      row(3, 2, 1, "view"), row(4, 2, 20, "purchase"),  // outside 7 days
+      row(5, 3, 5, "purchase"), row(6, 3, 6, "view"),   // purchase BEFORE view
+      row(7, 4, 1, "view")                              // never purchases
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val conv = ev
+      .withColumn("np",
+        min(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        (col("np").isNotNull &&
+          col("np") <= col("ts") + expr("INTERVAL 7 DAYS")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(conv == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("k17: incremental two-batch merge lands on the one-shot state") {
+    val s = spark
+    val inc = run("k17_cdc_merge_incremental")
+    val one = run("k14_cdc_merge")
+    assert(inc.count() == one.count())
+    assert(inc.exceptAll(one).isEmpty && one.exceptAll(inc).isEmpty)
+  }
+
+  test("ix4: smoothing keeps every score finite; term presence outranks absence") {
+    val out = run("ix4_lm_retrieval").collect()
+    assert(out.length == 10)
+    out.foreach(r => assert(!r.getAs[Double]("score").isNaN))
+    // log-likelihoods of multi-term queries are negative by construction
+    assert(out.forall(_.getAs[Double]("score") < 0.0))
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

@@ -726,6 +726,172 @@ object TrendQueries {
         FROM grid),
       sc AS (SELECT doc_id, sum(qv) AS sq FROM q GROUP BY doc_id)
       SELECT doc_id, round(sq / 1.0e6, 6) AS score
-      FROM sc ORDER BY sq DESC, doc_id LIMIT 10"""))
+      FROM sc ORDER BY sq DESC, doc_id LIMIT 10""")),
+
+    // SA12 — temporal split with an embargo gap: train strictly before the
+    // cutoff, test strictly after cutoff+embargo, the gap discarded — the
+    // standard guard against look-ahead leakage in time-series training
+    // (the embargo absorbs horizon-h label windows that straddle the
+    // cutoff). The report is ONE user-grain aggregate folded into ONE
+    // global row — event counts, distinct users per side, and the
+    // user-overlap rate (how much of test behavior is from users the
+    // model already saw — entity leakage, quantified, not hidden).
+    Q("sa12_temporal_split_embargo", (s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val u = d.groupBy("user_id").agg(
+        sum(when(col("day") <= lit("2024-01-19"), 1L).otherwise(0L))
+          .as("__tr"),
+        sum(when(col("day") >= lit("2024-01-23"), 1L).otherwise(0L))
+          .as("__te"),
+        sum(when(col("day") > lit("2024-01-19") &&
+          col("day") < lit("2024-01-23"), 1L).otherwise(0L)).as("__em"))
+      u.agg(
+        sum(col("__tr")).as("n_train_events"),
+        sum(col("__te")).as("n_test_events"),
+        sum(col("__em")).as("n_embargoed_events"),
+        sum(when(col("__tr") > 0, 1L).otherwise(0L)).as("n_train_users"),
+        sum(when(col("__te") > 0, 1L).otherwise(0L)).as("n_test_users"),
+        sum(when(col("__tr") > 0 && col("__te") > 0, 1L).otherwise(0L))
+          .as("n_overlap_users"))
+        .withColumn("overlap_rate",
+          round(col("n_overlap_users") / col("n_test_users").cast("double"),
+            4))
+    }, Some("""
+      WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      u AS (
+        SELECT user_id,
+               sum(CASE WHEN day <= DATE '2024-01-19' THEN 1 ELSE 0 END) AS tr,
+               sum(CASE WHEN day >= DATE '2024-01-23' THEN 1 ELSE 0 END) AS te,
+               sum(CASE WHEN day > DATE '2024-01-19'
+                         AND day < DATE '2024-01-23' THEN 1 ELSE 0 END) AS em
+        FROM d GROUP BY user_id)
+      SELECT CAST(sum(tr) AS BIGINT) AS n_train_events,
+             CAST(sum(te) AS BIGINT) AS n_test_events,
+             CAST(sum(em) AS BIGINT) AS n_embargoed_events,
+             CAST(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_users,
+             CAST(sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_users,
+             CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap_users,
+             round(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+                   / CAST(sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS DOUBLE),
+                   4) AS overlap_rate
+      FROM u""")),
+
+    // OL3 — Hampel filter repair: each (type, day) count scored against
+    // the MEDIAN and MAD of its centered 7-day window (both POSITIONAL
+    // over the sorted frame array — integer-exact, no percentile
+    // interpolation anywhere); outliers (|x − med| > 3·1.4826·MAD,
+    // compared as 10000·|x−med| > 44478·MAD in pure integers) are
+    // repaired to the window median. The robust cousin of ts8's z-score
+    // (one wild day inflates a stddev but barely moves a median). Windows
+    // run on the bounded (type, day) table only.
+    Q("ol3_hampel_repair", (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__win", sort_array(collect_list(col("n")).over(w)))
+        .filter(size(col("__win")) === 7)
+        .withColumn("med", element_at(col("__win"), 4))
+        .withColumn("mad", element_at(
+          sort_array(transform(col("__win"),
+            v => abs(v - element_at(col("__win"), 4)))), 4))
+        .withColumn("is_outlier",
+          abs(col("n") - col("med")) * 10000 > col("mad") * 44478)
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"), col("is_outlier"),
+          when(col("is_outlier"), col("med")).otherwise(col("n"))
+            .as("repaired"))
+        .orderBy("event_type", "day")
+    }, Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, day, n,
+               list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+        FROM d),
+      f AS (SELECT * FROM w WHERE len(win) = 7),
+      m AS (SELECT *, win[4] AS med FROM f),
+      md AS (
+        SELECT *, list_sort(list_transform(win, v -> abs(v - med)))[4] AS mad
+        FROM m)
+      SELECT event_type, day, n, med, mad,
+             abs(n - med) * 10000 > mad * 44478 AS is_outlier,
+             CASE WHEN abs(n - med) * 10000 > mad * 44478
+                  THEN med ELSE n END AS repaired
+      FROM md ORDER BY event_type, day""")),
+
+    // EMB2 — embedding-space cosine histogram: the geometry health check
+    // run before trusting ANY ANN index — pairwise cosine of 20 fixed
+    // probes against the corpus, binned at 0.05 (floor(20·cos), exact
+    // integer keys). A healthy space is spread; a collapsed (anisotropic)
+    // one piles into the top bins and ANN recall claims become
+    // meaningless. Dot products ride the native codegen'd vec expressions
+    // in ONE deterministic fold order — the same order DuckDB's list_sum
+    // replays, the sim1 parity idiom. Probe side is a bounded 20-row
+    // broadcast; work is 20 × corpus, linear.
+    Q("emb2_cosine_histogram", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("__pid"), col("v").as("qv"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("__pid"))
+        .select(floor(graft.operators.Similarity.cosine(col("v"), col("qv"))
+          * 20).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id AS pid, v AS qv FROM e WHERE vec_id < 20),
+      c AS (
+        SELECT CAST(floor(
+                 list_sum(list_transform(generate_series(1, len(v)),
+                   i -> v[i] * qv[i]))
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x))))
+                 * 20) AS BIGINT) AS bin
+        FROM e, p WHERE vec_id <> pid)
+      SELECT bin, count(*) AS n_pairs FROM c GROUP BY bin ORDER BY bin""")),
+
+    // W16 — quantile (decile) feature binning per source: each doc's
+    // n_chars mapped to its within-source decile by POSITION — rank and
+    // decile are pure integer arithmetic over a (n_chars, doc_id) total
+    // order, so there is no percentile interpolation and ties are broken
+    // identically on both engines. Output is the bounded
+    // (source × decile) profile a feature store would publish; the only
+    // corpus-sized work is the per-source rank window.
+    Q("w16_quantile_features", (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("decile", expr("((__rn - 1) * 10) div __cnt"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
+        .orderBy("source", "decile")
+    }, Some("""
+      WITH r AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS cnt
+        FROM documents)
+      SELECT source, (rn - 1) * 10 // cnt AS decile,
+             count(*) AS n_docs,
+             min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

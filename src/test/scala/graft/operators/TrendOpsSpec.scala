@@ -377,6 +377,73 @@ class TrendOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("score") < 0.0))
   }
 
+  // ------------------------------------------------------------------
+  // wave 6: sa12 / ol3 / emb2 / w16
+  // ------------------------------------------------------------------
+
+  test("sa12: split partitions events; overlap bounded by both sides") {
+    val s = spark
+    import graft.queries.Tables.t
+    val total = t(s, dir, "events").count()
+    val r = run("sa12_temporal_split_embargo").collect().head
+    assert(r.getAs[Long]("n_train_events") + r.getAs[Long]("n_test_events") +
+      r.getAs[Long]("n_embargoed_events") == total)
+    assert(r.getAs[Long]("n_overlap_users") <=
+      math.min(r.getAs[Long]("n_train_users"), r.getAs[Long]("n_test_users")))
+  }
+
+  test("ol3: a planted spike is repaired to the window median") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // constant 10/day except a spike of 100 on day 5 of 0..9
+    val d = (0 until 10).map(i => ("a", i, if (i == 5) 100L else 10L))
+      .toDF("event_type", "day", "n")
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val out = d.withColumn("win", sort_array(collect_list(col("n")).over(w)))
+      .filter(size(col("win")) === 7)
+      .withColumn("med", element_at(col("win"), 4))
+      .withColumn("mad", element_at(sort_array(transform(col("win"),
+        v => abs(v - element_at(col("win"), 4)))), 4))
+      .withColumn("out", abs(col("n") - col("med")) * 10000 > col("mad") * 44478)
+      .select(col("day"),
+        when(col("out"), col("med")).otherwise(col("n")).as("rep"),
+        col("out"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(5) == (10L, true))  // spike flagged, repaired to median
+    assert(out(4) == (10L, false)) // neighbors untouched
+    // MAD = 0 there: any deviation flags, which is correct for a constant series
+  }
+
+  test("emb2: bins bounded by cosine range; pair mass = 20*(n-1)") {
+    val s = spark
+    import graft.queries.Tables.t
+    val n = t(s, dir, "embeddings").count()
+    val out = run("emb2_cosine_histogram").collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == 20 * (n - 1))
+    out.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= -20 && b <= 20)
+    }
+  }
+
+  test("w16: deciles balanced within 1 and monotone in char range") {
+    val out = run("w16_quantile_features").collect()
+      .groupBy(_.getAs[String]("source"))
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("decile"))
+      assert(sorted.map(_.getAs[Long]("decile")).toSeq == (0L until sorted.length))
+      val sizes = sorted.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1)
+      // hi of decile k <= lo of decile k+1 never violated (total order)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi_chars") <= b.getAs[Long]("lo_chars"))
+        case _ =>
+      }
+    }
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

@@ -892,6 +892,198 @@ object TrendQueries {
       SELECT source, (rn - 1) * 10 // cnt AS decile,
              count(*) AS n_docs,
              min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
-      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ML9 — rank-based AUC (Mann–Whitney U with midranks): how well
+    // n_chars separates English docs from the rest, as the exact
+    // probability a random positive outranks a random negative. The
+    // entire statistic is INTEGER arithmetic until one final division:
+    // midranks enter as 2·midrank = 2·cum_before + count + 1 (ties never
+    // produce a fraction), so AUC = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is
+    // engine-exact. Scale shape: one groupBy collapses the corpus to the
+    // bounded distinct-score table; the only global window (the rank
+    // cumsum) runs there.
+    Q("ml9_rank_auc", (s, dir) => {
+      val g = t(s, dir, "documents")
+        .groupBy(col("n_chars").as("score"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("__cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .agg(
+          sum(col("cp")).as("n_pos"),
+          sum(col("c") - col("cp")).as("n_neg"),
+          sum(col("cp") * (lit(2) * col("__cb") + col("c") + 1)).as("__r2"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("__r2") - col("n_pos") * (col("n_pos") + 1)) /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    }, Some("""
+      WITH g AS (
+        SELECT n_chars AS score, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cp
+        FROM documents GROUP BY 1),
+      r AS (
+        SELECT *, coalesce(sum(c) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM g),
+      a AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+               CAST(sum(c - cp) AS BIGINT) AS n_neg,
+               CAST(sum(cp * (2 * cb + c + 1)) AS BIGINT) AS r2
+        FROM r)
+      SELECT n_pos, n_neg,
+             round((r2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6)
+               AS auc
+      FROM a""")),
+
+    // K18 — snapshot column-drift audit: the stats monitor a warehouse
+    // runs between two loads — per column, row count, null count, and
+    // exact distinct cardinality for the pre-1998 vs post-1998 snapshot,
+    // with null-rate and cardinality-rate drifts as the alert columns.
+    // Complements cs6 (one-snapshot profile) and k12 (row-level diff):
+    // this is the SCHEMA-level diff that catches a broken upstream
+    // extractor (nulls spike, enum collapses) without comparing a single
+    // row. One conditional aggregate per snapshot side, melted via stack.
+    Q("k18_column_drift_audit", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("__new", to_date(col("o_orderdate")) >= lit("1998-01-01"))
+      val a = o.agg(
+        sum(when(!col("__new"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("__new") && col("o_orderstatus").isNull, 1L)
+          .otherwise(0L)).as("nulla_st"),
+        sum(when(col("__new") && col("o_orderstatus").isNull, 1L)
+          .otherwise(0L)).as("nullb_st"),
+        countDistinct(when(!col("__new"), col("o_orderstatus"))).as("da_st"),
+        countDistinct(when(col("__new"), col("o_orderstatus"))).as("db_st"),
+        sum(when(!col("__new") && col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("nulla_ck"),
+        sum(when(col("__new") && col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("nullb_ck"),
+        countDistinct(when(!col("__new"), col("o_custkey"))).as("da_ck"),
+        countDistinct(when(col("__new"), col("o_custkey"))).as("db_ck"),
+        sum(when(!col("__new") && col("o_totalprice").isNull, 1L)
+          .otherwise(0L)).as("nulla_tp"),
+        sum(when(col("__new") && col("o_totalprice").isNull, 1L)
+          .otherwise(0L)).as("nullb_tp"),
+        countDistinct(when(!col("__new"), col("o_totalprice"))).as("da_tp"),
+        countDistinct(when(col("__new"), col("o_totalprice"))).as("db_tp"))
+      a.select(expr("""stack(3,
+          'o_orderstatus', na, nb, nulla_st, nullb_st, da_st, db_st,
+          'o_custkey',     na, nb, nulla_ck, nullb_ck, da_ck, db_ck,
+          'o_totalprice',  na, nb, nulla_tp, nullb_tp, da_tp, db_tp)
+          AS (column_name, n_old, n_new, null_old, null_new,
+              distinct_old, distinct_new)"""))
+        .withColumn("null_rate_drift",
+          round(abs(col("null_new") / col("n_new").cast("double") -
+            col("null_old") / col("n_old").cast("double")), 6))
+        .withColumn("cardinality_drift",
+          round(abs(col("distinct_new") / col("n_new").cast("double") -
+            col("distinct_old") / col("n_old").cast("double")), 6))
+        .orderBy("column_name")
+    }, Some("""
+      WITH o AS (
+        SELECT *, CAST(o_orderdate AS DATE) >= DATE '1998-01-01' AS nw
+        FROM orders),
+      a AS (
+        SELECT
+          CAST(sum(CASE WHEN NOT nw THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN nw THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+          CAST(sum(CASE WHEN NOT nw AND o_orderstatus IS NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS nulla_st,
+          CAST(sum(CASE WHEN nw AND o_orderstatus IS NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS nullb_st,
+          CAST(count(DISTINCT CASE WHEN NOT nw THEN o_orderstatus END)
+            AS BIGINT) AS da_st,
+          CAST(count(DISTINCT CASE WHEN nw THEN o_orderstatus END)
+            AS BIGINT) AS db_st,
+          CAST(sum(CASE WHEN NOT nw AND o_custkey IS NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS nulla_ck,
+          CAST(sum(CASE WHEN nw AND o_custkey IS NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS nullb_ck,
+          CAST(count(DISTINCT CASE WHEN NOT nw THEN o_custkey END)
+            AS BIGINT) AS da_ck,
+          CAST(count(DISTINCT CASE WHEN nw THEN o_custkey END)
+            AS BIGINT) AS db_ck,
+          CAST(sum(CASE WHEN NOT nw AND o_totalprice IS NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS nulla_tp,
+          CAST(sum(CASE WHEN nw AND o_totalprice IS NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS nullb_tp,
+          CAST(count(DISTINCT CASE WHEN NOT nw THEN o_totalprice END)
+            AS BIGINT) AS da_tp,
+          CAST(count(DISTINCT CASE WHEN nw THEN o_totalprice END)
+            AS BIGINT) AS db_tp
+        FROM o),
+      m AS (
+        SELECT 'o_orderstatus' AS column_name, na AS n_old, nb AS n_new,
+               nulla_st AS null_old, nullb_st AS null_new,
+               da_st AS distinct_old, db_st AS distinct_new FROM a
+        UNION ALL
+        SELECT 'o_custkey', na, nb, nulla_ck, nullb_ck, da_ck, db_ck FROM a
+        UNION ALL
+        SELECT 'o_totalprice', na, nb, nulla_tp, nullb_tp, da_tp, db_tp
+        FROM a)
+      SELECT column_name, n_old, n_new, null_old, null_new,
+             distinct_old, distinct_new,
+             round(abs(null_new / CAST(n_new AS DOUBLE)
+                       - null_old / CAST(n_old AS DOUBLE)), 6)
+               AS null_rate_drift,
+             round(abs(distinct_new / CAST(n_new AS DOUBLE)
+                       - distinct_old / CAST(n_old AS DOUBLE)), 6)
+               AS cardinality_drift
+      FROM m ORDER BY column_name""")),
+
+    // PIPE11 — leakage-safe temporal target encoding: the encoding table
+    // (per-priority smoothed mean of floor-cent totals, prior m = 100) is
+    // fit on the TRAIN years only (< 1998) and APPLIED to the post-1998
+    // test rows — the deploy-time composition of sa12's split discipline
+    // with ml6's encoder, proving the feature pipeline never reads test
+    // labels. Integer-cent sums throughout; the graded report compares the
+    // train-fit encoding to the realized test mean per category (the
+    // drift a stale encoder shows in production).
+    Q("pipe11_temporal_target_encoding", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val train = o.filter(col("d") < lit("1998-01-01"))
+      val test = o.filter(col("d") >= lit("1998-01-01"))
+      val prior = train.agg(sum("cents").as("__gs"), count(lit(1)).as("__gn"))
+      val enc = train.groupBy("o_orderpriority")
+        .agg(sum("cents").as("__s"), count(lit(1)).as("__n"))
+        .crossJoin(broadcast(prior))
+        .select(col("o_orderpriority"),
+          ((col("__s") + lit(100.0) * (col("__gs") / col("__gn"))) /
+            (col("__n") + lit(100.0))).as("__encoded"))
+      test.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_test"),
+          sum("cents").as("__ts"))
+        .join(enc, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_test"),
+          round(col("__encoded") / 100.0, 4).as("encoded_usd"),
+          round(col("__ts") / col("n_test").cast("double") / 100.0, 4)
+            .as("test_mean_usd"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      WITH o AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      tr AS (SELECT * FROM o WHERE d < DATE '1998-01-01'),
+      te AS (SELECT * FROM o WHERE d >= DATE '1998-01-01'),
+      p AS (SELECT CAST(sum(cents) AS BIGINT) AS gs,
+                   CAST(count(*) AS BIGINT) AS gn FROM tr),
+      enc AS (
+        SELECT o_orderpriority,
+               (sum(cents) + 100.0 * (p.gs / p.gn))
+                 / (count(*) + 100.0) AS encoded
+        FROM tr, p GROUP BY o_orderpriority, p.gs, p.gn)
+      SELECT te.o_orderpriority, CAST(count(*) AS BIGINT) AS n_test,
+             round(any_value(enc.encoded) / 100.0, 4) AS encoded_usd,
+             round(sum(te.cents) / CAST(count(*) AS DOUBLE) / 100.0, 4)
+               AS test_mean_usd
+      FROM te JOIN enc USING (o_orderpriority)
+      GROUP BY te.o_orderpriority ORDER BY te.o_orderpriority"""))
   )
 }

@@ -63,7 +63,8 @@ class AllPlansSpec extends AnyFunSuite {
     "ml7_naive_bayes" -> "|langs|-row class-stats + 1-row vocab-count + 1-row train-doc-count broadcasts (the bounded NB model side)",
     "dd23_blocking_quality" -> "four 1-row count-aggregate broadcasts (the audit's scalar metrics row)",
     "ix4_lm_retrieval" -> "3-row query-term × 1-row corpus-total broadcast (the docs×terms smoothing grid)",
-    "emb2_cosine_histogram" -> "fixed 20-row probe-set broadcast (the sim5-style audit arm; work is 20 × corpus, linear)")
+    "emb2_cosine_histogram" -> "fixed 20-row probe-set broadcast (the sim5-style audit arm; work is 20 × corpus, linear)",
+    "pipe11_temporal_target_encoding" -> "1-row train-prior broadcast onto the bounded per-category table (ml6's smoothing move)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -444,6 +444,74 @@ class TrendOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // wave 7: ml9 / k18 / pipe11
+  // ------------------------------------------------------------------
+
+  test("ml9: midrank AUC — perfect separation 1.0, reversed 0.0, ties 0.5") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def auc(rows: Seq[(Long, Boolean)]): Double = {
+      val g = rows.toDF("score", "pos")
+        .groupBy("score").agg(count(lit(1)).as("c"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("cp"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .agg(sum(col("cp")).as("np"), sum(col("c") - col("cp")).as("nn"),
+          sum(col("cp") * (lit(2) * col("cb") + col("c") + 1)).as("r2"))
+        .select(((col("r2") - col("np") * (col("np") + 1)) /
+          (lit(2.0) * col("np") * col("nn"))).as("auc"))
+        .collect().head.getDouble(0)
+    }
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true))) == 1.0)
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false))) == 0.0)
+    // every score tied -> midranks give exactly 0.5
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false))) == 0.5)
+    val r = run("ml9_rank_auc").collect().head
+    val a = r.getAs[Double]("auc")
+    assert(a >= 0.0 && a <= 1.0)
+  }
+
+  test("k18: snapshot counts reconcile; drifts bounded by 1") {
+    val s = spark
+    import graft.queries.Tables.t
+    val total = t(s, dir, "orders").count()
+    val out = run("k18_column_drift_audit").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_old") + r.getAs[Long]("n_new") == total)
+      assert(r.getAs[Long]("distinct_old") <= r.getAs[Long]("n_old"))
+      assert(r.getAs[Double]("null_rate_drift") <= 1.0)
+      assert(r.getAs[Double]("cardinality_drift") <= 1.0)
+    }
+  }
+
+  test("pipe11: encoding is a train-side convex blend — inside the train range") {
+    val s = spark
+    import graft.queries.Tables.t
+    // the smoothed encoding must lie between the global train mean and the
+    // per-category train mean (convexity of (s + m*prior)/(n + m))
+    val o = t(s, dir, "orders").select(col("o_orderpriority"),
+      to_date(col("o_orderdate")).as("d"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("d") < lit("1998-01-01"))
+    val prior = o.agg((sum("cents") / count(lit(1))).as("g"))
+      .collect().head.getDouble(0) / 100.0
+    val cat = o.groupBy("o_orderpriority")
+      .agg((sum("cents") / count(lit(1))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1) / 100.0).toMap
+    val out = run("pipe11_temporal_target_encoding").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val enc = r.getAs[Double]("encoded_usd")
+      val m = cat(r.getAs[String]("o_orderpriority"))
+      val lo = math.min(m, prior) - 0.01; val hi = math.max(m, prior) + 0.01
+      assert(enc >= lo && enc <= hi, s"encoding outside convex range: $r")
+    }
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

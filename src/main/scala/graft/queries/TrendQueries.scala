@@ -1084,6 +1084,105 @@ object TrendQueries {
              round(sum(te.cents) / CAST(count(*) AS DOUBLE) / 100.0, 4)
                AS test_mean_usd
       FROM te JOIN enc USING (o_orderpriority)
-      GROUP BY te.o_orderpriority ORDER BY te.o_orderpriority"""))
+      GROUP BY te.o_orderpriority ORDER BY te.o_orderpriority""")),
+
+    // K19 — data-skipping audit: the zone-map effectiveness table that
+    // justifies a layout choice. The same events, written as 16 files
+    // under three layouts (insertion order / sorted by x / Z-ordered on
+    // (x, y) via zo1's Morton key), each file carrying its (x, y) min/max
+    // envelope; TWO single-dimension range predicates (an x-range and a
+    // y-range — the mixed workload that motivates Z-order) then count the
+    // files whose envelope intersects. The table IS the lesson: insertion
+    // order prunes neither; the x-sort is perfect for the x-query and
+    // scans EVERYTHING for the y-query; Z-order prunes BOTH — the
+    // single-dim sort's win is brittle, the interleaved key's is uniform.
+    // Integer envelopes, integer counts; the layout sort (ntile over the
+    // key) is the write path's own sort, zo1's precedent.
+    Q("k19_skipping_audit", (s, dir) => {
+      import graft.operators.ZOrder
+      val keyed = t(s, dir, "events").select(
+        col("event_id"),
+        (col("user_id") % 1024).cast("int").as("x"),
+        dayofyear(col("ts")).as("y"))
+        .withColumn("zkey", ZOrder.mortonKey(col("x"), col("y")))
+        .localCheckpoint(eager = false) // three layouts scan it
+      def env(order: org.apache.spark.sql.Column, layout: String) = keyed
+        .withColumn("file_id",
+          ntile(16).over(Window.orderBy(order, col("event_id"))))
+        .groupBy("file_id")
+        .agg(min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"),
+          count(lit(1)).as("n"),
+          sum(when(col("x").between(4, 8), 1L).otherwise(0L)).as("__mx"),
+          sum(when(col("y").between(5, 10), 1L).otherwise(0L)).as("__my"))
+        .withColumn("layout", lit(layout))
+      val all = env(col("event_id"), "1_insertion")
+        .unionByName(env(col("x"), "2_sorted_x"))
+        .unionByName(env(col("zkey"), "3_zorder"))
+        .localCheckpoint(eager = false) // both predicates read it
+      def audit(pred: String, hit: org.apache.spark.sql.Column,
+                m: org.apache.spark.sql.Column) = all
+        .groupBy("layout")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+          sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"),
+          sum(m).as("rows_matching"))
+        .withColumn("predicate", lit(pred))
+      audit("x_4_8", col("max_x") >= 4 && col("min_x") <= 8, col("__mx"))
+        .unionByName(
+          audit("y_5_10", col("max_y") >= 5 && col("min_y") <= 10,
+            col("__my")))
+        .withColumn("scan_precision",
+          round(col("rows_matching") / col("rows_scanned").cast("double"), 6))
+        .select("layout", "predicate", "files_total", "files_scanned",
+          "rows_scanned", "rows_matching", "scan_precision")
+        .orderBy("layout", "predicate")
+    }, Some(s"""
+      WITH keyed AS (
+        SELECT event_id,
+               CAST(user_id % 1024 AS INT) AS x,
+               CAST(date_part('doy', ts) AS INT) AS y
+        FROM events),
+      z AS (
+        SELECT *, ${graft.operators.ZOrder.mortonKeySql("x", "y")} AS zkey
+        FROM keyed),
+      lay AS (
+        SELECT '1_insertion' AS layout, x, y,
+               ntile(16) OVER (ORDER BY event_id, event_id) AS file_id FROM z
+        UNION ALL
+        SELECT '2_sorted_x', x, y,
+               ntile(16) OVER (ORDER BY x, event_id) FROM z
+        UNION ALL
+        SELECT '3_zorder', x, y,
+               ntile(16) OVER (ORDER BY zkey, event_id) FROM z),
+      env AS (
+        SELECT layout, file_id,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y,
+               count(*) AS n,
+               sum(CASE WHEN x BETWEEN 4 AND 8 THEN 1 ELSE 0 END) AS mx,
+               sum(CASE WHEN y BETWEEN 5 AND 10 THEN 1 ELSE 0 END) AS my
+        FROM lay GROUP BY 1, 2),
+      a AS (
+        SELECT layout, 'x_4_8' AS predicate, count(*) AS files_total,
+               sum(CASE WHEN max_x >= 4 AND min_x <= 8 THEN 1 ELSE 0 END)
+                 AS files_scanned,
+               sum(CASE WHEN max_x >= 4 AND min_x <= 8 THEN n ELSE 0 END)
+                 AS rows_scanned,
+               sum(mx) AS rows_matching
+        FROM env GROUP BY layout
+        UNION ALL
+        SELECT layout, 'y_5_10', count(*),
+               sum(CASE WHEN max_y >= 5 AND min_y <= 10 THEN 1 ELSE 0 END),
+               sum(CASE WHEN max_y >= 5 AND min_y <= 10 THEN n ELSE 0 END),
+               sum(my)
+        FROM env GROUP BY layout)
+      SELECT layout, predicate, files_total,
+             CAST(files_scanned AS BIGINT) AS files_scanned,
+             CAST(rows_scanned AS BIGINT) AS rows_scanned,
+             CAST(rows_matching AS BIGINT) AS rows_matching,
+             round(rows_matching / CAST(rows_scanned AS DOUBLE), 6)
+               AS scan_precision
+      FROM a ORDER BY layout, predicate"""))
   )
 }

@@ -512,6 +512,31 @@ class TrendOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // wave 8: k19
+  // ------------------------------------------------------------------
+
+  test("k19: matches invariant across layouts; z-order prunes BOTH predicates") {
+    // sf0.01: the x domain at sf0.001 is 15 values, too narrow for ANY
+    // 16-file layout to carve disjoint x envelopes — pruning only becomes
+    // observable once the domain outgrows the file count
+    val out = SparkEntry.queries("k19_skipping_audit")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.length == 6)
+    // ground truth (rows_matching) cannot depend on physical layout
+    out.groupBy(_.getAs[String]("predicate")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rows_matching")).distinct.length == 1)
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("files_scanned") <= r.getAs[Long]("files_total"))
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"))
+    }
+    // the layout claim: the interleaved key prunes both dimensions
+    val z = out.filter(_.getAs[String]("layout") == "3_zorder")
+    z.foreach(r =>
+      assert(r.getAs[Long]("files_scanned") < r.getAs[Long]("files_total")))
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

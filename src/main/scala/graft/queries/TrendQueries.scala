@@ -1183,6 +1183,335 @@ object TrendQueries {
              CAST(rows_matching AS BIGINT) AS rows_matching,
              round(rows_matching / CAST(rows_scanned AS DOUBLE), 6)
                AS scan_precision
-      FROM a ORDER BY layout, predicate"""))
+      FROM a ORDER BY layout, predicate""")),
+
+    // SA13 — group-aware k-fold assignment: folds cut by the USER's hash,
+    // never the event's — the group-k-fold discipline that keeps one
+    // user's events out of two folds (the cross-validation twin of sa12's
+    // entity-leakage concern). md5-fraction fold choice is deterministic
+    // and layout-invariant; the disjointness law (Σ per-fold users =
+    // distinct users) is graded IN the output, not just asserted in a
+    // spec. One user-grain aggregate + one fold-grain aggregate.
+    Q("sa13_group_kfold", (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val withFold = t(s, dir, "events").select(col("user_id"),
+        floor(graft.operators.Sampling.hashFraction(
+          col("user_id").cast("string")) * 5).cast("long").as("fold"))
+      val perFold = withFold.groupBy("fold")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+      val tot = ev.agg(countDistinct("user_id").as("__tot"))
+      perFold.crossJoin(broadcast(tot))
+        .withColumn("user_share",
+          round(col("n_users") / col("__tot").cast("double"), 4))
+        .select("fold", "n_events", "n_users", "user_share")
+        .orderBy("fold")
+    }, Some("""
+      WITH f AS (
+        SELECT user_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 * 5) AS BIGINT) AS fold
+        FROM events),
+      pf AS (
+        SELECT fold, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM f GROUP BY fold),
+      tt AS (SELECT count(DISTINCT user_id) AS tot FROM events)
+      SELECT fold, n_events, n_users,
+             round(n_users / CAST(tot AS DOUBLE), 4) AS user_share
+      FROM pf, tt ORDER BY fold""")),
+
+    // K20 — incremental NDV statistics (the ANALYZE TABLE that never
+    // rescans): each of 16 "files" keeps only its k = 256 smallest
+    // md5-fractions of o_custkey (a per-file KMV sketch); merging is
+    // "union the sketches, keep the k smallest" — associative, O(k) per
+    // file — and the merged estimate (k−1)/t_k lands next to the exact
+    // NDV it replaces. The merge is LOSSLESS for the global top-k (each
+    // global minimum survives its own file's cut), which is the law the
+    // spec asserts and the grade depends on. Everything is deterministic
+    // md5 math, so the ESTIMATE itself is graded, not just a band.
+    Q("k20_incremental_ndv", (s, dir) => {
+      val k = 256
+      val fc = t(s, dir, "orders")
+        .select((col("o_orderkey") % 16).as("file_id"), col("o_custkey"))
+        .distinct()
+        .withColumn("__frac", graft.operators.Sampling.hashFraction(
+          col("o_custkey").cast("string")))
+      val perFile = fc
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("file_id")
+            .orderBy(col("__frac"), col("o_custkey"))))
+        .filter(col("__rn") <= k)
+      // n < k: the sketch holds EVERY distinct value and the count IS the
+      // answer — the standard small-cardinality branch of KMV
+      val merged = perFile.select("__frac").distinct()
+        .withColumn("__rn", row_number().over(Window.orderBy("__frac")))
+        .filter(col("__rn") <= k)
+        .agg(count(lit(1)).as("__cnt"), max(col("__frac")).as("__t"))
+        .select(when(col("__cnt") < k, col("__cnt").cast("double"))
+          .otherwise(lit(k - 1) / col("__t")).as("__est"))
+      val exact = t(s, dir, "orders")
+        .agg(countDistinct("o_custkey").as("exact_ndv"))
+      exact.crossJoin(broadcast(merged))
+        .select(col("exact_ndv"),
+          round(col("__est"), 4).as("kmv_ndv"),
+          round(abs(col("__est") - col("exact_ndv")) /
+            col("exact_ndv"), 4).as("rel_error"))
+    }, Some("""
+      WITH fc AS (
+        SELECT DISTINCT o_orderkey % 16 AS file_id, o_custkey FROM orders),
+      fr AS (
+        SELECT file_id, o_custkey,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM fc),
+      pf AS (
+        SELECT * FROM (
+          SELECT file_id, frac,
+                 row_number() OVER (PARTITION BY file_id
+                                    ORDER BY frac, o_custkey) AS rn
+          FROM fr) WHERE rn <= 256),
+      mg AS (
+        SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 255 / max(frac) END AS est
+        FROM (
+          SELECT frac FROM (
+            SELECT frac, row_number() OVER (ORDER BY frac) AS rn
+            FROM (SELECT DISTINCT frac FROM pf)) WHERE rn <= 256)),
+      ex AS (SELECT count(DISTINCT o_custkey) AS exact_ndv FROM orders)
+      SELECT exact_ndv,
+             round(est, 4) AS kmv_ndv,
+             round(abs(est - exact_ndv) / exact_ndv, 4) AS rel_error
+      FROM ex, mg""")),
+
+    // W17 — bitemporal as-of: state "as KNOWN at T, effective at V" over
+    // versions carrying both a valid-time and a transaction-time axis —
+    // j9's SCD2 semantics plus the audit axis (what did we BELIEVE on
+    // date T, including corrections recorded later being invisible
+    // before their recorded_at). Versions derive from orders (every 7th
+    // key gets a retroactive +10 correction recorded 30 days after
+    // entry); the two graded query points straddle a correction wave, so
+    // the as-known-at filter provably changes the answer. One
+    // filter + keep-latest window per query point.
+    Q("w17_bitemporal_asof", (s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("d0"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = base.select(col("k"), col("d0").as("valid_from"),
+        col("d0").as("recorded_at"), col("cents"))
+      val v2 = base.filter(col("k") % 7 === 0)
+        .select(col("k"), expr("date_add(d0, 10)").as("valid_from"),
+          expr("date_add(d0, 30)").as("recorded_at"),
+          (col("cents") + 1000).as("cents"))
+      val versions = v1.unionByName(v2)
+        .localCheckpoint(eager = false) // both query points scan it
+      def asOf(label: String, t_ : String, v: String) = {
+        val w = Window.partitionBy("k")
+          .orderBy(col("valid_from").desc, col("recorded_at").desc)
+        versions
+          .filter(col("recorded_at") <= lit(t_) && col("valid_from") <= lit(v))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .groupBy()
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("recorded_at") =!= col("valid_from"), 1L)
+              .otherwise(0L)).as("n_corrected"),
+            sum(col("cents")).as("sum_cents"))
+          .withColumn("query_point", lit(label))
+      }
+      // both effective 1998-06-30; known-at differs by a correction wave
+      asOf("1_known_1998-07-05", "1998-07-05", "1998-06-30")
+        .unionByName(asOf("2_known_1998-12-31", "1998-12-31", "1998-06-30"))
+        .select("query_point", "n_keys", "n_corrected", "sum_cents")
+        .orderBy("query_point")
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d0,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      versions AS (
+        SELECT k, d0 AS valid_from, d0 AS recorded_at, cents FROM base
+        UNION ALL
+        SELECT k, d0 + 10, d0 + 30, cents + 1000 FROM base WHERE k % 7 = 0),
+      pts AS (
+        SELECT '1_known_1998-07-05' AS query_point,
+               DATE '1998-07-05' AS t, DATE '1998-06-30' AS v
+        UNION ALL
+        SELECT '2_known_1998-12-31', DATE '1998-12-31', DATE '1998-06-30'),
+      chosen AS (
+        SELECT * FROM (
+          SELECT p.query_point, ver.k, ver.recorded_at, ver.valid_from,
+                 ver.cents,
+                 row_number() OVER (PARTITION BY p.query_point, ver.k
+                   ORDER BY ver.valid_from DESC, ver.recorded_at DESC) AS rn
+          FROM pts p JOIN versions ver
+            ON ver.recorded_at <= p.t AND ver.valid_from <= p.v)
+        WHERE rn = 1)
+      SELECT query_point, count(*) AS n_keys,
+             CAST(sum(CASE WHEN recorded_at <> valid_from THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_corrected,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM chosen GROUP BY query_point ORDER BY query_point""")),
+
+    // ML10 — depth-1 decision tree (the Gini stump): the best single
+    // split of a quantized feature (n_chars bucketed by 50) predicting
+    // lang='en'. Per-bucket class counts come from ONE corpus aggregate;
+    // the split search is cumulative sums + an argmin over the ~12-row
+    // bucket table. Impurity arithmetic uses only IEEE *,/,+ over exact
+    // integer counts, so the doubles are bit-identical across engines and
+    // the argmin ordering cannot drift; reported impurities are
+    // floor-scaled to 1e6 integers (the repo's round()-ban discipline).
+    // At 100 TB the feature grid is FIXED (thresholds = bucket edges),
+    // so the window runs over a bounded table regardless of corpus size.
+    Q("ml10_decision_stump", (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(floor(col("n_chars") / 50).cast("long").as("b"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy("b").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val wCum = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val scored = per
+        .withColumn("nl", sum("n").over(wCum))
+        .withColumn("pl", sum("pos").over(wCum))
+        .withColumn("nt", sum("n").over(wAll))
+        .withColumn("pt", sum("pos").over(wAll))
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("pr", col("pt") - col("pl"))
+        .filter(col("nr") > 0)
+        .withColumn("cost",
+          lit(2.0) * col("pl") * (col("nl") - col("pl")) / col("nl")
+            + lit(2.0) * col("pr") * (col("nr") - col("pr")) / col("nr"))
+      scored
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("cost"), col("b"))))
+        .filter(col("__rn") === 1)
+        .select(((col("b") + 1) * 50).as("split_below_chars"),
+          col("nl").as("n_left"), col("pl").as("pos_left"),
+          col("nr").as("n_right"), col("pr").as("pos_right"),
+          floor(lit(2.0e6) * col("pt") * (col("nt") - col("pt"))
+            / col("nt") / col("nt")).cast("long").as("base_gini_e6"),
+          floor(col("cost") * lit(1.0e6) / col("nt"))
+            .cast("long").as("split_gini_e6"))
+    }, Some("""
+      WITH per AS (
+        SELECT CAST(floor(n_chars / 50) AS BIGINT) AS b,
+               count(*) AS n,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        FROM documents GROUP BY b),
+      cum AS (
+        SELECT b,
+               sum(n) OVER (ORDER BY b) AS nl,
+               sum(pos) OVER (ORDER BY b) AS pl,
+               sum(n) OVER () AS nt,
+               sum(pos) OVER () AS pt
+        FROM per),
+      sc AS (
+        SELECT b, nl, pl, nt, pt, nt - nl AS nr, pt - pl AS pr,
+               2.0 * pl * (nl - pl) / nl
+                 + 2.0 * (pt - pl) * ((nt - nl) - (pt - pl)) / (nt - nl)
+                 AS cost
+        FROM cum WHERE nt - nl > 0)
+      SELECT (b + 1) * 50 AS split_below_chars,
+             nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+             CAST(floor(2.0e6 * pt * (nt - pt) / nt / nt) AS BIGINT)
+               AS base_gini_e6,
+             CAST(floor(cost * 1.0e6 / nt) AS BIGINT) AS split_gini_e6
+      FROM sc ORDER BY cost, b LIMIT 1""")),
+
+    // K21 — k-anonymity audit: equivalence classes over the
+    // quasi-identifier (nation, market segment, account-balance band of
+    // 1000) and the re-identification risk histogram a data-governance
+    // gate reads before release. Classes of size 1 are unique rows
+    // (fully re-identifiable); the k >= 5 band is the conventional
+    // release bar. Two integer aggregates, both keyed — no global state.
+    Q("k21_k_anonymity", (s, dir) => {
+      val cls = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+      cls.select(
+        when(col("sz") === 1, "1_unique")
+          .when(col("sz") <= 4, "2_size_2_4")
+          .when(col("sz") <= 9, "3_size_5_9")
+          .otherwise("4_size_10_plus").as("risk_band"),
+        col("sz"))
+        .groupBy("risk_band")
+        .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"))
+        .orderBy("risk_band")
+    }, Some("""
+      WITH cls AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS sz
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT CASE WHEN sz = 1 THEN '1_unique'
+                  WHEN sz <= 4 THEN '2_size_2_4'
+                  WHEN sz <= 9 THEN '3_size_5_9'
+                  ELSE '4_size_10_plus' END AS risk_band,
+             count(*) AS n_classes, sum(sz) AS n_rows
+      FROM cls GROUP BY 1 ORDER BY 1""")),
+
+    // TX18 — PMI collocations: adjacent word pairs whose corpus lift
+    // c12·N / (c1·c2) (the exp of pointwise mutual information) marks
+    // them as phrases rather than chance neighbors — the phrase-mining
+    // pass a tokenizer-training pipeline runs before vocabulary
+    // construction. The c12 >= 5 support floor is applied BEFORE the
+    // unigram joins (the frequent-pair table is tiny; the joins never
+    // see the bigram long tail). Lift uses only IEEE *,/ over exact
+    // integer counts — bit-identical across engines — and is reported
+    // floor-scaled; ordering ties break on the words. Scale shape: two
+    // corpus-keyed aggregates + vocab-keyed joins + a global top-20.
+    Q("tx18_pmi_collocations", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = col("__w")
+      val uni = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(eager = false) // probed by both joins + the total
+      val ntot = uni.agg(sum("c1").as("__n"))
+      val bg = docs.select(split(col("text"), " ").as("__w"))
+        .select(explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1), i =>
+            struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      bg.join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c1").as("c2")), "w2")
+        .crossJoin(broadcast(ntot))
+        .withColumn("lift_e4",
+          floor(lit(1.0e4) * (col("c12").cast("double") * col("__n"))
+            / (col("c1").cast("double") * col("c2"))).cast("long"))
+        .select("w1", "w2", "c12", "c1", "c2", "lift_e4")
+        .orderBy(col("lift_e4").desc, col("w1"), col("w2"))
+        .limit(20)
+    }, Some("""
+      WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      uni AS (
+        SELECT tok, count(*) AS c1
+        FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY tok),
+      nt AS (SELECT sum(c1) AS n FROM uni),
+      bg AS (
+        SELECT w1, w2, count(*) AS c12 FROM (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2
+          FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 2)
+        GROUP BY w1, w2 HAVING count(*) >= 5)
+      SELECT w1, w2, c12, u1.c1 AS c1, u2.c1 AS c2,
+             CAST(floor(1.0e4 * (CAST(c12 AS DOUBLE) * n)
+                        / (CAST(u1.c1 AS DOUBLE) * u2.c1)) AS BIGINT)
+               AS lift_e4
+      FROM bg JOIN uni u1 ON bg.w1 = u1.tok
+              JOIN uni u2 ON bg.w2 = u2.tok
+              CROSS JOIN nt
+      ORDER BY lift_e4 DESC, w1, w2 LIMIT 20"""))
   )
 }

@@ -64,7 +64,10 @@ class AllPlansSpec extends AnyFunSuite {
     "dd23_blocking_quality" -> "four 1-row count-aggregate broadcasts (the audit's scalar metrics row)",
     "ix4_lm_retrieval" -> "3-row query-term × 1-row corpus-total broadcast (the docs×terms smoothing grid)",
     "emb2_cosine_histogram" -> "fixed 20-row probe-set broadcast (the sim5-style audit arm; work is 20 × corpus, linear)",
-    "pipe11_temporal_target_encoding" -> "1-row train-prior broadcast onto the bounded per-category table (ml6's smoothing move)")
+    "pipe11_temporal_target_encoding" -> "1-row train-prior broadcast onto the bounded per-category table (ml6's smoothing move)",
+    "sa13_group_kfold" -> "1-row total-distinct-users broadcast onto the 5-row fold table",
+    "k20_incremental_ndv" -> "1-row merged-sketch-estimate × 1-row exact-count broadcast (ks4's audit shape)",
+    "tx18_pmi_collocations" -> "1-row corpus-token-total broadcast onto the support-filtered pair table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -537,6 +537,121 @@ class TrendOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("files_scanned") < r.getAs[Long]("files_total")))
   }
 
+  // ------------------------------------------------------------------
+  // wave 9: sa13 / k20 / w17
+  // ------------------------------------------------------------------
+
+  test("sa13: folds partition users and events exactly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ev = t(s, dir, "events")
+    val out = run("sa13_group_kfold").collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum == ev.count())
+    // group folding: a user sits in exactly one fold, so per-fold user
+    // counts sum to the corpus-wide distinct count
+    assert(out.map(_.getAs[Long]("n_users")).sum ==
+      ev.select("user_id").distinct().count())
+  }
+
+  test("k20: per-file sketch merge is lossless for the global top-k") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val vals = (1 to 200).map(i => ((i % 16).toLong, (i * 37 % 101).toLong))
+      .toDF("file_id", "key").distinct()
+      .withColumn("frac", Sampling.hashFraction(col("key").cast("string")))
+    val global = vals.select("frac").distinct()
+      .orderBy("frac").limit(k).collect().map(_.getDouble(0)).toSeq
+    val perFile = vals.withColumn("rn", row_number().over(
+        Window.partitionBy("file_id").orderBy(col("frac"), col("key"))))
+      .filter(col("rn") <= k)
+    val merged = perFile.select("frac").distinct()
+      .orderBy("frac").limit(k).collect().map(_.getDouble(0)).toSeq
+    assert(merged == global) // each global minimum survives its file's cut
+  }
+
+  test("w17: the later knowledge date sees at least as many corrections") {
+    val out = run("w17_bitemporal_asof").collect()
+      .map(r => r.getAs[String]("query_point") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_corrected"),
+          r.getAs[Long]("sum_cents"))).toMap
+    val (k1, c1, s1) = out("1_known_1998-07-05")
+    val (k2, c2, s2) = out("2_known_1998-12-31")
+    assert(k1 == k2) // same effective date -> same key universe
+    assert(c2 >= c1) // corrections only become visible, never invisible
+    // every newly visible correction moves the checksum by exactly +1000
+    assert(s2 - s1 == (c2 - c1) * 1000)
+  }
+
+  // ------------------------------------------------------------------
+  // wave 10: ml10 / k21 / tx18
+  // ------------------------------------------------------------------
+
+  test("ml10: query's stump equals the brute-force best split") {
+    val s = spark
+    import graft.queries.Tables.t
+    val per = t(s, dir, "documents")
+      .select(floor(col("n_chars") / 50).cast("long").as("b"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("b").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nt = per.map(_._2).sum; val pt = per.map(_._3).sum
+    // brute-force: every prefix cut with a non-empty right side
+    val best = (1 until per.length).map { k =>
+      val pre = per.take(k)
+      val nl = pre.map(_._2).sum; val pl = pre.map(_._3).sum
+      val (nr, pr) = (nt - nl, pt - pl)
+      (2.0 * pl * (nl - pl) / nl + 2.0 * pr * (nr - pr) / nr, pre.last._1)
+    }.minBy(identity)
+    val got = run("ml10_decision_stump").collect().head
+    assert(got.getAs[Long]("split_below_chars") == (best._2 + 1) * 50)
+    assert(got.getAs[Long]("n_left") + got.getAs[Long]("n_right") == nt)
+    assert(got.getAs[Long]("split_gini_e6") <= got.getAs[Long]("base_gini_e6"))
+  }
+
+  test("k21: risk bands partition the customer table exactly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val cust = t(s, dir, "customer")
+    val out = run("k21_k_anonymity").collect()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == cust.count())
+    val nClasses = cust.select(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000)).distinct().count()
+    assert(out.map(_.getAs[Long]("n_classes")).sum == nClasses)
+    // a class in the size-s band contributes between s*1 and s*rows
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") >= r.getAs[Long]("n_classes"))
+    }
+  }
+
+  test("tx18: top collocation's counts match direct recomputation") {
+    val s = spark
+    import s.implicits._
+    import graft.queries.Tables.t
+    val out = run("tx18_pmi_collocations").collect()
+    assert(out.nonEmpty)
+    // lift is non-increasing down the report
+    val lifts = out.map(_.getAs[Long]("lift_e4")).toSeq
+    assert(lifts == lifts.sorted.reverse)
+    val top = out.head
+    val (w1, w2) = (top.getAs[String]("w1"), top.getAs[String]("w2"))
+    val toks = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("w")).cache()
+    val c1 = toks.select(explode(col("w")).as("t"))
+      .filter(col("t") === w1).count()
+    val c12 = toks.select(explode(
+      when(size(col("w")) >= 2, transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      .filter(col("bg") === s"$w1 $w2").count()
+    toks.unpersist()
+    assert(top.getAs[Long]("c1") == c1)
+    assert(top.getAs[Long]("c12") == c12 && c12 >= 5)
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Components, Dedup, Triangles}
@@ -1512,6 +1513,232 @@ object TrendQueries {
       FROM bg JOIN uni u1 ON bg.w1 = u1.tok
               JOIN uni u2 ON bg.w2 = u2.tok
               CROSS JOIN nt
-      ORDER BY lift_e4 DESC, w1, w2 LIMIT 20"""))
+      ORDER BY lift_e4 DESC, w1, w2 LIMIT 20""")),
+
+    // ATT1 — last-touch marketing attribution: each purchase's revenue is
+    // credited to the most recent preceding view/click by the same user
+    // within a 7-day lookback, else 'direct'. The "most recent touch" is
+    // ONE conditional max over a (unbounded, -1) frame — the carried value
+    // is a fixed-width-packed string (epoch|event_id|type) whose bytewise
+    // max IS the latest touch, so both engines resolve recency and ties
+    // identically with no IGNORE NULLS dependence. Epochs use the
+    // floor(epoch) convention everywhere (Spark's long cast floors;
+    // DuckDB's would half-round). One per-user window + one channel-grain
+    // aggregate — shuffle is user-keyed, the 100 TB shape.
+    Q("att1_last_touch_attribution", (s, dir) => {
+      val ep = col("ts").cast("long")
+      val touch = col("event_type").isin("view", "click")
+      val packed = when(touch, concat_ws("|",
+        lpad(ep.cast("string"), 10, "0"),
+        lpad(col("event_id").cast("string"), 8, "0"),
+        col("event_type")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"), ep.as("ep"), packed.as("pk"))
+        .withColumn("last_touch", max(col("pk")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("last_touch").isNotNull &&
+            col("ep") - substring(col("last_touch"), 1, 10).cast("long")
+              <= 604800,
+            substring(col("last_touch"), 21, 10)).otherwise("direct")
+            .as("channel"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").as("revenue_cents"))
+        .orderBy("channel")
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               CASE WHEN event_type IN ('view', 'click') THEN
+                 lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR),
+                      10, '0')
+                 || '|' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+                 || '|' || event_type
+               END AS pk
+        FROM events),
+      att AS (
+        SELECT event_type, value, ep,
+               max(pk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch
+        FROM ev)
+      SELECT CASE WHEN last_touch IS NOT NULL
+                   AND ep - CAST(substr(last_touch, 1, 10) AS BIGINT)
+                       <= 604800
+                  THEN substr(last_touch, 21, 10) ELSE 'direct' END
+               AS channel,
+             count(*) AS n_purchases,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM att WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1""")),
+
+    // K22 — columnar encoding audit: for each of 16 "files" (o_orderkey
+    // mod, ordered by key within the file — parquet-page locality), the
+    // bits/value that plain, dictionary, RLE, and zigzag-delta encoding
+    // would spend on o_custkey, from exact file-local statistics: value
+    // bit width via length(bin(v)) (no libm log2), run count via
+    // lag-change, delta width via the zigzag 2|d|+(d<0) of successive
+    // diffs. The report totals each encoding across files and counts the
+    // files where it wins (ties break on encoding name) — the decision
+    // table a format tuner reads. All windows are FILE-local (the scale
+    // unit); the final join is 4 encodings × 16 files.
+    Q("k22_encoding_audit", (s, dir) => {
+      val wf = Window.partitionBy("file_id").orderBy("o_orderkey")
+      val base = t(s, dir, "orders")
+        .select((col("o_orderkey") % 16).as("file_id"),
+          col("o_orderkey"), col("o_custkey").as("v"))
+        .withColumn("prev", lag("v", 1).over(wf))
+        .withColumn("chg", when(col("prev").isNull ||
+          col("v") =!= col("prev"), 1L).otherwise(0L))
+        .withColumn("d", col("v") - coalesce(col("prev"), lit(0L)))
+        .withColumn("zz", lit(2) * abs(col("d"))
+          + when(col("d") < 0, 1L).otherwise(0L))
+      val perFile = base.groupBy("file_id").agg(
+        count(lit(1)).as("n"),
+        countDistinct("v").as("ndv"),
+        sum("chg").as("runs"),
+        max(length(bin(col("v")))).as("vbits"),
+        max(length(bin(col("zz")))).as("dbits"))
+        .withColumn("nbits", length(bin(col("n"))).cast("long"))
+        .withColumn("plain", col("n") * col("vbits"))
+        .withColumn("dict", col("n") * length(bin(col("ndv") - 1))
+          + col("ndv") * col("vbits"))
+        .withColumn("rle", col("runs") * (col("vbits") + col("nbits")))
+        .withColumn("delta", col("n") * col("dbits"))
+      val costs = perFile.select(col("file_id"),
+        expr("stack(4, 'plain', plain, 'dict', dict, 'rle', rle," +
+          " 'delta', delta) AS (encoding, bits)"))
+      val wBest = Window.partitionBy("file_id")
+        .orderBy(col("bits"), col("encoding"))
+      val best = costs
+        .withColumn("__rn", row_number().over(wBest))
+        .filter(col("__rn") === 1)
+        .groupBy("encoding").agg(count(lit(1)).as("files_best"))
+      costs.groupBy("encoding").agg(sum("bits").as("total_bits"))
+        .join(best, Seq("encoding"), "left")
+        .select(col("encoding"), col("total_bits"),
+          coalesce(col("files_best"), lit(0L)).as("files_best"))
+        .orderBy("encoding")
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey % 16 AS file_id, o_orderkey, o_custkey AS v,
+               lag(o_custkey) OVER (PARTITION BY o_orderkey % 16
+                                    ORDER BY o_orderkey) AS prev
+        FROM orders),
+      z AS (
+        SELECT file_id, v,
+               CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END AS chg,
+               v - coalesce(prev, 0) AS d
+        FROM base),
+      pf AS (
+        SELECT file_id, count(*) AS n, count(DISTINCT v) AS ndv,
+               sum(chg) AS runs,
+               max(len(bin(v))) AS vbits,
+               max(len(bin(2 * abs(d)
+                 + CASE WHEN d < 0 THEN 1 ELSE 0 END))) AS dbits
+        FROM z GROUP BY file_id),
+      pc AS (
+        SELECT file_id, n, ndv, runs, vbits, dbits,
+               CAST(len(bin(n)) AS BIGINT) AS nbits
+        FROM pf),
+      costs AS (
+        SELECT file_id, 'plain' AS encoding,
+               CAST(n * vbits AS BIGINT) AS bits FROM pc
+        UNION ALL
+        SELECT file_id, 'dict',
+               CAST(n * len(bin(ndv - 1)) + ndv * vbits AS BIGINT) FROM pc
+        UNION ALL
+        SELECT file_id, 'rle',
+               CAST(runs * (vbits + nbits) AS BIGINT) FROM pc
+        UNION ALL
+        SELECT file_id, 'delta', CAST(n * dbits AS BIGINT) FROM pc),
+      best AS (
+        SELECT encoding, count(*) AS files_best FROM (
+          SELECT file_id, encoding,
+                 row_number() OVER (PARTITION BY file_id
+                                    ORDER BY bits, encoding) AS rn
+          FROM costs) WHERE rn = 1 GROUP BY encoding)
+      SELECT c.encoding, sum(c.bits) AS total_bits,
+             coalesce(any_value(b.files_best), 0) AS files_best
+      FROM costs c LEFT JOIN best b ON c.encoding = b.encoding
+      GROUP BY c.encoding ORDER BY c.encoding""")),
+
+    // K23 — merkle-style replica diff: both replicas fold each row into a
+    // 32-bit md5 checksum and aggregate (count, checksum-sum) per
+    // 4096-way key bucket; a bucket pair that agrees on both is provably
+    // in sync without a row compare, and the sync plan ships only the
+    // differing buckets' rows. Replica B plants deletions (every 97th
+    // key) and in-place updates (every 101st key's cents +5), so the
+    // report's rows_to_sync ≪ total rows IS the merkle win, graded. Two
+    // bucket-grain aggregates + one 4096-row join — the anti-entropy
+    // shape that replaces a full-table compare at 100 TB.
+    Q("k23_merkle_diff", (s, dir) => {
+      def sums(df: DataFrame, pre: String) = df
+        .withColumn("h", conv(substring(md5(
+          concat_ws("|", col("k"), col("cents")).cast("binary")), 1, 8),
+          16, 10).cast("long"))
+        .groupBy((col("k") % 4096).as("bucket"))
+        .agg(count(lit(1)).as(s"${pre}_cnt"), sum("h").as(s"${pre}_sum"))
+      val a = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = a.filter(col("k") % 97 =!= 0)
+        .withColumn("cents", when(col("k") % 101 === 0,
+          col("cents") + 5).otherwise(col("cents")))
+      sums(a, "a").join(sums(b, "b"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+          coalesce(col("b_cnt"), lit(0L)).as("b_cnt"),
+          (coalesce(col("a_cnt"), lit(0L)) =!= coalesce(col("b_cnt"), lit(0L))
+            || coalesce(col("a_sum"), lit(0L)) =!=
+               coalesce(col("b_sum"), lit(0L))).as("differs"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("differs"), 1L).otherwise(0L)).as("n_differ"),
+          sum(when(col("differs"), col("a_cnt")).otherwise(0L))
+            .as("rows_to_sync"),
+          sum("a_cnt").as("rows_total"))
+    }, Some("""
+      WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      b AS (
+        SELECT k, CASE WHEN k % 101 = 0 THEN cents + 5 ELSE cents END
+               AS cents
+        FROM a WHERE k % 97 <> 0),
+      ha AS (
+        SELECT k % 4096 AS bucket, count(*) AS cnt,
+               sum(CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                    substr(md5(CAST(k AS VARCHAR) || '|'
+                               || CAST(cents AS VARCHAR)), i, 1)) - 1)
+                 * CAST(16.0 ** (8 - i) AS BIGINT))) AS BIGINT)) AS s
+        FROM a GROUP BY 1),
+      hb AS (
+        SELECT k % 4096 AS bucket, count(*) AS cnt,
+               sum(CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                    substr(md5(CAST(k AS VARCHAR) || '|'
+                               || CAST(cents AS VARCHAR)), i, 1)) - 1)
+                 * CAST(16.0 ** (8 - i) AS BIGINT))) AS BIGINT)) AS s
+        FROM b GROUP BY 1),
+      j AS (
+        SELECT coalesce(ha.cnt, 0) AS a_cnt, coalesce(hb.cnt, 0) AS b_cnt,
+               (coalesce(ha.cnt, 0) <> coalesce(hb.cnt, 0)
+                OR coalesce(ha.s, 0) <> coalesce(hb.s, 0)) AS differs
+        FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket)
+      SELECT count(*) AS n_buckets,
+             CAST(sum(CASE WHEN differs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_differ,
+             CAST(sum(CASE WHEN differs THEN a_cnt ELSE 0 END) AS BIGINT)
+               AS rows_to_sync,
+             CAST(sum(a_cnt) AS BIGINT) AS rows_total
+      FROM j"""))
   )
 }

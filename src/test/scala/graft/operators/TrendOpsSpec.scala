@@ -652,6 +652,90 @@ class TrendOpsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("c12") == c12 && c12 >= 5)
   }
 
+  // ------------------------------------------------------------------
+  // wave 11: att1 / k22 / k23
+  // ------------------------------------------------------------------
+
+  test("att1: channels partition purchases; revenue reconciles exactly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ev = t(s, dir, "events")
+    val out = run("att1_last_touch_attribution").collect()
+    val purchases = ev.filter(col("event_type") === "purchase")
+    assert(out.map(_.getAs[Long]("n_purchases")).sum == purchases.count())
+    val cents = purchases
+      .agg(sum(floor(col("value") * 100).cast("long"))).collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum == cents)
+    // only touch types and 'direct' may ever be credited
+    assert(out.map(_.getAs[String]("channel")).toSet
+      .subsetOf(Set("view", "click", "direct")))
+  }
+
+  test("att1: hand fixture — recency, lookback expiry, and direct") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def at(daysBefore: Double) = new java.sql.Timestamp(
+      base.getTime - (daysBefore * 86400000L).toLong)
+    // u1: click then view then purchase -> view (most recent touch wins)
+    // u2: touch 8 days before purchase -> expired -> direct
+    // u3: purchase with no prior events -> direct
+    val ev = Seq(
+      (1L, at(2.0), 101L, "click", 0.0),
+      (1L, at(1.0), 102L, "view", 0.0),
+      (1L, at(0.0), 103L, "purchase", 10.0),
+      (2L, at(8.0), 201L, "view", 0.0),
+      (2L, at(0.0), 202L, "purchase", 20.0),
+      (3L, at(0.0), 301L, "purchase", 40.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val ep = col("ts").cast("long")
+    val touch = col("event_type").isin("view", "click")
+    val packed = when(touch, concat_ws("|",
+      lpad(ep.cast("string"), 10, "0"),
+      lpad(col("event_id").cast("string"), 8, "0"), col("event_type")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"), ep.as("ep"), packed.as("pk"))
+      .withColumn("last_touch", max(col("pk")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        when(col("last_touch").isNotNull &&
+          col("ep") - substring(col("last_touch"), 1, 10).cast("long")
+            <= 604800,
+          substring(col("last_touch"), 21, 10)).otherwise("direct")
+          .as("channel"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "view", 2L -> "direct", 3L -> "direct"))
+  }
+
+  test("k22: all four encodings reported; the 16 files have one winner each") {
+    val out = run("k22_encoding_audit").collect()
+    assert(out.map(_.getAs[String]("encoding")).toSet ==
+      Set("plain", "dict", "rle", "delta"))
+    // exactly 16 files, each with exactly one winner
+    assert(out.map(_.getAs[Long]("files_best")).sum == 16L)
+    out.foreach(r => assert(r.getAs[Long]("total_bits") > 0))
+  }
+
+  test("k23: planted deletions/updates are caught; clean buckets skipped") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("k23_merkle_diff").collect().head
+    val orders = t(s, dir, "orders")
+    val n = orders.count()
+    val planted = orders.filter(
+      col("o_orderkey") % 97 === 0 || col("o_orderkey") % 101 === 0).count()
+    assert(r.getAs[Long]("rows_total") == n)
+    // every planted change dirties its bucket, so sync mass covers at
+    // least the planted rows but far less than the table
+    assert(r.getAs[Long]("n_differ") >= 1)
+    assert(r.getAs[Long]("rows_to_sync") >= planted)
+    assert(r.getAs[Long]("rows_to_sync") < n)
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

@@ -1739,6 +1739,184 @@ object TrendQueries {
              CAST(sum(CASE WHEN differs THEN a_cnt ELSE 0 END) AS BIGINT)
                AS rows_to_sync,
              CAST(sum(a_cnt) AS BIGINT) AS rows_total
-      FROM j"""))
+      FROM j""")),
+
+    // ML11 — feature hashing (the hashing trick) collision audit: the
+    // nation×segment cross feature is hashed into 256 buckets by the
+    // md5-integer mod, and the report quantifies what the trick costs —
+    // features sharing a bucket, buckets carrying ≥2 features, the max
+    // pile-up, and the row mass landing in collided buckets. Two keyed
+    // integer aggregates (feature grain, then bucket grain); the hash is
+    // scan-side, so at 100 TB this is one pass over the dimension join.
+    Q("ml11_feature_hashing", (s, dir) => {
+      val feat = t(s, dir, "customer")
+        .select(concat_ws("&",
+          concat(lit("nat="), col("c_nationkey").cast("long")),
+          concat(lit("seg="), col("c_mktsegment"))).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("rows"))
+        .withColumn("bucket",
+          conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 256)
+      val perBucket = feat.groupBy("bucket")
+        .agg(count(lit(1)).as("nf"), sum("rows").as("nrows"))
+      perBucket.agg(
+        sum("nf").as("n_features"),
+        count(lit(1)).as("n_buckets_used"),
+        sum(when(col("nf") >= 2, 1L).otherwise(0L)).as("n_buckets_collided"),
+        sum(when(col("nf") >= 2, col("nf")).otherwise(0L))
+          .as("n_features_collided"),
+        max("nf").as("max_bucket_features"),
+        sum(when(col("nf") >= 2, col("nrows")).otherwise(0L))
+          .as("rows_in_collided"))
+    }, Some("""
+      WITH feat AS (
+        SELECT 'nat=' || CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)
+               || '&' || 'seg=' || c_mktsegment AS f,
+               count(*) AS rows_
+        FROM customer GROUP BY 1),
+      fb AS (
+        SELECT f, rows_,
+               CAST(list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef', substr(md5(f), i, 1)) - 1)
+                 * CAST(16.0 ** (8 - i) AS BIGINT))) AS BIGINT) % 256
+                 AS bucket
+        FROM feat),
+      pb AS (
+        SELECT bucket, count(*) AS nf, sum(rows_) AS nrows
+        FROM fb GROUP BY bucket)
+      SELECT CAST(sum(nf) AS BIGINT) AS n_features,
+             count(*) AS n_buckets_used,
+             CAST(sum(CASE WHEN nf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_collided,
+             CAST(sum(CASE WHEN nf >= 2 THEN nf ELSE 0 END) AS BIGINT)
+               AS n_features_collided,
+             max(nf) AS max_bucket_features,
+             CAST(sum(CASE WHEN nf >= 2 THEN nrows ELSE 0 END) AS BIGINT)
+               AS rows_in_collided
+      FROM pb""")),
+
+    // SA14 — Neyman sample allocation: a 10,000-row sample budget split
+    // across order-priority strata proportional to N_h·S_h (big, noisy
+    // strata earn more samples — the survey-sampling optimum). The
+    // variance path is engine-exact: integer cents sums and DECIMAL/
+    // HUGEINT sum-of-squares (too big for int64, NEVER summed as
+    // floating point — double sums are association-ordered and
+    // nondeterministic under partial aggregation), one identical double
+    // expression for variance, and sqrt — an IEEE-754 correctly-rounded
+    // op, unlike the banned libm ln/exp/pow. Weights are floored to
+    // integers BEFORE the cross-strata total so the final shares are
+    // integer-exact. One stratum-grain aggregate, 5-row everything-else.
+    Q("sa14_neyman_allocation", (s, dir) => {
+      val per = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("stratum"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("scc"))
+        .withColumn("variance",
+          (col("scc").cast("double")
+            - col("sc").cast("double") * col("sc") / col("n")) / col("n"))
+        .withColumn("w", floor(col("n") * sqrt(col("variance"))).cast("long"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      per.withColumn("wtot", sum("w").over(wAll))
+        .select(col("stratum"), col("n"),
+          floor(col("sc") / col("n")).cast("long").as("mean_cents"),
+          floor(sqrt(col("variance"))).cast("long").as("std_cents"),
+          floor(lit(10000) * col("w") / col("wtot")).cast("long")
+            .as("alloc"))
+        .orderBy("stratum")
+    }, Some("""
+      WITH per AS (
+        SELECT o_orderpriority AS stratum, count(*) AS n,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sc,
+               sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS BIGINT)) AS scc
+        FROM orders GROUP BY 1),
+      v AS (
+        SELECT stratum, n, sc,
+               (CAST(scc AS DOUBLE)
+                - CAST(sc AS DOUBLE) * sc / n) / n AS variance
+        FROM per),
+      w AS (
+        SELECT stratum, n, sc, variance,
+               CAST(floor(n * sqrt(variance)) AS BIGINT) AS w
+        FROM v)
+      SELECT stratum, n,
+             CAST(floor(CAST(sc AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+             CAST(floor(sqrt(variance)) AS BIGINT) AS std_cents,
+             CAST(floor(10000 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+               AS alloc
+      FROM w ORDER BY stratum""")),
+
+    // CS23 — Simpson's-paradox audit: the sign of the revenue-vs-time
+    // trend per order priority against the pooled sign — the aggregation
+    // reversal that invalidates a pooled conclusion. Only the OLS slope
+    // NUMERATOR n·Σxy − Σx·Σy is needed for the sign, and it is carried
+    // in DECIMAL/HUGEINT (n·Σxy overflows int64 at corpus scale; exact
+    // integer arithmetic end-to-end, no division anywhere). One
+    // group-grain aggregate + a 5-row window for the pooled recompose.
+    Q("cs23_simpsons_paradox", (s, dir) => {
+      val per = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+            .cast("long").as("x"),
+          floor(col("o_totalprice") * 100).cast("long").as("y"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      // keep the minus on the same line: a leading `- col(...)` would be
+      // parsed as its own (discarded) unary-minus statement
+      val num = (col("n").cast("decimal(38,0)") * col("sxy")) -
+        (col("sx").cast("decimal(38,0)") * col("sy"))
+      val pnum = (col("nt").cast("decimal(38,0)") * col("sxyt")) -
+        (col("sxt").cast("decimal(38,0)") * col("syt"))
+      per
+        .withColumn("nt", sum("n").over(wAll))
+        .withColumn("sxt", sum("sx").over(wAll))
+        .withColumn("syt", sum("sy").over(wAll))
+        .withColumn("sxyt", sum("sxy").over(wAll))
+        .select(col("grp"), col("n"),
+          when(num > 0, 1L).when(num < 0, -1L).otherwise(0L)
+            .as("group_sign"),
+          when(pnum > 0, 1L).when(pnum < 0, -1L).otherwise(0L)
+            .as("pooled_sign"))
+        .withColumn("is_flip",
+          col("group_sign") =!= lit(0L) &&
+            col("group_sign") =!= col("pooled_sign"))
+        .orderBy("grp")
+    }, Some("""
+      WITH per AS (
+        SELECT o_orderpriority AS grp, count(*) AS n,
+               sum(CAST(datediff('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) AS BIGINT)) AS sx,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sy,
+               sum(CAST(CAST(datediff('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS HUGEINT)
+                   * CAST(floor(o_totalprice * 100) AS BIGINT)) AS sxy
+        FROM orders GROUP BY 1),
+      tot AS (
+        SELECT sum(n) AS nt, sum(sx) AS sxt, sum(sy) AS syt,
+               sum(sxy) AS sxyt
+        FROM per),
+      sc AS (
+        SELECT grp, n,
+               CAST(n AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy AS num,
+               (SELECT CAST(nt AS HUGEINT) * sxyt
+                  - CAST(sxt AS HUGEINT) * syt FROM tot) AS pnum
+        FROM per)
+      SELECT grp, n,
+             CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                       ELSE 0 END AS BIGINT) AS group_sign,
+             CAST(CASE WHEN pnum > 0 THEN 1 WHEN pnum < 0 THEN -1
+                       ELSE 0 END AS BIGINT) AS pooled_sign,
+             (CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END <> 0
+              AND CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+                  <> CASE WHEN pnum > 0 THEN 1 WHEN pnum < 0 THEN -1
+                          ELSE 0 END) AS is_flip
+      FROM sc ORDER BY grp"""))
   )
 }

@@ -736,6 +736,60 @@ class TrendOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("rows_to_sync") < n)
   }
 
+  // ------------------------------------------------------------------
+  // wave 12: ml11 / sa14 / cs23
+  // ------------------------------------------------------------------
+
+  test("ml11: collision accounting is internally consistent") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("ml11_feature_hashing").collect().head
+    val nFeatures = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct().count()
+    assert(r.getAs[Long]("n_features") == nFeatures)
+    assert(r.getAs[Long]("n_buckets_used") <= 256)
+    // collided features sit in collided buckets, at least two per bucket
+    assert(r.getAs[Long]("n_features_collided") >=
+      2 * r.getAs[Long]("n_buckets_collided"))
+    assert(r.getAs[Long]("max_bucket_features") >= 1)
+  }
+
+  test("sa14: allocations respect the budget and favor big noisy strata") {
+    val out = run("sa14_neyman_allocation").collect()
+    assert(out.length == 5)
+    val total = out.map(_.getAs[Long]("alloc")).sum
+    // floors lose at most 4 of the 10000 budget across 5 strata
+    assert(total <= 10000 && total > 10000 - 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("std_cents") > 0)
+      assert(r.getAs[Long]("alloc") > 0)
+    }
+  }
+
+  test("cs23: pooled numerator recomposes from exact group sums") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs23_simpsons_paradox").collect()
+    assert(out.length == 5)
+    // one pooled sign, repeated on every row
+    assert(out.map(_.getAs[Long]("pooled_sign")).toSet.size == 1)
+    // recompute the pooled numerator exactly in BigInt from raw rows
+    val rows = t(s, dir, "orders")
+      .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("x"),
+        floor(col("o_totalprice") * 100).cast("long").as("y"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val n = BigInt(rows.length)
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxy = rows.map(p => p._1 * p._2).sum
+    val expected = (n * sxy - sx * sy).signum.toLong
+    assert(out.head.getAs[Long]("pooled_sign") == expected)
+    // flips only ever claimed for groups with a definite sign
+    out.foreach { r =>
+      if (r.getAs[Boolean]("is_flip")) assert(r.getAs[Long]("group_sign") != 0)
+    }
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

@@ -1917,6 +1917,208 @@ object TrendQueries {
               AND CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
                   <> CASE WHEN pnum > 0 THEN 1 WHEN pnum < 0 THEN -1
                           ELSE 0 END) AS is_flip
-      FROM sc ORDER BY grp"""))
+      FROM sc ORDER BY grp""")),
+
+    // GR12 — diameter probe by double-sweep BFS: one BFS from the minimum
+    // node finds the farthest vertex; a second BFS from THERE yields the
+    // classic diameter lower bound (exact on trees, near-exact on most
+    // real graphs) — two O(E·diam) sweeps instead of the all-pairs
+    // O(V·E) no one can run at scale. The second source is selected
+    // DISTRIBUTEDLY (a 1-row top-1 DataFrame feeds bfsLevels — no
+    // driver collect between sweeps); ties break (max dist, min node)
+    // identically in the oracle's recursive CTE.
+    Q("gr12_diameter_probe", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Components.docGraph(docs)
+      val src1 = docs.agg(min("doc_id").as("doc_id"))
+      val lv1 = Components.bfsLevels(edges, "a", "b", src1, "doc_id",
+        maxRounds = 16).localCheckpoint(eager = false)
+      val far = lv1.orderBy(col("dist").desc, col("node")).limit(1)
+        .select(col("node").as("doc_id"))
+      val lv2 = Components.bfsLevels(edges, "a", "b", far, "doc_id",
+        maxRounds = 16)
+      lv1.agg(max("dist").as("ecc_first"),
+          count(lit(1)).as("reached_first"))
+        .crossJoin(broadcast(lv2.agg(max("dist").as("diameter_lb"),
+          count(lit(1)).as("reached_second"))))
+    }, Some("""
+      WITH RECURSIVE
+      ids AS (SELECT doc_id FROM documents),
+      raw AS (
+        SELECT doc_id AS a, (doc_id * 7) % 499 AS b FROM ids
+        UNION ALL
+        SELECT doc_id, CAST(doc_id / 2 AS BIGINT) FROM ids
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, CAST(doc_id / 3 AS BIGINT) FROM ids
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      fwd AS (SELECT a, b FROM raw WHERE a <> b),
+      edges AS (SELECT a AS u, b AS v FROM fwd
+                UNION SELECT b, a FROM fwd),
+      r1(node, d) AS (
+        SELECT min(doc_id), 0 FROM ids
+        UNION
+        SELECT e.v, r.d + 1 FROM r1 r JOIN edges e ON e.u = r.node
+        WHERE r.d < 16),
+      lv1 AS (SELECT node, min(d) AS d FROM r1 GROUP BY node),
+      far AS (SELECT node FROM lv1 ORDER BY d DESC, node LIMIT 1),
+      r2(node, d) AS (
+        SELECT node, 0 FROM far
+        UNION
+        SELECT e.v, r.d + 1 FROM r2 r JOIN edges e ON e.u = r.node
+        WHERE r.d < 16),
+      lv2 AS (SELECT node, min(d) AS d FROM r2 GROUP BY node)
+      SELECT (SELECT CAST(max(d) AS INT) FROM lv1) AS ecc_first,
+             (SELECT count(*) FROM lv1) AS reached_first,
+             (SELECT CAST(max(d) AS INT) FROM lv2) AS diameter_lb,
+             (SELECT count(*) FROM lv2) AS reached_second""")),
+
+    // TX20 — RAKE keyphrases: candidate phrases are maximal stopword-free
+    // token runs (gaps-and-islands on a per-doc running stopword count —
+    // no UDF, no re-tokenization); each phrase type is scored by the
+    // ratio-of-sums Σdeg/Σfreq over its words (deg = co-occurrence mass,
+    // freq = corpus count — both exact integers, ONE division at the
+    // end; the per-word ratio sum of textbook RAKE is a float summation
+    // whose association order engines don't share). The stopword set is
+    // the language-marker union the langId heuristic already owns.
+    Q("tx20_rake_keyphrases", (s, dir) => {
+      val stop = graft.operators.TextAnalysis.langMarkers.flatMap(_._2)
+      val wSeq = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .withColumn("is_stop", col("tok").isin(stop: _*))
+        .withColumn("grp", sum(when(col("is_stop"), 1L).otherwise(0L))
+          .over(wSeq))
+        .filter(!col("is_stop"))
+      val inst = runs.groupBy("doc_id", "grp")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+          count(lit(1)).as("len"))
+        .filter(col("len") >= 2)
+        .localCheckpoint(eager = false) // feeds word stats AND phrase types
+      val wstat = inst
+        .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+        .groupBy("w").agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      val ptype = inst.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+      ptype.select(col("phrase"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(wstat, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(sum("deg").as("sumdeg"), sum("freq").as("sumfreq"))
+        .select(col("phrase"),
+          size(split(col("phrase"), " ")).cast("long").as("n_words"),
+          col("n_occ"),
+          floor(lit(1.0e4) * col("sumdeg") / col("sumfreq")).cast("long")
+            .as("score_e4"))
+        .orderBy(col("score_e4").desc, col("phrase"))
+        .limit(15)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, i AS pos, ws[i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(generate_series(1, len(ws))) AS t(i)),
+      g AS (
+        SELECT doc_id, pos, tok,
+               tok IN ('the','of','and','le','et','les','el','y','los',
+                       'der','und','die') AS is_stop,
+               sum(CASE WHEN tok IN ('the','of','and','le','et','les','el',
+                                     'y','los','der','und','die')
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM toks),
+      inst AS (
+        SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               count(*) AS len
+        FROM g WHERE NOT is_stop GROUP BY doc_id, grp
+        HAVING count(*) >= 2),
+      wstat AS (
+        SELECT w, count(*) AS freq, sum(len) AS deg
+        FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM inst)
+        GROUP BY w),
+      pt AS (SELECT phrase, count(*) AS n_occ FROM inst GROUP BY phrase),
+      tw AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+             FROM pt),
+      sc AS (
+        SELECT tw.phrase, tw.n_occ,
+               sum(deg) AS sumdeg, sum(freq) AS sumfreq
+        FROM tw JOIN wstat ON tw.w = wstat.w
+        GROUP BY tw.phrase, tw.n_occ)
+      SELECT phrase,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+             n_occ,
+             CAST(floor(1.0e4 * sumdeg / sumfreq) AS BIGINT) AS score_e4
+      FROM sc ORDER BY score_e4 DESC, phrase LIMIT 15""")),
+
+    // OL4 — Mahalanobis outliers on the (events-per-user, cents-per-user)
+    // plane: the 2-D generalization of ts8's z-score that catches points
+    // univariately normal but jointly absurd (e.g. huge spend on tiny
+    // activity). The 2×2 covariance comes from exact integer sums (one
+    // user-grain then one corpus aggregate); the inverse is the closed
+    // adjugate/det form, so d² per user is pure IEEE *,/,+,- over
+    // identical inputs — engine-bit-identical, no matrix library. The
+    // 1-row moment vector broadcasts onto the user table: one pass, no
+    // global sort, the 100 TB shape for any fixed-dim covariance.
+    Q("ol4_mahalanobis_outliers", (s, dir) => {
+      val per = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("x"), sum("cents").as("y"))
+      val mom = per.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val mx = col("sx").cast("double") / col("n")
+      val my = col("sy").cast("double") / col("n")
+      val cxx = col("sxx").cast("double") / col("n") - mx * mx
+      val cxy = col("sxy").cast("double") / col("n") - mx * my
+      val cyy = col("syy").cast("double") / col("n") - my * my
+      val det = cxx * cyy - cxy * cxy
+      val dx = col("x") - mx
+      val dy = col("y") - my
+      val d2 = (cyy * dx * dx - lit(2.0) * cxy * dx * dy + cxx * dy * dy) /
+        det
+      per.crossJoin(broadcast(mom))
+        .withColumn("d2", d2)
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("d2") > 9.0, 1L).otherwise(0L)).as("n_outliers"),
+          floor(lit(1.0e4) * max(col("d2"))).cast("long").as("max_d2_e4"))
+    }, Some("""
+      WITH per AS (
+        SELECT user_id, count(*) AS x,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY user_id),
+      mom AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM per),
+      d AS (
+        SELECT (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+                  * (CAST(sy AS DOUBLE) / n))
+                 * (x - CAST(sx AS DOUBLE) / n) * (x - CAST(sx AS DOUBLE) / n)
+               - 2.0 * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sy AS DOUBLE) / n))
+                 * (x - CAST(sx AS DOUBLE) / n) * (y - CAST(sy AS DOUBLE) / n)
+               + (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sx AS DOUBLE) / n))
+                 * (y - CAST(sy AS DOUBLE) / n) * (y - CAST(sy AS DOUBLE) / n)
+               AS qnum,
+               (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sx AS DOUBLE) / n))
+               * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+                  * (CAST(sy AS DOUBLE) / n))
+               - (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sy AS DOUBLE) / n))
+               * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                  * (CAST(sy AS DOUBLE) / n)) AS det
+        FROM per, mom)
+      SELECT count(*) AS n_users,
+             CAST(sum(CASE WHEN qnum / det > 9.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+             CAST(floor(1.0e4 * max(qnum / det)) AS BIGINT) AS max_d2_e4
+      FROM d"""))
   )
 }

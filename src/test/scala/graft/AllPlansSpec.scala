@@ -67,7 +67,9 @@ class AllPlansSpec extends AnyFunSuite {
     "pipe11_temporal_target_encoding" -> "1-row train-prior broadcast onto the bounded per-category table (ml6's smoothing move)",
     "sa13_group_kfold" -> "1-row total-distinct-users broadcast onto the 5-row fold table",
     "k20_incremental_ndv" -> "1-row merged-sketch-estimate × 1-row exact-count broadcast (ks4's audit shape)",
-    "tx18_pmi_collocations" -> "1-row corpus-token-total broadcast onto the support-filtered pair table")
+    "tx18_pmi_collocations" -> "1-row corpus-token-total broadcast onto the support-filtered pair table",
+    "gr12_diameter_probe" -> "1-row sweep-2 summary broadcast onto the 1-row sweep-1 summary",
+    "ol4_mahalanobis_outliers" -> "1-row moment-vector broadcast onto the user table (fixed-dim covariance)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -790,6 +790,82 @@ class TrendOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // wave 13: gr12 / tx20 / ol4
+  // ------------------------------------------------------------------
+
+  test("gr12: double sweep at least matches the first eccentricity") {
+    val r = run("gr12_diameter_probe").collect().head
+    val ecc = r.getAs[Int]("ecc_first").toLong
+    val diam = r.getAs[Int]("diameter_lb").toLong
+    // sweep 2 starts from a farthest node, so its eccentricity (the
+    // diameter lower bound) can only match or beat sweep 1's
+    assert(diam >= ecc)
+    assert(ecc >= 1)
+    // both sweeps explore the same component
+    assert(r.getAs[Long]("reached_first") == r.getAs[Long]("reached_second"))
+  }
+
+  test("gr12: path fixture — double sweep recovers the exact diameter") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3-4: from node 0 ecc=4; farthest=4; sweep2 ecc=4=diameter
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val src = Seq(0L).toDF("doc_id")
+    val lv1 = Components.bfsLevels(edges, "a", "b", src, "doc_id", 16)
+    val far = lv1.orderBy(col("dist").desc, col("node")).limit(1)
+      .select(col("node").as("doc_id"))
+    val lv2 = Components.bfsLevels(edges, "a", "b", far, "doc_id", 16)
+    assert(far.collect().head.getLong(0) == 4L)
+    assert(lv2.agg(max("dist")).collect().head.getInt(0) == 4)
+  }
+
+  test("tx20: phrases are stopword-free and scores are consistent") {
+    val out = run("tx20_rake_keyphrases").collect()
+    assert(out.nonEmpty && out.length <= 15)
+    val stop = TextAnalysis.langMarkers.flatMap(_._2).toSet
+    out.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.length >= 2 && words.length == r.getAs[Long]("n_words"))
+      assert(!words.exists(stop.contains))
+      assert(r.getAs[Long]("n_occ") >= 1)
+      // deg >= freq per word, so the ratio-of-sums score is >= 1e4
+      assert(r.getAs[Long]("score_e4") >= 10000L)
+    }
+    val scores = out.map(_.getAs[Long]("score_e4")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("ol4: a planted joint outlier is caught; clean data stays inside") {
+    val s = spark
+    import s.implicits._
+    // 60 users on the x=y diagonal (jointly consistent), one user far off
+    // the diagonal although marginally unremarkable
+    val per = ((1 to 60).map(i => (i.toLong, (10 + i % 5).toLong,
+      (1000 + (i % 5) * 100).toLong)) :+ (99L, 11L, 1400L))
+      .toDF("user_id", "x", "y")
+    val mom = per.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val mx = col("sx").cast("double") / col("n")
+    val my = col("sy").cast("double") / col("n")
+    val cxx = col("sxx").cast("double") / col("n") - mx * mx
+    val cxy = col("sxy").cast("double") / col("n") - mx * my
+    val cyy = col("syy").cast("double") / col("n") - my * my
+    val det = cxx * cyy - cxy * cxy
+    val dx = col("x") - mx
+    val dy = col("y") - my
+    val d2 = (cyy * dx * dx - lit(2.0) * cxy * dx * dy + cxx * dy * dy) / det
+    val rows = per.crossJoin(broadcast(mom)).withColumn("d2", d2)
+      .select("user_id", "d2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(99L) > 9.0)
+    assert(rows.count { case (_, v) => v > 9.0 } == 1)
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

@@ -2119,6 +2119,216 @@ object TrendQueries {
              CAST(sum(CASE WHEN qnum / det > 9.0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_outliers,
              CAST(floor(1.0e4 * max(qnum / det)) AS BIGINT) AS max_d2_e4
-      FROM d"""))
+      FROM d""")),
+
+    // W18 — Hamilton (largest-remainder) apportionment: split a
+    // 1000-seat budget across nations exactly proportional to customer
+    // count, in pure integers — floors by integer division, then the
+    // leftover seats go to the largest remainders (ties on nation key).
+    // This is the EXACT version of sa14's floor-allocation (which may
+    // leave budget on the table); Σ seats = budget is a law of the
+    // algorithm and the spec asserts it. One nation-grain aggregate and
+    // a 25-row window — allocation logic never touches corpus grain.
+    Q("w18_hamilton_apportionment", (s, dir) => {
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRem = Window.orderBy(col("rem").desc, col("nat"))
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nat"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ntot", sum("n").over(wAll))
+        .withColumn("fl", expr("(1000 * n) div ntot"))
+        .withColumn("rem", lit(1000) * col("n") - col("fl") * col("ntot"))
+        .withColumn("leftover", lit(1000) - sum("fl").over(wAll))
+        .withColumn("pos", row_number().over(wRem))
+        .select(col("nat"), col("n"), col("fl").as("floor_seats"),
+          when(col("pos") <= col("leftover"), 1L).otherwise(0L).as("extra"))
+        .withColumn("seats", col("floor_seats") + col("extra"))
+        .orderBy("nat")
+    }, Some("""
+      WITH per AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat, count(*) AS n
+        FROM customer GROUP BY 1),
+      q AS (
+        SELECT nat, n,
+               sum(n) OVER () AS ntot,
+               (1000 * n) // sum(n) OVER () AS fl
+        FROM per),
+      r AS (
+        SELECT nat, n, fl,
+               1000 * n - fl * ntot AS rem,
+               1000 - sum(fl) OVER () AS leftover
+        FROM q),
+      p AS (
+        SELECT nat, n, fl, leftover,
+               row_number() OVER (ORDER BY rem DESC, nat) AS pos
+        FROM r)
+      SELECT nat, n, CAST(fl AS BIGINT) AS floor_seats,
+             CAST(CASE WHEN pos <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+             CAST(fl + CASE WHEN pos <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS seats
+      FROM p ORDER BY nat""")),
+
+    // TS11 — lagged cross-correlation: Pearson r between the URGENT and
+    // LOW daily-revenue series at lags −3..+3 — the lead/lag screen run
+    // before any causal claim about two streams. Day alignment is an
+    // equi-join on the integer epoch-day + lag; every sum is carried in
+    // DECIMAL/HUGEINT (Σxy over cents² overflows int64 at corpus scale,
+    // and float sums are association-ordered), the variance/covariance
+    // composition happens once in doubles, and sqrt is IEEE-exact. One
+    // day-grain aggregate, then 7 × day-count join work on a bounded
+    // table.
+    Q("ts11_cross_correlation", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+            .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint(eager = false) // both series come off this frame
+      val x = daily.filter(col("pri") === "1-URGENT")
+        .select(col("d"), col("cents").as("xv"))
+      val y = daily.filter(col("pri") === "5-LOW")
+        .select(col("d").as("dy"), col("cents").as("yv"))
+      val lags = x.select(explode(sequence(lit(-3), lit(3))).as("lag"),
+        col("d"), col("xv"))
+      val j = lags.join(y, col("dy") === col("d") + col("lag"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum("xv").as("sx"), sum("yv").as("sy"),
+          sum(col("xv").cast("decimal(38,0)") * col("yv")).as("sxy"),
+          sum(col("xv").cast("decimal(38,0)") * col("xv")).as("sxx"),
+          sum(col("yv").cast("decimal(38,0)") * col("yv")).as("syy"))
+      val num = (col("n").cast("decimal(38,0)") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+      val vx = (col("n").cast("decimal(38,0)") * col("sxx") -
+        col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+      val vy = (col("n").cast("decimal(38,0)") * col("syy") -
+        col("sy").cast("decimal(38,0)") * col("sy")).cast("double")
+      j.select(col("lag").cast("long").as("lag"), col("n"),
+          floor(lit(1.0e6) * (num / (sqrt(vx) * sqrt(vy)))).cast("long")
+            .as("corr_e6"))
+        .orderBy("lag")
+    }, Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2),
+      x AS (SELECT d, cents AS xv FROM daily WHERE pri = '1-URGENT'),
+      y AS (SELECT d AS dy, cents AS yv FROM daily WHERE pri = '5-LOW'),
+      lx AS (
+        SELECT d, xv, lag
+        FROM x, UNNEST(generate_series(-3, 3)) AS t(lag)),
+      j AS (
+        SELECT lag, count(*) AS n, sum(xv) AS sx, sum(yv) AS sy,
+               sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+               sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+               sum(CAST(yv AS HUGEINT) * yv) AS syy
+        FROM lx JOIN y ON dy = d + lag
+        GROUP BY lag)
+      SELECT CAST(lag AS BIGINT) AS lag, n,
+             CAST(floor(1.0e6 *
+               (CAST(CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                   * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                          - CAST(sy AS HUGEINT) * sy AS DOUBLE)))))
+               AS BIGINT) AS corr_e6
+      FROM j ORDER BY lag""")),
+
+    // K24 — partition-granularity planner: for day / week / month
+    // partitioning of the orders table, the partitions touched and rows
+    // scanned by three canonical date-range probes (a month slice, a
+    // week slice, a full year) against the rows that actually match —
+    // the scan-amplification table that decides a table's partition
+    // scheme before anyone pays for the wrong one. A grid-aligned
+    // partition overlaps [s, e] iff trunc(s) <= p <= e, so "touched" is
+    // a range count over the partition-stats table (date_trunc week
+    // starts Monday on BOTH engines). Partition stats are one
+    // fact-grain aggregate per granularity; the 3-row probe dim
+    // broadcasts.
+    Q("k24_partition_planner", (s, dir) => {
+      val probes = Seq(
+        ("q1_month", "1997-02-15", "1997-03-15"),
+        ("q2_week", "1996-06-01", "1996-06-08"),
+        ("q3_year", "1998-01-01", "1998-12-31"))
+      val probeDf = s.createDataFrame(probes).toDF("probe", "ps", "pe")
+        .select(col("probe"), to_date(col("ps")).as("ps"),
+          to_date(col("pe")).as("pe"))
+      val dated = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("dt"))
+      val parts = Seq("day", "week", "month").map { g =>
+        dated.groupBy(date_trunc(g, col("dt")).cast("date").as("p"))
+          .agg(count(lit(1)).as("rows"))
+          .select(lit(g).as("gran"), col("p"), col("rows"))
+      }.reduce(_ unionByName _)
+        .localCheckpoint(eager = false) // probed once per range
+      val wTot = Window.partitionBy("gran")
+      val touched = parts
+        .withColumn("n_partitions", count(lit(1)).over(wTot))
+        .join(broadcast(probeDf),
+          col("p") >= when(col("gran") === "day",
+              date_trunc("day", col("ps")).cast("date"))
+            .when(col("gran") === "week",
+              date_trunc("week", col("ps")).cast("date"))
+            .otherwise(date_trunc("month", col("ps")).cast("date"))
+            && col("p") <= col("pe"))
+        .groupBy("gran", "probe")
+        .agg(max("n_partitions").as("n_partitions"),
+          count(lit(1)).as("parts_touched"),
+          sum("rows").as("rows_scanned"))
+      val matching = dated.crossJoin(broadcast(probeDf))
+        .filter(col("dt") >= col("ps") && col("dt") <= col("pe"))
+        .groupBy("probe").agg(count(lit(1)).as("rows_matching"))
+      touched.join(matching, "probe")
+        .select(col("gran"), col("probe"), col("n_partitions"),
+          col("parts_touched"), col("rows_scanned"), col("rows_matching"),
+          floor(lit(1.0e4) * col("rows_scanned") / col("rows_matching"))
+            .cast("long").as("amp_e4"))
+        .orderBy("gran", "probe")
+    }, Some("""
+      WITH probes AS (
+        SELECT 'q1_month' AS probe, DATE '1997-02-15' AS ps,
+               DATE '1997-03-15' AS pe
+        UNION ALL SELECT 'q2_week', DATE '1996-06-01', DATE '1996-06-08'
+        UNION ALL SELECT 'q3_year', DATE '1998-01-01', DATE '1998-12-31'),
+      dated AS (SELECT CAST(o_orderdate AS DATE) AS dt FROM orders),
+      parts AS (
+        SELECT 'day' AS gran, CAST(date_trunc('day', dt) AS DATE) AS p,
+               count(*) AS rows_
+        FROM dated GROUP BY 2
+        UNION ALL
+        SELECT 'week', CAST(date_trunc('week', dt) AS DATE), count(*)
+        FROM dated GROUP BY 2
+        UNION ALL
+        SELECT 'month', CAST(date_trunc('month', dt) AS DATE), count(*)
+        FROM dated GROUP BY 2),
+      tot AS (
+        SELECT gran, count(*) AS n_partitions FROM parts GROUP BY gran),
+      touched AS (
+        SELECT parts.gran, probe,
+               count(*) AS parts_touched, sum(rows_) AS rows_scanned
+        FROM parts JOIN probes
+          ON parts.p >= CASE parts.gran
+               WHEN 'day' THEN CAST(date_trunc('day', probes.ps) AS DATE)
+               WHEN 'week' THEN CAST(date_trunc('week', probes.ps) AS DATE)
+               ELSE CAST(date_trunc('month', probes.ps) AS DATE) END
+         AND parts.p <= probes.pe
+        GROUP BY 1, 2),
+      matching AS (
+        SELECT probe, count(*) AS rows_matching
+        FROM dated JOIN probes ON dt >= ps AND dt <= pe
+        GROUP BY 1)
+      SELECT t.gran, t.probe, tot.n_partitions, t.parts_touched,
+             CAST(t.rows_scanned AS BIGINT) AS rows_scanned,
+             m.rows_matching,
+             CAST(floor(1.0e4 * t.rows_scanned / m.rows_matching)
+                  AS BIGINT) AS amp_e4
+      FROM touched t JOIN tot ON t.gran = tot.gran
+                     JOIN matching m ON t.probe = m.probe
+      ORDER BY t.gran, t.probe"""))
   )
 }

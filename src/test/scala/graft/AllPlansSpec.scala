@@ -69,7 +69,8 @@ class AllPlansSpec extends AnyFunSuite {
     "k20_incremental_ndv" -> "1-row merged-sketch-estimate × 1-row exact-count broadcast (ks4's audit shape)",
     "tx18_pmi_collocations" -> "1-row corpus-token-total broadcast onto the support-filtered pair table",
     "gr12_diameter_probe" -> "1-row sweep-2 summary broadcast onto the 1-row sweep-1 summary",
-    "ol4_mahalanobis_outliers" -> "1-row moment-vector broadcast onto the user table (fixed-dim covariance)")
+    "ol4_mahalanobis_outliers" -> "1-row moment-vector broadcast onto the user table (fixed-dim covariance)",
+    "k24_partition_planner" -> "3-row probe-range dim broadcast (range join onto partition stats + match count)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -866,6 +866,73 @@ class TrendOpsSpec extends AnyFunSuite {
     assert(rows.count { case (_, v) => v > 9.0 } == 1)
   }
 
+  // ------------------------------------------------------------------
+  // wave 14: w18 / ts11 / k24
+  // ------------------------------------------------------------------
+
+  test("w18: seats sum exactly to the budget and respect floors") {
+    val out = run("w18_hamilton_apportionment").collect()
+    assert(out.map(_.getAs[Long]("seats")).sum == 1000L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("extra") == 0L || r.getAs[Long]("extra") == 1L)
+      assert(r.getAs[Long]("seats") >= r.getAs[Long]("floor_seats"))
+    }
+    // quota bound: every nation lands within 1 seat of exact proportion
+    val ntot = out.map(_.getAs[Long]("n")).sum
+    out.foreach { r =>
+      val quota = 1000.0 * r.getAs[Long]("n") / ntot
+      val seats = r.getAs[Long]("seats").toDouble
+      assert(seats >= math.floor(quota) && seats <= math.ceil(quota))
+    }
+  }
+
+  test("ts11: correlation bounded; lag 0 uses every matched day") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ts11_cross_correlation").collect()
+    assert(out.length == 7)
+    out.foreach { r =>
+      val c = r.getAs[Long]("corr_e6")
+      assert(c >= -1000000L && c <= 1000000L)
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // lag 0 matches exactly the intersection of the two day sets
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val urgent = daily.filter(col("pri") === "1-URGENT").select("d")
+    val low = daily.filter(col("pri") === "5-LOW").select("d")
+    val both = urgent.intersect(low).count()
+    val lag0 = out.find(_.getAs[Long]("lag") == 0L).get
+    assert(lag0.getAs[Long]("n") == both)
+  }
+
+  test("k24: amplification shrinks with finer granularity; matches invariant") {
+    val out = run("k24_partition_planner").collect()
+    assert(out.length == 9)
+    // rows_matching is a property of the probe, not the layout
+    out.groupBy(_.getAs[String]("probe")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rows_matching")).toSet.size == 1)
+      // scanned always covers matched
+      rs.foreach(r => assert(
+        r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching")))
+      // date-grained facts make day partitioning scan-exact, so day is
+      // a lower bound for every coarser grid (week vs month is NOT
+      // monotone — a week grid crossing a month boundary can scan more)
+      val byGran = rs.map(r =>
+        r.getAs[String]("gran") -> r.getAs[Long]("rows_scanned")).toMap
+      assert(byGran("day") <= byGran("week"))
+      assert(byGran("day") <= byGran("month"))
+      val dayRow = rs.find(_.getAs[String]("gran") == "day").get
+      assert(dayRow.getAs[Long]("amp_e4") == 10000L)
+    }
+    // more partitions at finer grain
+    val nParts = out.map(r =>
+      r.getAs[String]("gran") -> r.getAs[Long]("n_partitions")).toMap
+    assert(nParts("day") > nParts("week") && nParts("week") > nParts("month"))
+  }
+
   test("gr9: hand graph — square plus diagonal candidate") {
     val s = spark
     import s.implicits._

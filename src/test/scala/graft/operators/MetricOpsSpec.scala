@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, TestSpark}
+
+/** Invariants for the round-12 fifth-session metric waves — equal-credit
+  * attribution, Kendall tau-b, and concentration — the laws that must hold
+  * at any scale, complementing the DuckDB hash grade. */
+class MetricOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("att2: credited cents conserve the purchase mass exactly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("att2_linear_attribution").collect()
+    val channels = out.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("view", "click", "direct")))
+    val credited = out.map(_.getAs[Long]("credited_cents")).sum
+    val purchaseCents = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(credited == purchaseCents) // largest-remainder split loses nothing
+  }
+
+  test("att2: hand fixture — equal split, remainder to most recent, direct") {
+    val s = spark
+    import s.implicits._
+    // user A: purchase 101c after 3 touches in-window → 34/34/33 with the
+    // extra cents on the two MOST RECENT; user B: touch outside 7d → direct;
+    // user C: no touches → direct.
+    val rows = Seq(
+      ("A", 1L, 1000L, "view", 0.0),
+      ("A", 2L, 2000L, "click", 0.0),
+      ("A", 3L, 3000L, "view", 0.0),
+      ("A", 4L, 4000L, "purchase", 1.01),
+      ("B", 5L, 1000L, "click", 0.0),
+      ("B", 6L, 1000L + 604801L, "purchase", 0.50),
+      ("C", 7L, 9000L, "purchase", 0.25))
+      .toDF("user_id", "event_id", "ep", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    // run the registered query body against a substituted events table by
+    // replicating its logic on the fixture via a temp view is overkill —
+    // instead exercise the same plan through a parquet round-trip.
+    val tmp = java.nio.file.Files.createTempDirectory("att2fix").toString
+    rows.select("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("att2_linear_attribution")(s, tmp)
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_credits"), r.getAs[Long]("credited_cents")))).toMap
+    // A's 101c over 3 touches: base 33, remainder 2 → touches at ep 3000
+    // (view) and 2000 (click) get 34, ep 1000 (view) gets 33.
+    assert(out("view") == (2L, 67L))   // 34 + 33
+    assert(out("click") == (1L, 34L))
+    assert(out("direct") == (2L, 75L)) // 50 + 25
+  }
+
+  test("cs24: tau matches a brute-force recomputation and is bounded") {
+    val out = run("cs24_kendall_tau").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (nDays, nPairs) = (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"))
+    val (c, d) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))
+    assert(nPairs == nDays * (nDays - 1) / 2)
+    assert(c + d <= nPairs)
+    val tau = r.getAs[Long]("tau_b_e6")
+    assert(tau >= -1000000L && tau <= 1000000L)
+    // brute-force from the aligned series
+    val s = spark
+    import graft.queries.Tables.t
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val x = daily.filter(col("pri") === "1-URGENT")
+      .select("d", "cents").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val y = daily.filter(col("pri") === "5-LOW")
+      .select("d", "cents").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val al = x.keySet.intersect(y.keySet).toSeq.sorted.map(d => (x(d), y(d)))
+    var (bc, bd) = (0L, 0L)
+    for (i <- al.indices; k <- (i + 1) until al.length) {
+      val ((x1, y1), (x2, y2)) = (al(i), al(k))
+      if ((x1 < x2 && y1 < y2) || (x1 > x2 && y1 > y2)) bc += 1
+      else if ((x1 < x2 && y1 > y2) || (x1 > x2 && y1 < y2)) bd += 1
+    }
+    assert(nDays == al.length && c == bc && d == bd)
+    val n0 = al.length.toLong * (al.length - 1) / 2
+    val n1 = al.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n2 = al.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val bt = math.floor(1.0e6 * (bc - bd).toDouble /
+      math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)).toLong
+    assert(tau == bt)
+  }
+
+  test("cs25: HHI ≤ CR1 ≤ CR4 law; one nation recomputed brute-force") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs25_concentration").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (hhi, cr4) = (r.getAs[Long]("hhi_e6"), r.getAs[Long]("cr4_e6"))
+      val n = r.getAs[Long]("n_suppliers")
+      assert(hhi >= 0 && hhi <= 1000000L && cr4 >= 0 && cr4 <= 1000000L)
+      assert(hhi <= cr4 + 1) // shares law, 1 ulp floor slack
+      assert(hhi >= 1000000L / n - 1) // HHI ≥ 1/n
+      if (n <= 4) assert(cr4 == 1000000L)
+    }
+    // brute-force the first nation alphabetically
+    val target = out.head.getAs[String]("n_name")
+    val natKey = t(s, dir, "nation").filter(col("n_name") === target)
+      .collect()(0).getAs[Number]("n_nationkey").longValue
+    val suppKeys = t(s, dir, "supplier")
+      .filter(col("s_nationkey") === natKey)
+      .select("s_suppkey").collect().map(_.getAs[Number](0).longValue).toSet
+    val cents = t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getAs[Number]("l_suppkey").longValue -> r.getLong(1))
+      .filter(p => suppKeys(p._1)).sortBy(p => (-p._2, p._1)).map(_._2)
+    val tot = cents.sum
+    val hhi = math.floor(1.0e6 * cents.map(c => BigInt(c) * BigInt(c)).sum.toDouble /
+      (tot.toDouble * tot.toDouble)).toLong
+    val cr4 = math.floor(1.0e6 * cents.take(4).sum.toDouble / tot.toDouble).toLong
+    val row = out.head
+    assert(row.getAs[Long]("n_suppliers") == cents.length)
+    assert(row.getAs[Long]("total_cents") == tot)
+    assert(row.getAs[Long]("hhi_e6") == hhi)
+    assert(row.getAs[Long]("cr4_e6") == cr4)
+  }
+}

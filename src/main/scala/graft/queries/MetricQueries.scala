@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Components
 import Tables.t
 
 /** Round-12 fifth-session waves: exact-integer business metrics —
@@ -241,6 +242,199 @@ object MetricQueries {
              CAST(floor(1.0e6 * CAST(top4 AS DOUBLE) /
                CAST(total_cents AS DOUBLE)) AS BIGINT) AS cr4_e6
       FROM agg JOIN nation ON s_nationkey = n_nationkey
-      ORDER BY n_name"""))
+      ORDER BY n_name""")),
+
+    // GR13 — bipartiteness check by BFS parity: an undirected graph is
+    // bipartite iff no edge joins two nodes of equal BFS-layer parity, so
+    // one multi-source `Components.bfsLevels` sweep (gr2's fixture graph
+    // and seeds) plus one edge⋈levels join decides it — never an
+    // odd-cycle enumeration. Hop-bounded like every BFS here; the parity
+    // test only reads edges with BOTH endpoints reached, so the verdict is
+    // exact on the covered subgraph and the oracle chains the identical
+    // bound. Scale shape: BFS is frontier-sized work per round; the parity
+    // join is one node-keyed shuffle of the reached set.
+    Q("gr13_bipartite_check", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val fixture = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * 7) % 499).as("b"))
+      val sources = docs.filter(col("doc_id") % 125 === 0)
+      val lv = Components
+        .bfsLevels(fixture, "a", "b", sources, "doc_id", maxRounds = 6)
+        .localCheckpoint(eager = false) // feeds node counts + both ends
+      val und = fixture
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val oddEdges = und
+        .join(lv.select(col("node").as("u"), col("dist").as("du")), "u")
+        .join(lv.select(col("node").as("v"), col("dist").as("dv")), "v")
+        .agg(count(lit(1)).as("n_covered_edges"),
+          sum(when((col("du") + col("dv")) % 2 === 0, 1L).otherwise(0L))
+            .as("n_odd_edges"))
+      val nodes = lv.agg(count(lit(1)).as("n_reached"),
+        sum(when(col("dist") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when(col("dist") % 2 === 1, 1L).otherwise(0L)).as("n_odd"))
+      nodes.crossJoin(oddEdges)
+        .select(col("n_reached"), col("n_even"), col("n_odd"),
+          col("n_covered_edges"), col("n_odd_edges"),
+          when(col("n_odd_edges") === 0, 1L).otherwise(0L)
+            .as("bipartite"))
+    }, Some("""
+      WITH RECURSIVE
+      fixture AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      e2 AS (SELECT u, v FROM fixture UNION ALL SELECT v, u FROM fixture),
+      edges AS (SELECT u, v FROM e2 WHERE u <> v),
+      reach(node, d) AS (
+        SELECT DISTINCT doc_id, 0 FROM documents WHERE doc_id % 125 = 0
+        UNION
+        SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.d < 6),
+      lv AS (SELECT node, min(d) AS dist FROM reach GROUP BY node),
+      und AS (
+        SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        FROM fixture WHERE u <> v),
+      oe AS (
+        SELECT count(*) AS n_covered_edges,
+               sum(CASE WHEN (a.dist + b.dist) % 2 = 0 THEN 1 ELSE 0 END)
+                 AS n_odd_edges
+        FROM und JOIN lv a ON und.u = a.node
+                 JOIN lv b ON und.v = b.node),
+      nd AS (
+        SELECT count(*) AS n_reached,
+               sum(CASE WHEN dist % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+               sum(CASE WHEN dist % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+        FROM lv)
+      SELECT n_reached, CAST(n_even AS BIGINT) AS n_even,
+             CAST(n_odd AS BIGINT) AS n_odd, n_covered_edges,
+             CAST(n_odd_edges AS BIGINT) AS n_odd_edges,
+             CAST(CASE WHEN n_odd_edges = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS bipartite
+      FROM nd, oe""")),
+
+    // ML13 — precision/recall/F1 threshold sweep: the PR curve for the
+    // "long documents are English" one-feature classifier over a fixed
+    // 10-threshold grid. The corpus collapses to a bounded length
+    // histogram FIRST (one fact-grain aggregate); the sweep is then a
+    // 10-row grid range-joined onto that histogram plus a 1-row
+    // positive-total broadcast — the full curve costs one scan no matter
+    // how many thresholds. Every metric is an exact integer ratio
+    // (F1 = 2TP/(2TP+FP+FN) — never the float P·R composition),
+    // floor-scaled to 1e6; empty-prediction precision is pinned to 1e6 by
+    // convention on both engines.
+    Q("ml13_pr_sweep", (s, dir) => {
+      val hist = t(s, dir, "documents")
+        .groupBy(col("n_chars"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+          count(lit(1)).as("tot"))
+        .localCheckpoint(eager = false) // swept once per threshold
+      val totals = hist.agg(sum("pos").as("p_all")) // 1-row broadcast
+      val thr = s.range(0, 10).toDF("i")
+        .select((col("i") * 100).as("thr"))
+      val sweep = thr.join(hist, col("n_chars") >= col("thr"), "left")
+        .groupBy("thr")
+        .agg(coalesce(sum("pos"), lit(0L)).as("tp"),
+          coalesce(sum("tot"), lit(0L)).as("predpos"))
+      sweep.crossJoin(totals)
+        .select(col("thr"), col("tp"),
+          (col("predpos") - col("tp")).as("fp"),
+          (col("p_all") - col("tp")).as("fn"),
+          when(col("predpos") === 0, 1000000L)
+            .otherwise(floor(lit(1.0e6) * col("tp") / col("predpos"))
+              .cast("long")).as("precision_e6"),
+          floor(lit(1.0e6) * col("tp") / col("p_all")).cast("long")
+            .as("recall_e6"),
+          floor(lit(1.0e6) * 2 * col("tp") /
+            (lit(2) * col("tp") + (col("predpos") - col("tp")) +
+              (col("p_all") - col("tp")))).cast("long").as("f1_e6"))
+        .orderBy("thr")
+    }, Some("""
+      WITH hist AS (
+        SELECT n_chars,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+               count(*) AS tot
+        FROM documents GROUP BY 1),
+      totals AS (SELECT sum(pos) AS p_all FROM hist),
+      thr AS (SELECT i * 100 AS thr
+              FROM UNNEST(generate_series(0, 9)) AS t(i)),
+      sweep AS (
+        SELECT thr, coalesce(sum(pos), 0) AS tp,
+               coalesce(sum(tot), 0) AS predpos
+        FROM thr LEFT JOIN hist ON n_chars >= thr
+        GROUP BY 1)
+      SELECT thr, CAST(tp AS BIGINT) AS tp,
+             CAST(predpos - tp AS BIGINT) AS fp,
+             CAST(p_all - tp AS BIGINT) AS fn,
+             CAST(CASE WHEN predpos = 0 THEN 1000000
+                  ELSE floor(1.0e6 * tp / predpos) END AS BIGINT)
+               AS precision_e6,
+             CAST(floor(1.0e6 * tp / p_all) AS BIGINT) AS recall_e6,
+             CAST(floor(1.0e6 * 2 * tp /
+               (2 * tp + (predpos - tp) + (p_all - tp))) AS BIGINT)
+               AS f1_e6
+      FROM sweep, totals ORDER BY thr""")),
+
+    // OL5 — Tukey IQR fences: per-priority order-value outliers against
+    // the classic Q1−1.5·IQR / Q3+1.5·IQR box — the third robust-outlier
+    // convention alongside ol1's winsorize and ol2's MAD. Quartiles are
+    // POSITIONAL (value at rank ⌈n/4⌉ / ⌈3n/4⌉ — ts9's move; never
+    // percentile_cont, whose interpolation differs across engines) and
+    // the fences stay in integer half-cents (2·Q1 − 3·IQR) so the outlier
+    // comparison is exact integer arithmetic end to end. Scale shape: one
+    // per-priority sort window + a 5-row fence broadcast back onto the
+    // scan.
+    Q("ol5_iqr_fences", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("pri").orderBy("cents", "o_orderkey")
+      val qs = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("pri")))
+        .groupBy("pri")
+        .agg(max("cnt").as("n"),
+          max(when(col("rn") === expr("(cnt + 3) div 4"), col("cents")))
+            .as("q1_cents"),
+          max(when(col("rn") === expr("(3 * cnt + 3) div 4"), col("cents")))
+            .as("q3_cents"))
+      base.join(broadcast(qs), "pri")
+        .groupBy("pri")
+        .agg(max("n").as("n"),
+          max("q1_cents").as("q1_cents"), max("q3_cents").as("q3_cents"),
+          sum(when(lit(2) * col("cents") <
+            lit(2) * col("q1_cents") -
+              lit(3) * (col("q3_cents") - col("q1_cents")), 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(lit(2) * col("cents") >
+            lit(2) * col("q3_cents") +
+              lit(3) * (col("q3_cents") - col("q1_cents")), 1L)
+            .otherwise(0L)).as("n_high"))
+        .orderBy("pri")
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS pri, o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      r AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri
+                 ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY pri) AS cnt
+        FROM base),
+      qs AS (
+        SELECT pri, max(cnt) AS n,
+               max(CASE WHEN rn = (cnt + 3) // 4 THEN cents END) AS q1_cents,
+               max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN cents END)
+                 AS q3_cents
+        FROM r GROUP BY pri)
+      SELECT base.pri, max(n) AS n,
+             max(q1_cents) AS q1_cents, max(q3_cents) AS q3_cents,
+             CAST(sum(CASE WHEN 2 * cents <
+                    2 * q1_cents - 3 * (q3_cents - q1_cents)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN 2 * cents >
+                    2 * q3_cents + 3 * (q3_cents - q1_cents)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      FROM base JOIN qs ON base.pri = qs.pri
+      GROUP BY base.pri ORDER BY base.pri"""))
   )
 }

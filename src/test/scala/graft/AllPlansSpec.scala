@@ -71,7 +71,9 @@ class AllPlansSpec extends AnyFunSuite {
     "gr12_diameter_probe" -> "1-row sweep-2 summary broadcast onto the 1-row sweep-1 summary",
     "ol4_mahalanobis_outliers" -> "1-row moment-vector broadcast onto the user table (fixed-dim covariance)",
     "k24_partition_planner" -> "3-row probe-range dim broadcast (range join onto partition stats + match count)",
-    "cs24_kendall_tau" -> "bounded aligned-day self-pair cross (O(days²) on the calendar span, ts9's argument) + three 1-row stat broadcasts")
+    "cs24_kendall_tau" -> "bounded aligned-day self-pair cross (O(days²) on the calendar span, ts9's argument) + three 1-row stat broadcasts",
+    "gr13_bipartite_check" -> "1-row node-counts × 1-row odd-edge-counts broadcast (the verdict row)",
+    "ml13_pr_sweep" -> "10-row threshold-grid range join onto the bounded length histogram + 1-row positive-total broadcast")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

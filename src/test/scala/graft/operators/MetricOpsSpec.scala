@@ -132,4 +132,86 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("hhi_e6") == hhi)
     assert(row.getAs[Long]("cr4_e6") == cr4)
   }
+
+  // ------------------------------------------------------------------
+  // wave 16: gr13 / ml13 / ol5
+  // ------------------------------------------------------------------
+
+  test("gr13: node parity partitions the reached set; path fixture is bipartite") {
+    val out = run("gr13_bipartite_check").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_even") + r.getAs[Long]("n_odd") ==
+      r.getAs[Long]("n_reached"))
+    assert(r.getAs[Long]("n_odd_edges") <= r.getAs[Long]("n_covered_edges"))
+    assert(r.getAs[Long]("bipartite") ==
+      (if (r.getAs[Long]("n_odd_edges") == 0) 1L else 0L))
+    // hand fixture: an even cycle is bipartite, an odd cycle is not
+    val s = spark
+    import s.implicits._
+    def verdict(n: Int): (Long, Long) = {
+      val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+        .toDF("a", "b")
+      val lv = Components.bfsLevels(edges, "a", "b",
+        Seq(0L).toDF("src"), "src", maxRounds = n)
+      val und = edges.select(least($"a", $"b").as("u"),
+        greatest($"a", $"b").as("v")).distinct()
+      val odd = und
+        .join(lv.select($"node".as("u"), $"dist".as("du")), "u")
+        .join(lv.select($"node".as("v"), $"dist".as("dv")), "v")
+        .filter(($"du" + $"dv") % 2 === 0).count()
+      (lv.count(), odd)
+    }
+    assert(verdict(6) == (6L, 0L))  // even cycle: bipartite
+    assert(verdict(5)._2 > 0L)      // odd cycle: parity-equal edge exists
+  }
+
+  test("ml13: counts reconcile and recall is monotone non-increasing") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ml13_pr_sweep").collect().sortBy(_.getAs[Long]("thr"))
+    assert(out.length == 10)
+    val pAll = t(s, dir, "documents").filter(col("lang") === "en").count()
+    val nAll = t(s, dir, "documents").count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == pAll)
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") <= nAll)
+      assert(r.getAs[Long]("recall_e6") <= 1000000L)
+      assert(r.getAs[Long]("precision_e6") <= 1000000L)
+      // F1 is bounded by min(precision-ish, recall-ish): weaker integer law
+      assert(r.getAs[Long]("f1_e6") <= 1000000L)
+    }
+    // threshold 0 predicts everything positive: recall 1, tp = P
+    assert(out.head.getAs[Long]("tp") == pAll)
+    assert(out.head.getAs[Long]("recall_e6") == 1000000L)
+    // tp (and so recall) never increases as the threshold rises
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("tp") <= a.getAs[Long]("tp"))
+      assert(b.getAs[Long]("recall_e6") <= a.getAs[Long]("recall_e6"))
+    }
+  }
+
+  test("ol5: quartiles match a positional sort; fences classify exactly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ol5_iqr_fences").collect()
+    assert(out.nonEmpty)
+    val byPri = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getAs[String]("pri"))
+      .view.mapValues(_.map(_.getAs[Long]("cents")).sorted).toMap
+    out.foreach { r =>
+      val cents = byPri(r.getAs[String]("pri"))
+      val n = cents.length
+      assert(r.getAs[Long]("n") == n)
+      val q1 = cents((n + 3) / 4 - 1)
+      val q3 = cents((3 * n + 3) / 4 - 1)
+      assert(r.getAs[Long]("q1_cents") == q1)
+      assert(r.getAs[Long]("q3_cents") == q3)
+      val iqr = q3 - q1
+      assert(r.getAs[Long]("n_low") == cents.count(c => 2 * c < 2 * q1 - 3 * iqr))
+      assert(r.getAs[Long]("n_high") == cents.count(c => 2 * c > 2 * q3 + 3 * iqr))
+    }
+  }
 }

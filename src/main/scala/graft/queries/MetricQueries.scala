@@ -435,6 +435,196 @@ object MetricQueries {
                     2 * q3_cents + 3 * (q3_cents - q1_cents)
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM base JOIN qs ON base.pri = qs.pri
-      GROUP BY base.pri ORDER BY base.pri"""))
+      GROUP BY base.pri ORDER BY base.pri""")),
+
+    // TOK5 — vocabulary-coverage sweep: token-mass coverage and OOV rate
+    // at candidate vocab sizes 100..3200 — the curve that sizes a
+    // tokenizer's vocabulary before anyone trains one. The corpus
+    // collapses to the bounded (token, count) dictionary FIRST; ranking,
+    // the cumulative mass, and the 6-point sweep all run on that dictionary
+    // (ml13's histogram-then-grid shape). Rank ties break on the token
+    // string; every coverage number is an exact integer, OOV floor-scaled
+    // to 1e6.
+    Q("tok5_vocab_coverage", (s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val wR = Window.orderBy(col("c").desc, col("tok"))
+      val cum = vocab
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("cum", sum("c").over(
+          wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(eager = false) // swept once per vocab size
+      val totals = cum.agg(sum("c").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"))
+      val grid = s.createDataFrame(
+        Seq(100L, 200L, 400L, 800L, 1600L, 3200L).map(Tuple1(_)))
+        .toDF("vocab_k")
+      grid.join(cum, col("rn") <= col("vocab_k"), "left")
+        .groupBy("vocab_k")
+        .agg(count(col("rn")).as("covered_types"),
+          coalesce(max("cum"), lit(0L)).as("covered_tokens"))
+        .crossJoin(totals)
+        .select(col("vocab_k"), col("covered_types"), col("covered_tokens"),
+          col("total_tokens"), col("distinct_tokens"),
+          floor(lit(1.0e6) *
+            (col("total_tokens") - col("covered_tokens")) /
+            col("total_tokens")).cast("long").as("oov_e6"))
+        .orderBy("vocab_k")
+    }, Some("""
+      WITH vocab AS (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+      cum AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn,
+               sum(c) OVER (ORDER BY c DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM vocab),
+      totals AS (SELECT sum(c) AS total_tokens, count(*) AS distinct_tokens
+                 FROM vocab),
+      grid AS (SELECT unnest([100, 200, 400, 800, 1600, 3200]) AS vocab_k)
+      SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+             count(rn) AS covered_types,
+             CAST(coalesce(max(cum), 0) AS BIGINT) AS covered_tokens,
+             CAST(max(total_tokens) AS BIGINT) AS total_tokens,
+             max(distinct_tokens) AS distinct_tokens,
+             CAST(floor(1.0e6 * (max(total_tokens) - coalesce(max(cum), 0))
+                        / max(total_tokens)) AS BIGINT) AS oov_e6
+      FROM grid LEFT JOIN cum ON rn <= vocab_k CROSS JOIN totals
+      GROUP BY vocab_k ORDER BY vocab_k""")),
+
+    // CK4 — length-bucketed dynamic batching: bucket documents by
+    // token-length div 64, batch 32 per bucket in doc_id order, pad each
+    // batch to its own max — the padding-waste audit behind every dynamic
+    // batcher. Bucketing CAPS the waste: within a bucket lengths differ by
+    // < 64, so padded < 64·n_seqs is a LAW of the layout (the spec holds
+    // it), where naive fixed batching pays up to max_len per sequence.
+    // Scale shape: one corpus-grain length projection, one bucket-keyed
+    // window (each bucket sorts independently), one bounded rollup.
+    Q("ck4_bucketed_batching", (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+          .as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 64"))
+      val wB = Window.partitionBy("bucket").orderBy("doc_id")
+      tk.withColumn("rn", row_number().over(wB))
+        .withColumn("batch", expr("(rn - 1) div 32"))
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("bn"), max("n_tokens").as("bmax"),
+          sum("n_tokens").as("bsum"))
+        .groupBy("bucket")
+        .agg(sum("bn").as("n_seqs"),
+          count(lit(1)).as("n_batches"),
+          sum("bsum").as("sum_tokens"),
+          (sum(col("bn") * col("bmax")) - sum("bsum")).as("padded_tokens"))
+        .withColumn("util_e6",
+          floor(lit(1.0e6) * col("sum_tokens") /
+            (col("sum_tokens") + col("padded_tokens"))).cast("long"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) // 64 AS bucket
+        FROM documents),
+      ba AS (
+        SELECT bucket, n_tokens,
+               (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                 // 32 AS batch
+        FROM tk),
+      pb AS (
+        SELECT bucket, batch, count(*) AS bn, max(n_tokens) AS bmax,
+               sum(n_tokens) AS bsum
+        FROM ba GROUP BY 1, 2)
+      SELECT bucket, CAST(sum(bn) AS BIGINT) AS n_seqs,
+             count(*) AS n_batches,
+             CAST(sum(bsum) AS BIGINT) AS sum_tokens,
+             CAST(sum(bn * bmax) - sum(bsum) AS BIGINT) AS padded_tokens,
+             CAST(floor(1.0e6 * sum(bsum) /
+               (sum(bsum) + (sum(bn * bmax) - sum(bsum)))) AS BIGINT)
+               AS util_e6
+      FROM pb GROUP BY bucket ORDER BY bucket""")),
+
+    // HQ4 — equi-depth-histogram selectivity audit: build the 10-bucket
+    // equi-depth histogram a cost-based optimizer keeps (on the bounded
+    // $1000-grain bin table, hq1's move — never a corpus-wide sort), then
+    // grade its uniform-within-bucket range estimates against the exact
+    // counts for three canonical probes. est is composed once in doubles
+    // (identical expression both engines), the truth is an exact integer,
+    // and the error lands floor-scaled — the "how wrong is my CBO"
+    // number k24 decides partitioning with.
+    Q("hq4_selectivity_estimate", (s, dir) => {
+      val bins = t(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice) AS BIGINT) div 1000").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val wC = Window.orderBy("bin")
+      val buckets = bins
+        .withColumn("cum", sum("cnt").over(
+          wC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("cnt").over(
+          wC.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("bkt", expr("((cum - cnt) * 10) div n"))
+        .groupBy("bkt")
+        .agg(min("bin").as("lo"), max("bin").as("hi"),
+          sum("cnt").as("bcnt"), max("n").as("n"))
+        .localCheckpoint(eager = false) // probed once per range
+      val probes = s.createDataFrame(Seq(
+        ("p1_low", 0L, 50L), ("p2_mid", 100L, 200L),
+        ("p3_wide", 50L, 400L))).toDF("probe", "a", "b")
+      val est = buckets.join(broadcast(probes),
+        col("hi") + 1 > col("a") && col("lo") < col("b"))
+        .select(col("probe"), col("n"),
+          (col("bcnt").cast("double") *
+            (least(col("b"), col("hi") + 1) - greatest(col("a"), col("lo")))
+              .cast("double") /
+            (col("hi") + 1 - col("lo")).cast("double")).as("part"))
+        .groupBy("probe").agg(max("n").as("n"), sum("part").as("__est"))
+      val actual = bins.join(broadcast(probes),
+        col("bin") >= col("a") && col("bin") < col("b"))
+        .groupBy("probe").agg(sum("cnt").as("actual"))
+      est.join(actual, "probe")
+        .select(col("probe"), col("n"),
+          floor(lit(100.0) * col("__est")).cast("long").as("est_e2"),
+          col("actual"),
+          floor(lit(1.0e4) * abs(col("__est") - col("actual")) / col("n"))
+            .cast("long").as("err_e4"))
+        .orderBy("probe")
+    }, Some("""
+      WITH bins AS (
+        SELECT CAST(floor(o_totalprice) AS BIGINT) // 1000 AS bin,
+               count(*) AS cnt
+        FROM orders GROUP BY 1),
+      cc AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER () AS n
+        FROM bins),
+      buckets AS (
+        SELECT ((cum - cnt) * 10) // n AS bkt, min(bin) AS lo,
+               max(bin) AS hi, sum(cnt) AS bcnt, max(n) AS n
+        FROM cc GROUP BY 1),
+      probes AS (
+        SELECT 'p1_low' AS probe, 0 AS a, 50 AS b
+        UNION ALL SELECT 'p2_mid', 100, 200
+        UNION ALL SELECT 'p3_wide', 50, 400),
+      est AS (
+        SELECT probe, max(n) AS n,
+               sum(CAST(bcnt AS DOUBLE) *
+                   CAST(least(b, hi + 1) - greatest(a, lo) AS DOUBLE) /
+                   CAST(hi + 1 - lo AS DOUBLE)) AS e
+        FROM buckets JOIN probes ON hi + 1 > a AND lo < b
+        GROUP BY probe),
+      act AS (
+        SELECT probe, sum(cnt) AS actual
+        FROM bins JOIN probes ON bin >= a AND bin < b
+        GROUP BY probe)
+      SELECT probe, CAST(n AS BIGINT) AS n,
+             CAST(floor(100.0 * e) AS BIGINT) AS est_e2,
+             CAST(actual AS BIGINT) AS actual,
+             CAST(floor(1.0e4 * abs(e - actual) / n) AS BIGINT) AS err_e4
+      FROM est JOIN act USING (probe) ORDER BY probe"""))
   )
 }

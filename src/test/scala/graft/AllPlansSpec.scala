@@ -73,7 +73,9 @@ class AllPlansSpec extends AnyFunSuite {
     "k24_partition_planner" -> "3-row probe-range dim broadcast (range join onto partition stats + match count)",
     "cs24_kendall_tau" -> "bounded aligned-day self-pair cross (O(days²) on the calendar span, ts9's argument) + three 1-row stat broadcasts",
     "gr13_bipartite_check" -> "1-row node-counts × 1-row odd-edge-counts broadcast (the verdict row)",
-    "ml13_pr_sweep" -> "10-row threshold-grid range join onto the bounded length histogram + 1-row positive-total broadcast")
+    "ml13_pr_sweep" -> "10-row threshold-grid range join onto the bounded length histogram + 1-row positive-total broadcast",
+    "tok5_vocab_coverage" -> "6-row vocab-size grid range join onto the bounded token dictionary + 1-row totals broadcast",
+    "hq4_selectivity_estimate" -> "3-row probe-range broadcast onto the bounded histogram buckets/bins")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

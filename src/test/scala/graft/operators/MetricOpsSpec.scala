@@ -214,4 +214,80 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_high") == cents.count(c => 2 * c > 2 * q3 + 3 * iqr))
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 17: tok5 / ck4 / hq4
+  // ------------------------------------------------------------------
+
+  test("tok5: coverage is monotone in vocab size and matches brute force") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("tok5_vocab_coverage").collect().sortBy(_.getAs[Long]("vocab_k"))
+    assert(out.length == 6)
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .collect().map(_.getString(0))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (tk, c) => (-c, tk) }
+    val total = toks.length.toLong
+    out.foreach { r =>
+      val k = r.getAs[Long]("vocab_k").toInt
+      val cov = ranked.take(k).map(_._2).sum
+      assert(r.getAs[Long]("covered_tokens") == cov)
+      assert(r.getAs[Long]("covered_types") == math.min(k, ranked.length).toLong)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("distinct_tokens") == ranked.length.toLong)
+      assert(r.getAs[Long]("oov_e6") ==
+        math.floor(1.0e6 * (total - cov) / total).toLong)
+    }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("covered_tokens") >= a.getAs[Long]("covered_tokens"))
+      assert(b.getAs[Long]("oov_e6") <= a.getAs[Long]("oov_e6"))
+    }
+  }
+
+  test("ck4: bucketed padding obeys the <64/seq law and matches brute force") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ck4_bucketed_batching").collect()
+    assert(out.nonEmpty)
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBucket = tk.groupBy(_._2 / 64)
+    out.foreach { r =>
+      val bucket = r.getAs[Long]("bucket")
+      val seqs = byBucket(bucket).sortBy(_._1).map(_._2)
+      val batches = seqs.grouped(32).toSeq
+      val padded = batches.map(b => b.max * b.length - b.sum).sum
+      assert(r.getAs[Long]("n_seqs") == seqs.length.toLong)
+      assert(r.getAs[Long]("n_batches") == batches.length.toLong)
+      assert(r.getAs[Long]("sum_tokens") == seqs.sum)
+      assert(r.getAs[Long]("padded_tokens") == padded)
+      assert(padded < 64L * seqs.length) // bucket-width cap
+    }
+    assert(out.map(_.getAs[Long]("n_seqs")).sum == tk.length.toLong)
+  }
+
+  test("hq4: estimates are mass-bounded and the truth is exact") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("hq4_selectivity_estimate").collect()
+    assert(out.length == 3)
+    val bins = t(s, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice) AS BIGINT) div 1000").as("bin"))
+      .collect().map(_.getLong(0))
+    val n = bins.length.toLong
+    val probes = Map("p1_low" -> (0L, 50L), "p2_mid" -> (100L, 200L),
+      "p3_wide" -> (50L, 400L))
+    out.foreach { r =>
+      val (a, b) = probes(r.getAs[String]("probe"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("actual") == bins.count(x => x >= a && x < b).toLong)
+      // estimate can never exceed the table, and err is |est-actual|/n
+      assert(r.getAs[Long]("est_e2") >= 0 && r.getAs[Long]("est_e2") <= 100 * n)
+      assert(r.getAs[Long]("err_e4") <= 10000L)
+    }
+  }
 }

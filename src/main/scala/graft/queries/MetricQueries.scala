@@ -625,6 +625,194 @@ object MetricQueries {
              CAST(floor(100.0 * e) AS BIGINT) AS est_e2,
              CAST(actual AS BIGINT) AS actual,
              CAST(floor(1.0e4 * abs(e - actual) / n) AS BIGINT) AS err_e4
-      FROM est JOIN act USING (probe) ORDER BY probe"""))
+      FROM est JOIN act USING (probe) ORDER BY probe""")),
+
+    // W19 — D'Hondt (highest-averages) apportionment: the divisor-method
+    // counterpart of w18's Hamilton — the 1000 seats go to the 1000
+    // largest quotients n/d over divisors 1..1000. Each quotient is ONE
+    // IEEE division (identical on both engines) and the seat cut is a
+    // deterministic rank (ties break on nation, then divisor), so the
+    // allocation hash-grades; divisor methods favor large parties, and
+    // the spec proves the house-monotonicity law Hamilton lacks:
+    // n_i > n_j ⇒ seats_i ≥ seats_j. The quotient table is 25 nations ×
+    // 1000 divisors — bounded, never corpus-grain.
+    Q("w19_dhondt_apportionment", (s, dir) => {
+      val per = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nat"))
+        .agg(count(lit(1)).as("n"))
+      val wR = Window.orderBy(col("q").desc, col("nat"), col("dv"))
+      per.select(col("nat"), col("n"),
+          explode(sequence(lit(1L), lit(1000L))).as("dv"))
+        .withColumn("q", col("n").cast("double") / col("dv").cast("double"))
+        .withColumn("rn", row_number().over(wR))
+        .filter(col("rn") <= 1000)
+        .groupBy("nat")
+        .agg(max("n").as("n"), count(lit(1)).as("seats"))
+        .orderBy("nat")
+    }, Some("""
+      WITH per AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat, count(*) AS n
+        FROM customer GROUP BY 1),
+      quot AS (
+        SELECT nat, n, dv,
+               CAST(n AS DOUBLE) / CAST(dv AS DOUBLE) AS q
+        FROM per, UNNEST(generate_series(1, 1000)) AS t(dv)),
+      r AS (
+        SELECT nat, n,
+               row_number() OVER (ORDER BY q DESC, nat, dv) AS rn
+        FROM quot)
+      SELECT nat, n, count(*) AS seats
+      FROM r WHERE rn <= 1000
+      GROUP BY nat, n ORDER BY nat""")),
+
+    // J13 — bloom-filter semi-join audit: the runtime-filter economics
+    // behind every shuffle-pruning join. A 8192-bit, 3-hash bloom is built
+    // from the dim side (customers of nation 7) as a POSITION SET — the
+    // distributed form of a bitset OR — and every fact key probes it
+    // scan-side; rows failing any hash never reach the real join. The
+    // audit grades what matters: zero false negatives (a LAW of bloom
+    // filters — the spec and the candidates ⊇ matches column hold it) and
+    // the measured false-positive cost. Hashes are md5 hex slices, the
+    // engine-portable convention (ml11's), never JVM hashCode.
+    Q("j13_bloom_semi_join", (s, dir) => {
+      def positions(df: org.apache.spark.sql.DataFrame, keyCol: String) = df
+        .select(col(keyCol).cast("long").as("k"))
+        .distinct()
+        .select(col("k"), explode(array(lit(1), lit(9), lit(17))).as("off"))
+        .withColumn("p", expr(
+          "CAST(conv(substring(md5(CAST(CAST(k AS STRING) AS BINARY)), " +
+            "off, 8), 16, 10) AS BIGINT) % 8192"))
+      val dimKeys = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 7)
+        .select(col("c_custkey").cast("long").as("dk")).distinct()
+        .localCheckpoint(eager = false) // builds the bits AND the truth
+      val bits = positions(dimKeys, "dk").select(col("p")).distinct()
+      val probe = positions(t(s, dir, "orders"), "o_custkey")
+        .join(broadcast(bits.withColumnRenamed("p", "bp")),
+          col("p") === col("bp"), "left")
+        .groupBy("k")
+        .agg(count(col("bp")).as("hits"))
+        .withColumn("candidate", col("hits") === 3)
+      val flagged = probe
+        .join(dimKeys.withColumnRenamed("dk", "k")
+          .withColumn("truth", lit(true)), Seq("k"), "left")
+        .withColumn("truth", coalesce(col("truth"), lit(false)))
+      val nBits = bits.agg(count(lit(1)).as("bits_set"))
+      flagged.agg(
+        count(lit(1)).as("n_fact_keys"),
+        sum(when(col("candidate"), 1L).otherwise(0L)).as("candidates"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("true_matches"),
+        sum(when(col("candidate") && !col("truth"), 1L).otherwise(0L))
+          .as("false_positives"),
+        sum(when(!col("candidate") && col("truth"), 1L).otherwise(0L))
+          .as("false_negatives"))
+        .crossJoin(nBits)
+        .select(col("n_fact_keys"), col("bits_set"), col("candidates"),
+          col("true_matches"), col("false_positives"),
+          col("false_negatives"),
+          floor(lit(1.0e6) * col("false_positives") /
+            (col("n_fact_keys") - col("true_matches"))).cast("long")
+            .as("fp_rate_e6"))
+    }, Some("""
+      WITH hexpos AS (
+        SELECT k, off,
+               CAST(list_sum(list_transform(generate_series(0, 7), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(k AS VARCHAR)), off + i, 1)) - 1)
+                 * CAST(16.0 ** (7 - i) AS BIGINT))) AS BIGINT) % 8192 AS p
+        FROM (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+              FROM customer WHERE c_nationkey = 7),
+             UNNEST([1, 9, 17]) AS t(off)),
+      bits AS (SELECT DISTINCT p FROM hexpos),
+      dimkeys AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS dk
+                  FROM customer WHERE c_nationkey = 7),
+      factpos AS (
+        SELECT k, off,
+               CAST(list_sum(list_transform(generate_series(0, 7), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(k AS VARCHAR)), off + i, 1)) - 1)
+                 * CAST(16.0 ** (7 - i) AS BIGINT))) AS BIGINT) % 8192 AS p
+        FROM (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders),
+             UNNEST([1, 9, 17]) AS t(off)),
+      probe AS (
+        SELECT f.k, count(b.p) AS hits
+        FROM factpos f LEFT JOIN bits b ON f.p = b.p
+        GROUP BY f.k),
+      flagged AS (
+        SELECT p.k, p.hits = 3 AS candidate, d.dk IS NOT NULL AS truth
+        FROM probe p LEFT JOIN dimkeys d ON p.k = d.dk),
+      agg AS (
+        SELECT count(*) AS n_fact_keys,
+               sum(CASE WHEN candidate THEN 1 ELSE 0 END) AS candidates,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS true_matches,
+               sum(CASE WHEN candidate AND NOT truth THEN 1 ELSE 0 END)
+                 AS false_positives,
+               sum(CASE WHEN NOT candidate AND truth THEN 1 ELSE 0 END)
+                 AS false_negatives
+        FROM flagged),
+      nb AS (SELECT count(*) AS bits_set FROM bits)
+      SELECT n_fact_keys, bits_set,
+             CAST(candidates AS BIGINT) AS candidates,
+             CAST(true_matches AS BIGINT) AS true_matches,
+             CAST(false_positives AS BIGINT) AS false_positives,
+             CAST(false_negatives AS BIGINT) AS false_negatives,
+             CAST(floor(1.0e6 * false_positives /
+               (n_fact_keys - true_matches)) AS BIGINT) AS fp_rate_e6
+      FROM agg, nb""")),
+
+    // TS12 — Durbin–Watson serial-correlation diagnostic on the URGENT
+    // daily-revenue deviations from the series mean: DW =
+    // Σ(Δe)²/Σe² ∈ [0,4], the first thing to check before trusting any
+    // OLS error bar on a time series. Engine parity: deviations are
+    // SCALED to exact integers (e_t = n·y_t − Σy — multiplying through by
+    // n cancels in the ratio), both quadratic sums ride DECIMAL/HUGEINT
+    // (squares cross int64), and ONE double division ends the query.
+    // Scale shape: a day-grain aggregate, a 1-row total broadcast, and a
+    // lag window over the bounded day table.
+    Q("ts12_durbin_watson", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      val dev = daily.crossJoin(broadcast(tot))
+        .select(col("d"), col("n"),
+          (col("n") * col("y") - col("sy")).as("e"))
+      val w = Window.orderBy("d")
+      dev.withColumn("prev", lag("e", 1).over(w))
+        .agg(max("n").as("n_days"),
+          sum(col("e").cast("decimal(38,0)") * col("e")).as("__den"),
+          sum(((col("e") - col("prev")).cast("decimal(38,0)") *
+            (col("e") - col("prev")))).as("__num"))
+        .select(col("n_days"),
+          floor(lit(1.0e6) * col("__num").cast("double") /
+            col("__den").cast("double")).cast("long").as("dw_e6"),
+          floor(lit(1.0e6) * (lit(1.0) - col("__num").cast("double") /
+            col("__den").cast("double") / lit(2.0))).cast("long")
+            .as("rho_e6"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      tot AS (SELECT count(*) AS n, sum(y) AS sy FROM daily),
+      dev AS (
+        SELECT d, n, n * y - sy AS e
+        FROM daily, tot),
+      lagd AS (
+        SELECT n, e, lag(e) OVER (ORDER BY d) AS prev
+        FROM dev)
+      SELECT max(n) AS n_days,
+             CAST(floor(1.0e6 *
+               CAST(sum(CAST(e - prev AS HUGEINT) * (e - prev)) AS DOUBLE) /
+               CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE)) AS BIGINT)
+               AS dw_e6,
+             CAST(floor(1.0e6 * (1.0 -
+               CAST(sum(CAST(e - prev AS HUGEINT) * (e - prev)) AS DOUBLE) /
+               CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE) / 2.0))
+               AS BIGINT) AS rho_e6
+      FROM lagd"""))
   )
 }

@@ -75,7 +75,9 @@ class AllPlansSpec extends AnyFunSuite {
     "gr13_bipartite_check" -> "1-row node-counts × 1-row odd-edge-counts broadcast (the verdict row)",
     "ml13_pr_sweep" -> "10-row threshold-grid range join onto the bounded length histogram + 1-row positive-total broadcast",
     "tok5_vocab_coverage" -> "6-row vocab-size grid range join onto the bounded token dictionary + 1-row totals broadcast",
-    "hq4_selectivity_estimate" -> "3-row probe-range broadcast onto the bounded histogram buckets/bins")
+    "hq4_selectivity_estimate" -> "3-row probe-range broadcast onto the bounded histogram buckets/bins",
+    "j13_bloom_semi_join" -> "1-row metrics × 1-row bits-set-count broadcast (the audit verdict row)",
+    "ts12_durbin_watson" -> "1-row (n, Σy) total broadcast onto the bounded day table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -290,4 +290,59 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("err_e4") <= 10000L)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 18: w19 / j13 / ts12
+  // ------------------------------------------------------------------
+
+  test("w19: seats sum to the budget; divisor method is house-monotone") {
+    val out = run("w19_dhondt_apportionment").collect()
+    assert(out.map(_.getAs[Long]("seats")).sum == 1000L)
+    // n_i > n_j ⇒ seats_i ≥ seats_j (true for every divisor method)
+    for (a <- out; b <- out if a.getAs[Long]("n") > b.getAs[Long]("n"))
+      assert(a.getAs[Long]("seats") >= b.getAs[Long]("seats"))
+    // brute-force D'Hondt on the collected counts
+    val counts = out.map(r => r.getAs[Long]("nat") -> r.getAs[Long]("n"))
+    val quot = for ((nat, n) <- counts; d <- 1L to 1000L)
+      yield (n.toDouble / d.toDouble, nat, d)
+    val win = quot.sortBy { case (q, nat, d) => (-q, nat, d) }.take(1000)
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.foreach(r =>
+      assert(r.getAs[Long]("seats") == win.getOrElse(r.getAs[Long]("nat"), 0L)))
+  }
+
+  test("j13: bloom has zero false negatives and candidates cover matches") {
+    val out = run("j13_bloom_semi_join").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("false_negatives") == 0L) // the bloom law
+    assert(r.getAs[Long]("candidates") ==
+      r.getAs[Long]("true_matches") + r.getAs[Long]("false_positives"))
+    assert(r.getAs[Long]("bits_set") <= 8192L)
+    assert(r.getAs[Long]("true_matches") > 0L)
+    assert(r.getAs[Long]("n_fact_keys") >= r.getAs[Long]("candidates"))
+  }
+
+  test("ts12: DW matches brute force and sits in [0,4]") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ts12_durbin_watson").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("dw_e6") >= 0L && r.getAs[Long]("dw_e6") <= 4000000L)
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val sy = daily.map(_._2).sum
+    val e = daily.map { case (_, y) => BigInt(n * y - sy) }
+    val den = e.map(x => x * x).sum
+    val num = e.zip(e.drop(1)).map { case (a, b) => (b - a) * (b - a) }.sum
+    val dw = math.floor(1.0e6 * num.toDouble / den.toDouble).toLong
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("dw_e6") == dw)
+  }
 }

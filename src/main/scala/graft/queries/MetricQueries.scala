@@ -813,6 +813,212 @@ object MetricQueries {
                CAST(sum(CAST(e - prev AS HUGEINT) * (e - prev)) AS DOUBLE) /
                CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE) / 2.0))
                AS BIGINT) AS rho_e6
-      FROM lagd"""))
+      FROM lagd""")),
+
+    // CS26 — Mann–Whitney U (Wilcoxon rank-sum) with tie correction:
+    // do 'R'-flagged line items ship in different quantities than 'N'?
+    // Quantities are a 50-value grid, so ranking happens at VALUE grain
+    // (one corpus-scale groupBy, then a 50-row window) — never a global
+    // sort of the corpus. Midranks ride the ×2 trick: for a value with
+    // cumLess items below and tn tied, midrank·2 = 2·cumLess + tn + 1 is
+    // an exact integer, so U·2, the tie term Σ(t³−t), and the variance
+    // numerator/denominator are all exact DECIMAL/HUGEINT; the z-score is
+    // ONE double division + sqrt at the very end, written with identical
+    // op order in both engines.
+    Q("cs26_mann_whitney", (s, dir) => {
+      val perVal = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select(col("l_quantity").cast("long").as("q"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isr"))
+        .groupBy("q")
+        .agg(sum(col("isr")).as("na"),
+          sum(lit(1L) - col("isr")).as("nb"),
+          count(lit(1)).as("tn"))
+      val wOrd = Window.orderBy("q")
+      val ranked = perVal
+        .withColumn("cumless", coalesce(sum("tn").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cumless") + col("tn") + lit(1L))
+      ranked.agg(
+          sum("na").as("n_a"), sum("nb").as("n_b"),
+          sum(col("na").cast("decimal(38,0)") * col("r2")).as("__r2a"),
+          sum(col("tn").cast("decimal(38,0)") * col("tn") * col("tn") -
+            col("tn")).as("__ties"))
+        .select(col("n_a"), col("n_b"),
+          col("__ties").cast("long").as("ties_sum"),
+          (col("__r2a") - col("n_a") * (col("n_a") + lit(1L)))
+            .cast("long").as("u2_a"),
+          (col("n_a") + col("n_b")).as("__n"), col("__r2a"), col("__ties"))
+        .select(col("n_a"), col("n_b"), col("ties_sum"), col("u2_a"),
+          floor(lit(1.0e6) *
+            (col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+            (lit(2.0) * sqrt(
+              (col("n_a").cast("decimal(38,0)") * col("n_b") *
+                ((col("__n") + lit(1L)).cast("decimal(38,0)") * col("__n") *
+                  (col("__n") - lit(1L)) - col("__ties"))).cast("double") /
+              (lit(12L) * col("__n").cast("decimal(38,0)") *
+                (col("__n") - lit(1L))).cast("double"))))
+            .cast("long").as("z_e6"))
+    }, Some("""
+      WITH v AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nb,
+               count(*) AS tn
+        FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      r AS (
+        SELECT q, na, nb, tn,
+               coalesce(sum(tn) OVER (ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cumless
+        FROM v),
+      a AS (
+        SELECT sum(na) AS n_a, sum(nb) AS n_b,
+               sum(CAST(na AS HUGEINT) * (2 * cumless + tn + 1)) AS r2a,
+               sum(CAST(tn AS HUGEINT) * tn * tn - tn) AS ties
+        FROM r)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(ties AS BIGINT) AS ties_sum,
+             CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+             CAST(floor(1.0e6 *
+               CAST(CAST(r2a - n_a * (n_a + 1) AS BIGINT) -
+                    n_a * n_b AS DOUBLE) /
+               (2.0 * sqrt(
+                 CAST(CAST(n_a AS HUGEINT) * n_b *
+                   (CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b) *
+                     (n_a + n_b - 1) - ties) AS DOUBLE) /
+                 CAST(12 * CAST(n_a + n_b AS HUGEINT) *
+                   (n_a + n_b - 1) AS DOUBLE)))) AS BIGINT) AS z_e6
+      FROM a""")),
+
+    // CS27 — Spearman rank correlation between daily revenue and daily
+    // order count on the bounded day grid: does a busier day also mean a
+    // bigger-ticket day, monotonic version? Midranks again ride an exact
+    // integer form — rank()·2 + tieCount − 1 — so every Pearson-on-ranks
+    // sum (Σr, Σr², Σrᵣrᵧ) is exact, the two variance terms multiply in
+    // DECIMAL/HUGEINT (they cross int64), and ONE double division + sqrt
+    // ends the query. The corpus-scale work is one day-grain groupBy;
+    // the rank windows run over the ~2.4k-row day table.
+    Q("cs27_spearman", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"),
+          count(lit(1)).as("y"))
+      val ranked = daily
+        .withColumn("rx2", lit(2L) * rank().over(Window.orderBy("x")) +
+          count(lit(1)).over(Window.partitionBy("x")) - lit(1L))
+        .withColumn("ry2", lit(2L) * rank().over(Window.orderBy("y")) +
+          count(lit(1)).over(Window.partitionBy("y")) - lit(1L))
+      ranked.agg(
+          count(lit(1)).as("n_days"),
+          sum("rx2").as("sx"), sum("ry2").as("sy"),
+          sum(col("rx2").cast("decimal(38,0)") * col("rx2")).as("sxx"),
+          sum(col("ry2").cast("decimal(38,0)") * col("ry2")).as("syy"),
+          sum(col("rx2").cast("decimal(38,0)") * col("ry2")).as("sxy"))
+        .select(col("n_days"),
+          floor(lit(1.0e6) *
+            (col("n_days").cast("decimal(38,0)") * col("sxy") -
+              col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            sqrt(((col("n_days").cast("decimal(38,0)") * col("sxx") -
+                col("sx").cast("decimal(38,0)") * col("sx")) *
+              (col("n_days").cast("decimal(38,0)") * col("syy") -
+                col("sy").cast("decimal(38,0)") * col("sy")))
+              .cast("double")))
+            .cast("long").as("rho_e6"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x,
+               count(*) AS y
+        FROM orders GROUP BY 1),
+      ranked AS (
+        SELECT 2 * rank() OVER (ORDER BY x) +
+                 count(*) OVER (PARTITION BY x) - 1 AS rx2,
+               2 * rank() OVER (ORDER BY y) +
+                 count(*) OVER (PARTITION BY y) - 1 AS ry2
+        FROM daily),
+      a AS (
+        SELECT count(*) AS n_days, sum(rx2) AS sx, sum(ry2) AS sy,
+               sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+               sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+               sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+        FROM ranked)
+      SELECT CAST(n_days AS BIGINT) AS n_days,
+             CAST(floor(1.0e6 *
+               CAST(CAST(n_days AS HUGEINT) * sxy -
+                    CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+               sqrt(CAST((CAST(n_days AS HUGEINT) * sxx -
+                      CAST(sx AS HUGEINT) * sx) *
+                    (CAST(n_days AS HUGEINT) * syy -
+                      CAST(sy AS HUGEINT) * sy) AS DOUBLE))) AS BIGINT)
+               AS rho_e6
+      FROM a""")),
+
+    // HQ5 — conjunction-selectivity audit: the independence assumption
+    // every cost-based optimizer makes for ANDed predicates —
+    // sel(A∧B) ≈ sel(A)·sel(B) — measured against truth for three
+    // predicate pairs on orders. The WHOLE query is integer arithmetic
+    // (counts, then scaled integer division), so there is no rounding
+    // surface at all; lift_e6 > 1e6 means positively-correlated
+    // predicates (the case that blows up row estimates downstream of a
+    // join). One scan, one aggregate row, a 3-row unpivot — the 100 TB
+    // cost is the scan it would piggyback on anyway.
+    Q("hq5_conjunction_selectivity", (s, dir) => {
+      val c = t(s, dir, "orders")
+        .select((col("o_orderpriority") === "1-URGENT").as("pa"),
+          (col("o_orderstatus") === "F").as("pb"),
+          (year(to_date(col("o_orderdate"))) === 1995).as("pc"),
+          (col("o_totalprice") > 200000.0).as("pd"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pa"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("pb"), 1L).otherwise(0L)).as("cb"),
+          sum(when(col("pc"), 1L).otherwise(0L)).as("cc"),
+          sum(when(col("pd"), 1L).otherwise(0L)).as("cd"),
+          sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("cab"),
+          sum(when(col("pc") && col("pd"), 1L).otherwise(0L)).as("ccd"),
+          sum(when(col("pa") && col("pc"), 1L).otherwise(0L)).as("cac"))
+      c.selectExpr("n",
+          "stack(3, 'urgent_and_f', ca, cb, cab, " +
+            "'y1995_and_big', cc, cd, ccd, " +
+            "'urgent_and_1995', ca, cc, cac) AS (pair, n_a, n_b, n_ab)")
+        .selectExpr("pair", "n", "n_a", "n_b", "n_ab",
+          "n_ab * 1000000L div n AS act_e6",
+          "n_a * n_b * 1000000L div (n * n) AS est_e6",
+          "n_a * n_b * 1000000L div (n * n) - " +
+            "n_ab * 1000000L div n AS err_e6",
+          "n_ab * n * 1000000L div (n_a * n_b) AS lift_e6")
+        .orderBy("pair")
+    }, Some("""
+      WITH c AS (
+        SELECT count(*) AS n,
+          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS ca,
+          sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cb,
+          sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+              THEN 1 ELSE 0 END) AS cc,
+          sum(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS cd,
+          sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cab,
+          sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+                    AND o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS ccd,
+          sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    AND year(CAST(o_orderdate AS DATE)) = 1995
+              THEN 1 ELSE 0 END) AS cac
+        FROM orders),
+      u AS (
+        SELECT 'urgent_and_f' AS pair, n, ca AS n_a, cb AS n_b, cab AS n_ab
+        FROM c
+        UNION ALL SELECT 'y1995_and_big', n, cc, cd, ccd FROM c
+        UNION ALL SELECT 'urgent_and_1995', n, ca, cc, cac FROM c)
+      SELECT pair, CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(n_ab * 1000000 // n AS BIGINT) AS act_e6,
+             CAST(n_a * n_b * 1000000 // (n * n) AS BIGINT) AS est_e6,
+             CAST(n_a * n_b * 1000000 // (n * n) -
+                  n_ab * 1000000 // n AS BIGINT) AS err_e6,
+             CAST(n_ab * n * 1000000 // (n_a * n_b) AS BIGINT) AS lift_e6
+      FROM u ORDER BY pair"""))
   )
 }

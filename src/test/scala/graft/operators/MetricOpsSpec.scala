@@ -345,4 +345,84 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_days") == n)
     assert(r.getAs[Long]("dw_e6") == dw)
   }
+
+  // ------------------------------------------------------------------
+  // wave 19: cs26 / cs27 / hq5
+  // ------------------------------------------------------------------
+
+  test("cs26: U matches brute-force midranks; U_a + U_b = n_a * n_b") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs26_mann_whitney").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val rows = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_quantity").cast("long"), col("l_returnflag"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val na = rows.count(_._2 == "R").toLong
+    val nb = rows.length - na
+    // brute-force midranks over the pooled sample
+    val sorted = rows.map(_._1).sorted
+    val mid2 = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+      v -> (2L * (g.map(_._2).min + 1) + g.length - 1) // 2*minrank + t - 1
+    }
+    val r2a = rows.filter(_._2 == "R").map(x => BigInt(mid2(x._1))).sum
+    val u2a = r2a - BigInt(na) * (na + 1)
+    assert(BigInt(r.getAs[Long]("u2_a")) == u2a)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    // reflection law: U_a + U_b = n_a*n_b (doubled: u2_a + u2_b = 2*na*nb)
+    val ties = sorted.groupBy(identity).values
+      .map(g => BigInt(g.length).pow(3) - g.length).sum
+    assert(BigInt(r.getAs[Long]("ties_sum")) == ties)
+    assert(math.abs(r.getAs[Long]("z_e6")) < 100000000L) // |z| < 100
+  }
+
+  test("cs27: rho matches brute-force Pearson-on-midranks; |rho| <= 1") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs27_spearman").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(math.abs(r.getAs[Long]("rho_e6")) <= 1000000L)
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    def mid2(vs: Array[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> (2L * (g.map(_._2).min + 1) + g.length - 1)
+      }
+    }
+    val mx = mid2(daily.map(_._1)); val my = mid2(daily.map(_._2))
+    val pts = daily.map { case (x, y) => (BigInt(mx(x)), BigInt(my(y))) }
+    val n = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val rho = math.floor(1.0e6 * (n * sxy - sx * sy).toDouble /
+      math.sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy)).toDouble)).toLong
+    assert(r.getAs[Long]("rho_e6") == rho)
+  }
+
+  test("hq5: containment laws and exact integer selectivity algebra") {
+    val out = run("hq5_conjunction_selectivity").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (n, na, nb, nab) = (r.getAs[Long]("n"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_ab"))
+      assert(nab <= math.min(na, nb)) // conjunction ⊆ each conjunct
+      assert(na <= n && nb <= n)
+      assert(r.getAs[Long]("act_e6") == nab * 1000000L / n)
+      assert(r.getAs[Long]("est_e6") == na * nb * 1000000L / (n * n))
+      assert(r.getAs[Long]("err_e6") ==
+        r.getAs[Long]("est_e6") - r.getAs[Long]("act_e6"))
+      if (na > 0 && nb > 0)
+        assert(r.getAs[Long]("lift_e6") == nab * n * 1000000L / (na * nb))
+    }
+  }
 }

@@ -289,6 +289,58 @@ object Multimodal {
     }.toDF()
   }
 
+  /** mm8's graded row: full-window count, silent-window count, longest
+    * silent run, and the exact left-channel energy — all integers. */
+  final case class WavSilence(media_id: Long, n_windows: Long,
+                              silent_windows: Long, max_silent_run: Long,
+                              energy_l: Long)
+
+  /** mm8: frame-energy silence profile over the LEFT channel of REAL
+    * decoded PCM — fixed `win`-sample windows, energy = Σv² kept exact in
+    * int64 (v² ≤ 2³⁰, win·v² ≪ 2⁶³), a window is silent below `threshold`,
+    * and the longest silent run is a per-doc gaps-and-islands scan. Only
+    * COMPLETE windows count (the tail is dropped — the convention the
+    * oracle mirrors); the total energy covers every left sample. The loop
+    * is executor-side and bounded by each doc's own sample count, like
+    * every media op. */
+  def wavSilence(media: Dataset[MediaRow], threshold: Long = 4000000000L,
+                 win: Int = 16): DataFrame = {
+    implicit val enc = Encoders.product[WavSilence]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, ch, samples) = WavCodec.decode(r.payload)
+        val nf = samples.length / ch
+        val nWin = nf / win
+        var energyAll = 0L
+        var f = 0
+        while (f < nf) {
+          val v = samples(f * ch).toLong
+          energyAll += v * v
+          f += 1
+        }
+        var silent = 0L
+        var maxRun = 0L
+        var run = 0L
+        var k = 0
+        while (k < nWin) {
+          var e = 0L
+          var j = 0
+          while (j < win) {
+            val v = samples((k * win + j) * ch).toLong
+            e += v * v
+            j += 1
+          }
+          if (e < threshold) {
+            run += 1; silent += 1
+            if (run > maxRun) maxRun = run
+          } else run = 0
+          k += 1
+        }
+        WavSilence(r.media_id, nWin.toLong, silent, maxRun, energyAll)
+      }
+    }.toDF()
+  }
+
   /** REAL decode read-out over PPM media: parse the P6 payload, sum each
     * channel, resize nearest-neighbor to (max(w/2,1), max(h/2,1)) and sum
     * the resized bytes. Any header-parse or pixel-offset bug moves these

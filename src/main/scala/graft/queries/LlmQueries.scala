@@ -4020,6 +4020,73 @@ object LlmQueries {
              CAST(sum(CASE WHEN i % 2 = 1 THEN v ELSE 0 END) AS BIGINT)
                AS sum_r,
              CAST(max(abs(v)) AS INTEGER) AS peak
-      FROM sgn GROUP BY doc_id, m ORDER BY media_id"""))
+      FROM sgn GROUP BY doc_id, m ORDER BY media_id""")),
+
+    // MM8 — silence / energy profiling over REAL decoded PCM: the audio
+    // analog of tx2's text-quality gate — a training pipeline drops or
+    // trims clips that are mostly silence. Left-channel samples are cut
+    // into 16-sample windows; window energy Σv² stays EXACT in int64, a
+    // window below 4e9 is silent, and the longest silent run is a
+    // gaps-and-islands scan. The oracle rebuilds the identical samples
+    // from the source text (mm6's reconstruction) and replays the same
+    // window algebra in SQL, so a decode, windowing, or run-length bug
+    // moves a graded integer. Executor-side per partition; the only
+    // corpus-grain work is the decode scan itself.
+    Q("mm8_wav_silence", (s, dir) =>
+      Multimodal.wavSilence(
+        Multimodal.wavFromText(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("media_id"),
+      Some("""
+      WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text))
+                 - (octet_length(encode(text)) % 2) AS m
+        FROM documents WHERE octet_length(encode(text)) >= 2),
+      bts AS (
+        SELECT doc_id, m,
+               list_transform(generate_series(1, m), i ->
+                 (strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i - 1 AS INTEGER), 1)) - 1) * 16
+                 + strpos('0123456789ABCDEF', substr(hx,
+                     CAST(2 * i AS INTEGER), 1)) - 1) AS b
+        FROM d),
+      sv AS (
+        SELECT doc_id, m, i,
+               b[CAST(i AS INTEGER) + 1]
+                 + 256 * ((b[CAST((i + 1) % m AS INTEGER) + 1] * 3 + i)
+                          % 256) AS v0
+        FROM bts, UNNEST(generate_series(0, m - 1)) AS t(i)
+        WHERE i % 2 = 0),
+      sgn AS (
+        SELECT doc_id, i // 2 AS li,
+               CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END AS v
+        FROM sv),
+      tot AS (
+        SELECT doc_id, count(*) AS nl,
+               sum(CAST(v AS HUGEINT) * v) AS energy_l
+        FROM sgn GROUP BY 1),
+      en AS (
+        SELECT doc_id, li // 16 AS w, count(*) AS c,
+               sum(CAST(v AS HUGEINT) * v) AS e
+        FROM sgn GROUP BY 1, 2),
+      sil AS (
+        SELECT doc_id, w FROM en WHERE c = 16 AND e < 4000000000),
+      sc AS (SELECT doc_id, count(*) AS s_cnt FROM sil GROUP BY 1),
+      mr AS (
+        SELECT doc_id, max(cnt) AS max_run FROM (
+          SELECT doc_id, g, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+                     AS g
+            FROM sil) GROUP BY doc_id, g) GROUP BY doc_id)
+      SELECT t.doc_id AS media_id,
+             CAST(t.nl // 16 AS BIGINT) AS n_windows,
+             CAST(coalesce(sc.s_cnt, 0) AS BIGINT) AS silent_windows,
+             CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_silent_run,
+             CAST(t.energy_l AS BIGINT) AS energy_l
+      FROM tot t
+      LEFT JOIN sc ON sc.doc_id = t.doc_id
+      LEFT JOIN mr ON mr.doc_id = t.doc_id
+      ORDER BY media_id"""))
   )
 }

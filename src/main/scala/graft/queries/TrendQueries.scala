@@ -2329,6 +2329,125 @@ object TrendQueries {
                   AS BIGINT) AS amp_e4
       FROM touched t JOIN tot ON t.gran = tot.gran
                      JOIN matching m ON t.probe = m.probe
-      ORDER BY t.gran, t.probe"""))
+      ORDER BY t.gran, t.probe""")),
+
+    // TS13 — Mann–Kendall trend test on monthly URGENT revenue: the
+    // nonparametric "is this series trending?" companion to ts9's
+    // Theil–Sen slope — S = Σ sign(x_j − x_i) over time-ordered pairs,
+    // tie-corrected variance, continuity-corrected z. Everything except
+    // the FINAL sqrt is exact integer: signs are CASE ±1, the pair sum,
+    // the tie term Σt(t−1)(2t+5), and var·18 all ride int64 (n≈84 months).
+    // Scale shape: the O(n²) pair join runs on the bounded month grid
+    // (ts9/cs24's argument) — a constant of the calendar span, never the
+    // corpus; the corpus-grain work is one month groupBy.
+    Q("ts13_mann_kendall", (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(((year(to_date(col("o_orderdate"))) - 1992) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+        .localCheckpoint(eager = false) // feeds pairs, ties, and n
+      val a = monthly.select(col("m").as("m1"), col("x").as("x1"))
+      val b = monthly.select(col("m").as("m2"), col("x").as("x2"))
+      val sRow = a.crossJoin(b).filter(col("m1") < col("m2"))
+        .agg(coalesce(sum(when(col("x2") > col("x1"), 1L)
+          .when(col("x2") < col("x1"), -1L).otherwise(0L)), lit(0L)).as("s"))
+      val tieRow = monthly.groupBy("x").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * (col("t") - 1) *
+          (lit(2L) * col("t") + 5)), lit(0L)).as("tt"))
+      val nRow = monthly.agg(count(lit(1)).as("n"))
+      sRow.crossJoin(broadcast(tieRow)).crossJoin(broadcast(nRow))
+        .selectExpr("n AS n_months", "s AS s_stat",
+          "n * (n - 1L) * (2L * n + 5L) - tt AS var18",
+          "CASE WHEN s > 0 THEN CAST(floor(1.0e6 * (s - 1) / " +
+            "sqrt(CAST(n * (n - 1L) * (2L * n + 5L) - tt AS DOUBLE) " +
+            "/ 18.0)) AS BIGINT) " +
+            "WHEN s < 0 THEN CAST(floor(1.0e6 * (s + 1) / " +
+            "sqrt(CAST(n * (n - 1L) * (2L * n + 5L) - tt AS DOUBLE) " +
+            "/ 18.0)) AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END AS z_e6")
+    }, Some("""
+      WITH monthly AS (
+        SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+                 month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      st AS (
+        SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+                 WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+        FROM monthly a JOIN monthly b ON a.m < b.m),
+      tt AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                 AS tt
+        FROM (SELECT count(*) AS t FROM monthly GROUP BY x)),
+      nn AS (SELECT count(*) AS n FROM monthly)
+      SELECT n AS n_months, s AS s_stat,
+             CAST(n * (n - 1) * (2 * n + 5) - tt AS BIGINT) AS var18,
+             CASE WHEN s > 0 THEN CAST(floor(1.0e6 * (s - 1) /
+                    sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) /
+                    18.0)) AS BIGINT)
+                  WHEN s < 0 THEN CAST(floor(1.0e6 * (s + 1) /
+                    sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) /
+                    18.0)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS z_e6
+      FROM st, tt, nn""")),
+
+    // K26 — roaring-style bitmap-index container census: for each order
+    // priority's customer posting set, the key space splits into 4096-key
+    // containers (the 2¹²-scaled twin of roaring's 2¹⁶ chunks, sized to
+    // the testdata keyspace) and each container picks its cheaper
+    // physical form — a sorted array at 2 bytes/key below 256 keys, a
+    // 512-byte bitmap at or above — exactly the array/bitmap crossover
+    // rule. The census grades the bytes the index would occupy against
+    // the plain 8-byte postings list. Pure integer arithmetic end to end;
+    // the corpus-grain work is ONE distinct + count at container grain,
+    // shuffled on (priority, container) — never a per-key loop.
+    Q("k26_bitmap_container_census", (s, dir) => {
+      val perChunk = t(s, dir, "orders")
+        .selectExpr("o_orderpriority AS pri",
+          "CAST(o_custkey AS BIGINT) div 4096 AS chunk",
+          "CAST(o_custkey AS BIGINT) AS k")
+        .distinct()
+        .groupBy("pri", "chunk")
+        .agg(count(lit(1)).as("ndv"))
+      perChunk.groupBy("pri")
+        .agg(count(lit(1)).as("containers"),
+          sum("ndv").as("keys"),
+          sum(when(col("ndv") < 256, 1L).otherwise(0L))
+            .as("array_containers"),
+          sum(when(col("ndv") >= 256, 1L).otherwise(0L))
+            .as("bitmap_containers"),
+          sum(when(col("ndv") < 256, lit(2L) * col("ndv"))
+            .otherwise(512L)).as("roaring_bytes"))
+        .selectExpr("pri", "containers", "keys", "array_containers",
+          "bitmap_containers", "roaring_bytes",
+          "8L * keys AS list_bytes",
+          "roaring_bytes * 1000000L div (8L * keys) AS ratio_e6")
+        .orderBy("pri")
+    }, Some("""
+      WITH pc AS (
+        SELECT pri, chunk, count(*) AS ndv FROM (
+          SELECT DISTINCT o_orderpriority AS pri,
+                 CAST(o_custkey AS BIGINT) // 4096 AS chunk,
+                 CAST(o_custkey AS BIGINT) AS k
+          FROM orders) GROUP BY 1, 2),
+      agg AS (
+        SELECT pri, count(*) AS containers, sum(ndv) AS keys,
+               sum(CASE WHEN ndv < 256 THEN 1 ELSE 0 END)
+                 AS array_containers,
+               sum(CASE WHEN ndv >= 256 THEN 1 ELSE 0 END)
+                 AS bitmap_containers,
+               sum(CASE WHEN ndv < 256 THEN 2 * ndv ELSE 512 END)
+                 AS roaring_bytes
+        FROM pc GROUP BY 1)
+      SELECT pri, CAST(containers AS BIGINT) AS containers,
+             CAST(keys AS BIGINT) AS keys,
+             CAST(array_containers AS BIGINT) AS array_containers,
+             CAST(bitmap_containers AS BIGINT) AS bitmap_containers,
+             CAST(roaring_bytes AS BIGINT) AS roaring_bytes,
+             CAST(8 * keys AS BIGINT) AS list_bytes,
+             CAST(roaring_bytes * 1000000 // (8 * keys) AS BIGINT)
+               AS ratio_e6
+      FROM agg ORDER BY pri"""))
   )
 }

@@ -425,4 +425,56 @@ class MetricOpsSpec extends AnyFunSuite {
         assert(r.getAs[Long]("lift_e6") == nab * n * 1000000L / (na * nb))
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 20: ts13 / k26 (mm8's spec lives in WavSpec)
+  // ------------------------------------------------------------------
+
+  test("ts13: S and var18 match brute force; z is continuity-corrected") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ts13_mann_kendall").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val monthly = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(((year(to_date(col("o_orderdate"))) - 1992) * 12 +
+        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val n = monthly.length.toLong
+    var sStat = 0L
+    for (i <- monthly.indices; j <- (i + 1) until monthly.length)
+      sStat += java.lang.Long.signum(monthly(j)._2 - monthly(i)._2)
+    val tieTerm = monthly.groupBy(_._2).values
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+    assert(r.getAs[Long]("n_months") == n)
+    assert(r.getAs[Long]("s_stat") == sStat)
+    assert(r.getAs[Long]("var18") == var18)
+    val zExp =
+      if (sStat > 0) math.floor(1.0e6 * (sStat - 1) /
+        math.sqrt(var18.toDouble / 18.0)).toLong
+      else if (sStat < 0) math.floor(1.0e6 * (sStat + 1) /
+        math.sqrt(var18.toDouble / 18.0)).toLong
+      else 0L
+    assert(r.getAs[Long]("z_e6") == zExp)
+  }
+
+  test("k26: container algebra — byte formulas, counts, and crossover law") {
+    val out = run("k26_bitmap_container_census").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cont, keys) = (r.getAs[Long]("containers"), r.getAs[Long]("keys"))
+      assert(r.getAs[Long]("array_containers") +
+        r.getAs[Long]("bitmap_containers") == cont)
+      assert(keys >= cont) // every container holds ≥1 key
+      assert(r.getAs[Long]("list_bytes") == 8L * keys)
+      val roaring = r.getAs[Long]("roaring_bytes")
+      // bounds: all-array lower bound 2/key; any container ≤ 512 bytes
+      assert(roaring >= 2L * r.getAs[Long]("array_containers") &&
+        roaring <= 512L * cont)
+      assert(r.getAs[Long]("ratio_e6") == roaring * 1000000L / (8L * keys))
+    }
+  }
 }

@@ -66,4 +66,42 @@ class WavSpec extends AnyFunSuite {
     assert(rows(1).getLong(5) == vals(1) + vals(3)) // sum_r
     assert(rows(1).getInt(6) == vals.map(math.abs).max)
   }
+
+  test("wavSilence matches a brute-force window scan over rebuilt samples") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.queries.Tables.t
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.wavSilence(
+      Multimodal.wavFromText(t(spark, dir, "documents"), "doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("silent_windows"),
+          r.getAs[Long]("max_silent_run"), r.getAs[Long]("energy_l"))).toMap
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => d._2 != null && d._2.getBytes("UTF-8").length >= 2)
+    assert(out.nonEmpty && out.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val txt = text.getBytes("UTF-8")
+      val m = txt.length - (txt.length % 2)
+      val left = (0 until m by 2).map { i =>
+        val v0 = (txt(i) & 0xFF) |
+          ((((txt((i + 1) % m) & 0xFF) * 3 + i) % 256) << 8)
+        (if (v0 >= 32768) v0 - 65536 else v0).toLong
+      }
+      val energy = left.map(v => v * v).sum
+      val wins = left.grouped(16).filter(_.length == 16)
+        .map(w => w.map(v => v * v).sum < 4000000000L).toArray
+      var run = 0L; var maxRun = 0L
+      wins.foreach { s =>
+        if (s) { run += 1; maxRun = math.max(maxRun, run) } else run = 0
+      }
+      val (nw, sw, mr, en) = out(id)
+      assert(nw == wins.length.toLong, s"doc $id n_windows")
+      assert(sw == wins.count(identity).toLong, s"doc $id silent")
+      assert(mr == maxRun, s"doc $id max run")
+      assert(en == energy, s"doc $id energy")
+    }
+  }
 }

@@ -2448,6 +2448,211 @@ object TrendQueries {
              CAST(8 * keys AS BIGINT) AS list_bytes,
              CAST(roaring_bytes * 1000000 // (8 * keys) AS BIGINT)
                AS ratio_e6
-      FROM agg ORDER BY pri"""))
+      FROM agg ORDER BY pri""")),
+
+    // TX22 — Flesch readability profile per document: sentences, words,
+    // and syllables are PURE regex-match counts (integers — '[.!?]+' runs
+    // + 1 for the trailing sentence, '[a-z0-9]+' word runs, '[aeiouy]+'
+    // vowel groups as the classic syllable heuristic), so the only doubles
+    // are the two textbook formulas evaluated per row in identical op
+    // order — no cross-row double sums anywhere. Complements tx2 (quality
+    // rules) with the standard readability axis a curation pipeline bins
+    // on. Expression-only over the scan: zero shuffles before the
+    // presentation sort.
+    Q("tx22_readability", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))) + 1)
+            .cast("long").as("sentences"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+            lit(0))).cast("long").as("words"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+            lit(0))).cast("long").as("syllables"))
+        .filter(col("words") > 0)
+        .selectExpr("doc_id", "sentences", "words", "syllables",
+          "CAST(floor(100.0 * (206.835 - " +
+            "1.015 * (CAST(words AS DOUBLE) / sentences) - " +
+            "84.6 * (CAST(syllables AS DOUBLE) / words))) AS BIGINT) " +
+            "AS ease_e2",
+          "CAST(floor(100.0 * (0.39 * (CAST(words AS DOUBLE) / sentences) " +
+            "+ 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59)) " +
+            "AS BIGINT) AS grade_e2")
+        .orderBy("doc_id"),
+      Some("""
+      WITH c AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT)
+                 AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS syllables
+        FROM documents)
+      SELECT doc_id, sentences, words, syllables,
+             CAST(floor(100.0 * (206.835 -
+               1.015 * (CAST(words AS DOUBLE) / sentences) -
+               84.6 * (CAST(syllables AS DOUBLE) / words))) AS BIGINT)
+               AS ease_e2,
+             CAST(floor(100.0 * (0.39 * (CAST(words AS DOUBLE) / sentences)
+               + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59))
+               AS BIGINT) AS grade_e2
+      FROM c WHERE words > 0 ORDER BY doc_id""")),
+
+    // CS28 — one-way ANOVA across order priorities on integer-dollar
+    // order values: the between/within variance decomposition behind every
+    // "does this grouping matter?" question. The engine-parity trick is
+    // the DIV-WITH-REMAINDER expansion — floor(S²·1000/n) =
+    // (S div n)·S·1000 + ((S mod n)·S·1000) div n — which keeps every
+    // intermediate inside int64 at any SF where a group's dollar sum
+    // fits (the sums themselves ride decimal/HUGEINT), so SSB/SSW are
+    // EXACT scaled integers, never a float subtraction of near-equal
+    // magnitudes. One double division at the end for F. Scale shape: one
+    // mergeable power-sum aggregate, then 5-row algebra.
+    Q("cs28_anova_f", (s, dir) => {
+      val grp = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice")).cast("long").as("x"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("ng"), sum("x").as("sg"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("qg"))
+        .selectExpr("pri", "ng", "sg", "qg",
+          "(sg div ng) * sg * 1000L + ((sg % ng) * sg * 1000L) div ng " +
+            "AS term_e3")
+      val tot = grp.agg(
+          sum("ng").as("n"), sum("sg").as("s"),
+          sum("qg").as("q"), count(lit(1)).as("k"),
+          sum(col("term_e3").cast("decimal(38,0)")).as("terms"))
+        .selectExpr("n", "k", "terms",
+          "(s div n) * s * 1000L + ((s % n) * s * 1000L) div n AS gterm_e3",
+          "q * 1000L AS q_e3")
+        .selectExpr("n", "k",
+          "CAST(terms - gterm_e3 AS BIGINT) AS ssb_e3",
+          "CAST(q_e3 - terms AS BIGINT) AS ssw_e3")
+      tot.selectExpr("n", "k", "ssb_e3", "ssw_e3",
+        "CAST(floor(1.0e6 * (CAST(ssb_e3 AS DOUBLE) * (n - k)) / " +
+          "(CAST(ssw_e3 AS DOUBLE) * (k - 1))) AS BIGINT) AS f_e6",
+        "CAST(floor(1.0e6 * CAST(ssb_e3 AS DOUBLE) / " +
+          "CAST(ssb_e3 + ssw_e3 AS DOUBLE)) AS BIGINT) AS eta2_e6")
+    }, Some("""
+      WITH grp AS (
+        SELECT o_orderpriority AS pri, count(*) AS ng,
+               sum(CAST(floor(o_totalprice) AS BIGINT)) AS sg,
+               sum(CAST(floor(o_totalprice) AS HUGEINT) *
+                   CAST(floor(o_totalprice) AS HUGEINT)) AS qg
+        FROM orders GROUP BY 1),
+      te AS (
+        SELECT pri, ng, sg, qg,
+               (sg // ng) * sg * 1000 + ((sg % ng) * sg * 1000) // ng
+                 AS term_e3
+        FROM grp),
+      tot AS (
+        SELECT sum(ng) AS n, sum(sg) AS s, sum(qg) AS q, count(*) AS k,
+               sum(CAST(term_e3 AS HUGEINT)) AS terms
+        FROM te),
+      g AS (
+        SELECT n, k, terms,
+               (s // n) * s * 1000 + ((s % n) * s * 1000) // n AS gterm_e3,
+               q * 1000 AS q_e3
+        FROM tot),
+      fin AS (
+        SELECT n, k, CAST(terms - gterm_e3 AS BIGINT) AS ssb_e3,
+               CAST(q_e3 - terms AS BIGINT) AS ssw_e3
+        FROM g)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, ssb_e3, ssw_e3,
+             CAST(floor(1.0e6 * (CAST(ssb_e3 AS DOUBLE) * (n - k)) /
+               (CAST(ssw_e3 AS DOUBLE) * (k - 1))) AS BIGINT) AS f_e6,
+             CAST(floor(1.0e6 * CAST(ssb_e3 AS DOUBLE) /
+               CAST(ssb_e3 + ssw_e3 AS DOUBLE)) AS BIGINT) AS eta2_e6
+      FROM fin""")),
+
+    // KM1 — Kaplan–Meier survival of "weeks until a customer's second
+    // order", right-censored at the dataset horizon for one-order
+    // customers: THE estimator for time-to-event curation questions
+    // (label delay, churn, repeat-rate). The graded risk table —
+    // n_at_risk, deaths, censored per event week — is exact integers by
+    // construction (risk set = total − running (d+c) BEFORE the week);
+    // the survival curve is the one log-space cumulative product
+    // (Σ ln(1−d/n) in TIME order on both engines — identical summation
+    // sequence, identical doubles), floored at e4 for ulp margin (tx13's
+    // convention). Corpus-grain work: one per-customer window; the KM
+    // table itself is week-grain bounded.
+    Q("km1_kaplan_meier", (s, dir) => {
+      val wC = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+      val firstTwo = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(min(when(col("rn") === 1, col("d"))).as("d1"),
+          min(when(col("rn") === 2, col("d"))).as("d2"))
+      val horizon = t(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val spells = firstTwo.crossJoin(broadcast(horizon))
+        .selectExpr(
+          "CASE WHEN d2 IS NOT NULL THEN datediff(d2, d1) div 7 " +
+            "ELSE datediff(hz, d1) div 7 END AS tw",
+          "CASE WHEN d2 IS NOT NULL THEN 1L ELSE 0L END AS ev")
+      val weekly = spells.groupBy("tw")
+        .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+      val wT = Window.orderBy("tw")
+      weekly
+        .withColumn("total", sum(col("d") + col("c")).over(
+          wT.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("n_risk", col("total") - coalesce(
+          sum(col("d") + col("c")).over(
+            wT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // d = n_risk can only occur on the LAST row (the risk set is empty
+        // after it): S drops to exactly 0 there, and the guard keeps ln()
+        // away from zero on BOTH engines (Spark log(0) is null, DuckDB
+        // ln(0) errors).
+        .withColumn("surv_e4", when(col("d") >= col("n_risk"), lit(0L))
+          .otherwise(floor(lit(1.0e4) * exp(
+            sum(when(col("d") < col("n_risk"),
+              log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+              .otherwise(lit(0.0)))
+              .over(wT.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))).cast("long")))
+        .select(col("tw"), col("n_risk"), col("d"), col("c"),
+          col("surv_e4"))
+        .orderBy("tw")
+    }, Some("""
+      WITH ft AS (
+        SELECT o_custkey,
+               min(CASE WHEN rn = 1 THEN d END) AS d1,
+               min(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2 GROUP BY 1),
+      hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+      spells AS (
+        SELECT CASE WHEN d2 IS NOT NULL
+                 THEN datediff('day', d1, d2) // 7
+                 ELSE datediff('day', d1, hz) // 7 END AS tw,
+               CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM ft, hz),
+      weekly AS (
+        SELECT tw, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(sum(1 - ev) AS BIGINT) AS c
+        FROM spells GROUP BY 1),
+      risk AS (
+        SELECT tw, d, c,
+               sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY tw
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM weekly)
+      SELECT CAST(tw AS BIGINT) AS tw, CAST(n_risk AS BIGINT) AS n_risk,
+             d, c,
+             CASE WHEN d >= n_risk THEN 0 ELSE
+               CAST(floor(1.0e4 * exp(
+                 sum(CASE WHEN d < n_risk
+                     THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                     ELSE 0.0 END) OVER (ORDER BY tw
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+                 AS BIGINT) END AS surv_e4
+      FROM risk ORDER BY tw"""))
   )
 }

@@ -78,7 +78,8 @@ class AllPlansSpec extends AnyFunSuite {
     "hq4_selectivity_estimate" -> "3-row probe-range broadcast onto the bounded histogram buckets/bins",
     "j13_bloom_semi_join" -> "1-row metrics × 1-row bits-set-count broadcast (the audit verdict row)",
     "ts12_durbin_watson" -> "1-row (n, Σy) total broadcast onto the bounded day table",
-    "ts13_mann_kendall" -> "bounded month-grid self-pair (≤84×84, ts9/cs24's argument) + two 1-row stat broadcasts")
+    "ts13_mann_kendall" -> "bounded month-grid self-pair (≤84×84, ts9/cs24's argument) + two 1-row stat broadcasts",
+    "km1_kaplan_meier" -> "1-row dataset-horizon broadcast onto the customer-grain spell table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

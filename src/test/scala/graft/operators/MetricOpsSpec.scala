@@ -477,4 +477,82 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("ratio_e6") == roaring * 1000000L / (8L * keys))
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 21: tx22 / cs28 / km1
+  // ------------------------------------------------------------------
+
+  test("tx22: counts match a JVM-regex recount; formulas are exact") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("tx22_readability").collect()
+    assert(out.nonEmpty)
+    val texts = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val sen = "[.!?]+".r.findAllIn(text).length + 1L
+      val w = "[a-z0-9]+".r.findAllIn(text.toLowerCase).length.toLong
+      val y = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(r.getAs[Long]("sentences") == sen)
+      assert(r.getAs[Long]("words") == w)
+      assert(r.getAs[Long]("syllables") == y)
+      assert(w > 0)
+      val ease = math.floor(100.0 * (206.835 -
+        1.015 * (w.toDouble / sen) - 84.6 * (y.toDouble / w))).toLong
+      assert(r.getAs[Long]("ease_e2") == ease)
+    }
+  }
+
+  test("cs28: SSB + SSW = SST (scaled); F matches a brute-force ANOVA") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs28_anova_f").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val rows = t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice")).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = rows.length.toLong
+    val k = rows.map(_._1).distinct.length.toLong
+    def term(sv: BigInt, nv: Long) = sv * sv * 1000 / nv // BigInt floor div
+    val groups = rows.groupBy(_._1).values.map(g =>
+      (BigInt(g.map(_._2).sum), g.length.toLong)).toSeq
+    val sAll = groups.map(_._1).sum
+    val q = rows.map(x => BigInt(x._2) * x._2).sum
+    val terms = groups.map { case (sv, nv) => term(sv, nv) }.sum
+    val ssb = terms - term(sAll, n)
+    val ssw = q * 1000 - terms
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+    assert(BigInt(r.getAs[Long]("ssb_e3")) == ssb)
+    assert(BigInt(r.getAs[Long]("ssw_e3")) == ssw)
+    val f = math.floor(1.0e6 * (ssb.toDouble * (n - k)) /
+      (ssw.toDouble * (k - 1))).toLong
+    assert(r.getAs[Long]("f_e6") == f)
+    assert(r.getAs[Long]("eta2_e6") ==
+      math.floor(1.0e6 * ssb.toDouble / (ssb + ssw).toDouble).toLong)
+  }
+
+  test("km1: risk-set bookkeeping, monotone survival, exact risk table") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("km1_kaplan_meier").collect()
+    assert(out.nonEmpty)
+    // n_risk starts at the cohort size and decrements by (d+c) per row
+    val cohort = t(s, dir, "orders").select("o_custkey").distinct().count()
+    var expectRisk = cohort
+    var prevSurv = 10000L
+    var prevTw = -1L
+    out.foreach { r =>
+      assert(r.getAs[Long]("tw") > prevTw); prevTw = r.getAs[Long]("tw")
+      assert(r.getAs[Long]("n_risk") == expectRisk)
+      expectRisk -= r.getAs[Long]("d") + r.getAs[Long]("c")
+      val surv = r.getAs[Long]("surv_e4")
+      assert(surv <= prevSurv && surv >= 0L) // KM is non-increasing
+      prevSurv = surv
+    }
+    assert(expectRisk == 0L) // every spell accounted for exactly once
+  }
 }

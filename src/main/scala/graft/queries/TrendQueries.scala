@@ -2653,6 +2653,162 @@ object TrendQueries {
                      ELSE 0.0 END) OVER (ORDER BY tw
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
                  AS BIGINT) END AS surv_e4
-      FROM risk ORDER BY tw"""))
+      FROM risk ORDER BY tw""")),
+
+    // SA17 — Kish design effect / effective sample size per order
+    // priority: when a training mixture weights units unequally (sa4's
+    // temperature mixing, importance sampling), the variance-equivalent
+    // sample size is not n but neff = (Σw)²/Σw² — Kish's formula. Weights
+    // here are each customer's order count within the priority, so the
+    // WHOLE query is integer arithmetic: Σw and Σw² are exact sums and
+    // both ratios are scaled integer divisions — no doubles anywhere.
+    // deff ≥ 1e6 (scaled) is a law the spec asserts. Scale shape: one
+    // (priority, customer) groupBy, then 5-row algebra.
+    Q("sa17_kish_deff", (s, dir) => {
+      val w = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"), col("o_custkey"))
+        .agg(count(lit(1)).as("w"))
+      w.groupBy("pri")
+        .agg(count(lit(1)).as("n_units"),
+          sum("w").as("sum_w"),
+          sum(col("w") * col("w")).as("sum_w2"))
+        .selectExpr("pri", "n_units", "sum_w", "sum_w2",
+          "n_units * sum_w2 * 1000000L div (sum_w * sum_w) AS deff_e6",
+          "sum_w * sum_w * 1000000L div (n_units * sum_w2) AS neff_ratio_e6",
+          "sum_w * sum_w div sum_w2 AS neff_units")
+        .orderBy("pri")
+    }, Some("""
+      WITH w AS (
+        SELECT o_orderpriority AS pri, o_custkey, count(*) AS w
+        FROM orders GROUP BY 1, 2),
+      a AS (
+        SELECT pri, count(*) AS n_units, sum(w) AS sum_w,
+               sum(w * w) AS sum_w2
+        FROM w GROUP BY 1)
+      SELECT pri, CAST(n_units AS BIGINT) AS n_units,
+             CAST(sum_w AS BIGINT) AS sum_w,
+             CAST(sum_w2 AS BIGINT) AS sum_w2,
+             CAST(n_units * sum_w2 * 1000000 // (sum_w * sum_w) AS BIGINT)
+               AS deff_e6,
+             CAST(sum_w * sum_w * 1000000 // (n_units * sum_w2) AS BIGINT)
+               AS neff_ratio_e6,
+             CAST(sum_w * sum_w // sum_w2 AS BIGINT) AS neff_units
+      FROM a ORDER BY pri""")),
+
+    // K27 — partition-balance audit, hash vs equal-width range: the
+    // shuffle-planner question behind every repartition() — does the
+    // scheme keep 32 reducers even? Hash buckets ride the engine-portable
+    // md5 convention (j13/ml11's hex-slice, never JVM hashCode); the range
+    // scheme cuts [min,max] of the SKEWED o_totalprice into 32 equal
+    // widths, the classic mistake on a long-tailed column — the audit
+    // grades exactly how bad it is (skew_e6 = max·P/total, perfectly
+    // balanced = 1e6). Pure integers; the min/max row is a 1-row
+    // broadcast; everything else is two bucket-grain aggregates.
+    Q("k27_partition_balance", (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("k"),
+        floor(col("o_totalprice")).cast("long").as("p"))
+      val bounds = o.agg(min("p").as("plo"), max("p").as("phi"))
+      val bucketed = o.crossJoin(broadcast(bounds))
+        .selectExpr(
+          "CAST(conv(substring(md5(CAST(CAST(k AS STRING) AS BINARY)), " +
+            "1, 8), 16, 10) AS BIGINT) % 32 AS hash_b",
+          "least(31L, (p - plo) * 32L div (phi - plo + 1L)) AS range_b")
+      def census(df: org.apache.spark.sql.DataFrame, bCol: String,
+                 label: String) = df.groupBy(col(bCol).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("buckets"), sum("cnt").as("total"),
+          max("cnt").as("max_rows"), min("cnt").as("min_rows"))
+        .select(lit(label).as("scheme"), col("buckets"), col("total"),
+          col("max_rows"), col("min_rows"))
+      val hash = census(bucketed, "hash_b", "hash_md5")
+      val range = census(bucketed, "range_b", "range_price")
+      hash.unionAll(range)
+        .selectExpr("scheme", "buckets", "total", "max_rows", "min_rows",
+          "max_rows * 32L * 1000000L div total AS skew_e6")
+        .orderBy("scheme")
+    }, Some("""
+      WITH o AS (
+        SELECT CAST(o_custkey AS BIGINT) AS k,
+               CAST(floor(o_totalprice) AS BIGINT) AS p
+        FROM orders),
+      bounds AS (SELECT min(p) AS plo, max(p) AS phi FROM o),
+      b AS (
+        SELECT CAST(list_sum(list_transform(generate_series(0, 7), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(k AS VARCHAR)), 1 + i, 1)) - 1)
+                 * CAST(16.0 ** (7 - i) AS BIGINT))) AS BIGINT) % 32
+                 AS hash_b,
+               least(31, (p - plo) * 32 // (phi - plo + 1)) AS range_b
+        FROM o, bounds),
+      h AS (
+        SELECT 'hash_md5' AS scheme, count(*) AS buckets,
+               sum(cnt) AS total, max(cnt) AS max_rows, min(cnt) AS min_rows
+        FROM (SELECT hash_b, count(*) AS cnt FROM b GROUP BY 1)),
+      r AS (
+        SELECT 'range_price' AS scheme, count(*) AS buckets,
+               sum(cnt) AS total, max(cnt) AS max_rows, min(cnt) AS min_rows
+        FROM (SELECT range_b, count(*) AS cnt FROM b GROUP BY 1)),
+      u AS (SELECT * FROM h UNION ALL SELECT * FROM r)
+      SELECT scheme, CAST(buckets AS BIGINT) AS buckets,
+             CAST(total AS BIGINT) AS total,
+             CAST(max_rows AS BIGINT) AS max_rows,
+             CAST(min_rows AS BIGINT) AS min_rows,
+             CAST(max_rows * 32 * 1000000 // total AS BIGINT) AS skew_e6
+      FROM u ORDER BY scheme""")),
+
+    // OL6 — Grubbs' test (maximum studentized deviate) on the URGENT
+    // daily-revenue series: the PARAMETRIC outlier test beside ol2's MAD
+    // and ol5's IQR fences. Deviations are the exact n-scaled integers
+    // e = n·y − Σy (ts12's move), so max|e| and Σe² are exact
+    // DECIMAL/HUGEINT; G = max|x−x̄|/s reduces to
+    // max|e| / sqrt(Σe²/(n−1)) — ONE double division + sqrt. The peak day
+    // is picked by a deterministic (|e| desc, day asc) rank, never by a
+    // float argmax.
+    Q("ol6_grubbs", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      val dev = daily.crossJoin(broadcast(tot))
+        .select(col("d"), col("n"),
+          (col("n") * col("y") - col("sy")).as("e"))
+      val wPk = Window.orderBy(abs(col("e")).desc, col("d"))
+      dev.withColumn("rnk", row_number().over(wPk))
+        .withColumn("peak_d", max(when(col("rnk") === 1, col("d")))
+          .over(Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .groupBy("peak_d")
+        .agg(max("n").as("n_days"),
+          max(abs(col("e"))).as("max_abs_e"),
+          sum(col("e").cast("decimal(38,0)") * col("e")).as("__se2"))
+        .selectExpr("n_days", "peak_d", "max_abs_e",
+          "CAST(floor(1.0e6 * CAST(max_abs_e AS DOUBLE) / " +
+            "sqrt(CAST(__se2 AS DOUBLE) / CAST(n_days - 1 AS DOUBLE))) " +
+            "AS BIGINT) AS g_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      tot AS (SELECT count(*) AS n, sum(y) AS sy FROM daily),
+      dev AS (SELECT d, n, n * y - sy AS e FROM daily, tot),
+      pk AS (
+        SELECT d AS peak_d FROM dev
+        ORDER BY abs(e) DESC, d LIMIT 1),
+      a AS (
+        SELECT max(n) AS n_days, max(abs(e)) AS max_abs_e,
+               sum(CAST(e AS HUGEINT) * e) AS se2
+        FROM dev)
+      SELECT CAST(n_days AS BIGINT) AS n_days,
+             CAST(peak_d AS BIGINT) AS peak_d,
+             CAST(max_abs_e AS BIGINT) AS max_abs_e,
+             CAST(floor(1.0e6 * CAST(max_abs_e AS DOUBLE) /
+               sqrt(CAST(se2 AS DOUBLE) / CAST(n_days - 1 AS DOUBLE)))
+               AS BIGINT) AS g_e6
+      FROM a, pk"""))
   )
 }

@@ -79,7 +79,9 @@ class AllPlansSpec extends AnyFunSuite {
     "j13_bloom_semi_join" -> "1-row metrics × 1-row bits-set-count broadcast (the audit verdict row)",
     "ts12_durbin_watson" -> "1-row (n, Σy) total broadcast onto the bounded day table",
     "ts13_mann_kendall" -> "bounded month-grid self-pair (≤84×84, ts9/cs24's argument) + two 1-row stat broadcasts",
-    "km1_kaplan_meier" -> "1-row dataset-horizon broadcast onto the customer-grain spell table")
+    "km1_kaplan_meier" -> "1-row dataset-horizon broadcast onto the customer-grain spell table",
+    "k27_partition_balance" -> "1-row (min,max) bounds broadcast onto the scan before bucketing",
+    "ol6_grubbs" -> "1-row (n, Σy) total broadcast onto the bounded day table (ts12's shape)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -555,4 +555,70 @@ class MetricOpsSpec extends AnyFunSuite {
     }
     assert(expectRisk == 0L) // every spell accounted for exactly once
   }
+
+  // ------------------------------------------------------------------
+  // wave 22: sa17 / k27 / ol6
+  // ------------------------------------------------------------------
+
+  test("sa17: deff >= 1e6, neff <= n, ratios are exact reciprocals") {
+    val out = run("sa17_kish_deff").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, sw, sw2) = (r.getAs[Long]("n_units"), r.getAs[Long]("sum_w"),
+        r.getAs[Long]("sum_w2"))
+      assert(sw2 >= sw) // w ≥ 1 ⇒ Σw² ≥ Σw
+      assert(r.getAs[Long]("deff_e6") >= 1000000L) // Cauchy–Schwarz
+      assert(r.getAs[Long]("deff_e6") == n * sw2 * 1000000L / (sw * sw))
+      assert(r.getAs[Long]("neff_ratio_e6") ==
+        sw * sw * 1000000L / (n * sw2))
+      assert(r.getAs[Long]("neff_units") == sw * sw / sw2)
+      assert(r.getAs[Long]("neff_units") <= n)
+    }
+  }
+
+  test("k27: totals conserve rows; hash balances, range on price skews") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("k27_partition_balance").collect()
+    assert(out.length == 2)
+    val total = t(s, dir, "orders").count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("max_rows") >= r.getAs[Long]("min_rows"))
+      assert(r.getAs[Long]("skew_e6") ==
+        r.getAs[Long]("max_rows") * 32L * 1000000L / total)
+      assert(r.getAs[Long]("skew_e6") >= 1000000L) // max ≥ mean always
+    }
+    // which scheme wins is data- and SF-dependent (at tiny SF binomial
+    // noise dominates the hash; at scale the bell-shaped price column
+    // loses) — the audit GRADES the census rather than presuming it
+    assert(out.map(_.getAs[String]("scheme")).sorted.toSeq ==
+      Seq("hash_md5", "range_price"))
+    out.foreach(r => assert(r.getAs[Long]("buckets") <= 32L))
+  }
+
+  test("ol6: G matches brute force; peak day is the true argmax") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ol6_grubbs").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = daily.length.toLong
+    val sy = daily.map(_._2).sum
+    val e = daily.map { case (d, y) => (d, BigInt(n) * y - sy) }
+    val peak = e.minBy { case (d, ev) => (-ev.abs, d) }
+    val se2 = e.map(x => x._2 * x._2).sum
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("peak_d") == peak._1)
+    assert(BigInt(r.getAs[Long]("max_abs_e")) == peak._2.abs)
+    val g = math.floor(1.0e6 * peak._2.abs.toDouble /
+      math.sqrt(se2.toDouble / (n - 1).toDouble)).toLong
+    assert(r.getAs[Long]("g_e6") == g)
+  }
 }

@@ -92,6 +92,100 @@ object MetricQueries {
                       END) AS BIGINT) AS credited_cents
       FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ATT3 — time-decay attribution, the third member of the family
+    // (att1 last-touch, att2 equal-credit): a touch aging d days inside
+    // the 7-day lookback carries weight 2^(7−d) — DYADIC, so weights are
+    // exact integers {1..128} and no exp()/pow() float ever appears.
+    // Credit = cents·w div Σw per touch, with the remainder cents going
+    // one each to the most RECENT touches (att2's largest-remainder
+    // convention on the packed epoch|event_id key), so Σ credited ≡
+    // Σ purchase cents stays a law of the query. Same scale shape as
+    // att2: user-keyed join + windows, per-user fan-out bounded by the
+    // 7-day activity window.
+    Q("att3_time_decay_attribution", (s, dir) => {
+      val key = concat_ws("|",
+        lpad(col("ts").cast("long").cast("string"), 10, "0"),
+        lpad(col("event_id").cast("string"), 8, "0"))
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("event_type").as("t_type"),
+          col("ts").cast("long").as("t_ep"), key.as("t_key"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("ts").cast("long").as("p_ep"), key.as("p_key"))
+      val j = purchases.join(touches,
+        col("t_user") === col("p_user") && col("t_key") < col("p_key") &&
+          col("p_ep") - col("t_ep") <= 604800, "left")
+        .withColumn("w", when(col("t_key").isNull, lit(null))
+          .otherwise(expr("shiftleft(1L, CAST(7 - (p_ep - t_ep) " +
+            "div 86400 AS INT))")))
+      val wP = Window.partitionBy("p_user", "p_key")
+      val wR = Window.partitionBy("p_user", "p_key")
+        .orderBy(col("t_key").desc)
+      j.withColumn("k", count(col("t_key")).over(wP))
+        .withColumn("sw", sum("w").over(wP))
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("base", expr("(cents * w) div sw"))
+        .withColumn("leftover",
+          col("cents") - sum(coalesce(col("base"), lit(0L))).over(wP))
+        .select(
+          when(col("k") === 0, lit("direct")).otherwise(col("t_type"))
+            .as("channel"),
+          when(col("k") === 0, col("cents"))
+            .otherwise(col("base") +
+              when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+            .as("credit"),
+          coalesce(col("w"), lit(0L)).as("wv"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum("credit").as("credited_cents"),
+          sum("wv").as("weight_sum"))
+        .orderBy("channel")
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR),
+                    10, '0')
+                 || '|' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS key
+        FROM events),
+      tt AS (
+        SELECT user_id AS t_user, event_type AS t_type, ep AS t_ep,
+               key AS t_key
+        FROM ev WHERE event_type IN ('view', 'click')),
+      p AS (
+        SELECT user_id AS p_user, CAST(floor(value * 100) AS BIGINT) AS cents,
+               ep AS p_ep, key AS p_key
+        FROM ev WHERE event_type = 'purchase'),
+      j AS (
+        SELECT p.*, tt.t_type, tt.t_key,
+               CASE WHEN tt.t_key IS NULL THEN NULL
+                    ELSE (1::BIGINT << CAST(7 - (p_ep - t_ep) // 86400
+                                            AS INTEGER)) END AS w
+        FROM p LEFT JOIN tt ON t_user = p_user AND t_key < p_key
+                            AND p_ep - t_ep <= 604800),
+      r AS (
+        SELECT *,
+               count(t_key) OVER (PARTITION BY p_user, p_key) AS k,
+               sum(w) OVER (PARTITION BY p_user, p_key) AS sw,
+               row_number() OVER (PARTITION BY p_user, p_key
+                 ORDER BY t_key DESC) AS rn
+        FROM j),
+      b AS (
+        SELECT *, (cents * w) // sw AS base,
+               cents - sum(coalesce((cents * w) // sw, 0))
+                 OVER (PARTITION BY p_user, p_key) AS leftover
+        FROM r)
+      SELECT CASE WHEN k = 0 THEN 'direct' ELSE t_type END AS channel,
+             count(*) AS n_credits,
+             CAST(sum(CASE WHEN k = 0 THEN cents
+                      ELSE base +
+                           CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                      END) AS BIGINT) AS credited_cents,
+             CAST(sum(coalesce(w, 0)) AS BIGINT) AS weight_sum
+      FROM b GROUP BY 1 ORDER BY 1""")),
+
     // CS24 — Kendall tau-b between the URGENT and LOW daily-revenue
     // series: rank correlation from EXACT pair counts — concordance is
     // decided by integer comparisons only (never a sign() of a float

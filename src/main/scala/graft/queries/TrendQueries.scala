@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, Dedup, Triangles}
+import graft.operators.{Components, Dedup, Sampling, Triangles}
 import Tables.t
 
 /** Round-12 third wave: calendar-aware RANGE-frame windows, rolling
@@ -2809,6 +2809,222 @@ object TrendQueries {
              CAST(floor(1.0e6 * CAST(max_abs_e AS DOUBLE) /
                sqrt(CAST(se2 AS DOUBLE) / CAST(n_days - 1 AS DOUBLE)))
                AS BIGINT) AS g_e6
-      FROM a, pk"""))
+      FROM a, pk""")),
+
+    // TS14 — Hurst exponent by rescaled-range (R/S) analysis over the
+    // URGENT daily-revenue series: long-range dependence in one number
+    // (H≈0.5 random walk, >0.5 trending, <0.5 mean-reverting). Inside
+    // each w-day block the cumulative deviations are the EXACT integers
+    // Z_j = w·cumsum(y) − j·Σy (ts12's n-scaling), so R = maxZ−minZ and
+    // the variance term w·Σy²−S² are exact; each block contributes ONE
+    // floored integer rs_e6 (a single double div+sqrt), block means are
+    // integer division, and the final log-log slope runs over the FOUR
+    // pivoted block means in one fixed-order expression (x = log2 w ∈
+    // {3,4,5,6} is integer, Σ(x−x̄)² = 5, ln(2) written as a literal) —
+    // no cross-row double sums anywhere. Window sizes explode scan-side;
+    // every window is (w, block)-partitioned.
+    Q("ts14_hurst", (s, dir) => {
+      val wIdx = Window.orderBy("d")
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .withColumn("r", row_number().over(wIdx).cast("long") - 1L)
+        .localCheckpoint(eager = false) // indexed once, exploded 4×
+      val blocks = daily
+        .select(col("r"), col("y"),
+          explode(array(lit(8L), lit(16L), lit(32L), lit(64L))).as("w"))
+        .selectExpr("w", "y", "r div w AS blk", "r % w + 1L AS j")
+      val wB = Window.partitionBy("w", "blk").orderBy("j")
+      val wBAll = Window.partitionBy("w", "blk")
+      val z = blocks
+        .withColumn("cum", sum("y").over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sblk", sum("y").over(wBAll))
+        .withColumn("qblk", sum((col("y") * col("y"))
+          .cast("decimal(38,0)")).over(wBAll))
+        .withColumn("cnt", count(lit(1)).over(wBAll))
+        .filter(col("cnt") === col("w"))
+        .withColumn("zj", col("w") * col("cum") - col("j") * col("sblk"))
+      val perBlock = z.groupBy("w", "blk")
+        .agg(max("zj").as("zmax"), min("zj").as("zmin"),
+          max("sblk").as("sv"), max("qblk").as("qv"))
+        // a constant-valued block has zero variance — degenerate for R/S
+        .filter(expr("w * qv - CAST(sv AS DECIMAL(38,0)) * sv > 0"))
+        .selectExpr("w", "blk",
+          "CAST(floor(1.0e6 * CAST(zmax - zmin AS DOUBLE) / " +
+            "sqrt(CAST(w * qv - CAST(sv AS DECIMAL(38,0)) * sv " +
+            "AS DOUBLE))) AS BIGINT) AS rs_e6")
+      val perW = perBlock.groupBy("w")
+        .agg(count(lit(1)).as("nblk"), sum("rs_e6").as("rs_sum"))
+        .selectExpr("w", "nblk", "rs_sum div nblk AS rs_avg_e6")
+      perW.agg(
+          max(when(col("w") === 8, col("rs_avg_e6"))).as("rs8_e6"),
+          max(when(col("w") === 16, col("rs_avg_e6"))).as("rs16_e6"),
+          max(when(col("w") === 32, col("rs_avg_e6"))).as("rs32_e6"),
+          max(when(col("w") === 64, col("rs_avg_e6"))).as("rs64_e6"))
+        .selectExpr("rs8_e6", "rs16_e6", "rs32_e6", "rs64_e6",
+          "CAST(floor(1.0e4 * ((-1.5 * ln(CAST(rs8_e6 AS DOUBLE)) " +
+            "- 0.5 * ln(CAST(rs16_e6 AS DOUBLE)) " +
+            "+ 0.5 * ln(CAST(rs32_e6 AS DOUBLE)) " +
+            "+ 1.5 * ln(CAST(rs64_e6 AS DOUBLE))) / 5.0) " +
+            "/ 0.6931471805599453) AS BIGINT) AS h_e4")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      idx AS (
+        SELECT y, row_number() OVER (ORDER BY d) - 1 AS r FROM daily),
+      blocks AS (
+        SELECT w, y, r // w AS blk, r % w + 1 AS j
+        FROM idx, UNNEST([CAST(8 AS BIGINT), 16, 32, 64]) AS t(w)),
+      z AS (
+        SELECT w, blk, j,
+               sum(y) OVER (PARTITION BY w, blk ORDER BY j
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(y) OVER (PARTITION BY w, blk) AS sblk,
+               sum(CAST(y AS HUGEINT) * y)
+                 OVER (PARTITION BY w, blk) AS qblk,
+               count(*) OVER (PARTITION BY w, blk) AS cnt,
+               y
+        FROM blocks),
+      zz AS (
+        SELECT w, blk, w * cum - j * sblk AS zj, sblk, qblk
+        FROM z WHERE cnt = w),
+      pb AS (
+        SELECT w, blk,
+               CAST(floor(1.0e6 * CAST(max(zj) - min(zj) AS DOUBLE) /
+                 sqrt(CAST(w * max(qblk) -
+                   CAST(max(sblk) AS HUGEINT) * max(sblk) AS DOUBLE)))
+                 AS BIGINT) AS rs_e6
+        FROM zz GROUP BY w, blk
+        HAVING w * max(qblk) - CAST(max(sblk) AS HUGEINT) * max(sblk) > 0),
+      pw AS (
+        SELECT w, sum(rs_e6) // count(*) AS rs_avg_e6
+        FROM pb GROUP BY w),
+      piv AS (
+        SELECT max(CASE WHEN w = 8 THEN rs_avg_e6 END) AS rs8_e6,
+               max(CASE WHEN w = 16 THEN rs_avg_e6 END) AS rs16_e6,
+               max(CASE WHEN w = 32 THEN rs_avg_e6 END) AS rs32_e6,
+               max(CASE WHEN w = 64 THEN rs_avg_e6 END) AS rs64_e6
+        FROM pw)
+      SELECT rs8_e6, rs16_e6, rs32_e6, rs64_e6,
+             CAST(floor(1.0e4 * ((-1.5 * ln(CAST(rs8_e6 AS DOUBLE))
+               - 0.5 * ln(CAST(rs16_e6 AS DOUBLE))
+               + 0.5 * ln(CAST(rs32_e6 AS DOUBLE))
+               + 1.5 * ln(CAST(rs64_e6 AS DOUBLE))) / 5.0)
+               / 0.6931471805599453) AS BIGINT) AS h_e4
+      FROM piv""")),
+
+    // SA18 — covariate-balance audit (standardized mean difference)
+    // across the md5-fraction train/val/test split on order value: the
+    // experiment-design twin of sa9's chi² — a hash split should leave
+    // every covariate balanced (|SMD| ≲ 0.1 is the usual bar), and SMD is
+    // what a reviewer asks for when the split feeds an eval. Per-split
+    // power sums (n, Σx, Σx²) are exact (Σx² in decimal/HUGEINT); each
+    // pairwise SMD composes those six integers in ONE fixed-order double
+    // expression — variances via the n·Σx²−S² form, never a float
+    // running mean. One corpus-scale groupBy; the pair algebra is 3 rows.
+    Q("sa18_covariate_balance", (s, dir) => {
+      val splits = t(s, dir, "orders")
+        .select(Sampling.splitLabel(col("o_orderkey").cast("string"))
+          .as("split"), floor(col("o_totalprice")).cast("long").as("x"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("qx"))
+      val piv = splits.agg(
+        max(when(col("split") === "train", col("n"))).as("n_tr"),
+        max(when(col("split") === "train", col("sx"))).as("s_tr"),
+        max(when(col("split") === "train", col("qx"))).as("q_tr"),
+        max(when(col("split") === "val", col("n"))).as("n_va"),
+        max(when(col("split") === "val", col("sx"))).as("s_va"),
+        max(when(col("split") === "val", col("qx"))).as("q_va"),
+        max(when(col("split") === "test", col("n"))).as("n_te"),
+        max(when(col("split") === "test", col("sx"))).as("s_te"),
+        max(when(col("split") === "test", col("qx"))).as("q_te"))
+      def smd(na: String, sa: String, qa: String,
+              nb: String, sb: String, qb: String) =
+        s"CAST(floor(1.0e6 * " +
+          s"((CAST($sa AS DOUBLE) / $na - CAST($sb AS DOUBLE) / $nb) / " +
+          s"sqrt((CAST($na * $qa - CAST($sa AS DECIMAL(38,0)) * $sa " +
+          s"AS DOUBLE) / (CAST($na AS DOUBLE) * ($na - 1)) + " +
+          s"CAST($nb * $qb - CAST($sb AS DECIMAL(38,0)) * $sb " +
+          s"AS DOUBLE) / (CAST($nb AS DOUBLE) * ($nb - 1))) / 2.0))) " +
+          s"AS BIGINT)"
+      piv.selectExpr(
+        "stack(3, " +
+          s"'train_vs_test', n_tr, n_te, ${smd("n_tr", "s_tr", "q_tr",
+            "n_te", "s_te", "q_te")}, " +
+          s"'train_vs_val', n_tr, n_va, ${smd("n_tr", "s_tr", "q_tr",
+            "n_va", "s_va", "q_va")}, " +
+          s"'val_vs_test', n_va, n_te, ${smd("n_va", "s_va", "q_va",
+            "n_te", "s_te", "q_te")}) AS (pair, n_a, n_b, smd_e6)")
+        .orderBy("pair")
+    }, Some("""
+      WITH f AS (
+        SELECT CAST(floor(o_totalprice) AS BIGINT) AS x,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM orders),
+      d AS (
+        SELECT x, CASE WHEN frac < 0.8 THEN 'train'
+                       WHEN frac < 0.9 THEN 'val'
+                       ELSE 'test' END AS split FROM f),
+      a AS (
+        SELECT split, count(*) AS n, sum(x) AS sx,
+               sum(CAST(x AS HUGEINT) * x) AS qx
+        FROM d GROUP BY 1),
+      piv AS (
+        SELECT max(CASE WHEN split = 'train' THEN n END) AS n_tr,
+               max(CASE WHEN split = 'train' THEN sx END) AS s_tr,
+               max(CASE WHEN split = 'train' THEN qx END) AS q_tr,
+               max(CASE WHEN split = 'val' THEN n END) AS n_va,
+               max(CASE WHEN split = 'val' THEN sx END) AS s_va,
+               max(CASE WHEN split = 'val' THEN qx END) AS q_va,
+               max(CASE WHEN split = 'test' THEN n END) AS n_te,
+               max(CASE WHEN split = 'test' THEN sx END) AS s_te,
+               max(CASE WHEN split = 'test' THEN qx END) AS q_te
+        FROM a),
+      u AS (
+        SELECT 'train_vs_test' AS pair, n_tr AS n_a, n_te AS n_b,
+               CAST(floor(1.0e6 *
+                 ((CAST(s_tr AS DOUBLE) / n_tr - CAST(s_te AS DOUBLE)
+                   / n_te) /
+                  sqrt((CAST(n_tr * q_tr - CAST(s_tr AS HUGEINT) * s_tr
+                    AS DOUBLE) / (CAST(n_tr AS DOUBLE) * (n_tr - 1)) +
+                    CAST(n_te * q_te - CAST(s_te AS HUGEINT) * s_te
+                    AS DOUBLE) / (CAST(n_te AS DOUBLE) * (n_te - 1)))
+                    / 2.0))) AS BIGINT) AS smd_e6
+        FROM piv
+        UNION ALL
+        SELECT 'train_vs_val', n_tr, n_va,
+               CAST(floor(1.0e6 *
+                 ((CAST(s_tr AS DOUBLE) / n_tr - CAST(s_va AS DOUBLE)
+                   / n_va) /
+                  sqrt((CAST(n_tr * q_tr - CAST(s_tr AS HUGEINT) * s_tr
+                    AS DOUBLE) / (CAST(n_tr AS DOUBLE) * (n_tr - 1)) +
+                    CAST(n_va * q_va - CAST(s_va AS HUGEINT) * s_va
+                    AS DOUBLE) / (CAST(n_va AS DOUBLE) * (n_va - 1)))
+                    / 2.0))) AS BIGINT)
+        FROM piv
+        UNION ALL
+        SELECT 'val_vs_test', n_va, n_te,
+               CAST(floor(1.0e6 *
+                 ((CAST(s_va AS DOUBLE) / n_va - CAST(s_te AS DOUBLE)
+                   / n_te) /
+                  sqrt((CAST(n_va * q_va - CAST(s_va AS HUGEINT) * s_va
+                    AS DOUBLE) / (CAST(n_va AS DOUBLE) * (n_va - 1)) +
+                    CAST(n_te * q_te - CAST(s_te AS HUGEINT) * s_te
+                    AS DOUBLE) / (CAST(n_te AS DOUBLE) * (n_te - 1)))
+                    / 2.0))) AS BIGINT)
+        FROM piv)
+      SELECT pair, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             smd_e6
+      FROM u ORDER BY pair"""))
   )
 }

@@ -621,4 +621,122 @@ class MetricOpsSpec extends AnyFunSuite {
       math.sqrt(se2.toDouble / (n - 1).toDouble)).toLong
     assert(r.getAs[Long]("g_e6") == g)
   }
+
+  // ------------------------------------------------------------------
+  // wave 23: att3 / ts14 / sa18
+  // ------------------------------------------------------------------
+
+  test("att3: cents conserve exactly; dyadic weights bound the channels") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("att3_time_decay_attribution").collect()
+    val channels = out.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("view", "click", "direct")))
+    val credited = out.map(_.getAs[Long]("credited_cents")).sum
+    val purchaseCents = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(credited == purchaseCents) // weighted largest-remainder law
+    // direct purchases carry zero touch weight by construction
+    out.filter(_.getAs[String]("channel") == "direct")
+      .foreach(r => assert(r.getAs[Long]("weight_sum") == 0L))
+    out.filter(_.getAs[String]("channel") != "direct")
+      .foreach(r => assert(r.getAs[Long]("weight_sum") >=
+        r.getAs[Long]("n_credits"))) // every weight ≥ 1
+  }
+
+  test("att3: hand fixture — newer touches earn exponentially more") {
+    val s = spark
+    import s.implicits._
+    // user A: 300c purchase, touches 3d and 1d before → weights 2^4, 2^6
+    // → shares 300·16/80 = 60 and 300·64/80 = 240, no remainder.
+    val day = 86400L
+    val rows = Seq(
+      ("A", 1L, 10L * day, "view", 0.0),
+      ("A", 2L, 12L * day, "click", 0.0),
+      ("A", 3L, 13L * day, "purchase", 3.00))
+    val df = rows.toDF("user_id", "event_id", "ep", "event_type", "value")
+      .withColumn("ts", col("ep").cast("timestamp")).drop("ep")
+    val saved = df.localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("att3fix").toString
+    saved.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.SparkEntry.queries("att3_time_decay_attribution")(
+      s, tmp).collect()
+    val byCh = out.map(r => r.getAs[String]("channel") ->
+      r.getAs[Long]("credited_cents")).toMap
+    assert(byCh("view") == 60L)   // age 3d → 2^(7-3)=16 of Σ80
+    assert(byCh("click") == 240L) // age 1d → 2^(7-1)=64 of Σ80
+  }
+
+  test("ts14: rs means positive and increasing in w; H in a sane band") {
+    val out = run("ts14_hurst").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val rs = Seq(r.getAs[Long]("rs8_e6"), r.getAs[Long]("rs16_e6"),
+      r.getAs[Long]("rs32_e6"), r.getAs[Long]("rs64_e6"))
+    rs.foreach(v => assert(v > 0L))
+    // R/S grows with window for any positive-H series
+    assert(rs == rs.sorted)
+    val h = r.getAs[Long]("h_e4")
+    assert(h > 0L && h < 15000L) // (0, 1.5): estimator noise band
+  }
+
+  test("ts14: w=8 block means match a brute-force R/S recompute") {
+    val s = spark
+    import graft.queries.Tables.t
+    val daily = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .orderBy("d").collect().map(_.getLong(1))
+    val w = 8
+    val rsVals = daily.grouped(w).filter(_.length == w).flatMap { blk =>
+      val sv = BigInt(blk.sum)
+      val qv = blk.map(v => BigInt(v) * v).sum
+      val varTerm = qv * w - sv * sv
+      if (varTerm <= 0) None else {
+        val cums = blk.scanLeft(BigInt(0))(_ + _).tail
+        val zs = cums.zipWithIndex.map { case (c, i) =>
+          c * w - sv * (i + 1) }
+        Some(math.floor(1.0e6 * (zs.max - zs.min).toDouble /
+          math.sqrt(varTerm.toDouble)).toLong)
+      }
+    }.toSeq
+    val expect = rsVals.sum / rsVals.length
+    assert(run("ts14_hurst").collect()(0).getAs[Long]("rs8_e6") == expect)
+  }
+
+  test("sa18: SMD matches a brute-force recompute per pair") {
+    val s = spark
+    import graft.queries.Tables.t
+    import graft.operators.Sampling
+    val out = run("sa18_covariate_balance").collect()
+    assert(out.length == 3)
+    val split = t(s, dir, "orders")
+      .select(Sampling.splitLabel(col("o_orderkey").cast("string"))
+        .as("sp"), floor(col("o_totalprice")).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def stats(name: String) = {
+      val xs = split.filter(_._1 == name).map(_._2)
+      (xs.length.toLong, BigInt(xs.sum), xs.map(v => BigInt(v) * v).sum)
+    }
+    def smd(a: (Long, BigInt, BigInt), b: (Long, BigInt, BigInt)) = {
+      val va = (a._3 * a._1 - a._2 * a._2).toDouble /
+        (a._1.toDouble * (a._1 - 1))
+      val vb = (b._3 * b._1 - b._2 * b._2).toDouble /
+        (b._1.toDouble * (b._1 - 1))
+      math.floor(1.0e6 * ((a._2.toDouble / a._1 - b._2.toDouble / b._1) /
+        math.sqrt((va + vb) / 2.0))).toLong
+    }
+    val (tr, va, te) = (stats("train"), stats("val"), stats("test"))
+    val expect = Map("train_vs_test" -> smd(tr, te),
+      "train_vs_val" -> smd(tr, va), "val_vs_test" -> smd(va, te))
+    out.foreach { r =>
+      assert(r.getAs[Long]("smd_e6") == expect(r.getAs[String]("pair")))
+      // a hash split leaves the covariate balanced: |SMD| well under 0.1
+      assert(math.abs(r.getAs[Long]("smd_e6")) < 100000L)
+    }
+  }
 }

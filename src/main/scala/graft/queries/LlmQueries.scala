@@ -4087,6 +4087,145 @@ object LlmQueries {
       FROM tot t
       LEFT JOIN sc ON sc.doc_id = t.doc_id
       LEFT JOIN mr ON mr.doc_id = t.doc_id
-      ORDER BY media_id"""))
+      ORDER BY media_id""")),
+
+    // DD24 — external cluster-quality metrics for the LSH dup clusters:
+    // purity (each cluster's majority truth class) and inverse purity
+    // (each truth class's best cluster), with exact byte-identical text
+    // groups as ground truth — the evaluation half that dd9 (clusters)
+    // and dd23 (blocking recall) don't grade: does transitive LSH
+    // closure MERGE documents that aren't actually duplicates? Both
+    // numerators are integer max-overlap sums; purity/inverse/F1 are
+    // scaled integer divisions — no floats at all. Cost is dd9's
+    // component pipeline plus two bounded (cluster × class) aggregates.
+    Q("dd24_cluster_purity", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.shingleMultiset(docs, "doc_id", "text")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
+      val cc = Components.connectedComponents(
+        Dedup.lshCandidatePairs(sig, "doc_id"), "doc_a", "doc_b")
+      val assign = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+        .join(cc, docs("doc_id") === cc("node"), "left")
+        .select(docs("doc_id"),
+          coalesce(col("component"), docs("doc_id")).as("cluster_id"),
+          col("tkey"))
+      val ct = assign.groupBy("cluster_id", "tkey")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false) // feeds both max-overlap sums
+      val pur = ct.groupBy("cluster_id").agg(max("cnt").as("m"))
+        .agg(count(lit(1)).as("n_clusters"), sum("m").as("pnum"))
+      val inv = ct.groupBy("tkey").agg(max("cnt").as("m"))
+        .agg(count(lit(1)).as("n_classes"), sum("m").as("inum"))
+      val n = assign.agg(count(lit(1)).as("n_docs"))
+      n.crossJoin(broadcast(pur)).crossJoin(broadcast(inv))
+        .selectExpr("n_docs", "n_clusters", "n_classes",
+          "pnum * 1000000L div n_docs AS purity_e6",
+          "inum * 1000000L div n_docs AS inverse_e6",
+          "2L * pnum * inum * 1000000L div ((pnum + inum) * n_docs) " +
+            "AS f1_e6")
+    }, Some(s"""
+      WITH RECURSIVE $MinhashPairsCte,
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+      assign AS (
+        SELECT d.doc_id, c.cluster_id, md5(d.text) AS tkey
+        FROM documents d JOIN comp c ON c.doc_id = d.doc_id),
+      ct AS (
+        SELECT cluster_id, tkey, count(*) AS cnt
+        FROM assign GROUP BY 1, 2),
+      pur AS (
+        SELECT count(*) AS n_clusters, sum(m) AS pnum FROM (
+          SELECT cluster_id, max(cnt) AS m FROM ct GROUP BY 1)),
+      inv AS (
+        SELECT count(*) AS n_classes, sum(m) AS inum FROM (
+          SELECT tkey, max(cnt) AS m FROM ct GROUP BY 1)),
+      nn AS (SELECT count(*) AS n_docs FROM assign)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_clusters AS BIGINT) AS n_clusters,
+             CAST(n_classes AS BIGINT) AS n_classes,
+             CAST(pnum * 1000000 // n_docs AS BIGINT) AS purity_e6,
+             CAST(inum * 1000000 // n_docs AS BIGINT) AS inverse_e6,
+             CAST(2 * pnum * inum * 1000000 // ((pnum + inum) * n_docs)
+               AS BIGINT) AS f1_e6
+      FROM nn, pur, inv""")),
+
+    // ML14 — chance-corrected gate metrics at the 0.5 decision threshold:
+    // the confusion counts plus MCC, balanced accuracy, and Cohen's kappa
+    // — the three numbers that stay honest under class imbalance, where
+    // ml13's raw precision/recall sweep can look great by majority-class
+    // luck. Confusion cells are exact BIGINT sums off ml1's shared scored
+    // frame; MCC's four-factor denominator is composed as a PRODUCT OF
+    // SQRTS (the BIGINT product overflows at ~n^4) and kappa rides the
+    // same floor(1e6·double) move — `div` is avoided on the possibly-
+    // NEGATIVE numerators because Spark `div` truncates toward zero while
+    // engines with floor-division semantics round down. One aggregate
+    // row; cost is ml1's scoring pass.
+    Q("ml14_mcc_gate", (s, dir) => {
+      val sc = Classifier.logRegScores(t(s, dir, "documents"), "doc_id",
+        "text", label = when(col("source") === "src0", 1.0).otherwise(0.0),
+        dims = 32, iters = 3, lr = 0.5)
+      sc.agg(
+          sum(when(col("predicted") && col("label") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("predicted") && col("label") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(!col("predicted") && col("label") === 1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(!col("predicted") && col("label") === 0, 1L)
+            .otherwise(0L)).as("tn"))
+        .selectExpr("tp", "fp", "fn", "tn",
+          "CASE WHEN (tp + fp) * (tp + fn) = 0 OR " +
+            "(tn + fp) * (tn + fn) = 0 THEN 0L ELSE " +
+            "CAST(floor(1.0e6 * (CAST(tp * tn - fp * fn AS DOUBLE) / " +
+            "(sqrt(CAST(tp + fp AS DOUBLE)) * " +
+            "sqrt(CAST(tp + fn AS DOUBLE)) * " +
+            "sqrt(CAST(tn + fp AS DOUBLE)) * " +
+            "sqrt(CAST(tn + fn AS DOUBLE))))) AS BIGINT) END AS mcc_e6",
+          "CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN 0L ELSE " +
+            "CAST(floor(1.0e6 * 0.5 * (CAST(tp AS DOUBLE) / (tp + fn) + " +
+            "CAST(tn AS DOUBLE) / (tn + fp))) AS BIGINT) END AS bal_acc_e6",
+          "CASE WHEN (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) = 0 " +
+            "THEN 0L ELSE " +
+            "CAST(floor(1.0e6 * (CAST(2 * (tp * tn - fp * fn) AS DOUBLE) / " +
+            "CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) " +
+            "AS DOUBLE))) AS BIGINT) END AS kappa_e6")
+    }, Some(s"""
+      WITH $MlScoredCte,
+      conf AS (
+        SELECT sum(CASE WHEN predicted AND label = 1 THEN 1 ELSE 0 END)
+                 AS tp,
+               sum(CASE WHEN predicted AND label = 0 THEN 1 ELSE 0 END)
+                 AS fp,
+               sum(CASE WHEN NOT predicted AND label = 1 THEN 1 ELSE 0 END)
+                 AS fn,
+               sum(CASE WHEN NOT predicted AND label = 0 THEN 1 ELSE 0 END)
+                 AS tn
+        FROM mlscored)
+      SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+             CASE WHEN (tp + fp) * (tp + fn) = 0 OR
+                       (tn + fp) * (tn + fn) = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST(floor(1.0e6 * (CAST(tp * tn - fp * fn AS DOUBLE) /
+                 (sqrt(CAST(tp + fp AS DOUBLE)) *
+                  sqrt(CAST(tp + fn AS DOUBLE)) *
+                  sqrt(CAST(tn + fp AS DOUBLE)) *
+                  sqrt(CAST(tn + fn AS DOUBLE))))) AS BIGINT) END AS mcc_e6,
+             CASE WHEN tp + fn = 0 OR tn + fp = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST(floor(1.0e6 * 0.5 * (CAST(tp AS DOUBLE) / (tp + fn) +
+                 CAST(tn AS DOUBLE) / (tn + fp))) AS BIGINT) END
+               AS bal_acc_e6,
+             CASE WHEN (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) = 0
+               THEN CAST(0 AS BIGINT) ELSE
+               CAST(floor(1.0e6 * (CAST(2 * (tp * tn - fp * fn) AS DOUBLE) /
+                 CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)
+                 AS DOUBLE))) AS BIGINT) END AS kappa_e6
+      FROM conf"""))
   )
 }

@@ -1113,6 +1113,326 @@ object MetricQueries {
              CAST(n_a * n_b * 1000000 // (n * n) -
                   n_ab * 1000000 // n AS BIGINT) AS err_e6,
              CAST(n_ab * n * 1000000 // (n_a * n_b) AS BIGINT) AS lift_e6
-      FROM u ORDER BY pair"""))
+      FROM u ORDER BY pair""")),
+
+    // MB4 — sequential association rules over the event stream: for every
+    // ORDERED pair of distinct event types (A, B), how many users did A
+    // and then LATER did B (∃ a_ts < b_ts ⟺ min_ts(A) < max_ts(B) — two
+    // per-user timestamps decide existence, no per-event pair scan), with
+    // confidence over A-users and support over all users. The temporal
+    // half that mb3's unordered co-occurrence can't see (view→purchase vs
+    // purchase→view are different rules). Everything is exact: timestamp
+    // comparisons at native µs precision (no epoch cast — the floor/round
+    // drift trap never enters) and scaled-integer divisions. Scale shape:
+    // one user-hash shuffle to the (user, type) grain, then a per-user
+    // self-join with fan-out bounded by |type|² = 25 — never corpus².
+    Q("mb4_sequence_rules", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val ut = ev.groupBy("user_id", "event_type")
+        .agg(min("ts").as("mn"), max("ts").as("mx"))
+        .localCheckpoint(eager = false) // feeds pairs + per-type counts
+      val b = ut.select(col("user_id").as("ub"), col("event_type")
+        .as("cons"), col("mx"))
+      val pairs = ut.select(col("user_id"), col("event_type").as("ant"),
+          col("mn"))
+        .join(b, col("user_id") === col("ub"))
+        .filter(col("ant") =!= col("cons"))
+        .groupBy("ant", "cons")
+        .agg(sum(when(col("mn") < col("mx"), 1L).otherwise(0L))
+          .as("seq_users"), count(lit(1)).as("both_users"))
+      val na = ut.groupBy(col("event_type").as("ant"))
+        .agg(count(lit(1)).as("ant_users"))
+      val tot = ev.agg(countDistinct("user_id").as("n_users"))
+      pairs.join(broadcast(na), "ant").crossJoin(broadcast(tot))
+        .selectExpr("ant", "cons", "ant_users", "both_users", "seq_users",
+          "n_users",
+          "seq_users * 1000000L div ant_users AS conf_e6",
+          "seq_users * 1000000L div n_users AS support_e6")
+        .orderBy("ant", "cons")
+    }, Some("""
+      WITH ut AS (
+        SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type AS ant, b.event_type AS cons,
+               sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS seq_users,
+               count(*) AS both_users
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+        WHERE a.event_type <> b.event_type
+        GROUP BY 1, 2),
+      na AS (SELECT event_type AS ant, count(*) AS ant_users
+             FROM ut GROUP BY 1),
+      tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+      SELECT p.ant, p.cons, CAST(na.ant_users AS BIGINT) AS ant_users,
+             CAST(p.both_users AS BIGINT) AS both_users,
+             CAST(p.seq_users AS BIGINT) AS seq_users,
+             CAST(t.n_users AS BIGINT) AS n_users,
+             CAST(p.seq_users * 1000000 // na.ant_users AS BIGINT)
+               AS conf_e6,
+             CAST(p.seq_users * 1000000 // t.n_users AS BIGINT)
+               AS support_e6
+      FROM pairs p JOIN na ON na.ant = p.ant, tot t
+      ORDER BY p.ant, p.cons""")),
+
+    // TX23 — Heaps-law vocabulary growth: distinct-term count vs token
+    // count at a 4-point doc-id prefix grid (max_id ÷ {8,4,2,1}), plus the
+    // fitted inter-checkpoint slope β = ln(V₂/V₁)/ln(N₂/N₁) — the curve
+    // that says whether a corpus is still discovering vocabulary (β≈0.5)
+    // or re-treading it (β→0), i.e. the marginal value of more data for
+    // tokenizer/LM training. No global rank: each term carries only its
+    // FIRST doc id (one groupBy), checkpoints come from a 1-row max
+    // broadcast stacked to 4 rows, and the cumulative counts are bounded
+    // grid-conditioned aggregates — prefix sums without a prefix scan.
+    // Counts are exact BIGINTs; β is one identically-composed ln ratio.
+    Q("tx23_heaps_law", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grid = docs.agg(max("doc_id").as("m"))
+        .selectExpr("stack(4, 1L, m div 8, 2L, m div 4, 3L, m div 2, " +
+          "4L, m) AS (g, cp)")
+      val fterm = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(min("doc_id").as("fd"))
+      val ds = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+        .crossJoin(broadcast(grid)).filter(col("doc_id") <= col("cp"))
+        .groupBy("g", "cp")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok").cast("long")).as("n_tokens"))
+      val vs = fterm.crossJoin(broadcast(grid))
+        .filter(col("fd") <= col("cp"))
+        .groupBy("g").agg(count(lit(1)).as("vocab"))
+      ds.join(vs, "g")
+        .select(col("g"), col("cp"), col("n_docs"), col("n_tokens"),
+          col("vocab"),
+          lag("vocab", 1).over(Window.orderBy("g")).as("pv"),
+          lag("n_tokens", 1).over(Window.orderBy("g")).as("pt"))
+        .selectExpr("g", "cp", "n_docs", "n_tokens", "vocab",
+          "CASE WHEN pt IS NULL OR n_tokens = pt THEN 0L ELSE " +
+            "CAST(floor(1.0e6 * (ln(CAST(vocab AS DOUBLE) / pv) / " +
+            "ln(CAST(n_tokens AS DOUBLE) / pt))) AS BIGINT) END " +
+            "AS slope_e6")
+        .orderBy("g")
+    }, Some("""
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      grid AS (
+        SELECT 1 AS g, m // 8 AS cp FROM mx
+        UNION ALL SELECT 2, m // 4 FROM mx
+        UNION ALL SELECT 3, m // 2 FROM mx
+        UNION ALL SELECT 4, m FROM mx),
+      fterm AS (
+        SELECT term, min(doc_id) AS fd FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        GROUP BY term),
+      ds AS (
+        SELECT g.g, g.cp, count(*) AS n_docs, sum(d.ntok) AS n_tokens
+        FROM grid g JOIN (
+          SELECT doc_id, len(string_split(text, ' ')) AS ntok
+          FROM documents) d ON d.doc_id <= g.cp
+        GROUP BY 1, 2),
+      vs AS (
+        SELECT g.g, count(*) AS vocab
+        FROM grid g JOIN fterm f ON f.fd <= g.cp
+        GROUP BY 1),
+      j AS (
+        SELECT ds.g, ds.cp, ds.n_docs, ds.n_tokens, vs.vocab,
+               lag(vs.vocab) OVER (ORDER BY ds.g) AS pv,
+               lag(ds.n_tokens) OVER (ORDER BY ds.g) AS pt
+        FROM ds JOIN vs ON vs.g = ds.g)
+      SELECT CAST(g AS BIGINT) AS g, CAST(cp AS BIGINT) AS cp,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(vocab AS BIGINT) AS vocab,
+             CASE WHEN pt IS NULL OR n_tokens = pt THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(1.0e6 * (ln(CAST(vocab AS DOUBLE) / pv) /
+                 ln(CAST(n_tokens AS DOUBLE) / pt))) AS BIGINT) END
+               AS slope_e6
+      FROM j ORDER BY g""")),
+
+    // CS34 — conditional entropy H(next|cur) and mutual information of
+    // consecutive event types: how much does knowing the CURRENT event
+    // tell you about the next one — the process-predictability number
+    // that ts4's raw transition matrix doesn't summarize (MI ≈ 0 ⟹ the
+    // "journey" is memoryless noise; H(next|cur) ≪ H(next) ⟹ real
+    // structure worth a sequence model). Transition counts are exact off
+    // ts4's user-partitioned lag; both entropies fold their ≤|type|²
+    // double terms in EXPLICIT key order on both engines (cs21's
+    // ordered-sum discipline), so the floor(1e6·double) grades.
+    Q("cs34_conditional_entropy", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = t(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // feeds margins + both entropies
+      val nt = tr.agg(sum("n").as("tot"))
+      val hn = tr.groupBy("next_type").agg(sum("n").as("nn"))
+        .crossJoin(broadcast(nt))
+        .select(col("next_type"), (negate(col("nn") / col("tot")
+          .cast("double")) * log(col("nn") / col("tot").cast("double")))
+          .as("c"))
+        .agg(aggregate(transform(array_sort(
+          collect_list(struct(col("next_type"), col("c")))),
+          x => x.getField("c")), lit(0.0), (a, x) => a + x).as("h_next"))
+      val hc = tr
+        .join(broadcast(tr.groupBy(col("prev_type").as("pt2"))
+          .agg(sum("n").as("nc"))), col("prev_type") === col("pt2"))
+        .crossJoin(broadcast(nt))
+        .select(col("prev_type"), col("next_type"),
+          (negate(col("n") / col("tot").cast("double")) *
+            log(col("n") / col("nc").cast("double"))).as("c"))
+        .agg(aggregate(transform(array_sort(collect_list(
+          struct(col("prev_type"), col("next_type"), col("c")))),
+          x => x.getField("c")), lit(0.0), (a, x) => a + x).as("h_cond"))
+      nt.crossJoin(broadcast(hn)).crossJoin(broadcast(hc))
+        .selectExpr("tot AS n_transitions",
+          "CAST(floor(1.0e6 * h_next) AS BIGINT) AS h_next_e6",
+          "CAST(floor(1.0e6 * h_cond) AS BIGINT) AS h_cond_e6",
+          "CAST(floor(1.0e6 * (h_next - h_cond)) AS BIGINT) AS mi_e6")
+    }, Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      tr AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      nt AS (SELECT sum(n) AS tot FROM tr),
+      hn AS (
+        SELECT list_sum(list(c ORDER BY next_type)) AS h_next FROM (
+          SELECT m.next_type,
+                 -(m.nn / CAST(t.tot AS DOUBLE)) *
+                   ln(m.nn / CAST(t.tot AS DOUBLE)) AS c
+          FROM (SELECT next_type, sum(n) AS nn FROM tr GROUP BY 1) m,
+               nt t)),
+      hc AS (
+        SELECT list_sum(list(c ORDER BY prev_type, next_type)) AS h_cond
+        FROM (
+          SELECT tr.prev_type, tr.next_type,
+                 -(tr.n / CAST(t.tot AS DOUBLE)) *
+                   ln(tr.n / CAST(m.nc AS DOUBLE)) AS c
+          FROM tr
+          JOIN (SELECT prev_type AS pt2, sum(n) AS nc FROM tr GROUP BY 1) m
+            ON m.pt2 = tr.prev_type, nt t))
+      SELECT CAST(t.tot AS BIGINT) AS n_transitions,
+             CAST(floor(1.0e6 * hn.h_next) AS BIGINT) AS h_next_e6,
+             CAST(floor(1.0e6 * hc.h_cond) AS BIGINT) AS h_cond_e6,
+             CAST(floor(1.0e6 * (hn.h_next - hc.h_cond)) AS BIGINT)
+               AS mi_e6
+      FROM nt t, hn, hc""")),
+
+    // GR15 — Katz centrality on the doc graph, 3 damped rounds in EXACT
+    // scaled-integer arithmetic: x₀ = 10⁶, x_{k+1} = 10⁶ + (Σ_{j∈N(i)}
+    // x_k(j)) div 8 — the attenuation-weighted walk count that ranks
+    // influence beyond gr8's single-seed personalized view, with the
+    // float-iteration parity problem deleted outright (truncating integer
+    // div is the SAME op on both engines, proven by the -7//2 probe).
+    // Each round is one edges⤳scores hash join + a node-grain sum — the
+    // canonical iterative-graph shuffle shape; top-10 exits via
+    // TakeOrdered, never a full sort to the driver.
+    Q("gr15_katz", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Components.docGraph(docs).localCheckpoint(eager = false)
+      val ids = docs.select(col("doc_id").as("node"))
+        .localCheckpoint(eager = false)
+      var x = ids.select(col("node"), lit(1000000L).as("score"))
+      for (_ <- 1 to 3) {
+        // USING-join on renamed keys (hits' pattern) + per-round lazy
+        // checkpoint: no raw df("col") refs survive a self-referencing
+        // lineage, so round k+1 can't alias round k's attributes
+        val c = edges
+          .join(x.select(col("node").as("b"), col("score")), "b")
+          .groupBy(col("a").as("node")).agg(sum("score").as("c"))
+        x = ids.join(c, Seq("node"), "left")
+          .selectExpr("node",
+            "1000000L + coalesce(c, 0L) div 8L AS score")
+          .localCheckpoint(eager = false)
+      }
+      x.orderBy(col("score").desc, col("node")).limit(10)
+    }, Some("""
+      WITH cyc AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      divi AS (
+        SELECT doc_id AS u, doc_id // 2 AS v FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      raw AS (SELECT u, v FROM cyc UNION ALL SELECT u, v FROM divi),
+      sym AS (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) WHERE u <> v),
+      x0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS score
+             FROM documents),
+      c1 AS (SELECT s.u AS node, sum(x.score) AS c FROM sym s
+             JOIN x0 x ON x.node = s.v GROUP BY 1),
+      x1 AS (SELECT d.doc_id AS node,
+               1000000 + (coalesce(c.c, 0) // 8) AS score
+             FROM documents d LEFT JOIN c1 c ON c.node = d.doc_id),
+      c2 AS (SELECT s.u AS node, sum(x.score) AS c FROM sym s
+             JOIN x1 x ON x.node = s.v GROUP BY 1),
+      x2 AS (SELECT d.doc_id AS node,
+               1000000 + (coalesce(c.c, 0) // 8) AS score
+             FROM documents d LEFT JOIN c2 c ON c.node = d.doc_id),
+      c3 AS (SELECT s.u AS node, sum(x.score) AS c FROM sym s
+             JOIN x2 x ON x.node = s.v GROUP BY 1),
+      x3 AS (SELECT d.doc_id AS node,
+               CAST(1000000 + (coalesce(c.c, 0) // 8) AS BIGINT) AS score
+             FROM documents d LEFT JOIN c3 c ON c.node = d.doc_id)
+      SELECT node, score FROM x3 ORDER BY score DESC, node LIMIT 10""")),
+
+    // IX5 — proximity ranking: the docs where 'merge' and 'sort' appear
+    // CLOSEST together, by exact minimum token distance — the phrase-
+    // adjacent relevance signal between ix2's exact-phrase match and
+    // ix3's bag-of-words BM25. The min cross-term gap is found WITHOUT
+    // enumerating position pairs: in the doc-partitioned position-sorted
+    // stream of just the two terms' hits, the minimum different-term gap
+    // is always realized by ADJACENT hits — one lag window over an
+    // already-tiny filtered frame, never tf_a × tf_b. All integers.
+    Q("ix5_proximity_rank", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .filter(col("term").isin("merge", "sort"))
+        .localCheckpoint(eager = false) // feeds gaps + tf counts
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val gaps = toks
+        .withColumn("pterm", lag("term", 1).over(w))
+        .withColumn("ppos", lag("pos", 1).over(w))
+        .filter(col("pterm").isNotNull && col("pterm") =!= col("term"))
+        .groupBy("doc_id")
+        .agg(min(col("pos") - col("ppos")).cast("long").as("min_gap"))
+      val tfs = toks.groupBy("doc_id").agg(
+        sum(when(col("term") === "merge", 1L).otherwise(0L)).as("tf_a"),
+        sum(when(col("term") === "sort", 1L).otherwise(0L)).as("tf_b"))
+      gaps.join(tfs, "doc_id")
+        .selectExpr("doc_id", "tf_a", "tf_b", "min_gap",
+          "1000000L div min_gap AS prox_e6")
+        .orderBy(col("min_gap"), col("doc_id")).limit(15)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, i AS pos, w[i] AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(generate_series(1, len(w))) AS t(i)
+        WHERE w[i] IN ('merge', 'sort')),
+      lagged AS (
+        SELECT doc_id, pos, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pterm,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+        FROM toks),
+      gaps AS (
+        SELECT doc_id, CAST(min(pos - ppos) AS BIGINT) AS min_gap
+        FROM lagged WHERE pterm IS NOT NULL AND pterm <> term
+        GROUP BY doc_id),
+      tfs AS (
+        SELECT doc_id,
+               sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS tf_a,
+               sum(CASE WHEN term = 'sort' THEN 1 ELSE 0 END) AS tf_b
+        FROM toks GROUP BY doc_id)
+      SELECT g.doc_id, CAST(t.tf_a AS BIGINT) AS tf_a,
+             CAST(t.tf_b AS BIGINT) AS tf_b, g.min_gap,
+             CAST(1000000 // g.min_gap AS BIGINT) AS prox_e6
+      FROM gaps g JOIN tfs t ON t.doc_id = g.doc_id
+      ORDER BY g.min_gap, g.doc_id LIMIT 15"""))
   )
 }

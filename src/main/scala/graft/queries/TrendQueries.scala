@@ -3025,6 +3025,159 @@ object TrendQueries {
         FROM piv)
       SELECT pair, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              smd_e6
-      FROM u ORDER BY pair"""))
+      FROM u ORDER BY pair""")),
+
+    // GR14 — rich-club coefficient over the doc graph at a 3-value degree
+    // grid: are the hubs wired to EACH OTHER (φ(k) = directed edges among
+    // nodes of degree > k over N_k(N_k−1) possible)? The diagnostic that
+    // separates a hub-backbone topology from hub-to-leaf wiring (gr11's
+    // assortativity asks the average question; this asks it at the top of
+    // the degree distribution). Everything is exact integer counting —
+    // edge endpoints join the degree table (gr11's shape) and the 3-row k
+    // grid broadcasts onto bounded aggregates; φ is one scaled integer
+    // division.
+    Q("gr14_rich_club", (s, dir) => {
+      val sym = Components.docGraph(t(s, dir, "documents"))
+        .localCheckpoint(eager = false)
+      val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(eager = false) // feeds N_k and both edge ends
+      val ks = t(s, dir, "documents").sparkSession
+        .range(0, 3).selectExpr("CAST(2 * pow(2, id) AS BIGINT) AS k")
+      val nk = deg.crossJoin(broadcast(ks))
+        .filter(col("d") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_k"))
+      val ek = sym
+        .join(deg.select(col("z").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("z").as("b"), col("d").as("db")), "b")
+        .crossJoin(broadcast(ks))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("e_k"))
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .selectExpr("k", "coalesce(n_k, 0L) AS n_k",
+          "coalesce(e_k, 0L) AS e_k",
+          "CASE WHEN coalesce(n_k, 0L) > 1 THEN " +
+            "coalesce(e_k, 0L) * 1000000L div " +
+            "(n_k * (n_k - 1L)) ELSE 0L END AS phi_e6")
+        .orderBy("k")
+    }, Some("""
+      WITH cyc AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      divi AS (
+        SELECT doc_id AS u, doc_id // 2 AS v FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      raw AS (SELECT u, v FROM cyc UNION ALL SELECT u, v FROM divi),
+      sym AS (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) WHERE u <> v),
+      deg AS (SELECT u AS z, count(*) AS d FROM sym GROUP BY u),
+      ks AS (SELECT CAST(k AS BIGINT) AS k FROM UNNEST([2, 4, 8]) AS t(k)),
+      nk AS (
+        SELECT k, count(*) AS n_k
+        FROM deg, ks WHERE d > k GROUP BY k),
+      ek AS (
+        SELECT k, count(*) AS e_k
+        FROM sym JOIN deg da ON da.z = sym.u JOIN deg db ON db.z = sym.v,
+             ks
+        WHERE da.d > k AND db.d > k GROUP BY k)
+      SELECT ks.k, CAST(coalesce(nk.n_k, 0) AS BIGINT) AS n_k,
+             CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+             CASE WHEN coalesce(nk.n_k, 0) > 1 THEN
+               CAST(coalesce(ek.e_k, 0) * 1000000 //
+                 (nk.n_k * (nk.n_k - 1)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS phi_e6
+      FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+      ORDER BY ks.k""")),
+
+    // CS30 — partial correlation: does URGENT daily revenue still track
+    // LOW daily revenue once the shared driver (how many orders landed
+    // that day) is partialled out? r_xy·z = (r_xy − r_xz·r_yz) /
+    // sqrt((1−r_xz²)(1−r_yz²)) — the first tool for "is this correlation
+    // just volume?". All ten power sums are exact (cents² products ride
+    // decimal/HUGEINT); each pairwise r is ONE identically-written
+    // double composition (variance factors sqrt'd SEPARATELY — their
+    // product would overflow decimal38), and the partial composes the
+    // three r doubles. Day-grain aligned join, 1-row output.
+    Q("cs30_partial_corr", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT",
+            floor(col("o_totalprice") * 100).cast("long"))).as("x"),
+          sum(when(col("o_orderpriority") === "5-LOW",
+            floor(col("o_totalprice") * 100).cast("long"))).as("y"),
+          count(lit(1)).as("z"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      val sums = daily.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("z").cast("decimal(38,0)") * col("z")).as("szz"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("z")).as("sxz"),
+        sum(col("y").cast("decimal(38,0)") * col("z")).as("syz"))
+      def rr(sab: String, sa: String, sb: String,
+             saa: String, sbb: String) =
+        s"(CAST(n * $sab - CAST($sa AS DECIMAL(38,0)) * $sb AS DOUBLE) / " +
+          s"(sqrt(CAST(n * $saa - CAST($sa AS DECIMAL(38,0)) * $sa " +
+          s"AS DOUBLE)) * sqrt(CAST(n * $sbb - " +
+          s"CAST($sb AS DECIMAL(38,0)) * $sb AS DOUBLE))))"
+      sums
+        .selectExpr("n",
+          s"${rr("sxy", "sx", "sy", "sxx", "syy")} AS rxy",
+          s"${rr("sxz", "sx", "sz", "sxx", "szz")} AS rxz",
+          s"${rr("syz", "sy", "sz", "syy", "szz")} AS ryz")
+        .selectExpr("n AS n_days",
+          "CAST(floor(1.0e6 * rxy) AS BIGINT) AS rxy_e6",
+          "CAST(floor(1.0e6 * rxz) AS BIGINT) AS rxz_e6",
+          "CAST(floor(1.0e6 * ryz) AS BIGINT) AS ryz_e6",
+          "CAST(floor(1.0e6 * ((rxy - rxz * ryz) / " +
+            "sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))) AS BIGINT) " +
+            "AS partial_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS x,
+               sum(CASE WHEN o_orderpriority = '5-LOW'
+                   THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS y,
+               count(*) AS z
+        FROM orders GROUP BY 1),
+      f AS (SELECT * FROM daily WHERE x IS NOT NULL AND y IS NOT NULL),
+      s AS (
+        SELECT count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(z AS HUGEINT) * z) AS szz,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * z) AS sxz,
+               sum(CAST(y AS HUGEINT) * z) AS syz
+        FROM f),
+      r AS (
+        SELECT n,
+               (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+                 sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))))
+                 AS rxy,
+               (CAST(n * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE) /
+                (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+                 sqrt(CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE))))
+                 AS rxz,
+               (CAST(n * syz - CAST(sy AS HUGEINT) * sz AS DOUBLE) /
+                (sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) *
+                 sqrt(CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE))))
+                 AS ryz
+        FROM s)
+      SELECT n AS n_days,
+             CAST(floor(1.0e6 * rxy) AS BIGINT) AS rxy_e6,
+             CAST(floor(1.0e6 * rxz) AS BIGINT) AS rxz_e6,
+             CAST(floor(1.0e6 * ryz) AS BIGINT) AS ryz_e6,
+             CAST(floor(1.0e6 * ((rxy - rxz * ryz) /
+               sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))) AS BIGINT)
+               AS partial_e6
+      FROM r"""))
   )
 }

@@ -81,7 +81,12 @@ class AllPlansSpec extends AnyFunSuite {
     "ts13_mann_kendall" -> "bounded month-grid self-pair (≤84×84, ts9/cs24's argument) + two 1-row stat broadcasts",
     "km1_kaplan_meier" -> "1-row dataset-horizon broadcast onto the customer-grain spell table",
     "k27_partition_balance" -> "1-row (min,max) bounds broadcast onto the scan before bucketing",
-    "ol6_grubbs" -> "1-row (n, Σy) total broadcast onto the bounded day table (ts12's shape)")
+    "ol6_grubbs" -> "1-row (n, Σy) total broadcast onto the bounded day table (ts12's shape)",
+    "gr14_rich_club" -> "3-row degree-threshold grid broadcast onto the bounded degree/edge tables",
+    "dd24_cluster_purity" -> "1-row n × 1-row purity × 1-row inverse-purity broadcasts (the verdict row)",
+    "mb4_sequence_rules" -> "1-row total-users broadcast onto the bounded type-pair table",
+    "tx23_heaps_law" -> "4-row checkpoint grid broadcast onto the doc/term scans (prefix sums without a prefix scan)",
+    "cs34_conditional_entropy" -> "1-row total + 1-row entropy broadcasts onto the bounded transition table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

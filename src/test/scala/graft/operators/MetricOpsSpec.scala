@@ -739,4 +739,248 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Long]("smd_e6")) < 100000L)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 24: gr14 / cs30 / dd24
+  // ------------------------------------------------------------------
+
+  test("gr14: phi matches a brute-force rich-club recount at every k") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("gr14_rich_club").collect()
+    assert(out.map(_.getAs[Long]("k")).toSeq == Seq(2L, 4L, 8L))
+    val edges = graft.operators.Components
+      .docGraph(t(s, dir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val rich = deg.filter(_._2 > k).keySet
+      val ek = edges.count(e => rich(e._1) && rich(e._2)).toLong
+      assert(r.getAs[Long]("n_k") == rich.size.toLong)
+      assert(r.getAs[Long]("e_k") == ek)
+      val nk = rich.size.toLong
+      val phi = if (nk > 1) ek * 1000000L / (nk * (nk - 1)) else 0L
+      assert(r.getAs[Long]("phi_e6") == phi)
+    }
+    // rich-club density is non-decreasing in k while a club exists
+    val live = out.filter(_.getAs[Long]("n_k") > 1)
+      .map(_.getAs[Long]("phi_e6")).toSeq
+    assert(live == live.sorted)
+  }
+
+  test("cs30: partial corr matches brute force and sits inside [-1, 1]") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs30_partial_corr").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val rows = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT",
+          floor(col("o_totalprice") * 100).cast("long"))).as("x"),
+        sum(when(col("o_orderpriority") === "5-LOW",
+          floor(col("o_totalprice") * 100).cast("long"))).as("y"),
+        count(lit(1)).as("z"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .collect().map(q => (q.getLong(1), q.getLong(2), q.getLong(3)))
+    val n = rows.length
+    def corr(a: Array[BigInt], b: Array[BigInt]): Double = {
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map(p => p._1 * p._2).sum
+      val saa = a.map(v => v * v).sum
+      val sbb = b.map(v => v * v).sum
+      (n * sab - sa * sb).toDouble /
+        (math.sqrt((n * saa - sa * sa).toDouble) *
+          math.sqrt((n * sbb - sb * sb).toDouble))
+    }
+    val xs = rows.map(q => BigInt(q._1))
+    val ys = rows.map(q => BigInt(q._2))
+    val zs = rows.map(q => BigInt(q._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("rxy_e6") == math.floor(1.0e6 * rxy).toLong)
+    assert(r.getAs[Long]("partial_e6") == math.floor(1.0e6 * part).toLong)
+    assert(math.abs(r.getAs[Long]("partial_e6")) <= 1000000L)
+  }
+
+  test("dd24: purity laws — bounds, cluster floors, and F1 betweenness") {
+    val out = run("dd24_cluster_purity").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (n, ncl, ntc) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_clusters"), r.getAs[Long]("n_classes"))
+    val (p, i, f) = (r.getAs[Long]("purity_e6"),
+      r.getAs[Long]("inverse_e6"), r.getAs[Long]("f1_e6"))
+    assert(n > 0 && ncl > 0 && ntc > 0)
+    assert(ncl <= n && ntc <= n)
+    assert(p > 0 && p <= 1000000L && i > 0 && i <= 1000000L)
+    // harmonic mean sits between its arguments
+    assert(f >= math.min(p, i) - 1 && f <= math.max(p, i) + 1)
+    // singleton-heavy truth: max-overlap sums are at least the group counts
+    assert(p * n >= ncl * 1000000L - n) // pnum ≥ n_clusters (scaled)
+  }
+
+  // ------------------------------------------------------------------
+  // wave 25: mb4 / tx23 / ml14
+  // ------------------------------------------------------------------
+
+  test("mb4: sequence counts match a brute-force per-user replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("mb4_sequence_rules").collect()
+    val ev = t(s, dir, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000))
+    val byUser = ev.groupBy(_._1)
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("ant"), r.getAs[String]("cons"))
+      assert(a != b)
+      val both = byUser.count { case (_, es) =>
+        es.exists(_._2 == a) && es.exists(_._2 == b) }
+      val seq = byUser.count { case (_, es) =>
+        val as = es.filter(_._2 == a).map(_._3)
+        val bs = es.filter(_._2 == b).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max }
+      assert(r.getAs[Long]("both_users") == both.toLong)
+      assert(r.getAs[Long]("seq_users") == seq.toLong)
+      val na = byUser.count(_._2.exists(_._2 == a)).toLong
+      assert(r.getAs[Long]("ant_users") == na)
+      assert(r.getAs[Long]("conf_e6") ==
+        r.getAs[Long]("seq_users") * 1000000L / na)
+      assert(r.getAs[Long]("seq_users") <= r.getAs[Long]("both_users"))
+    }
+  }
+
+  test("tx23: heaps curve is monotone and its endpoint is the full corpus") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("tx23_heaps_law").collect()
+    assert(out.map(_.getAs[Long]("g")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val vocab = out.map(_.getAs[Long]("vocab")).toSeq
+    val toks = out.map(_.getAs[Long]("n_tokens")).toSeq
+    val docsN = out.map(_.getAs[Long]("n_docs")).toSeq
+    assert(vocab == vocab.sorted && toks == toks.sorted &&
+      docsN == docsN.sorted)
+    out.foreach(r => assert(r.getAs[Long]("vocab") <=
+      r.getAs[Long]("n_tokens")))
+    // endpoint (cp = max doc_id) covers the whole corpus exactly
+    val docs = t(s, dir, "documents").select("doc_id", "text").collect()
+    val allToks = docs.flatMap(_.getString(1).split(" ", -1))
+    assert(docsN.last == docs.length.toLong)
+    assert(toks.last == allToks.length.toLong)
+    assert(vocab.last == allToks.distinct.length.toLong)
+    // prefix recount at the first checkpoint
+    val cp1 = out(0).getAs[Long]("cp")
+    val pre = docs.filter(_.getLong(0) <= cp1)
+    assert(docsN.head == pre.length.toLong)
+    assert(vocab.head ==
+      pre.flatMap(_.getString(1).split(" ", -1)).distinct.length.toLong)
+    // a growing corpus can't mint vocabulary faster than tokens arrive
+    out.foreach { r =>
+      val sl = r.getAs[Long]("slope_e6")
+      assert(sl >= 0L && sl <= 1000000L)
+    }
+  }
+
+  test("ml14: confusion cells and MCC/kappa match a brute-force recount") {
+    val s = spark
+    val sc = graft.operators.Classifier.logRegScores(
+      graft.queries.Tables.t(s, dir, "documents"), "doc_id", "text",
+      label = when(col("source") === "src0", 1.0).otherwise(0.0),
+      dims = 32, iters = 3, lr = 0.5)
+      .select("predicted", "label").collect()
+      .map(r => (r.getBoolean(0), r.getInt(1)))
+    val tp = sc.count(p => p._1 && p._2 == 1).toLong
+    val fp = sc.count(p => p._1 && p._2 == 0).toLong
+    val fn = sc.count(p => !p._1 && p._2 == 1).toLong
+    val tn = sc.count(p => !p._1 && p._2 == 0).toLong
+    val r = run("ml14_mcc_gate").collect()(0)
+    assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp &&
+      r.getAs[Long]("fn") == fn && r.getAs[Long]("tn") == tn)
+    val mcc = (tp * tn - fp * fn).toDouble /
+      (math.sqrt((tp + fp).toDouble) * math.sqrt((tp + fn).toDouble) *
+        math.sqrt((tn + fp).toDouble) * math.sqrt((tn + fn).toDouble))
+    val kappa = (2 * (tp * tn - fp * fn)).toDouble /
+      ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)).toDouble
+    assert(r.getAs[Long]("mcc_e6") == math.floor(1.0e6 * mcc).toLong)
+    assert(r.getAs[Long]("kappa_e6") == math.floor(1.0e6 * kappa).toLong)
+    assert(math.abs(r.getAs[Long]("mcc_e6")) <= 1000000L)
+    val ba = r.getAs[Long]("bal_acc_e6")
+    assert(ba >= 0L && ba <= 1000000L)
+  }
+
+  // ------------------------------------------------------------------
+  // wave 26: cs34 / gr15 / ix5
+  // ------------------------------------------------------------------
+
+  test("cs34: entropy laws — 0 ≤ H(next|cur) ≤ H(next) ≤ ln|types|, MI ≥ 0") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs34_conditional_entropy").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (hn, hc, mi) = (r.getAs[Long]("h_next_e6"),
+      r.getAs[Long]("h_cond_e6"), r.getAs[Long]("mi_e6"))
+    val types = t(s, dir, "events").select("event_type").distinct().count()
+    assert(hn >= 0 && hc >= 0)
+    assert(hc <= hn) // conditioning never increases entropy
+    assert(hn <= math.ceil(1.0e6 * math.log(types.toDouble)).toLong)
+    assert(mi >= -1) // floor() of two separately-floored terms: ±1 ulp slack
+    assert(mi <= hn - hc + 1)
+    // n_transitions = events minus one per active user
+    val ev = t(s, dir, "events")
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_transitions") == expected)
+  }
+
+  test("gr15: katz scores match a brute-force integer iteration") {
+    val s = spark
+    import graft.queries.Tables.t
+    val edges = graft.operators.Components
+      .docGraph(t(s, dir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = t(s, dir, "documents").select("doc_id").collect()
+      .map(_.getLong(0))
+    var x = nodes.map(n => n -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._1).view
+        .mapValues(_.map(e => x.getOrElse(e._2, 0L)).sum).toMap
+      x = nodes.map(n => n -> (1000000L + contrib.getOrElse(n, 0L) / 8))
+        .toMap
+    }
+    val expected = x.toSeq.sortBy(p => (-p._2, p._1)).take(10)
+    val got = run("gr15_katz").collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("score"))).toSeq
+    assert(got == expected)
+  }
+
+  test("ix5: min gap matches a brute-force position-pair scan") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ix5_proximity_rank").collect()
+    assert(out.length <= 15)
+    val docs = t(s, dir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val brute = docs.flatMap { case (id, ws) =>
+      val pa = ws.zipWithIndex.filter(_._1 == "merge").map(_._2)
+      val pb = ws.zipWithIndex.filter(_._1 == "sort").map(_._2)
+      if (pa.isEmpty || pb.isEmpty) None
+      else Some((id, pa.flatMap(a => pb.map(b => math.abs(a - b))).min.toLong,
+        pa.length.toLong, pb.length.toLong))
+    }
+    val expected = brute.sortBy(t4 => (t4._2, t4._1)).take(15)
+      .map(t4 => (t4._1, t4._3, t4._4, t4._2)).toSeq
+    val got = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tf_a"),
+      r.getAs[Long]("tf_b"), r.getAs[Long]("min_gap"))).toSeq
+    assert(got == expected)
+    out.foreach(r => assert(r.getAs[Long]("prox_e6") ==
+      1000000L / r.getAs[Long]("min_gap")))
+  }
 }

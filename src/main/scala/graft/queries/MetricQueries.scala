@@ -1433,6 +1433,152 @@ object MetricQueries {
              CAST(t.tf_b AS BIGINT) AS tf_b, g.min_gap,
              CAST(1000000 // g.min_gap AS BIGINT) AS prox_e6
       FROM gaps g JOIN tfs t ON t.doc_id = g.doc_id
-      ORDER BY g.min_gap, g.doc_id LIMIT 15"""))
+      ORDER BY g.min_gap, g.doc_id LIMIT 15""")),
+
+    // TX24 — term burstiness: the Fano factor (sample variance over mean,
+    // zeros included) of per-doc counts for the 12 highest-df terms. The
+    // number that separates a term that's COMMON (uniform, Fano ≈ 1·(1−p)
+    // under Poisson) from one that's BURSTY (topical clumping, Fano ≫ 1)
+    // — a direct dedup/contamination signal tf-idf alone can't see.
+    // var/mean = (n·Σx² − s²)/((n−1)·s) keeps everything in EXACT BIGINT
+    // arithmetic with the absent-doc zeros contributing only through n —
+    // no dense doc×term grid is ever materialized. One (doc, term)
+    // aggregate, one term aggregate, a 1-row count broadcast, top-12 via
+    // TakeOrdered.
+    Q("tx24_burstiness", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("s"),
+          sum(col("tf") * col("tf")).as("ss"))
+        .crossJoin(broadcast(nn))
+        .orderBy(col("df").desc, col("term")).limit(12)
+        .selectExpr("term", "df", "s AS total_tf",
+          "1000000L * (n * ss - s * s) div ((n - 1L) * s) AS fano_e6",
+          "s * 1000000L div n AS mean_tf_e6")
+    }, Some("""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        GROUP BY 1, 2),
+      st AS (
+        SELECT term, count(*) AS df, sum(tf) AS s, sum(tf * tf) AS ss
+        FROM tf GROUP BY 1),
+      top AS (
+        SELECT st.term, st.df, st.s, st.ss, nn.n
+        FROM st, nn ORDER BY st.df DESC, st.term LIMIT 12)
+      SELECT term, CAST(df AS BIGINT) AS df, CAST(s AS BIGINT) AS total_tf,
+             CAST(1000000 * (n * ss - s * s) // ((n - 1) * s) AS BIGINT)
+               AS fano_e6,
+             CAST(s * 1000000 // n AS BIGINT) AS mean_tf_e6
+      FROM top""")),
+
+    // CS35 — McNemar's paired test on two document-quality rules (length
+    // ≥ 150 chars vs contains-'the'): do the rules disagree SYMMETRICALLY,
+    // or does one systematically pass docs the other rejects? The paired
+    // design conditions on the discordant cells only — the comparison an
+    // unpaired cs13-style z-test gets wrong on the same corpus. The
+    // continuity-corrected statistic (|b−c|−1)²/(b+c) is a pure
+    // scaled-integer division off four exact CASE-sum cells — one
+    // aggregate row, no floats anywhere.
+    Q("cs35_mcnemar", (s, dir) =>
+      t(s, dir, "documents")
+        .select((col("n_chars") >= 150).as("ra"),
+          array_contains(split(col("text"), " "), "the").as("rb"))
+        .agg(
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+        .selectExpr("n11", "n10", "n01", "n00",
+          "(n11 + n00) * 1000000L div (n11 + n10 + n01 + n00) " +
+            "AS agree_e6",
+          "CASE WHEN n10 + n01 = 0 THEN 0L ELSE " +
+            "(abs(n10 - n01) - 1L) * (abs(n10 - n01) - 1L) * 1000000L " +
+            "div (n10 + n01) END AS chi2_e6"),
+      Some("""
+      WITH c AS (
+        SELECT sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS n11,
+               sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS n10,
+               sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS n01,
+               sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS n00
+        FROM (
+          SELECT n_chars >= 150 AS ra,
+                 list_contains(string_split(text, ' '), 'the') AS rb
+          FROM documents))
+      SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+             CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+             CAST((n11 + n00) * 1000000 // (n11 + n10 + n01 + n00)
+               AS BIGINT) AS agree_e6,
+             CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000
+                 // (n10 + n01) AS BIGINT) END AS chi2_e6
+      FROM c""")),
+
+    // TS15 — AR(1) persistence of daily revenue: OLS of y_d on y_{d−1}
+    // over CONSECUTIVE day pairs only (gap days break the lag chain
+    // rather than silently pairing across them), plus the mean-reversion
+    // half-life −ln2/ln(φ) — the "how long does a shock last" number
+    // behind ts6/ts7's smoothing constants. Power sums ride decimal/
+    // HUGEINT exactly (cs30's discipline); φ is ONE identically-composed
+    // double ratio and the half-life composes ln on it. Day-grain
+    // bounded: the lag window and sums run on ≤ a few thousand rows.
+    Q("ts15_ar1_halflife", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val w = Window.orderBy("d")
+      val pairs = daily
+        .select(col("d"), col("y"), lag("d", 1).over(w).as("pd"),
+          lag("y", 1).over(w).as("py"))
+        .filter(col("pd").isNotNull && col("d") === col("pd") + 1)
+      pairs.agg(count(lit(1)).as("n"), sum("py").as("sx"),
+          sum("y").as("sy"),
+          sum(col("py").cast("decimal(38,0)") * col("py")).as("sxx"),
+          sum(col("py").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .selectExpr("n",
+          "(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) / " +
+            "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) " +
+            "AS phi")
+        .selectExpr("n AS n_pairs",
+          "CAST(floor(1.0e6 * phi) AS BIGINT) AS phi_e6",
+          "CASE WHEN phi > 0.0 AND phi < 1.0 THEN " +
+            "CAST(floor(1.0e6 * (-ln(2.0) / ln(phi))) AS BIGINT) " +
+            "ELSE 0L END AS halflife_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      lagged AS (
+        SELECT d, y, lag(d) OVER (ORDER BY d) AS pd,
+               lag(y) OVER (ORDER BY d) AS py
+        FROM daily),
+      pairs AS (
+        SELECT d, y, py FROM lagged
+        WHERE pd IS NOT NULL AND d = pd + 1),
+      su AS (
+        SELECT count(*) AS n, sum(py) AS sx, sum(y) AS sy,
+               sum(CAST(py AS HUGEINT) * py) AS sxx,
+               sum(CAST(py AS HUGEINT) * y) AS sxy
+        FROM pairs),
+      ph AS (
+        SELECT n,
+               (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS phi
+        FROM su)
+      SELECT CAST(n AS BIGINT) AS n_pairs,
+             CAST(floor(1.0e6 * phi) AS BIGINT) AS phi_e6,
+             CASE WHEN phi > 0.0 AND phi < 1.0 THEN
+               CAST(floor(1.0e6 * (-ln(2.0) / ln(phi))) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS halflife_e6
+      FROM ph"""))
   )
 }

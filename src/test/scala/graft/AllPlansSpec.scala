@@ -86,7 +86,8 @@ class AllPlansSpec extends AnyFunSuite {
     "dd24_cluster_purity" -> "1-row n × 1-row purity × 1-row inverse-purity broadcasts (the verdict row)",
     "mb4_sequence_rules" -> "1-row total-users broadcast onto the bounded type-pair table",
     "tx23_heaps_law" -> "4-row checkpoint grid broadcast onto the doc/term scans (prefix sums without a prefix scan)",
-    "cs34_conditional_entropy" -> "1-row total + 1-row entropy broadcasts onto the bounded transition table")
+    "cs34_conditional_entropy" -> "1-row total + 1-row entropy broadcasts onto the bounded transition table",
+    "tx24_burstiness" -> "1-row corpus-count broadcast onto the term-stats table before TakeOrdered")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

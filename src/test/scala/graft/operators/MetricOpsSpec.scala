@@ -983,4 +983,86 @@ class MetricOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("prox_e6") ==
       1000000L / r.getAs[Long]("min_gap")))
   }
+
+  // ------------------------------------------------------------------
+  // wave 27: tx24 / cs35 / ts15
+  // ------------------------------------------------------------------
+
+  test("tx24: fano factors match a brute-force zero-inclusive recount") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("tx24_burstiness").collect()
+    assert(out.length == 12)
+    val docs = t(s, dir, "documents").select("text").collect()
+      .map(_.getString(0).split(" ", -1))
+    val n = docs.length.toLong
+    val byTerm = docs.zipWithIndex
+      .flatMap { case (ws, i) => ws.map(w => (w, i)) }
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).values.map(_.length.toLong).toSeq).toMap
+    // df-ordered top-12 with the (df desc, term) tie-break
+    val expTop = byTerm.toSeq
+      .map { case (term, tfs) => (term, tfs.length.toLong) }
+      .sortBy(p => (-p._2, p._1)).take(12).map(_._1)
+    assert(out.map(_.getAs[String]("term")).toSeq == expTop)
+    out.foreach { r =>
+      val tfs = byTerm(r.getAs[String]("term"))
+      val (df, sTf) = (tfs.length.toLong, tfs.sum)
+      val ss = tfs.map(x => x * x).sum
+      assert(r.getAs[Long]("df") == df)
+      assert(r.getAs[Long]("total_tf") == sTf)
+      assert(r.getAs[Long]("fano_e6") ==
+        1000000L * (n * ss - sTf * sTf) / ((n - 1) * sTf))
+      assert(r.getAs[Long]("mean_tf_e6") == sTf * 1000000L / n)
+    }
+  }
+
+  test("cs35: mcnemar cells partition the corpus; chi2 identity holds") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs35_mcnemar").collect()(0)
+    val cells = Seq("n11", "n10", "n01", "n00").map(r.getAs[Long])
+    assert(cells.sum == t(s, dir, "documents").count())
+    val docs = t(s, dir, "documents").select("n_chars", "text").collect()
+    val brute = docs.map { q =>
+      (q.getLong(0) >= 150, q.getString(1).split(" ", -1).contains("the"))
+    }
+    assert(cells(0) == brute.count(p => p._1 && p._2).toLong)
+    assert(cells(1) == brute.count(p => p._1 && !p._2).toLong)
+    assert(cells(2) == brute.count(p => !p._1 && p._2).toLong)
+    val (b, c) = (cells(1), cells(2))
+    val chi2 = if (b + c == 0) 0L
+      else (math.abs(b - c) - 1) * (math.abs(b - c) - 1) * 1000000L / (b + c)
+    assert(r.getAs[Long]("chi2_e6") == chi2)
+    assert(r.getAs[Long]("agree_e6") ==
+      (cells(0) + cells(3)) * 1000000L / cells.sum)
+  }
+
+  test("ts15: phi matches a brute-force OLS over consecutive-day pairs") {
+    val s = spark
+    import graft.queries.Tables.t
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(q => (q.getLong(0), q.getLong(1))).sortBy(_._1)
+    val pairs = daily.sliding(2).collect {
+      case Array((d1, y1), (d2, y2)) if d2 == d1 + 1 => (y1, y2)
+    }.toSeq
+    val n = pairs.length
+    val sx = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val phi = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val r = run("ts15_ar1_halflife").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == n.toLong)
+    assert(r.getAs[Long]("phi_e6") == math.floor(1.0e6 * phi).toLong)
+    val hl = r.getAs[Long]("halflife_e6")
+    if (phi > 0.0 && phi < 1.0) {
+      assert(hl ==
+        math.floor(1.0e6 * (-math.log(2.0) / math.log(phi))).toLong)
+      assert(hl > 0L)
+    } else assert(hl == 0L)
+  }
 }

@@ -1579,6 +1579,180 @@ object MetricQueries {
              CASE WHEN phi > 0.0 AND phi < 1.0 THEN
                CAST(floor(1.0e6 * (-ln(2.0) / ln(phi))) AS BIGINT)
              ELSE CAST(0 AS BIGINT) END AS halflife_e6
-      FROM ph"""))
+      FROM ph""")),
+
+    // SA15 — percentile bootstrap CI for mean doc length, closing the
+    // loop sa10 opened: the same deterministic md5-Poisson replicate
+    // weights, but folded to a CONFIDENCE INTERVAL — the (2nd, 31st)
+    // order statistics of the 32 replicate means (a ~93.75% interval) —
+    // the number a data-quality dashboard actually wants. Replicate means
+    // are EXACT scaled-integer divisions (no float mean drift), the rank
+    // pick is a 32-row window, and the whole thing stays one corpus scan
+    // × 32 map-side replicate weights — no resampled copies of the data
+    // ever exist.
+    Q("sa15_bootstrap_ci", (s, dir) => {
+      import s.implicits._
+      val bs = (1 to 32).map(b => Tuple1(b)).toDF("b")
+      val f = graft.operators.Sampling.hashFraction(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("b").cast("string")))
+      val reps = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(bs))
+        .withColumn("w",
+          when(f < 0.36788, 0).when(f < 0.73576, 1).when(f < 0.91970, 2)
+            .when(f < 0.98101, 3).when(f < 0.99634, 4).when(f < 0.99941, 5)
+            .otherwise(6))
+        .groupBy("b")
+        .agg(sum(col("w") * col("n_chars")).as("swx"), sum("w").as("sw"))
+        .selectExpr("b", "swx * 1000000L div sw AS mean_e6")
+        .withColumn("rn",
+          row_number().over(Window.orderBy("mean_e6", "b")))
+      val pt = t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sx"))
+        .selectExpr("n_docs", "sx * 1000000L div n_docs AS point_e6")
+      pt.crossJoin(broadcast(
+          reps.filter(col("rn") === 2).select(col("mean_e6").as("lo_e6"))))
+        .crossJoin(broadcast(
+          reps.filter(col("rn") === 31).select(col("mean_e6").as("hi_e6"))))
+        .selectExpr("n_docs", "point_e6", "lo_e6", "hi_e6",
+          "hi_e6 - lo_e6 AS width_e6")
+    }, Some("""
+      WITH bs AS (SELECT CAST(unnest(generate_series(1, 32)) AS INTEGER) AS b),
+      f AS (
+        SELECT d.doc_id, d.n_chars, bs.b,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                    CAST(bs.b AS VARCHAR)), i, 1)) - 1)
+                 * (16.0 ** (8 - i)))) / 4294967296.0 AS frac
+        FROM documents d, bs),
+      w AS (
+        SELECT doc_id, n_chars, b,
+               CASE WHEN frac < 0.36788 THEN 0 WHEN frac < 0.73576 THEN 1
+                    WHEN frac < 0.91970 THEN 2 WHEN frac < 0.98101 THEN 3
+                    WHEN frac < 0.99634 THEN 4 WHEN frac < 0.99941 THEN 5
+                    ELSE 6 END AS w
+        FROM f),
+      reps AS (
+        SELECT b, sum(w * n_chars) * 1000000 // sum(w) AS mean_e6
+        FROM w GROUP BY b),
+      rk AS (
+        SELECT mean_e6, row_number() OVER (ORDER BY mean_e6, b) AS rn
+        FROM reps),
+      pt AS (
+        SELECT count(*) AS n_docs,
+               sum(n_chars) * 1000000 // count(*) AS point_e6
+        FROM documents)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(point_e6 AS BIGINT) AS point_e6,
+             CAST((SELECT mean_e6 FROM rk WHERE rn = 2) AS BIGINT) AS lo_e6,
+             CAST((SELECT mean_e6 FROM rk WHERE rn = 31) AS BIGINT)
+               AS hi_e6,
+             CAST((SELECT mean_e6 FROM rk WHERE rn = 31) -
+                  (SELECT mean_e6 FROM rk WHERE rn = 2) AS BIGINT)
+               AS width_e6
+      FROM pt""")),
+
+    // CS36 — minimum detectable effect per source: at the observed
+    // English-share p̂ and source size n, the smallest true rate shift a
+    // two-proportion test at α=0.05 / power=0.8 could actually detect
+    // (MDE = (z₀.₉₇₅+z₀.₈)·√(2p̂(1−p̂)/n)) — the pre-experiment honesty
+    // check that says whether cs13's z-test over this fixture is even
+    // capable of seeing the drift it's asked about. p̂ is an exact scaled
+    // division; the MDE composes one sqrt on identically-written doubles.
+    // One source-grain aggregate.
+    Q("cs36_power_mde", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+        .selectExpr("source", "n", "k", "k * 1000000L div n AS p_e6",
+          "CAST(floor(1.0e6 * (2.801585 * " +
+            "sqrt(2.0 * (CAST(k AS DOUBLE) / n) * " +
+            "(1.0 - CAST(k AS DOUBLE) / n) / n))) AS BIGINT) AS mde_e6")
+        .orderBy("source"),
+      Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS k,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS BIGINT) AS p_e6,
+             CAST(floor(1.0e6 * (2.801585 *
+               sqrt(2.0 * (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                 END) AS DOUBLE) / count(*)) *
+               (1.0 - CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*)) / count(*)))) AS BIGINT) AS mde_e6
+      FROM documents GROUP BY source ORDER BY source""")),
+
+    // K25 — clustering-depth audit: at an 8-point probe grid over the id
+    // domain, how many files' [min,max] zone-map ranges COVER each probe
+    // — read amplification per point lookup — for the same corpus laid
+    // out two ways: hash-shuffled ingestion chunks (every file spans the
+    // whole domain → depth ≈ file count) vs id-sorted chunks (depth 1).
+    // The quantified before/after argument for the zo1/zo2 re-layout
+    // step, complementing k19's per-predicate skip rate. At 100 TB this
+    // is zone-map METADATA work: two 16-row file-stat aggregates joined
+    // to a broadcast probe grid.
+    Q("k25_overlap_depth", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .localCheckpoint(eager = false) // feeds both layouts + the grid
+      val mx = ids.agg(max("doc_id").as("m"))
+      val fb = graft.operators.Sampling.hashFraction(
+        col("doc_id").cast("string"))
+      val before = ids.withColumn("file", floor(fb * 16).cast("long"))
+        .groupBy("file").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      val after = ids.crossJoin(broadcast(mx))
+        .selectExpr("doc_id", "doc_id * 16L div (m + 1L) AS file")
+        .groupBy("file").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      val grid = mx.selectExpr(
+        "explode(sequence(1L, 8L)) AS g", "m")
+        .selectExpr("g", "m * g div 8L AS probe")
+      val db = before.crossJoin(broadcast(grid))
+        .filter(col("mn") <= col("probe") && col("probe") <= col("mx"))
+        .groupBy("g", "probe").agg(count(lit(1)).as("depth_before"))
+      val da = after.crossJoin(broadcast(grid))
+        .filter(col("mn") <= col("probe") && col("probe") <= col("mx"))
+        .groupBy(col("g").as("g2"))
+        .agg(count(lit(1)).as("depth_after"))
+      db.join(da, col("g") === col("g2"))
+        .select(col("g"), col("probe"), col("depth_before"),
+          col("depth_after"))
+        .orderBy("g")
+    }, Some("""
+      WITH ids AS (SELECT doc_id FROM documents),
+      mx AS (SELECT max(doc_id) AS m FROM ids),
+      fb AS (
+        SELECT doc_id,
+               CAST(floor(list_sum(list_transform(generate_series(1, 8),
+                 i -> (strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), i, 1))
+                       - 1) * (16.0 ** (8 - i)))) / 4294967296.0 * 16)
+                 AS BIGINT) AS file
+        FROM ids),
+      before_f AS (
+        SELECT file, min(doc_id) AS mn, max(doc_id) AS mx
+        FROM fb GROUP BY file),
+      after_f AS (
+        SELECT i.doc_id * 16 // (x.m + 1) AS file,
+               min(i.doc_id) AS mn, max(i.doc_id) AS mx
+        FROM ids i, mx x GROUP BY 1),
+      grid AS (
+        SELECT CAST(g AS BIGINT) AS g, x.m * g // 8 AS probe
+        FROM UNNEST(generate_series(1, 8)) AS t(g), mx x),
+      db AS (
+        SELECT g.g, g.probe, count(*) AS depth_before
+        FROM grid g JOIN before_f b
+          ON b.mn <= g.probe AND g.probe <= b.mx
+        GROUP BY 1, 2),
+      da AS (
+        SELECT g.g, count(*) AS depth_after
+        FROM grid g JOIN after_f a
+          ON a.mn <= g.probe AND g.probe <= a.mx
+        GROUP BY 1)
+      SELECT db.g, db.probe, CAST(db.depth_before AS BIGINT)
+               AS depth_before,
+             CAST(da.depth_after AS BIGINT) AS depth_after
+      FROM db JOIN da ON da.g = db.g
+      ORDER BY db.g"""))
   )
 }

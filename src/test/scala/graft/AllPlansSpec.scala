@@ -87,7 +87,9 @@ class AllPlansSpec extends AnyFunSuite {
     "mb4_sequence_rules" -> "1-row total-users broadcast onto the bounded type-pair table",
     "tx23_heaps_law" -> "4-row checkpoint grid broadcast onto the doc/term scans (prefix sums without a prefix scan)",
     "cs34_conditional_entropy" -> "1-row total + 1-row entropy broadcasts onto the bounded transition table",
-    "tx24_burstiness" -> "1-row corpus-count broadcast onto the term-stats table before TakeOrdered")
+    "tx24_burstiness" -> "1-row corpus-count broadcast onto the term-stats table before TakeOrdered",
+    "sa15_bootstrap_ci" -> "32-row resample-index literal broadcast + 1-row order-stat broadcasts",
+    "k25_overlap_depth" -> "1-row max + 8-row probe-grid broadcasts onto the 16-row file-stat tables")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

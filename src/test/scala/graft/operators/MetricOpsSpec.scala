@@ -1065,4 +1065,66 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(hl > 0L)
     } else assert(hl == 0L)
   }
+
+  // ------------------------------------------------------------------
+  // wave 28: sa15 / cs36 / k25
+  // ------------------------------------------------------------------
+
+  test("sa15: interval brackets the point estimate and orders correctly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("sa15_bootstrap_ci").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (lo, hi, pt) = (r.getAs[Long]("lo_e6"), r.getAs[Long]("hi_e6"),
+      r.getAs[Long]("point_e6"))
+    assert(lo <= hi)
+    assert(r.getAs[Long]("width_e6") == hi - lo)
+    // a ~94% bootstrap interval on the FULL sample must contain the
+    // full-sample mean for any non-pathological resample fixture
+    assert(lo <= pt && pt <= hi)
+    val docs = t(s, dir, "documents")
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    val sx = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(pt == sx * 1000000L / docs.count())
+  }
+
+  test("cs36: mde matches closed form and shrinks with sample size") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("cs36_power_mde").collect()
+    val brute = t(s, dir, "documents").select("source", "lang").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.length.toLong,
+        rs.count(_.getString(1) == "en").toLong)).toMap
+    assert(out.map(_.getAs[String]("source")).toSet == brute.keySet)
+    out.foreach { r =>
+      val (n, k) = brute(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+      assert(r.getAs[Long]("p_e6") == k * 1000000L / n)
+      val p = k.toDouble / n
+      val mde = 2.801585 * math.sqrt(2.0 * p * (1.0 - p) / n)
+      assert(r.getAs[Long]("mde_e6") == math.floor(1.0e6 * mde).toLong)
+    }
+  }
+
+  test("k25: hash layout reads deep, sorted layout reads depth 1") {
+    val out = run("k25_overlap_depth").collect()
+    assert(out.nonEmpty && out.length <= 8)
+    out.foreach { r =>
+      val (b, a) = (r.getAs[Long]("depth_before"),
+        r.getAs[Long]("depth_after"))
+      assert(b >= 1L && b <= 16L && a >= 1L && a <= 16L)
+      // the re-layout never makes a point lookup WORSE
+      assert(a <= b)
+    }
+    // hash-shuffled files each span ~the whole domain: mid-domain probes
+    // must hit nearly every file, and the sorted layout must beat the
+    // hashed one overall
+    val mid = out.filter(r => r.getAs[Long]("g") >= 2 &&
+      r.getAs[Long]("g") <= 7)
+    assert(mid.forall(_.getAs[Long]("depth_before") >= 8L))
+    assert(out.map(_.getAs[Long]("depth_after")).sum <
+      out.map(_.getAs[Long]("depth_before")).sum)
+  }
 }

@@ -1753,6 +1753,171 @@ object MetricQueries {
                AS depth_before,
              CAST(da.depth_after AS BIGINT) AS depth_after
       FROM db JOIN da ON da.g = db.g
-      ORDER BY db.g"""))
+      ORDER BY db.g""")),
+
+    // CS37 — activity-uniformity audit: chi-square of the event stream
+    // against uniform across day-of-week (k=7), hour-of-day (k=24), and
+    // the full dow×hour grid (k=168), plus the deterministic peak cell —
+    // the load-shape diagnostic behind partition-by-arrival-time
+    // decisions (a flat grid means time-bucketed files balance; a peaked
+    // one means hot-bucket salting). Σ(kO−N)² is an EXACT BIGINT sum
+    // (absent cells contribute N² via the missing-cell count, never a
+    // dense grid), and each χ² divides it by kN once, as one identically
+    // composed double. Epoch math rides floor()'d seconds — the
+    // cast-vs-round drift trap from w11 never enters.
+    Q("cs37_activity_uniformity", (s, dir) => {
+      val cells = t(s, dir, "events")
+        // CAST(ts AS LONG) FLOORS epoch seconds (mirrors the oracle's
+        // explicit floor(epoch(ts)) — the w11 drift lesson)
+        .selectExpr("(CAST(ts AS LONG) div 86400L + 4L) % 7L AS dow",
+          "(CAST(ts AS LONG) div 3600L) % 24L AS hour")
+        .groupBy("dow", "hour").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false) // feeds 3 chi2s + both peaks
+      val nt = cells.agg(sum("cnt").as("n"))
+      def chi2(df: org.apache.spark.sql.DataFrame, k: Int) =
+        df.crossJoin(broadcast(nt))
+          .agg(first("n").as("n"), count(lit(1)).as("obs"),
+            sum((lit(k) * col("cnt") - col("n")) *
+              (lit(k) * col("cnt") - col("n"))).as("so"))
+          .selectExpr("n", s"so + ($k - obs) * n * n AS ss")
+          .selectExpr("n",
+            s"CAST(floor(1.0e6 * CAST(ss AS DOUBLE) / ($k * n)) " +
+              "AS BIGINT) AS chi2")
+      val dowc = cells.groupBy("dow").agg(sum("cnt").as("cnt"))
+      val hourc = cells.groupBy("hour").agg(sum("cnt").as("cnt"))
+      val peakD = dowc.orderBy(col("cnt").desc, col("dow")).limit(1)
+        .select(col("dow").as("peak_dow"))
+      val peakH = hourc.orderBy(col("cnt").desc, col("hour")).limit(1)
+        .select(col("hour").as("peak_hour"))
+      chi2(dowc, 7).select(col("n").as("n_events"),
+          col("chi2").as("chi2_dow_e6"))
+        .crossJoin(broadcast(chi2(hourc, 24)
+          .select(col("chi2").as("chi2_hour_e6"))))
+        .crossJoin(broadcast(chi2(cells, 168)
+          .select(col("chi2").as("chi2_cell_e6"))))
+        .crossJoin(broadcast(peakD)).crossJoin(broadcast(peakH))
+    }, Some("""
+      WITH ev AS (
+        SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7)
+                 AS dow,
+               ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS hour
+        FROM events),
+      cells AS (SELECT dow, hour, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      nt AS (SELECT sum(cnt) AS n FROM cells),
+      dowc AS (SELECT dow, sum(cnt) AS cnt FROM cells GROUP BY 1),
+      hourc AS (SELECT hour, sum(cnt) AS cnt FROM cells GROUP BY 1),
+      cd AS (
+        SELECT t.n, CAST(floor(1.0e6 * CAST(
+                 sum((7 * c.cnt - t.n) * (7 * c.cnt - t.n)) +
+                 (7 - count(*)) * t.n * t.n AS DOUBLE) / (7 * t.n))
+               AS BIGINT) AS chi2_dow_e6
+        FROM dowc c, nt t GROUP BY t.n),
+      ch AS (
+        SELECT CAST(floor(1.0e6 * CAST(
+                 sum((24 * c.cnt - t.n) * (24 * c.cnt - t.n)) +
+                 (24 - count(*)) * t.n * t.n AS DOUBLE) / (24 * t.n))
+               AS BIGINT) AS chi2_hour_e6
+        FROM hourc c, nt t GROUP BY t.n),
+      cc AS (
+        SELECT CAST(floor(1.0e6 * CAST(
+                 sum((168 * c.cnt - t.n) * (168 * c.cnt - t.n)) +
+                 (168 - count(*)) * t.n * t.n AS DOUBLE) / (168 * t.n))
+               AS BIGINT) AS chi2_cell_e6
+        FROM cells c, nt t GROUP BY t.n),
+      pd AS (SELECT dow AS peak_dow FROM dowc
+             ORDER BY cnt DESC, dow LIMIT 1),
+      ph AS (SELECT hour AS peak_hour FROM hourc
+             ORDER BY cnt DESC, hour LIMIT 1)
+      SELECT CAST(cd.n AS BIGINT) AS n_events, cd.chi2_dow_e6,
+             ch.chi2_hour_e6, cc.chi2_cell_e6,
+             CAST(pd.peak_dow AS BIGINT) AS peak_dow,
+             CAST(ph.peak_hour AS BIGINT) AS peak_hour
+      FROM cd, ch, cc, pd, ph""")),
+
+    // DD25 — duplicate token-mass inflation per source: with dd1's exact
+    // text groups (md5 key, min-doc-id keeper), how many DOCS and how
+    // much TOKEN mass per source is literal re-crawl waste — the
+    // "training tokens you'd pay for twice" number that turns dd1's
+    // group list into the budget argument for running dedup at all.
+    // One tkey-grain keeper aggregate joined back on the dedup key (the
+    // canonical dedup shuffle), then a source-grain rollup; every output
+    // is an exact BIGINT or one scaled division.
+    Q("dd25_dup_inflation", (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), md5(col("text")).as("tkey"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val firsts = d.groupBy("tkey").agg(min("doc_id").as("fid"))
+      d.join(firsts, "tkey")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("total_tokens"),
+          sum(when(col("doc_id") =!= col("fid"), 1L).otherwise(0L))
+            .as("dup_docs"),
+          sum(when(col("doc_id") =!= col("fid"), col("ntok"))
+            .otherwise(0L)).as("wasted_tokens"))
+        .selectExpr("source", "n_docs", "dup_docs", "total_tokens",
+          "wasted_tokens",
+          "wasted_tokens * 1000000L div total_tokens AS waste_e6")
+        .orderBy("source")
+    }, Some("""
+      WITH d AS (
+        SELECT source, doc_id, md5(text) AS tkey,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents),
+      firsts AS (SELECT tkey, min(doc_id) AS fid FROM d GROUP BY 1)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN d.doc_id <> f.fid THEN 1 ELSE 0 END)
+               AS BIGINT) AS dup_docs,
+             CAST(sum(d.ntok) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN d.doc_id <> f.fid THEN d.ntok ELSE 0 END)
+               AS BIGINT) AS wasted_tokens,
+             CAST(sum(CASE WHEN d.doc_id <> f.fid THEN d.ntok ELSE 0 END)
+               * 1000000 // sum(d.ntok) AS BIGINT) AS waste_e6
+      FROM d JOIN firsts f ON f.tkey = d.tkey
+      GROUP BY d.source ORDER BY d.source""")),
+
+    // TX25 — token-efficiency profile per source: chars per whitespace
+    // token, chars per BPE-ish token, and fertility (BPE-ish per
+    // whitespace token) — the compression-ratio triple that prices a
+    // corpus in tokenizer budget terms BEFORE training a tokenizer on it
+    // (tok4 answers the same question after; divergence between the two
+    // flags sources the trained vocab underserves). Three exact count
+    // sums per source and three scaled divisions — one scan, one
+    // source-grain aggregate.
+    Q("tx25_token_efficiency", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum(graft.operators.TextAnalysis.tokenCount(col("text")))
+            .as("ws_tokens"),
+          sum(graft.operators.TextAnalysis.bpeishTokenCount(col("text")))
+            .as("bpeish_tokens"))
+        .selectExpr("source", "n_docs", "chars", "ws_tokens",
+          "bpeish_tokens",
+          "chars * 1000000L div ws_tokens AS chars_per_ws_e6",
+          "chars * 1000000L div bpeish_tokens AS chars_per_bpeish_e6",
+          "bpeish_tokens * 1000000L div ws_tokens AS fertility_e6")
+        .orderBy("source"),
+      Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+               AS bpeish_tokens,
+             CAST(sum(n_chars) * 1000000
+               // sum(len(string_split(text, ' '))) AS BIGINT)
+               AS chars_per_ws_e6,
+             CAST(sum(n_chars) * 1000000
+               // sum(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+               AS chars_per_bpeish_e6,
+             CAST(sum(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) * 1000000
+               // sum(len(string_split(text, ' '))) AS BIGINT)
+               AS fertility_e6
+      FROM documents GROUP BY source ORDER BY source"""))
   )
 }

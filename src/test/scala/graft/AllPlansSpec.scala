@@ -89,7 +89,8 @@ class AllPlansSpec extends AnyFunSuite {
     "cs34_conditional_entropy" -> "1-row total + 1-row entropy broadcasts onto the bounded transition table",
     "tx24_burstiness" -> "1-row corpus-count broadcast onto the term-stats table before TakeOrdered",
     "sa15_bootstrap_ci" -> "32-row resample-index literal broadcast + 1-row order-stat broadcasts",
-    "k25_overlap_depth" -> "1-row max + 8-row probe-grid broadcasts onto the 16-row file-stat tables")
+    "k25_overlap_depth" -> "1-row max + 8-row probe-grid broadcasts onto the 16-row file-stat tables",
+    "cs37_activity_uniformity" -> "1-row total/chi2/peak broadcasts over the bounded dow×hour cell table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

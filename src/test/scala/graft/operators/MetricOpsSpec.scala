@@ -1127,4 +1127,77 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("depth_after")).sum <
       out.map(_.getAs[Long]("depth_before")).sum)
   }
+
+  // ------------------------------------------------------------------
+  // wave 29: cs37 / dd25 / tx25
+  // ------------------------------------------------------------------
+
+  test("cs37: chi2 matches a brute-force cell recount with floored epochs") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs37_activity_uniformity").collect()(0)
+    val secs = t(s, dir, "events").selectExpr("CAST(ts AS LONG) AS sec")
+      .collect().map(_.getLong(0))
+    assert(r.getAs[Long]("n_events") == secs.length.toLong)
+    val n = secs.length.toLong
+    def chi2(cells: Map[Long, Long], k: Int): Long = {
+      val so = cells.values.map(c => (k * c - n) * (k * c - n)).sum +
+        (k - cells.size) * n * n
+      math.floor(1.0e6 * so.toDouble / (k * n)).toLong
+    }
+    val dow = secs.groupBy(sc => (sc / 86400 + 4) % 7).view
+      .mapValues(_.length.toLong).toMap
+    val hour = secs.groupBy(sc => (sc / 3600) % 24).view
+      .mapValues(_.length.toLong).toMap
+    val cell = secs.groupBy(sc => ((sc / 86400 + 4) % 7, (sc / 3600) % 24))
+      .view.mapValues(_.length.toLong).toMap
+    assert(r.getAs[Long]("chi2_dow_e6") == chi2(dow, 7))
+    assert(r.getAs[Long]("chi2_hour_e6") == chi2(hour, 24))
+    assert(r.getAs[Long]("chi2_cell_e6") ==
+      chi2(cell.map { case (kk, v) => (kk._1 * 24 + kk._2, v) }, 168))
+    val peakD = dow.toSeq.sortBy(p => (-p._2, p._1)).head._1
+    val peakH = hour.toSeq.sortBy(p => (-p._2, p._1)).head._1
+    assert(r.getAs[Long]("peak_dow") == peakD)
+    assert(r.getAs[Long]("peak_hour") == peakH)
+  }
+
+  test("dd25: waste masses match a brute-force dup recount per source") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("dd25_dup_inflation").collect()
+    val docs = t(s, dir, "documents").select("source", "doc_id", "text")
+      .collect().map(q => (q.getString(0), q.getLong(1), q.getString(2)))
+    val keeper = docs.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    val bySource = docs.groupBy(_._1)
+    assert(out.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    out.foreach { r =>
+      val rows = bySource(r.getAs[String]("source"))
+      val toks = rows.map(q =>
+        (q._2, q._3.split(" ", -1).length.toLong, keeper(q._3) != q._2))
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(r.getAs[Long]("dup_docs") == toks.count(_._3).toLong)
+      assert(r.getAs[Long]("total_tokens") == toks.map(_._2).sum)
+      val wasted = toks.filter(_._3).map(_._2).sum
+      assert(r.getAs[Long]("wasted_tokens") == wasted)
+      assert(r.getAs[Long]("waste_e6") ==
+        wasted * 1000000L / toks.map(_._2).sum)
+    }
+  }
+
+  test("tx25: efficiency ratios are consistent and fertility ≥ 1") {
+    val out = run("tx25_token_efficiency").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (c, w, b) = (r.getAs[Long]("chars"), r.getAs[Long]("ws_tokens"),
+        r.getAs[Long]("bpeish_tokens"))
+      assert(c > 0 && w > 0 && b > 0)
+      assert(r.getAs[Long]("chars_per_ws_e6") == c * 1000000L / w)
+      assert(r.getAs[Long]("chars_per_bpeish_e6") == c * 1000000L / b)
+      assert(r.getAs[Long]("fertility_e6") == b * 1000000L / w)
+      // every whitespace token contains ≥1 BPE-ish token
+      assert(b >= w)
+      // BPE-ish tokens are never longer than the chars they cover
+      assert(c >= b)
+    }
+  }
 }

@@ -1918,6 +1918,204 @@ object MetricQueries {
                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) * 1000000
                // sum(len(string_split(text, ' '))) AS BIGINT)
                AS fertility_e6
-      FROM documents GROUP BY source ORDER BY source"""))
+      FROM documents GROUP BY source ORDER BY source""")),
+
+    // CS38 — Wald–Wolfowitz runs test: is the above/below-median
+    // sequence of daily revenue RANDOM, or does it trend/oscillate
+    // (too few runs = persistence, too many = alternation)? The
+    // distribution-free cousin of ts12's Durbin–Watson that needs no
+    // linearity assumption. The median is the DETERMINISTIC lower order
+    // statistic ((n+1)/2 by (value, day) rank — no engine median()
+    // variance), equal-to-median days drop per the classical recipe,
+    // runs count via one lag over the bounded day table, and the z-score
+    // composes exact integer moments into one sqrt.
+    Q("cs38_runs_test", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .localCheckpoint(eager = false) // feeds median rank + runs scan
+      val med = daily
+        .select(col("y"), row_number()
+          .over(Window.orderBy("y", "d")).as("rn"))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+        // integer div — Column./ on longs is DOUBLE division and the
+        // half-rank would never match
+        .filter(col("rn") === expr("(n + 1L) div 2L"))
+        .select(col("y").as("med"))
+      val signs = daily.crossJoin(broadcast(med))
+        .filter(col("y") =!= col("med"))
+        .select(col("d"), (col("y") > col("med")).as("up"))
+      val runs = signs
+        .select(col("up"), lag("up", 1).over(Window.orderBy("d"))
+          .as("pup"))
+        .agg(
+          sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+          (sum(when(col("pup").isNull ||
+            col("pup") =!= col("up"), 1L).otherwise(0L))).as("r"))
+      // e0 literals force DOUBLE arithmetic — bare `2.0` parses as
+      // DECIMAL in both engines and their decimal-division scale rules
+      // disagree in the last ulp
+      runs.selectExpr("n1", "n2", "r AS runs",
+          "(1.0e0 + 2.0e0 * n1 * n2 / (n1 + n2)) AS mu",
+          "(2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - n1 - n2) / " +
+            "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0e0))) AS v2")
+        .selectExpr("n1", "n2", "runs",
+          "CAST(floor(1.0e6 * mu) AS BIGINT) AS mu_e6",
+          "CAST(floor(1.0e6 * ((runs - mu) / sqrt(v2))) AS BIGINT) " +
+            "AS z_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM daily),
+      med AS (
+        SELECT y AS med FROM (
+          SELECT y, row_number() OVER (ORDER BY y, d) AS rn FROM daily),
+          nn
+        WHERE rn = (n + 1) // 2),
+      signs AS (
+        SELECT d, y > m.med AS up FROM daily, med m WHERE y <> m.med),
+      lagged AS (
+        SELECT up, lag(up) OVER (ORDER BY d) AS pup FROM signs),
+      runs AS (
+        SELECT sum(CASE WHEN up THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS n2,
+               sum(CASE WHEN pup IS NULL OR pup <> up THEN 1 ELSE 0 END)
+                 AS r
+        FROM lagged),
+      st AS (
+        SELECT n1, n2, r,
+               (1.0e0 + 2.0e0 * n1 * n2 / (n1 + n2)) AS mu,
+               (2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - n1 - n2) /
+                ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0e0))) AS v2
+        FROM runs)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(r AS BIGINT) AS runs,
+             CAST(floor(1.0e6 * mu) AS BIGINT) AS mu_e6,
+             CAST(floor(1.0e6 * ((r - mu) / sqrt(v2))) AS BIGINT) AS z_e6
+      FROM st""")),
+
+    // W20 — running-record days (the 1-D skyline / Pareto frontier of
+    // (date asc, price desc)): the days whose top order price beats every
+    // EARLIER day's top — record detection as one day-grain cummax
+    // window, with the record-holding order identified deterministically
+    // (min orderkey among that day's max-price orders). The argmax join
+    // keys on (day, cents) after a day-grain aggregate, so the orders
+    // scan shuffles once by day and the unbounded-preceding window runs
+    // on the bounded day table only. All integer cents.
+    Q("w20_record_days", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint(eager = false) // feeds day-max + argmax join
+      val daily = o.groupBy("d").agg(max("cents").as("maxc"))
+      // renamed join keys (hits' discipline): daily derives from o, so
+      // raw o("d")/daily("d") references are ambiguous self-join attrs
+      val argmax = o.join(
+          daily.select(col("d").as("dd"), col("maxc").as("mc")),
+          col("d") === col("dd") && col("cents") === col("mc"))
+        .groupBy("dd")
+        .agg(min("o_orderkey").as("record_orderkey"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily.withColumn("prev_record", max("maxc").over(w))
+        .filter(col("prev_record").isNull ||
+          col("maxc") > col("prev_record"))
+        .join(argmax, col("d") === col("dd"))
+        .selectExpr("d", "record_orderkey", "maxc AS record_cents",
+          "coalesce(prev_record, 0L) AS prev_record_cents")
+        .orderBy("d")
+    }, Some("""
+      WITH o AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      daily AS (SELECT d, max(cents) AS maxc FROM o GROUP BY 1),
+      argmax AS (
+        SELECT da.d AS dd, min(o.o_orderkey) AS record_orderkey
+        FROM o JOIN daily da ON o.d = da.d AND o.cents = da.maxc
+        GROUP BY 1),
+      rec AS (
+        SELECT d, maxc,
+               max(maxc) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING) AS prev_record
+        FROM daily)
+      SELECT r.d, a.record_orderkey, r.maxc AS record_cents,
+             CAST(coalesce(r.prev_record, 0) AS BIGINT)
+               AS prev_record_cents
+      FROM rec r JOIN argmax a ON a.dd = r.d
+      WHERE r.prev_record IS NULL OR r.maxc > r.prev_record
+      ORDER BY r.d""")),
+
+    // GR16 — component-size spectrum of cc1's chain+bridge graph:
+    // power-of-two size histogram (bucket = ⌊log₂ size⌋ computed as
+    // binary-string length, NEVER float log2 — ln(8)/ln(2) floors
+    // differently across engines), plus singleton count and the giant-
+    // component mass fraction on every row. The shape summary that says
+    // whether a dedup-cluster graph is a dust field (all tiny) or has a
+    // pathological giant component worth breaking up. One CC run + a
+    // component-grain count + a ≤log₂(n)-row histogram.
+    Q("gr16_component_histogram", (s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val chain = ids.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val bridge = ids.filter(col("doc_id") % 200 === 150)
+        .select(col("doc_id").as("a"), (col("doc_id") - 100).as("b"))
+      val cc = graft.operators.Components.connectedComponents(
+        chain.unionByName(bridge), "a", "b")
+      val sizes = ids.join(cc, ids("doc_id") === cc("node"), "left")
+        .select(coalesce(col("component"), ids("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .localCheckpoint(eager = false) // feeds histogram + totals
+      val tot = sizes.agg(count(lit(1)).as("n_components"),
+        sum("sz").as("n_nodes"), max("sz").as("giant"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singletons"))
+      sizes.selectExpr("CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket",
+          "sz")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("bucket_components"),
+          sum("sz").as("bucket_nodes"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("bucket", "bucket_components", "bucket_nodes",
+          "n_components", "singletons", "giant",
+          "giant * 1000000L div n_nodes AS giant_frac_e6")
+        .orderBy("bucket")
+    }, Some("""
+      WITH RECURSIVE
+      fixture AS (
+        SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+        WHERE doc_id % 100 <> 0
+        UNION ALL
+        SELECT doc_id, doc_id - 100 FROM documents WHERE doc_id % 200 = 150),
+      edges AS (SELECT u, v FROM fixture UNION ALL SELECT v, u FROM fixture),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u),
+      sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+      tot AS (
+        SELECT count(*) AS n_components, sum(sz) AS n_nodes,
+               max(sz) AS giant,
+               sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS singletons
+        FROM sizes)
+      SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS bucket_components,
+             CAST(sum(sz) AS BIGINT) AS bucket_nodes,
+             CAST(t.n_components AS BIGINT) AS n_components,
+             CAST(t.singletons AS BIGINT) AS singletons,
+             CAST(t.giant AS BIGINT) AS giant,
+             CAST(t.giant * 1000000 // t.n_nodes AS BIGINT)
+               AS giant_frac_e6
+      FROM sizes, tot t
+      GROUP BY 1, t.n_components, t.singletons, t.giant, t.n_nodes
+      ORDER BY bucket"""))
   )
 }

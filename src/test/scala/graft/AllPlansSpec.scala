@@ -90,7 +90,9 @@ class AllPlansSpec extends AnyFunSuite {
     "tx24_burstiness" -> "1-row corpus-count broadcast onto the term-stats table before TakeOrdered",
     "sa15_bootstrap_ci" -> "32-row resample-index literal broadcast + 1-row order-stat broadcasts",
     "k25_overlap_depth" -> "1-row max + 8-row probe-grid broadcasts onto the 16-row file-stat tables",
-    "cs37_activity_uniformity" -> "1-row total/chi2/peak broadcasts over the bounded dow×hour cell table")
+    "cs37_activity_uniformity" -> "1-row total/chi2/peak broadcasts over the bounded dow×hour cell table",
+    "cs38_runs_test" -> "1-row count + 1-row median broadcasts onto the bounded day table",
+    "gr16_component_histogram" -> "1-row component-totals broadcast onto the log2 size buckets")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

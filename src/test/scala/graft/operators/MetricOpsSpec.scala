@@ -1200,4 +1200,80 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(c >= b)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 30: cs38 / w20 / gr16
+  // ------------------------------------------------------------------
+
+  test("cs38: runs count matches a brute-force sign-sequence replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs38_runs_test").collect()(0)
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+    val n = daily.length
+    val med = daily.map(p => (p._2, p._1)).sorted.apply((n + 1) / 2 - 1)._1
+    val signs = daily.sortBy(_._1).filter(_._2 != med).map(_._2 > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.count(!_).toLong
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count(p => p(0) != p(1)).toLong
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("runs") == runs)
+    val mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    assert(r.getAs[Long]("mu_e6") == math.floor(1.0e6 * mu).toLong)
+    // runs can never exceed 2·min(n1,n2)+1 or the sequence length
+    assert(runs <= 2 * math.min(n1, n2) + 1 && runs <= n1 + n2)
+  }
+
+  test("w20: record days match a brute-force running-max replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("w20_record_days").collect()
+    val orders = t(s, dir, "orders")
+      .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getLong(2)))
+    val daily = orders.groupBy(_._1).view.mapValues { os =>
+      val mx = os.map(_._3).max
+      (mx, os.filter(_._3 == mx).map(_._2).min)
+    }.toMap
+    var rec = 0L
+    val expected = daily.toSeq.sortBy(_._1).flatMap { case (d, (mx, k)) =>
+      val keep = mx > rec
+      val prev = rec
+      if (keep) rec = mx
+      if (keep) Some((d, k, mx, prev)) else None
+    }
+    val got = out.map(r => (r.getAs[Long]("d"),
+      r.getAs[Long]("record_orderkey"), r.getAs[Long]("record_cents"),
+      r.getAs[Long]("prev_record_cents"))).toSeq
+    assert(got == expected)
+    // records strictly increase
+    val cents = got.map(_._3)
+    assert(cents == cents.sorted && cents.distinct == cents)
+  }
+
+  test("gr16: histogram masses are conserved and buckets are log2-exact") {
+    val out = run("gr16_component_histogram").collect()
+    assert(out.nonEmpty)
+    val nComp = out(0).getAs[Long]("n_components")
+    val giant = out(0).getAs[Long]("giant")
+    assert(out.map(_.getAs[Long]("bucket_components")).sum == nComp)
+    val nodes = out.map(_.getAs[Long]("bucket_nodes")).sum
+    assert(out(0).getAs[Long]("giant_frac_e6") ==
+      giant * 1000000L / nodes)
+    // the giant component's bucket is the last one, and it's populated
+    val lastBucket = out.map(_.getAs[Long]("bucket")).max
+    assert(lastBucket == (63 - java.lang.Long.numberOfLeadingZeros(giant)))
+    // singleton count sits in bucket 0
+    val b0 = out.find(_.getAs[Long]("bucket") == 0L)
+    val singles = out(0).getAs[Long]("singletons")
+    assert(b0.forall(_.getAs[Long]("bucket_components") >= singles))
+    if (singles > 0) assert(b0.isDefined)
+  }
 }

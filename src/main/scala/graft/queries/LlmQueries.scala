@@ -4226,6 +4226,115 @@ object LlmQueries {
                CAST(floor(1.0e6 * (CAST(2 * (tp * tn - fp * fn) AS DOUBLE) /
                  CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)
                  AS DOUBLE))) AS BIGINT) END AS kappa_e6
-      FROM conf"""))
+      FROM conf""")),
+
+    // DD26 — band-agreement spectrum of the LSH candidate set: for every
+    // dd2 candidate pair, in HOW MANY of the 4 bands do the signatures
+    // collide — the vote histogram that says whether the S-curve is
+    // operating at its cliff (most pairs collide in exactly 1 band ⟹
+    // threshold-marginal candidates) or saturated (4-band agreement ⟹
+    // near-identical docs dd17's curve places far above threshold). Same
+    // self-join as dd2 but keeping the per-pair band COUNT before
+    // distinct-ing it away; all integer counts + one scaled share.
+    Q("dd26_band_agreement", (s, dir) => {
+      val sig = Dedup.minhashSignatures(
+        Dedup.shingleMultiset(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", bands = 4)
+        .localCheckpoint(eager = false) // both sides of the band join
+      val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("mh"))
+      val votes = a.join(b, Seq("band", "mh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("votes"))
+      val hist = votes.groupBy("votes").agg(count(lit(1)).as("n_pairs"))
+      hist.crossJoin(broadcast(
+          hist.agg(sum("n_pairs").as("total_pairs"))))
+        .selectExpr("votes", "n_pairs", "total_pairs",
+          "n_pairs * 1000000L div total_pairs AS share_e6")
+        .orderBy("votes")
+    }, Some(s"""
+      WITH ${shingleCte("")},
+      sig AS (
+        SELECT doc_id, band, min(substr(md5(sh), band * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST([0, 1, 2, 3]) AS b(band)
+        GROUP BY doc_id, band),
+      pv AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS votes
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      hist AS (SELECT votes, count(*) AS n_pairs FROM pv GROUP BY 1),
+      tp AS (SELECT sum(n_pairs) AS total_pairs FROM hist)
+      SELECT CAST(h.votes AS BIGINT) AS votes,
+             CAST(h.n_pairs AS BIGINT) AS n_pairs,
+             CAST(t.total_pairs AS BIGINT) AS total_pairs,
+             CAST(h.n_pairs * 1000000 // t.total_pairs AS BIGINT)
+               AS share_e6
+      FROM hist h, tp t ORDER BY votes""")),
+
+    // IX6 — SymSpell spell suggestions: distance-≤1 vocabulary matches
+    // for probe terms via the DELETE-VARIANT index — match iff probe =
+    // term, term ∈ deletes(probe), or probe ∈ deletes(term); never the
+    // delete∩delete case (that's distance 2). The scale trick IS the
+    // query shape: the vocabulary explodes to O(len) delete keys ONCE
+    // (an index build), each lookup touches only its own O(len) keys —
+    // no scan of the vocabulary per probe, no quadratic edit-distance
+    // sweep; dist is re-verified with levenshtein() on the few
+    // candidates. Probes: 'mergee' (insert), 'sor' (delete), 'zzz'
+    // (no match, drops out).
+    Q("ix6_symspell_suggest", (s, dir) => {
+      import s.implicits._
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(eager = false) // feeds self keys + delete keys
+      def deletes(df: org.apache.spark.sql.DataFrame, c: String) = df
+        .select(col(c), explode(sequence(lit(1), length(col(c))))
+          .as("i"))
+        // substr via SQL — functions.substring only takes literal ints
+        .selectExpr(c,
+          s"concat(substr($c, 1, i - 1), substr($c, i + 1, 1000)) AS key")
+      val probes = Seq("mergee", "sor", "zzz").toDF("probe")
+      val pKeys = probes.select(col("probe"), col("probe").as("key"),
+          lit(true).as("pself"))
+        .unionByName(deletes(probes, "probe")
+          .select(col("probe"), col("key"), lit(false).as("pself")))
+      val vKeys = vocab.select(col("term"), col("term").as("key"),
+          lit(true).as("vself"))
+        .unionByName(deletes(vocab.select("term"), "term")
+          .select(col("term"), col("key"), lit(false).as("vself")))
+      pKeys.join(vKeys, "key")
+        .filter(col("pself") || col("vself"))
+        .select("probe", "term").distinct()
+        .join(vocab, "term")
+        .select(col("probe"), col("term"), col("freq"),
+          levenshtein(col("probe"), col("term")).cast("long").as("dist"))
+        .orderBy("probe", "term")
+    }, Some("""
+      WITH vocab AS (
+        SELECT term, count(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term),
+      probes AS (SELECT unnest(['mergee', 'sor', 'zzz']) AS probe),
+      pk AS (
+        SELECT probe, probe AS key, true AS pself FROM probes
+        UNION ALL
+        SELECT probe, substr(probe, 1, i - 1) || substr(probe, i + 1, 1000)
+               AS key, false
+        FROM probes, UNNEST(generate_series(1, len(probe))) AS t(i)),
+      vk AS (
+        SELECT term, term AS key, true AS vself FROM vocab
+        UNION ALL
+        SELECT term, substr(term, 1, i - 1) || substr(term, i + 1, 1000)
+               AS key, false
+        FROM vocab, UNNEST(generate_series(1, len(term))) AS t(i)),
+      cand AS (
+        SELECT DISTINCT pk.probe, vk.term
+        FROM pk JOIN vk ON vk.key = pk.key
+        WHERE pk.pself OR vk.vself)
+      SELECT c.probe, c.term, CAST(v.freq AS BIGINT) AS freq,
+             CAST(levenshtein(c.probe, c.term) AS BIGINT) AS dist
+      FROM cand c JOIN vocab v ON v.term = c.term
+      ORDER BY c.probe, c.term"""))
   )
 }

@@ -2116,6 +2116,61 @@ object MetricQueries {
                AS giant_frac_e6
       FROM sizes, tot t
       GROUP BY 1, t.n_components, t.singletons, t.giant, t.n_nodes
-      ORDER BY bucket"""))
+      ORDER BY bucket""")),
+
+    // K28 — deletion-vector compaction planner (the merge-on-read half
+    // k14/k17's CDC merges assume away): per id-sorted file, how much of
+    // the row mass is tombstoned by a position-delete vector (docs whose
+    // md5 leads with 0/1 — a deterministic ~1/8), what fraction of bytes
+    // is dead, and which files a 90%-live threshold sends to rewrite —
+    // plus the total bytes the rewrite pass must move. At 100 TB this is
+    // the manifest-level decision that keeps read amplification bounded
+    // without rewriting every file on every delete batch. One scan, one
+    // 16-file-grain aggregate, all exact integers.
+    Q("k28_delete_vector_plan", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          substring(md5(col("text")), 1, 1).isin("0", "1").as("del"))
+        .localCheckpoint(eager = false) // feeds max + file aggregate
+      val mx = docs.agg(max("doc_id").as("m"))
+      docs.crossJoin(broadcast(mx))
+        .selectExpr("doc_id * 16L div (m + 1L) AS file", "n_chars", "del")
+        .groupBy("file")
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("del"), 1L).otherwise(0L)).as("dels"),
+          sum("n_chars").as("bytes"),
+          sum(when(col("del"), col("n_chars")).otherwise(0L))
+            .as("dead_bytes"))
+        .selectExpr("file", "rows", "dels", "bytes", "dead_bytes",
+          "(rows - dels) * 1000000L div rows AS live_e6",
+          "(rows - dels) * 1000000L div rows < 900000L AS rewrite",
+          "CASE WHEN (rows - dels) * 1000000L div rows < 900000L " +
+            "THEN bytes - dead_bytes ELSE 0L END AS rewrite_bytes")
+        .orderBy("file")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, n_chars,
+               substr(md5(text), 1, 1) IN ('0', '1') AS del
+        FROM documents),
+      mx AS (SELECT max(doc_id) AS m FROM d),
+      f AS (
+        SELECT d.doc_id * 16 // (x.m + 1) AS file, d.n_chars, d.del
+        FROM d, mx x),
+      agg AS (
+        SELECT file, count(*) AS rows,
+               sum(CASE WHEN del THEN 1 ELSE 0 END) AS dels,
+               sum(n_chars) AS bytes,
+               sum(CASE WHEN del THEN n_chars ELSE 0 END) AS dead_bytes
+        FROM f GROUP BY 1)
+      SELECT file, CAST(rows AS BIGINT) AS rows,
+             CAST(dels AS BIGINT) AS dels,
+             CAST(bytes AS BIGINT) AS bytes,
+             CAST(dead_bytes AS BIGINT) AS dead_bytes,
+             CAST((rows - dels) * 1000000 // rows AS BIGINT) AS live_e6,
+             (rows - dels) * 1000000 // rows < 900000 AS rewrite,
+             CAST(CASE WHEN (rows - dels) * 1000000 // rows < 900000
+               THEN bytes - dead_bytes ELSE 0 END AS BIGINT)
+               AS rewrite_bytes
+      FROM agg ORDER BY file"""))
   )
 }

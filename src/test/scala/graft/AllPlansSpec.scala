@@ -92,7 +92,9 @@ class AllPlansSpec extends AnyFunSuite {
     "k25_overlap_depth" -> "1-row max + 8-row probe-grid broadcasts onto the 16-row file-stat tables",
     "cs37_activity_uniformity" -> "1-row total/chi2/peak broadcasts over the bounded dow×hour cell table",
     "cs38_runs_test" -> "1-row count + 1-row median broadcasts onto the bounded day table",
-    "gr16_component_histogram" -> "1-row component-totals broadcast onto the log2 size buckets")
+    "gr16_component_histogram" -> "1-row component-totals broadcast onto the log2 size buckets",
+    "dd26_band_agreement" -> "1-row total-pairs broadcast onto the ≤4-row vote histogram",
+    "k28_delete_vector_plan" -> "1-row max-id broadcast onto the scan before file bucketing (k27's shape)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

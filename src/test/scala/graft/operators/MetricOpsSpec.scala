@@ -1276,4 +1276,79 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(b0.forall(_.getAs[Long]("bucket_components") >= singles))
     if (singles > 0) assert(b0.isDefined)
   }
+
+  // ------------------------------------------------------------------
+  // wave 31: dd26 / ix6 / k28
+  // ------------------------------------------------------------------
+
+  test("dd26: vote histogram masses equal dd2's candidate-pair count") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("dd26_band_agreement").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1L && v <= 4L)
+    }
+    val total = out(0).getAs[Long]("total_pairs")
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == total)
+    // histogram total == |distinct LSH candidate pairs|
+    val sh = graft.operators.Dedup.shingleMultiset(
+      t(s, dir, "documents"), "doc_id", "text")
+    val pairs = graft.operators.Dedup.lshCandidatePairs(
+      graft.operators.Dedup.minhashSignatures(sh, "doc_id", bands = 4),
+      "doc_id").count()
+    assert(total == pairs)
+  }
+
+  test("ix6: symspell candidates are exactly the distance-≤1 vocab terms") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ix6_symspell_suggest").collect()
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      p <- Seq("mergee", "sor", "zzz")
+      (v, f) <- vocab if lev(p, v) <= 1
+    } yield (p, v, f, lev(p, v).toLong)).sortBy(t4 => (t4._1, t4._2))
+    val got = out.map(r => (r.getAs[String]("probe"),
+      r.getAs[String]("term"), r.getAs[Long]("freq"),
+      r.getAs[Long]("dist"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_._4 <= 1L))
+    assert(!got.exists(_._1 == "zzz"))
+  }
+
+  test("k28: delete-vector plan conserves masses and flags correctly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("k28_delete_vector_plan").collect()
+    assert(out.nonEmpty && out.length <= 16)
+    val docs = t(s, dir, "documents")
+    assert(out.map(_.getAs[Long]("rows")).sum == docs.count())
+    val totBytes = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("bytes")).sum == totBytes)
+    out.foreach { r =>
+      val (rows, dels) = (r.getAs[Long]("rows"), r.getAs[Long]("dels"))
+      assert(dels >= 0 && dels <= rows)
+      val live = (rows - dels) * 1000000L / rows
+      assert(r.getAs[Long]("live_e6") == live)
+      assert(r.getAs[Boolean]("rewrite") == (live < 900000L))
+      if (live < 900000L)
+        assert(r.getAs[Long]("rewrite_bytes") ==
+          r.getAs[Long]("bytes") - r.getAs[Long]("dead_bytes"))
+      else assert(r.getAs[Long]("rewrite_bytes") == 0L)
+      assert(r.getAs[Long]("dead_bytes") <= r.getAs[Long]("bytes"))
+    }
+  }
 }

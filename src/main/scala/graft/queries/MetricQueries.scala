@@ -2171,6 +2171,222 @@ object MetricQueries {
              CAST(CASE WHEN (rows - dels) * 1000000 // rows < 900000
                THEN bytes - dead_bytes ELSE 0 END AS BIGINT)
                AS rewrite_bytes
-      FROM agg ORDER BY file"""))
+      FROM agg ORDER BY file""")),
+
+    // ATT4 — position-based (U-shaped 40/20/40) attribution, completing
+    // the family (att1 last, att2 linear, att3 decay): oldest touch 40%,
+    // newest 40%, the middle 20% split equally — expressed as EXACT
+    // integer weights on the common denominator 5(k−2) (k=1 → all, k=2 →
+    // 50/50), so cents·w div Σw plus att2's most-recent-first remainder
+    // distribution conserves the purchase mass as a law. Position needs
+    // rn/k BEFORE the weight, so the plan stacks two window passes over
+    // the same (user, purchase) partition — one extra pass, zero extra
+    // shuffles.
+    Q("att4_position_attribution", (s, dir) => {
+      val key = concat_ws("|",
+        lpad(col("ts").cast("long").cast("string"), 10, "0"),
+        lpad(col("event_id").cast("string"), 8, "0"))
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("event_type").as("t_type"),
+          col("ts").cast("long").as("t_ep"), key.as("t_key"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("ts").cast("long").as("p_ep"), key.as("p_key"))
+      val j = purchases.join(touches,
+        col("t_user") === col("p_user") && col("t_key") < col("p_key") &&
+          col("p_ep") - col("t_ep") <= 604800, "left")
+      val wP = Window.partitionBy("p_user", "p_key")
+      val wR = Window.partitionBy("p_user", "p_key")
+        .orderBy(col("t_key").desc)
+      j.withColumn("k", count(col("t_key")).over(wP))
+        .withColumn("rn", row_number().over(wR))
+        .withColumn("w", expr("CASE WHEN t_key IS NULL THEN NULL " +
+          "WHEN k <= 2 THEN 1L " +
+          "WHEN rn = 1 OR rn = k THEN 2L * (k - 2) ELSE 1L END"))
+        .withColumn("sw", sum("w").over(wP))
+        .withColumn("base", expr("(cents * w) div sw"))
+        .withColumn("leftover",
+          col("cents") - sum(coalesce(col("base"), lit(0L))).over(wP))
+        .select(
+          when(col("k") === 0, lit("direct")).otherwise(col("t_type"))
+            .as("channel"),
+          when(col("k") === 0, col("cents"))
+            .otherwise(col("base") +
+              when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+            .as("credit"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum("credit").as("credited_cents"))
+        .orderBy("channel")
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR),
+                    10, '0')
+                 || '|' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS key
+        FROM events),
+      tt AS (
+        SELECT user_id AS t_user, event_type AS t_type, ep AS t_ep,
+               key AS t_key
+        FROM ev WHERE event_type IN ('view', 'click')),
+      p AS (
+        SELECT user_id AS p_user, CAST(floor(value * 100) AS BIGINT) AS cents,
+               ep AS p_ep, key AS p_key
+        FROM ev WHERE event_type = 'purchase'),
+      j AS (
+        SELECT p.*, tt.t_type, tt.t_key
+        FROM p LEFT JOIN tt ON t_user = p_user AND t_key < p_key
+                            AND p_ep - t_ep <= 604800),
+      r AS (
+        SELECT *,
+               count(t_key) OVER (PARTITION BY p_user, p_key) AS k,
+               row_number() OVER (PARTITION BY p_user, p_key
+                 ORDER BY t_key DESC) AS rn
+        FROM j),
+      r2 AS (
+        SELECT *,
+               CASE WHEN t_key IS NULL THEN NULL
+                    WHEN k <= 2 THEN 1
+                    WHEN rn = 1 OR rn = k THEN 2 * (k - 2)
+                    ELSE 1 END AS w
+        FROM r),
+      r3 AS (
+        SELECT *,
+               sum(w) OVER (PARTITION BY p_user, p_key) AS sw
+        FROM r2),
+      b AS (
+        SELECT *,
+               (cents * w) // sw AS base,
+               cents - sum(coalesce((cents * w) // sw, 0))
+                 OVER (PARTITION BY p_user, p_key) AS leftover
+        FROM r3)
+      SELECT CASE WHEN k = 0 THEN 'direct' ELSE t_type END AS channel,
+             count(*) AS n_credits,
+             CAST(sum(CASE WHEN k = 0 THEN cents
+                      ELSE base +
+                           CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                      END) AS BIGINT) AS credited_cents
+      FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // HQ6 — equi-width histogram estimator error: build the 16-bucket
+    // price histogram a CBO would keep, answer four quartile range-count
+    // probes from it by linear interpolation, and compare against the
+    // exact answers — the estimator-quality audit that decides whether
+    // the histogram (hq4/hq5's selectivity machinery) can be TRUSTED on
+    // this column's distribution, per probe, with signed relative error.
+    // Everything is integer arithmetic: bucket bounds, overlap widths,
+    // and interpolated counts are all divs on exact cents.
+    Q("hq6_histogram_estimator", (s, dir) => {
+      val c = t(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .localCheckpoint(eager = false) // feeds bounds + hist + truth
+      val bounds = c.agg(min("c").as("mn"), max("c").as("mx"))
+        .selectExpr("mn", "mx", "mx - mn + 1L AS span")
+      val hist = c.crossJoin(broadcast(bounds))
+        .selectExpr("least((c - mn) * 16L div span, 15L) AS b", "mn",
+          "span")
+        .groupBy("b", "mn", "span").agg(count(lit(1)).as("cnt"))
+        .selectExpr("b", "cnt", "mn + span * b div 16L AS blo",
+          "mn + span * (b + 1L) div 16L AS bhi")
+      val probes = bounds.selectExpr(
+        "explode(sequence(1L, 4L)) AS g", "mn", "span")
+        .selectExpr("g", "mn + span * (g - 1L) div 4L AS lo",
+          "mn + span * g div 4L AS hi")
+      val est = hist.crossJoin(broadcast(probes))
+        .selectExpr("g",
+          "greatest(0L, least(hi, bhi) - greatest(lo, blo)) * cnt div " +
+            "(bhi - blo) AS part")
+        .groupBy("g").agg(sum("part").as("est"))
+      val act = c.crossJoin(broadcast(probes))
+        .filter(col("c") >= col("lo") && col("c") < col("hi"))
+        .groupBy(col("g").as("g2"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("act"))
+      act.join(est, col("g2") === col("g"))
+        .selectExpr("g", "lo", "hi", "act", "est",
+          "(est - act) * 1000000L div act AS rel_err_e6")
+        .orderBy("g")
+    }, Some("""
+      WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      bounds AS (
+        SELECT min(c) AS mn, max(c) AS mx, max(c) - min(c) + 1 AS span
+        FROM c),
+      hist AS (
+        SELECT b, count(*) AS cnt,
+               any_value(mn) + any_value(span) * b // 16 AS blo,
+               any_value(mn) + any_value(span) * (b + 1) // 16 AS bhi
+        FROM (
+          SELECT least((c.c - bo.mn) * 16 // bo.span, 15) AS b, bo.mn,
+                 bo.span
+          FROM c, bounds bo)
+        GROUP BY b),
+      probes AS (
+        SELECT CAST(g AS BIGINT) AS g,
+               bo.mn + bo.span * (g - 1) // 4 AS lo,
+               bo.mn + bo.span * g // 4 AS hi
+        FROM UNNEST(generate_series(1, 4)) AS t(g), bounds bo),
+      est AS (
+        SELECT p.g,
+               sum(greatest(0, least(p.hi, h.bhi) - greatest(p.lo, h.blo))
+                   * h.cnt // (h.bhi - h.blo)) AS est
+        FROM hist h, probes p GROUP BY p.g),
+      act AS (
+        SELECT p.g, p.lo, p.hi, count(*) AS act
+        FROM c JOIN probes p ON c.c >= p.lo AND c.c < p.hi
+        GROUP BY 1, 2, 3)
+      SELECT a.g, a.lo, a.hi, CAST(a.act AS BIGINT) AS act,
+             CAST(e.est AS BIGINT) AS est,
+             CAST((e.est - a.act) * 1000000 // a.act AS BIGINT)
+               AS rel_err_e6
+      FROM act a JOIN est e ON e.g = a.g ORDER BY a.g""")),
+
+    // D12 — 4-4-5 retail fiscal calendar rollup: map order dates onto
+    // 52-week fiscal years (anchor Monday 1991-12-30) with the 4-4-5
+    // week pattern per quarter, and roll revenue up to fiscal periods —
+    // the calendar dimension BI stacks expect that Gregorian date_trunc
+    // can't express. Week/year/period math is pure integer div/mod plus
+    // a 12-row period-boundary literal broadcast; the rollup is one
+    // day-grain-equivalent aggregate.
+    Q("d12_fiscal_445", (s, dir) => {
+      import s.implicits._
+      val periods = Seq((1L, 0L, 4L), (2L, 4L, 8L), (3L, 8L, 13L),
+        (4L, 13L, 17L), (5L, 17L, 21L), (6L, 21L, 26L),
+        (7L, 26L, 30L), (8L, 30L, 34L), (9L, 34L, 39L),
+        (10L, 39L, 43L), (11L, 43L, 47L), (12L, 47L, 52L))
+        .toDF("period", "wlo", "whi")
+      val o = t(s, dir, "orders")
+        .selectExpr("datediff(to_date(o_orderdate), DATE '1991-12-30') " +
+          "AS d", "CAST(floor(o_totalprice * 100) AS LONG) AS cents")
+        .selectExpr("d div 7L AS wk", "cents")
+        .selectExpr("wk div 52L AS fy", "wk % 52L AS wiy", "cents")
+      o.join(broadcast(periods),
+          col("wiy") >= col("wlo") && col("wiy") < col("whi"))
+        .groupBy("fy", "period")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+        .selectExpr("fy", "period", "(period - 1L) div 3L + 1L AS quarter",
+          "n_orders", "revenue_cents")
+        .orderBy("fy", "period")
+    }, Some("""
+      WITH periods AS (
+        SELECT * FROM (VALUES (1, 0, 4), (2, 4, 8), (3, 8, 13),
+          (4, 13, 17), (5, 17, 21), (6, 21, 26), (7, 26, 30),
+          (8, 30, 34), (9, 34, 39), (10, 39, 43), (11, 43, 47),
+          (12, 47, 52)) AS t(period, wlo, whi)),
+      o AS (
+        SELECT CAST(datediff('day', DATE '1991-12-30',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS wk,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      w AS (SELECT wk // 52 AS fy, wk % 52 AS wiy, cents FROM o)
+      SELECT CAST(w.fy AS BIGINT) AS fy,
+             CAST(p.period AS BIGINT) AS period,
+             CAST((p.period - 1) // 3 + 1 AS BIGINT) AS quarter,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(w.cents) AS BIGINT) AS revenue_cents
+      FROM w JOIN periods p ON w.wiy >= p.wlo AND w.wiy < p.whi
+      GROUP BY w.fy, p.period ORDER BY fy, period"""))
   )
 }

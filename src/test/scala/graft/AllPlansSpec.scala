@@ -94,7 +94,9 @@ class AllPlansSpec extends AnyFunSuite {
     "cs38_runs_test" -> "1-row count + 1-row median broadcasts onto the bounded day table",
     "gr16_component_histogram" -> "1-row component-totals broadcast onto the log2 size buckets",
     "dd26_band_agreement" -> "1-row total-pairs broadcast onto the ≤4-row vote histogram",
-    "k28_delete_vector_plan" -> "1-row max-id broadcast onto the scan before file bucketing (k27's shape)")
+    "k28_delete_vector_plan" -> "1-row max-id broadcast onto the scan before file bucketing (k27's shape)",
+    "hq6_histogram_estimator" -> "1-row bounds + 4-row probe-grid broadcasts onto the scan and 16-row histogram",
+    "d12_fiscal_445" -> "12-row period-boundary literal broadcast range-joined onto the week column")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1351,4 +1351,113 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("dead_bytes") <= r.getAs[Long]("bytes"))
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 32: att4 / hq6 / d12
+  // ------------------------------------------------------------------
+
+  test("att4: credited cents conserve the purchase mass exactly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("att4_position_attribution").collect()
+    assert(out.map(_.getAs[String]("channel")).toSet
+      .subsetOf(Set("view", "click", "direct")))
+    val credited = out.map(_.getAs[Long]("credited_cents")).sum
+    val purchaseCents = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(credited == purchaseCents)
+  }
+
+  test("att4: hand fixture — U-shape endpoints get 40%, middles split 20%") {
+    val s = spark
+    import s.implicits._
+    // user A: purchase 1000c after 4 in-window touches → weights on
+    // denominator 5(k−2)=10: oldest 4, newest 4, middles 1 each →
+    // 400/100/100/400 exactly (no remainder)
+    val rows = Seq(
+      ("A", 1L, 1000L, "view", 0.0),
+      ("A", 2L, 2000L, "click", 0.0),
+      ("A", 3L, 3000L, "click", 0.0),
+      ("A", 4L, 4000L, "view", 0.0),
+      ("A", 5L, 5000L, "purchase", 10.0))
+      .toDF("user_id", "event_id", "ep", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ep")))
+    val tmp = java.nio.file.Files.createTempDirectory("att4fix").toString
+    rows.select("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.SparkEntry.queries("att4_position_attribution")(s, tmp)
+      .collect().map(r => (r.getAs[String]("channel"),
+        r.getAs[Long]("credited_cents"))).toMap
+    // endpoints are views (t1 oldest, t4 newest): 400 + 400; middles are
+    // clicks: 100 + 100
+    assert(out("view") == 800L)
+    assert(out("click") == 200L)
+  }
+
+  test("hq6: estimates match hand interpolation; exact counts are exact") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("hq6_histogram_estimator").collect()
+    assert(out.map(_.getAs[Long]("g")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val cs = t(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0))
+    val (mn, mx) = (cs.min, cs.max)
+    val span = mx - mn + 1
+    val hist = cs.groupBy(cv => math.min((cv - mn) * 16 / span, 15L))
+      .view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val (g, lo, hi) = (r.getAs[Long]("g"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"))
+      assert(lo == mn + span * (g - 1) / 4 && hi == mn + span * g / 4)
+      assert(r.getAs[Long]("act") ==
+        cs.count(cv => cv >= lo && cv < hi).toLong)
+      val est = (0L to 15L).map { b =>
+        val (blo, bhi) = (mn + span * b / 16, mn + span * (b + 1) / 16)
+        val ov = math.max(0L, math.min(hi, bhi) - math.max(lo, blo))
+        ov * hist.getOrElse(b, 0L) / (bhi - blo)
+      }.sum
+      assert(r.getAs[Long]("est") == est)
+    }
+  }
+
+  test("d12: fiscal periods have 4-4-5 week widths and conserve revenue") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("d12_fiscal_445").collect()
+    // quarters map 3 periods each; period widths follow 4-4-5
+    val widths = Map(1L -> 4L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 4L,
+      6L -> 5L, 7L -> 4L, 8L -> 4L, 9L -> 5L, 10L -> 4L, 11L -> 4L,
+      12L -> 5L)
+    out.foreach { r =>
+      val p = r.getAs[Long]("period")
+      assert(p >= 1 && p <= 12)
+      assert(r.getAs[Long]("quarter") == (p - 1) / 3 + 1)
+      assert(widths(p) > 0) // period exists in the 4-4-5 pattern
+    }
+    val tot = t(s, dir, "orders")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")),
+        count(lit(1))).collect()(0)
+    assert(out.map(_.getAs[Long]("revenue_cents")).sum == tot.getLong(0))
+    assert(out.map(_.getAs[Long]("n_orders")).sum == tot.getLong(1))
+    // brute-check one period assignment
+    val d0 = t(s, dir, "orders").selectExpr(
+      "CAST(datediff(to_date(o_orderdate), DATE '1991-12-30') AS LONG) AS d")
+      .collect().map(_.getLong(0))
+    val byP = d0.map { d =>
+      val wiy = (d / 7) % 52
+      ((d / 7) / 52,
+        widths.keys.filter { p =>
+          val bounds = Seq(0L, 4L, 8L, 13L, 17L, 21L, 26L, 30L, 34L, 39L,
+            43L, 47L, 52L)
+          wiy >= bounds(p.toInt - 1) && wiy < bounds(p.toInt)
+        }.head)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_orders") ==
+        byP((r.getAs[Long]("fy"), r.getAs[Long]("period"))))
+    }
+  }
 }

@@ -2387,6 +2387,180 @@ object MetricQueries {
              CAST(count(*) AS BIGINT) AS n_orders,
              CAST(sum(w.cents) AS BIGINT) AS revenue_cents
       FROM w JOIN periods p ON w.wiy >= p.wlo AND w.wiy < p.whi
-      GROUP BY w.fy, p.period ORDER BY fy, period"""))
+      GROUP BY w.fy, p.period ORDER BY fy, period""")),
+
+    // CS39 — Theil T index and Atkinson(ε=1) of customer spend: the
+    // decomposable inequality pair that complements cs18's Gini (Theil
+    // splits cleanly into between/within-group terms; Atkinson has the
+    // welfare interpretation). Spend masses are exact cents; both
+    // entropy-style sums fold their per-customer double terms in
+    // EXPLICIT custkey order on both engines (cs21's ordered-sum
+    // discipline) — at this grain that is a customer-grain collect, the
+    // same cost class as any exact rank statistic.
+    Q("cs39_theil_index", (s, dir) => {
+      val x = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+        .filter(col("x") > 0)
+        .localCheckpoint(eager = false) // feeds totals + both folds
+      val tot = x.agg(count(lit(1)).as("n"), sum("x").as("xt"))
+      x.crossJoin(broadcast(tot))
+        .select(col("ck"),
+          ((col("x") * col("n") / col("xt").cast("double")) *
+            log(col("x") * col("n") / col("xt").cast("double")))
+            .as("tterm"),
+          log(col("x").cast("double")).as("lterm"), col("n"), col("xt"))
+        .groupBy("n", "xt")
+        .agg(
+          aggregate(transform(array_sort(
+            collect_list(struct(col("ck"), col("tterm")))),
+            q => q.getField("tterm")), lit(0.0), (a, q) => a + q)
+            .as("ts"),
+          aggregate(transform(array_sort(
+            collect_list(struct(col("ck"), col("lterm")))),
+            q => q.getField("lterm")), lit(0.0), (a, q) => a + q)
+            .as("ls"))
+        .selectExpr("n", "xt AS total_cents",
+          "CAST(floor(1.0e6 * (ts / n)) AS BIGINT) AS theil_e6",
+          "CAST(floor(1.0e6 * (1.0e0 - exp(ls / n) / " +
+            "(CAST(xt AS DOUBLE) / n))) AS BIGINT) AS atkinson_e6")
+    }, Some("""
+      WITH x AS (
+        SELECT o_custkey AS ck,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1 HAVING x > 0),
+      tot AS (SELECT count(*) AS n, sum(x) AS xt FROM x),
+      terms AS (
+        SELECT x.ck,
+               (x.x * t.n / CAST(t.xt AS DOUBLE)) *
+                 ln(x.x * t.n / CAST(t.xt AS DOUBLE)) AS tterm,
+               ln(CAST(x.x AS DOUBLE)) AS lterm, t.n, t.xt
+        FROM x, tot t),
+      f AS (
+        SELECT n, xt, list_sum(list(tterm ORDER BY ck)) AS ts,
+               list_sum(list(lterm ORDER BY ck)) AS ls
+        FROM terms GROUP BY n, xt)
+      SELECT CAST(n AS BIGINT) AS n, CAST(xt AS BIGINT) AS total_cents,
+             CAST(floor(1.0e6 * (ts / n)) AS BIGINT) AS theil_e6,
+             CAST(floor(1.0e6 * (1.0e0 - exp(ls / n) /
+               (CAST(xt AS DOUBLE) / n))) AS BIGINT) AS atkinson_e6
+      FROM f""")),
+
+    // CS40 — source×lang contingency: chi-square of independence over
+    // the FULL grid (absent cells contribute their expected mass — the
+    // mistake that silently deflates χ² when a sparse grid is folded
+    // over observed cells only) and Cramér's V to put the strength on a
+    // [0,1] scale — the categorical association audit behind "is lang
+    // mix a function of source?", where cs21 measures distance and this
+    // measures dependence. Counts exact; the χ² terms fold in (source,
+    // lang) order (cs21's discipline); V is one sqrt composition.
+    Q("cs40_cramers_v", (s, dir) => {
+      val d = t(s, dir, "documents").select("source", "lang")
+      val sl = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val st = d.groupBy("source").agg(count(lit(1)).as("rt"))
+      val cl = d.groupBy("lang").agg(count(lit(1)).as("ct"))
+      val nt = d.agg(count(lit(1)).as("n"))
+      val dims = st.agg(count(lit(1)).as("r"))
+        .crossJoin(broadcast(cl.agg(count(lit(1)).as("c"))))
+      val grid = st.crossJoin(broadcast(cl))
+        .join(sl, Seq("source", "lang"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("source"), col("lang"),
+          (coalesce(col("o"), lit(0L)).cast("double") -
+            col("rt") * col("ct") / col("n").cast("double")).as("dev"),
+          (col("rt") * col("ct") / col("n").cast("double")).as("e"))
+        .select(col("source"), col("lang"),
+          (col("dev") * col("dev") / col("e")).as("term"))
+      grid.agg(aggregate(transform(array_sort(collect_list(
+          struct(col("source"), col("lang"), col("term")))),
+          q => q.getField("term")), lit(0.0), (a, q) => a + q)
+          .as("chi2"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(dims))
+        .selectExpr("n", "r", "c", "(r - 1L) * (c - 1L) AS dof",
+          "CAST(floor(1.0e6 * chi2) AS BIGINT) AS chi2_e6",
+          "CAST(floor(1.0e6 * sqrt(chi2 / (n * least(r - 1L, c - 1L)))) " +
+            "AS BIGINT) AS v_e6")
+    }, Some("""
+      WITH d AS (SELECT source, lang FROM documents),
+      sl AS (SELECT source, lang, count(*) AS o FROM d GROUP BY 1, 2),
+      st AS (SELECT source, count(*) AS rt FROM d GROUP BY 1),
+      cl AS (SELECT lang, count(*) AS ct FROM d GROUP BY 1),
+      nt AS (SELECT count(*) AS n FROM d),
+      dims AS (
+        SELECT (SELECT count(*) FROM st) AS r,
+               (SELECT count(*) FROM cl) AS c),
+      grid AS (
+        SELECT st.source, cl.lang,
+               (CAST(coalesce(sl.o, 0) AS DOUBLE) -
+                 st.rt * cl.ct / CAST(nt.n AS DOUBLE)) AS dev,
+               (st.rt * cl.ct / CAST(nt.n AS DOUBLE)) AS e
+        FROM st CROSS JOIN cl
+        LEFT JOIN sl ON sl.source = st.source AND sl.lang = cl.lang
+        CROSS JOIN nt),
+      terms AS (
+        SELECT source, lang, dev * dev / e AS term FROM grid),
+      f AS (
+        SELECT list_sum(list(term ORDER BY source, lang)) AS chi2
+        FROM terms)
+      SELECT CAST(nt.n AS BIGINT) AS n, CAST(dims.r AS BIGINT) AS r,
+             CAST(dims.c AS BIGINT) AS c,
+             CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+             CAST(floor(1.0e6 * f.chi2) AS BIGINT) AS chi2_e6,
+             CAST(floor(1.0e6 * sqrt(f.chi2 /
+               (nt.n * least(dims.r - 1, dims.c - 1)))) AS BIGINT) AS v_e6
+      FROM f, nt, dims""")),
+
+    // W21 — conversion-delay deciles: for users whose first view precedes
+    // their first purchase, the exact nearest-rank deciles of the
+    // (first purchase − first view) delay in whole seconds — the funnel
+    // latency curve behind cs7's step counts. Two user-grain min
+    // aggregates, one rank over the converted-user table (the canonical
+    // exact-quantile sort; hq1's histogram is the approximate cousin for
+    // when even that sort is too dear), and a 9-row decile grid
+    // broadcast. All integer seconds.
+    Q("w21_conversion_delay", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val v0 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("vu"))
+        .agg(min(col("ts").cast("long")).as("v0"))
+      val p0 = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("pu"))
+        .agg(min(col("ts").cast("long")).as("p0"))
+      val delays = v0.join(p0, col("vu") === col("pu"))
+        .filter(col("p0") >= col("v0"))
+        .select(col("vu").as("u"), (col("p0") - col("v0")).as("delay"))
+        .localCheckpoint(eager = false) // feeds count + rank
+      val ranked = delays
+        .select(col("delay"), row_number()
+          .over(Window.orderBy("delay", "u")).as("rn"))
+        .crossJoin(broadcast(delays.agg(count(lit(1)).as("n"))))
+      val grid = ev.sparkSession.range(1, 10).selectExpr("id AS k")
+      ranked.crossJoin(broadcast(grid))
+        .filter(col("rn") === expr("(k * n + 9L) div 10L"))
+        .selectExpr("k", "n AS n_converted", "CAST(rn AS LONG) AS rank",
+          "delay AS delay_s")
+        .orderBy("k")
+    }, Some("""
+      WITH v0 AS (
+        SELECT user_id AS vu, min(CAST(floor(epoch(ts)) AS BIGINT)) AS v0
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      p0 AS (
+        SELECT user_id AS pu, min(CAST(floor(epoch(ts)) AS BIGINT)) AS p0
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      delays AS (
+        SELECT vu AS u, p0 - v0 AS delay
+        FROM v0 JOIN p0 ON pu = vu WHERE p0 >= v0),
+      nn AS (SELECT count(*) AS n FROM delays),
+      ranked AS (
+        SELECT delay, row_number() OVER (ORDER BY delay, u) AS rn
+        FROM delays),
+      grid AS (SELECT CAST(k AS BIGINT) AS k
+               FROM UNNEST(generate_series(1, 9)) AS t(k))
+      SELECT g.k, CAST(nn.n AS BIGINT) AS n_converted,
+             CAST(r.rn AS BIGINT) AS rank,
+             CAST(r.delay AS BIGINT) AS delay_s
+      FROM ranked r, nn, grid g
+      WHERE r.rn = (g.k * nn.n + 9) // 10
+      ORDER BY g.k"""))
   )
 }

@@ -96,7 +96,10 @@ class AllPlansSpec extends AnyFunSuite {
     "dd26_band_agreement" -> "1-row total-pairs broadcast onto the ≤4-row vote histogram",
     "k28_delete_vector_plan" -> "1-row max-id broadcast onto the scan before file bucketing (k27's shape)",
     "hq6_histogram_estimator" -> "1-row bounds + 4-row probe-grid broadcasts onto the scan and 16-row histogram",
-    "d12_fiscal_445" -> "12-row period-boundary literal broadcast range-joined onto the week column")
+    "d12_fiscal_445" -> "12-row period-boundary literal broadcast range-joined onto the week column",
+    "cs39_theil_index" -> "1-row (n, Σx) total broadcast onto the customer-grain spend table",
+    "cs40_cramers_v" -> "1-row n/dims broadcasts onto the bounded source×lang grid (cs21's shape)",
+    "w21_conversion_delay" -> "1-row count + 9-row decile-grid broadcasts onto the ranked delay table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

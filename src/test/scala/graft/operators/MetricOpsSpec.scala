@@ -1460,4 +1460,90 @@ class MetricOpsSpec extends AnyFunSuite {
         byP((r.getAs[Long]("fy"), r.getAs[Long]("period"))))
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 33: cs39 / cs40 / w21
+  // ------------------------------------------------------------------
+
+  test("cs39: theil and atkinson match brute force and sit in range") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs39_theil_index").collect()(0)
+    val xs = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    val n = xs.length
+    val xt = xs.map(_._2).sum
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("total_cents") == xt)
+    val ts = xs.map { case (_, x) =>
+      (x * n / xt.toDouble) * math.log(x * n / xt.toDouble) }.sum
+    val ls = xs.map(q => math.log(q._2.toDouble)).sum
+    assert(r.getAs[Long]("theil_e6") ==
+      math.floor(1.0e6 * (ts / n)).toLong)
+    assert(r.getAs[Long]("atkinson_e6") ==
+      math.floor(1.0e6 * (1.0 - math.exp(ls / n) / (xt.toDouble / n)))
+        .toLong)
+    assert(r.getAs[Long]("theil_e6") >= 0)
+    val at = r.getAs[Long]("atkinson_e6")
+    assert(at >= 0 && at <= 1000000L)
+  }
+
+  test("cs40: chi2 matches a brute-force full-grid recount") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs40_cramers_v").collect()(0)
+    val d = t(s, dir, "documents").select("source", "lang").collect()
+      .map(q => (q.getString(0), q.getString(1)))
+    val st = d.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cl = d.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sl = d.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = d.length.toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("r") == st.size.toLong)
+    assert(r.getAs[Long]("c") == cl.size.toLong)
+    assert(r.getAs[Long]("dof") ==
+      (st.size - 1).toLong * (cl.size - 1).toLong)
+    val chi2 = (for {
+      (sk, rt) <- st.toSeq.sortBy(_._1)
+      (lk, ct) <- cl.toSeq.sortBy(_._1)
+    } yield {
+      val e = rt * ct / n.toDouble
+      val dev = sl.getOrElse((sk, lk), 0L).toDouble - e
+      dev * dev / e
+    }).sum
+    assert(r.getAs[Long]("chi2_e6") == math.floor(1.0e6 * chi2).toLong)
+    val v = r.getAs[Long]("v_e6")
+    assert(v >= 0 && v <= 1000000L)
+  }
+
+  test("w21: deciles match a brute-force ranked-delay replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("w21_conversion_delay").collect()
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(q => (q.getLong(0), q.getString(1), q.getLong(2)))
+    val v0 = ev.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val p0 = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val delays = v0.keySet.intersect(p0.keySet).toSeq
+      .map(u => (u, p0(u) - v0(u))).filter(_._2 >= 0)
+      .sortBy(p => (p._2, p._1)).map(_._2)
+    val n = delays.length.toLong
+    assert(out.forall(_.getAs[Long]("n_converted") == n))
+    out.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val rank = (k * n + 9) / 10
+      assert(r.getAs[Long]("rank") == rank)
+      assert(r.getAs[Long]("delay_s") == delays((rank - 1).toInt))
+    }
+    // deciles are monotone
+    val ds = out.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("delay_s"))
+    assert(ds.toSeq == ds.toSeq.sorted)
+  }
 }

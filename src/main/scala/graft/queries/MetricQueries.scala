@@ -2561,6 +2561,161 @@ object MetricQueries {
              CAST(r.delay AS BIGINT) AS delay_s
       FROM ranked r, nn, grid g
       WHERE r.rn = (g.k * nn.n + 9) // 10
-      ORDER BY g.k"""))
+      ORDER BY g.k""")),
+
+    // TS16 — binary-segmentation changepoint: the single split of the
+    // daily-revenue series that maximizes the SSE reduction, i.e. the
+    // first step of binary segmentation — finds the level-shift DATE
+    // where ts5's CUSUM only flags that a shift exists. The variance
+    // terms cancel, so gain(k) = S_k²/k + (S_n−S_k)²/(n−k) − S_n²/n
+    // needs only the prefix revenue sums — exact BIGINTs under one
+    // identically-composed double per candidate; argmax breaks ties to
+    // the earliest split via TakeOrdered. One day-grain window pass.
+    Q("ts16_binary_segmentation", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .localCheckpoint(eager = false) // feeds totals + prefix scan
+      val w = Window.orderBy("d")
+      val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sn"))
+      daily
+        .select(col("d"), row_number().over(w).cast("long").as("k"),
+          sum("y").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("sk"))
+        .crossJoin(broadcast(tot))
+        .filter(col("k") < col("n"))
+        .selectExpr("d", "k", "n", "sk",
+          "CAST(sk AS DOUBLE) * sk / k + " +
+            "CAST(sn - sk AS DOUBLE) * (sn - sk) / (n - k) - " +
+            "CAST(sn AS DOUBLE) * sn / n AS gain",
+          "sk div k AS left_mean_cents",
+          "(sn - sk) div (n - k) AS right_mean_cents")
+        .orderBy(col("gain").desc, col("k"))
+        .limit(1)
+        .selectExpr("n AS n_days", "k AS best_k", "d AS split_d",
+          "CAST(floor(gain) AS BIGINT) AS gain_cents2",
+          "left_mean_cents", "right_mean_cents")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n, sum(y) AS sn FROM daily),
+      pre AS (
+        SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+               sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS sk
+        FROM daily),
+      g AS (
+        SELECT p.d, p.k, t.n, p.sk,
+               CAST(p.sk AS DOUBLE) * p.sk / p.k +
+                 CAST(t.sn - p.sk AS DOUBLE) * (t.sn - p.sk) / (t.n - p.k)
+                 - CAST(t.sn AS DOUBLE) * t.sn / t.n AS gain,
+               p.sk // p.k AS left_mean_cents,
+               (t.sn - p.sk) // (t.n - p.k) AS right_mean_cents
+        FROM pre p, tot t WHERE p.k < t.n)
+      SELECT CAST(n AS BIGINT) AS n_days, k AS best_k, d AS split_d,
+             CAST(floor(gain) AS BIGINT) AS gain_cents2,
+             CAST(left_mean_cents AS BIGINT) AS left_mean_cents,
+             CAST(right_mean_cents AS BIGINT) AS right_mean_cents
+      FROM g ORDER BY gain DESC, k LIMIT 1""")),
+
+    // CS41 — between/within Theil decomposition of customer spend by
+    // market segment: T_total ≡ T_between + Σ_g share_g·T_within(g) is an
+    // algebraic identity, so the decomposition carries its own audit —
+    // the "is inequality driven by segment mix or within-segment spread?"
+    // answer cs39's scalar can't give. Every fold is custkey- (or
+    // segment-) ordered on both engines; masses are exact cents; one
+    // orders→customer join is the only extra shuffle over cs39.
+    Q("cs41_theil_decomposition", (s, dir) => {
+      val x = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+        .filter(col("x") > 0)
+        .join(t(s, dir, "customer").select(col("c_custkey").as("ck"),
+          col("c_mktsegment").as("seg")), "ck")
+        .localCheckpoint(eager = false) // feeds totals + both fold tiers
+      val tot = x.agg(count(lit(1)).as("n"), sum("x").as("xt"))
+      val within = x
+        .join(broadcast(x.groupBy(col("seg").as("sg"))
+          .agg(count(lit(1)).as("ng"), sum("x").as("xg"))),
+          col("seg") === col("sg"))
+        .select(col("seg"), col("ck"), col("ng"), col("xg"),
+          ((col("x") * col("ng") / col("xg").cast("double")) *
+            log(col("x") * col("ng") / col("xg").cast("double")))
+            .as("tw"))
+        .groupBy("seg", "ng", "xg")
+        .agg(aggregate(transform(array_sort(
+          collect_list(struct(col("ck"), col("tw")))),
+          q => q.getField("tw")), lit(0.0), (a, q) => a + q).as("tws"))
+        .localCheckpoint(eager = false) // reused by the between fold
+      val between = within.crossJoin(broadcast(tot))
+        .select(col("seg"),
+          ((col("xg") / col("xt").cast("double")) *
+            log((col("xg") / col("xt").cast("double")) /
+              (col("ng") / col("n").cast("double")))).as("tb"))
+        .agg(aggregate(transform(array_sort(
+          collect_list(struct(col("seg"), col("tb")))),
+          q => q.getField("tb")), lit(0.0), (a, q) => a + q)
+          .as("theil_between"))
+      val total = x.crossJoin(broadcast(tot))
+        .select(col("ck"),
+          ((col("x") * col("n") / col("xt").cast("double")) *
+            log(col("x") * col("n") / col("xt").cast("double")))
+            .as("tt"))
+        .agg(aggregate(transform(array_sort(
+          collect_list(struct(col("ck"), col("tt")))),
+          q => q.getField("tt")), lit(0.0), (a, q) => a + q).as("ts"))
+      within.crossJoin(broadcast(tot)).crossJoin(broadcast(between))
+        .crossJoin(broadcast(total))
+        .selectExpr("seg", "ng AS n_cust", "xg AS spend_cents",
+          "xg * 1000000L div xt AS share_e6",
+          "CAST(floor(1.0e6 * (tws / ng)) AS BIGINT) AS theil_within_e6",
+          "CAST(floor(1.0e6 * theil_between) AS BIGINT) AS " +
+            "theil_between_e6",
+          "CAST(floor(1.0e6 * (ts / n)) AS BIGINT) AS theil_total_e6")
+        .orderBy("seg")
+    }, Some("""
+      WITH x AS (
+        SELECT o_custkey AS ck,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1 HAVING x > 0),
+      xs AS (
+        SELECT x.ck, x.x, c.c_mktsegment AS seg
+        FROM x JOIN customer c ON c.c_custkey = x.ck),
+      tot AS (SELECT count(*) AS n, sum(x) AS xt FROM xs),
+      segs AS (
+        SELECT seg, count(*) AS ng, sum(x) AS xg FROM xs GROUP BY 1),
+      within AS (
+        SELECT s.seg, s.ng, s.xg,
+               list_sum(list((xs.x * s.ng / CAST(s.xg AS DOUBLE)) *
+                 ln(xs.x * s.ng / CAST(s.xg AS DOUBLE)) ORDER BY xs.ck))
+                 AS tws
+        FROM xs JOIN segs s ON s.seg = xs.seg
+        GROUP BY s.seg, s.ng, s.xg),
+      between_t AS (
+        SELECT list_sum(list((s.xg / CAST(t.xt AS DOUBLE)) *
+                 ln((s.xg / CAST(t.xt AS DOUBLE)) /
+                    (s.ng / CAST(t.n AS DOUBLE))) ORDER BY s.seg))
+                 AS theil_between
+        FROM segs s, tot t),
+      total_t AS (
+        SELECT list_sum(list((xs.x * t.n / CAST(t.xt AS DOUBLE)) *
+                 ln(xs.x * t.n / CAST(t.xt AS DOUBLE)) ORDER BY xs.ck))
+                 AS ts
+        FROM xs, tot t)
+      SELECT w.seg, CAST(w.ng AS BIGINT) AS n_cust,
+             CAST(w.xg AS BIGINT) AS spend_cents,
+             CAST(w.xg * 1000000 // t.xt AS BIGINT) AS share_e6,
+             CAST(floor(1.0e6 * (w.tws / w.ng)) AS BIGINT)
+               AS theil_within_e6,
+             CAST(floor(1.0e6 * b.theil_between) AS BIGINT)
+               AS theil_between_e6,
+             CAST(floor(1.0e6 * (tt.ts / t.n)) AS BIGINT)
+               AS theil_total_e6
+      FROM within w, tot t, between_t b, total_t tt
+      ORDER BY w.seg"""))
   )
 }

@@ -1529,6 +1529,75 @@ object RelationalQueries {
                       THEN 1 ELSE 0 END) AS n_late,
              count(*) - sum(CASE WHEN wm IS NOT NULL AND sec < wm
                                  THEN 1 ELSE 0 END) AS n_ontime
-      FROM w GROUP BY 1 ORDER BY win"""))
+      FROM w GROUP BY 1 ORDER BY win""")),
+
+    // J14 — nearest-in-time as-of join (pandas merge_asof
+    // direction='nearest'): each purchase picks the view CLOSEST in time
+    // either way, ties to the earlier view — the enrichment mode j7's
+    // backward-only as-of can't express (a sensor reading just AFTER the
+    // probe is often the right match). Same single-shuffle union+window
+    // plan as j7 with one extra frame pass for the forward direction —
+    // never a range join. Views are pre-deduped per (user, second) with
+    // a min-event-id winner so equal-time payloads are deterministic on
+    // both engines; times ride floored epoch seconds.
+    Q("j14_nearest_asof", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("pt"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("vid"),
+          col("ts").cast("long").as("vt"),
+          round(col("value"), 4).as("view_value"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "vt").orderBy("vid")))
+        .filter(col("rn") === 1).drop("rn", "vid")
+      graft.operators.AsOfJoin.asOfNearest(purchases, views,
+          Seq("user_id"), probeTime = "pt", factTime = "vt",
+          factPayload = Seq("view_value"))
+        .selectExpr("user_id", "event_id", "pt", "vt", "view_value",
+          "matched_dir", "abs(pt - vt) AS dist_s")
+        .orderBy("event_id")
+    }, Some("""
+      WITH p AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        FROM events WHERE event_type = 'purchase'),
+      v0 AS (
+        SELECT user_id, event_id AS vid,
+               CAST(floor(epoch(ts)) AS BIGINT) AS vt,
+               round(value, 4) AS view_value
+        FROM events WHERE event_type = 'view'),
+      v AS (
+        SELECT user_id, vt, view_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, vt
+                      ORDER BY vid) AS rn
+          FROM v0)
+        WHERE rn = 1),
+      back AS (
+        SELECT p.user_id, p.event_id, p.pt, v.vt AS bvt,
+               v.view_value AS bval
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.pt >= v.vt),
+      fwd AS (
+        SELECT p.event_id, v.vt AS fvt, v.view_value AS fval
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.pt < v.vt),
+      j AS (
+        SELECT b.user_id, b.event_id, b.pt, b.bvt, b.bval, f.fvt, f.fval
+        FROM back b JOIN fwd f ON f.event_id = b.event_id),
+      pick AS (
+        SELECT user_id, event_id, pt,
+               CASE WHEN fvt IS NULL OR (bvt IS NOT NULL AND
+                      pt - bvt <= fvt - pt) THEN bvt ELSE fvt END AS vt,
+               CASE WHEN fvt IS NULL OR (bvt IS NOT NULL AND
+                      pt - bvt <= fvt - pt) THEN bval ELSE fval END
+                 AS view_value,
+               CASE WHEN fvt IS NULL OR (bvt IS NOT NULL AND
+                      pt - bvt <= fvt - pt) THEN 'prev' ELSE 'next' END
+                 AS matched_dir
+        FROM j)
+      SELECT user_id, event_id, pt, vt, view_value, matched_dir,
+             abs(pt - vt) AS dist_s
+      FROM pick WHERE vt IS NOT NULL ORDER BY event_id"""))
   )
 }

@@ -99,7 +99,9 @@ class AllPlansSpec extends AnyFunSuite {
     "d12_fiscal_445" -> "12-row period-boundary literal broadcast range-joined onto the week column",
     "cs39_theil_index" -> "1-row (n, Σx) total broadcast onto the customer-grain spend table",
     "cs40_cramers_v" -> "1-row n/dims broadcasts onto the bounded source×lang grid (cs21's shape)",
-    "w21_conversion_delay" -> "1-row count + 9-row decile-grid broadcasts onto the ranked delay table")
+    "w21_conversion_delay" -> "1-row count + 9-row decile-grid broadcasts onto the ranked delay table",
+    "ts16_binary_segmentation" -> "1-row (n, Σy) total broadcast onto the bounded day table (ts12's shape)",
+    "cs41_theil_decomposition" -> "1-row totals + 1-row between/total fold broadcasts onto the segment table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

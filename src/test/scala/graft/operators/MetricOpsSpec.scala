@@ -1546,4 +1546,80 @@ class MetricOpsSpec extends AnyFunSuite {
     val ds = out.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("delay_s"))
     assert(ds.toSeq == ds.toSeq.sorted)
   }
+
+  // ------------------------------------------------------------------
+  // wave 34: j14 / ts16 / cs41
+  // ------------------------------------------------------------------
+
+  test("j14: nearest pick matches a brute-force both-direction scan") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("j14_nearest_asof").collect()
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), round(col("value"), 4).as("v"))
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getString(2),
+        q.getLong(3), q.getDouble(4)))
+    // dedupe views per (user, sec) keeping min event_id
+    val views = ev.filter(_._3 == "view").groupBy(p => (p._1, p._4)).view
+      .mapValues(_.minBy(_._2)).values.toSeq
+    val byUser = views.groupBy(_._1)
+    val purchases = ev.filter(_._3 == "purchase")
+    val expected = purchases.flatMap { p =>
+      byUser.get(p._1).map { vs =>
+        // nearest by |Δ|, tie to the EARLIER view time
+        val best = vs.minBy(v => (math.abs(v._4 - p._4), v._4))
+        (p._2, best._4, best._5, math.abs(best._4 - p._4),
+          if (best._4 <= p._4) "prev" else "next")
+      }
+    }.sortBy(_._1)
+    val got = out.map(r => (r.getAs[Long]("event_id"),
+      r.getAs[Long]("vt"), r.getAs[Double]("view_value"),
+      r.getAs[Long]("dist_s"), r.getAs[String]("matched_dir"))).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  test("ts16: best split matches a brute-force SSE sweep") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("ts16_binary_segmentation").collect()(0)
+    val ys = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(q => (q.getLong(0), q.getLong(1))).sortBy(_._1)
+    val n = ys.length
+    val sn = ys.map(_._2).sum
+    var sk = 0L
+    val gains = (1 until n).map { k =>
+      sk += ys(k - 1)._2
+      (k.toLong, sk.toDouble * sk / k + (sn - sk).toDouble * (sn - sk) /
+        (n - k) - sn.toDouble * sn / n)
+    }
+    val (bestK, bestGain) = gains.maxBy(g => (g._2, -g._1))
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("best_k") == bestK)
+    assert(r.getAs[Long]("gain_cents2") == math.floor(bestGain).toLong)
+    assert(r.getAs[Long]("split_d") == ys(bestK.toInt - 1)._1)
+    assert(bestGain >= 0.0) // a split never increases SSE
+  }
+
+  test("cs41: decomposition identity T = T_between + Σ share·T_within") {
+    val out = run("cs41_theil_decomposition").collect()
+    assert(out.nonEmpty)
+    val tb = out(0).getAs[Long]("theil_between_e6")
+    val tt = out(0).getAs[Long]("theil_total_e6")
+    assert(out.forall(_.getAs[Long]("theil_between_e6") == tb))
+    // Σ share·within + between ≈ total (floored parts → small slack)
+    val mix = out.map { r =>
+      (r.getAs[Long]("spend_cents").toDouble /
+        out.map(_.getAs[Long]("spend_cents")).sum) *
+        r.getAs[Long]("theil_within_e6")
+    }.sum + tb
+    assert(math.abs(mix - tt) <= out.length + 2)
+    // shares sum to ~1
+    val shares = out.map(_.getAs[Long]("share_e6")).sum
+    assert(shares >= 1000000L - out.length && shares <= 1000000L)
+    out.foreach(r => assert(r.getAs[Long]("theil_within_e6") >= -1))
+  }
 }

@@ -4335,6 +4335,59 @@ object LlmQueries {
       SELECT c.probe, c.term, CAST(v.freq AS BIGINT) AS freq,
              CAST(levenshtein(c.probe, c.term) AS BIGINT) AS dist
       FROM cand c JOIN vocab v ON v.term = c.term
-      ORDER BY c.probe, c.term"""))
+      ORDER BY c.probe, c.term""")),
+
+    // ML15 — Kolmogorov–Smirnov discrimination of ml1's classifier:
+    // max |CDF_pos − CDF_neg| over the score axis — the threshold-free
+    // separation statistic credit models report alongside AUC (ml9),
+    // with the argmax score being the natural operating threshold. The
+    // sup runs over DISTINCT scores with both CDFs as cumulative windows,
+    // and the comparison is EXACT integer cross-multiplication
+    // (|cpos·nn − cneg·np|) — no float CDFs, so the argmax and the
+    // statistic both hash-grade. Deterministic tie-break: smallest score.
+    Q("ml15_score_ks", (s, dir) => {
+      val sc = Classifier.logRegScores(t(s, dir, "documents"), "doc_id",
+        "text", label = when(col("source") === "src0", 1.0).otherwise(0.0),
+        dims = 32, iters = 3, lr = 0.5)
+        .select(col("score"), col("label"))
+      val perScore = sc.groupBy("score")
+        .agg(sum(when(col("label") === 1, 1L).otherwise(0L)).as("p"),
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("q"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = perScore.agg(sum("p").as("np"), sum("q").as("nq"))
+      perScore
+        .select(col("score"), sum("p").over(w).as("cp"),
+          sum("q").over(w).as("cq"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("score", "np", "nq",
+          "abs(cp * nq - cq * np) AS num")
+        .orderBy(col("num").desc, col("score"))
+        .limit(1)
+        .selectExpr("np AS n_pos", "nq AS n_neg",
+          "score AS ks_threshold",
+          "num * 1000000L div (np * nq) AS ks_e6")
+    }, Some(s"""
+      WITH $MlScoredCte,
+      ps AS (
+        SELECT score,
+               sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS p,
+               sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS q
+        FROM mlscored GROUP BY score),
+      tot AS (SELECT sum(p) AS np, sum(q) AS nq FROM ps),
+      cum AS (
+        SELECT score,
+               sum(p) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cp,
+               sum(q) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cq
+        FROM ps),
+      d AS (
+        SELECT score, t.np, t.nq, abs(cp * t.nq - cq * t.np) AS num
+        FROM cum, tot t)
+      SELECT CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
+             score AS ks_threshold,
+             CAST(num * 1000000 // (np * nq) AS BIGINT) AS ks_e6
+      FROM d ORDER BY num DESC, score LIMIT 1"""))
   )
 }

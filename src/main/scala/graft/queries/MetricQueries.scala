@@ -2716,6 +2716,119 @@ object MetricQueries {
              CAST(floor(1.0e6 * (tt.ts / t.n)) AS BIGINT)
                AS theil_total_e6
       FROM within w, tot t, between_t b, total_t tt
-      ORDER BY w.seg"""))
+      ORDER BY w.seg""")),
+
+    // GR17 — one Borůvka MST phase on the doc graph with deterministic
+    // symmetric weights w(u,v) = ((u+v)·31 + u·v) mod 997 + 1: every node
+    // picks its minimum-weight incident edge (tie-break by weight, then
+    // neighbor id — the classic parallel-MST primitive), the picked edge
+    // set is deduped, and the resulting supernode count comes from one
+    // CC pass over just those edges. Reports the phase's contraction
+    // ratio and picked weight mass — the building block a distributed
+    // MST/affinity-clustering job iterates. Per-node argmin is one
+    // groupBy over the edge list; everything else is bounded.
+    Q("gr17_boruvka_phase", (s, dir) => {
+      val sym = Components.docGraph(t(s, dir, "documents"))
+        .selectExpr("a", "b",
+          "((a + b) * 31L + a * b) % 997L + 1L AS w")
+        .localCheckpoint(eager = false) // feeds argmin + node count
+      val pick = sym
+        .groupBy("a")
+        .agg(min(struct(col("w"), col("b"))).as("m"))
+        .select(col("a"), col("m.b").as("b"), col("m.w").as("w"))
+      val edges = pick
+        .selectExpr("least(a, b) AS u", "greatest(a, b) AS v", "w")
+        .distinct()
+        .localCheckpoint(eager = false) // feeds CC + mass sums
+      val nodes = sym.select(col("a").as("node")).distinct()
+      val cc = Components.connectedComponents(edges, "u", "v")
+      val comp = nodes.join(cc, nodes("node") === cc("node"), "left")
+        .select(coalesce(cc("component"), nodes("node")).as("comp"))
+        .agg(countDistinct("comp").as("n_components_after"))
+      val em = edges.agg(count(lit(1)).as("n_picked_edges"),
+        sum("w").as("picked_weight"))
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(em)).crossJoin(broadcast(comp))
+        .selectExpr("n_nodes", "n_picked_edges", "picked_weight",
+          "n_components_after",
+          "n_components_after * 1000000L div n_nodes AS contraction_e6")
+    }, Some("""
+      WITH RECURSIVE
+      cyc AS (SELECT doc_id AS u, (doc_id * 7) % 499 AS v FROM documents),
+      divi AS (
+        SELECT doc_id AS u, doc_id // 2 AS v FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id > 0
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id > 0),
+      raw AS (SELECT u, v FROM cyc UNION ALL SELECT u, v FROM divi),
+      sym AS (SELECT DISTINCT u, v FROM
+        (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw) WHERE u <> v),
+      wed AS (
+        SELECT u AS a, v AS b, ((u + v) * 31 + u * v) % 997 + 1 AS w
+        FROM sym),
+      pick AS (
+        SELECT a, b, w FROM (
+          SELECT a, b, w,
+                 row_number() OVER (PARTITION BY a ORDER BY w, b) AS rn
+          FROM wed)
+        WHERE rn = 1),
+      sel AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w
+        FROM pick),
+      edges AS (SELECT u, v FROM sel UNION ALL SELECT v, u FROM sel),
+      nodes AS (SELECT DISTINCT a AS node FROM wed),
+      reach(s, t) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u),
+      comp AS (SELECT s, min(t) AS c FROM reach GROUP BY s),
+      cstat AS (SELECT count(DISTINCT c) AS n_components_after FROM comp),
+      nstat AS (SELECT count(*) AS n_nodes FROM nodes),
+      estat AS (SELECT count(*) AS n_picked_edges, sum(w) AS picked_weight
+                FROM sel)
+      SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+             CAST(e.n_picked_edges AS BIGINT) AS n_picked_edges,
+             CAST(e.picked_weight AS BIGINT) AS picked_weight,
+             CAST(c.n_components_after AS BIGINT) AS n_components_after,
+             CAST(c.n_components_after * 1000000 // n.n_nodes AS BIGINT)
+               AS contraction_e6
+      FROM nstat n, estat e, cstat c""")),
+
+    // W22 — inter-event gap spectrum per event type: log₂-bucketed
+    // histogram of consecutive same-user same-type gaps in whole seconds
+    // — the arrival-process shape (memoryless ⟹ geometric-ish spectrum;
+    // diurnal ⟹ a bimodal one) that sizes session timeouts (w10) and
+    // watermark delays (st8) from data instead of folklore. Gaps ride
+    // one user+type-partitioned lag; buckets are binary-length integers
+    // (gr16's float-log2-free move); zero-gaps land in bucket 0.
+    Q("w22_gap_histogram", (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("ts").cast("long").as("sec"))
+        .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .selectExpr("event_type",
+          "CASE WHEN gap <= 0 THEN 0L " +
+            "ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket")
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n_gaps"))
+        .orderBy("event_type", "bucket")
+    }, Some("""
+      WITH g AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) -
+                 lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT event_type,
+             CASE WHEN gap <= 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket,
+             count(*) AS n_gaps
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY 1, 2 ORDER BY event_type, bucket"""))
   )
 }

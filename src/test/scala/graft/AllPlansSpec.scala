@@ -101,7 +101,9 @@ class AllPlansSpec extends AnyFunSuite {
     "cs40_cramers_v" -> "1-row n/dims broadcasts onto the bounded source×lang grid (cs21's shape)",
     "w21_conversion_delay" -> "1-row count + 9-row decile-grid broadcasts onto the ranked delay table",
     "ts16_binary_segmentation" -> "1-row (n, Σy) total broadcast onto the bounded day table (ts12's shape)",
-    "cs41_theil_decomposition" -> "1-row totals + 1-row between/total fold broadcasts onto the segment table")
+    "cs41_theil_decomposition" -> "1-row totals + 1-row between/total fold broadcasts onto the segment table",
+    "gr17_boruvka_phase" -> "1-row node/edge/component stat broadcasts (the phase summary row)",
+    "ml15_score_ks" -> "1-row class-totals broadcast onto the distinct-score CDF table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1622,4 +1622,88 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(shares >= 1000000L - out.length && shares <= 1000000L)
     out.foreach(r => assert(r.getAs[Long]("theil_within_e6") >= -1))
   }
+
+  // ------------------------------------------------------------------
+  // wave 35: gr17 / ml15 / w22
+  // ------------------------------------------------------------------
+
+  test("gr17: boruvka phase matches a brute-force min-edge pick") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("gr17_boruvka_phase").collect()(0)
+    val edges = graft.operators.Components
+      .docGraph(t(s, dir, "documents"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+    def wt(u: Long, v: Long): Long = ((u + v) * 31 + u * v) % 997 + 1
+    val pick = edges.groupBy(_._1).map { case (a, es) =>
+      val (_, b) = es.map(e => (wt(e._1, e._2), e._2)).min
+      (math.min(a, b), math.max(a, b), wt(a, b))
+    }.toSet
+    assert(r.getAs[Long]("n_picked_edges") == pick.size.toLong)
+    assert(r.getAs[Long]("picked_weight") == pick.toSeq.map(_._3).sum)
+    val nodes = edges.map(_._1).toSet
+    assert(r.getAs[Long]("n_nodes") == nodes.size.toLong)
+    // union-find over picked edges → component count
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = {
+      var c = x; while (parent(c) != c) c = parent(c); c
+    }
+    pick.foreach { case (u, v, _) => parent(find(u)) = find(v) }
+    val nc = nodes.map(find).size
+    assert(r.getAs[Long]("n_components_after") == nc.toLong)
+    // every node picked an edge, so each component has ≥ 2 nodes
+    assert(nc.toLong * 2 <= r.getAs[Long]("n_nodes"))
+  }
+
+  test("ml15: KS matches a brute-force CDF sweep and bounds the gate") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("ml15_score_ks").collect()(0)
+    val sc = graft.operators.Classifier.logRegScores(
+      t(s, dir, "documents"), "doc_id", "text",
+      label = when(col("source") === "src0", 1.0).otherwise(0.0),
+      dims = 32, iters = 3, lr = 0.5)
+      .select("score", "label").collect()
+      .map(q => (q.getDouble(0), q.getInt(1)))
+    val np = sc.count(_._2 == 1).toLong
+    val nq = sc.count(_._2 == 0).toLong
+    val scores = sc.map(_._1).distinct.sorted
+    var (cp, cq) = (0L, 0L)
+    val best = scores.map { t0 =>
+      cp += sc.count(p => p._1 == t0 && p._2 == 1)
+      cq += sc.count(p => p._1 == t0 && p._2 == 0)
+      (math.abs(cp * nq - cq * np), t0)
+    }.maxBy(p => (p._1, -p._2))
+    assert(r.getAs[Long]("n_pos") == np && r.getAs[Long]("n_neg") == nq)
+    assert(r.getAs[Double]("ks_threshold") == best._2)
+    assert(r.getAs[Long]("ks_e6") == best._1 * 1000000L / (np * nq))
+    assert(r.getAs[Long]("ks_e6") >= 0L &&
+      r.getAs[Long]("ks_e6") <= 1000000L)
+  }
+
+  test("w22: gap histogram matches a brute-force lag replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("w22_gap_histogram").collect()
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+      .collect().map(q => (q.getLong(0), q.getString(1), q.getLong(2),
+        q.getLong(3)))
+    val brute = ev.groupBy(p => (p._1, p._2)).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._3)).toSeq.sliding(2).collect {
+        case Seq(a, b) => (b._2, b._4 - a._4)
+      }.toSeq
+    }.map { case (et, gap) =>
+      (et, if (gap <= 0) 0L
+      else 63L - java.lang.Long.numberOfLeadingZeros(gap))
+    }.groupBy(p => p).view.mapValues(_.length.toLong).toMap
+    val got = out.map(r => ((r.getAs[String]("event_type"),
+      r.getAs[Long]("bucket")), r.getAs[Long]("n_gaps"))).toMap
+    assert(got == brute)
+    // masses: every same-(user,type) consecutive pair contributes one gap
+    val expTotal = ev.groupBy(p => (p._1, p._2)).values
+      .map(_.size - 1).sum.toLong
+    assert(out.map(_.getAs[Long]("n_gaps")).sum == expTotal)
+  }
 }

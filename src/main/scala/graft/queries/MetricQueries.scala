@@ -2829,6 +2829,210 @@ object MetricQueries {
                   ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket,
              count(*) AS n_gaps
       FROM g WHERE gap IS NOT NULL
-      GROUP BY 1, 2 ORDER BY event_type, bucket"""))
+      GROUP BY 1, 2 ORDER BY event_type, bucket""")),
+
+    // CS42 — Mood's median test across market segments: does ANY segment's
+    // order-value distribution sit above/below the common center? Counts
+    // above the POOLED median (cs38's deterministic lower order statistic)
+    // per segment, then the k-sample chi-square against the pooled
+    // above-rate — the rank-free cousin of cs28's ANOVA that ignores
+    // outlier magnitudes entirely. Counting is exact; each segment's χ²
+    // contribution composes one double; the fold is segment-ordered.
+    Q("cs42_mood_median", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey")
+          .as("o_custkey"), col("c_mktsegment").as("seg")), "o_custkey")
+        .select(col("seg"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .localCheckpoint(eager = false) // feeds median rank + seg counts
+      val med = o
+        .select(col("c"), row_number()
+          .over(Window.orderBy("c", "o_orderkey")).as("rn"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        .filter(col("rn") === expr("(n + 1L) div 2L"))
+        .select(col("c").as("med"))
+      val segs = o.crossJoin(broadcast(med))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_g"),
+          sum(when(col("c") > col("med"), 1L).otherwise(0L)).as("a_g"))
+        .localCheckpoint(eager = false) // feeds totals + the fold
+      val tot = segs.agg(sum("n_g").as("n"), sum("a_g").as("a"))
+      val terms = segs.crossJoin(broadcast(tot))
+        .select(col("seg"), col("n_g"), col("a_g"),
+          (((col("a_g") - col("n_g") * col("a") /
+            col("n").cast("double")) *
+            (col("a_g") - col("n_g") * col("a") /
+              col("n").cast("double"))) /
+            (col("n_g") * col("a") / col("n").cast("double") *
+              (lit(1.0e0) - col("a") / col("n").cast("double"))))
+            .as("term"))
+      terms
+        .agg(aggregate(transform(array_sort(collect_list(
+          struct(col("seg"), col("term")))), q => q.getField("term")),
+          lit(0.0), (a, q) => a + q).as("chi2"),
+          count(lit(1)).as("k"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("n", "a AS n_above", "k AS n_groups",
+          "k - 1L AS dof",
+          "CAST(floor(1.0e6 * chi2) AS BIGINT) AS chi2_e6")
+    }, Some("""
+      WITH o AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      nn AS (SELECT count(*) AS n FROM o),
+      med AS (
+        SELECT c AS med FROM (
+          SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rn
+          FROM o), nn
+        WHERE rn = (n + 1) // 2),
+      segs AS (
+        SELECT seg, count(*) AS n_g,
+               sum(CASE WHEN o.c > m.med THEN 1 ELSE 0 END) AS a_g
+        FROM o, med m GROUP BY seg),
+      tot AS (SELECT sum(n_g) AS n, sum(a_g) AS a FROM segs),
+      terms AS (
+        SELECT s.seg, s.n_g, s.a_g,
+               (((s.a_g - s.n_g * t.a / CAST(t.n AS DOUBLE)) *
+                 (s.a_g - s.n_g * t.a / CAST(t.n AS DOUBLE))) /
+                (s.n_g * t.a / CAST(t.n AS DOUBLE) *
+                 (1.0e0 - t.a / CAST(t.n AS DOUBLE)))) AS term
+        FROM segs s, tot t),
+      f AS (
+        SELECT list_sum(list(term ORDER BY seg)) AS chi2, count(*) AS k
+        FROM terms)
+      SELECT CAST(t.n AS BIGINT) AS n, CAST(t.a AS BIGINT) AS n_above,
+             CAST(f.k AS BIGINT) AS n_groups,
+             CAST(f.k - 1 AS BIGINT) AS dof,
+             CAST(floor(1.0e6 * f.chi2) AS BIGINT) AS chi2_e6
+      FROM f, tot t""")),
+
+    // OL7 — grid-DBSCAN over the (n_chars, ws_tokens) plane: docs bucket
+    // into integer cells (50-char × 10-token), cells with ≥ 5 docs are
+    // CORE, and clusters are connected components of the 8-neighborhood
+    // core-cell graph — density clustering with the quadratic
+    // neighbor-search replaced by a cell-grain self-join on bounded
+    // offsets (the standard way DBSCAN survives 100 TB). Noise = docs in
+    // non-core cells. Everything is exact integers; the CC pass runs on
+    // the tiny core-cell graph, not on documents.
+    Q("ol7_grid_dbscan", (s, dir) => {
+      val cells = t(s, dir, "documents")
+        .selectExpr("doc_id", "n_chars div 50L AS cx",
+          "CAST(size(split(text, ' ')) AS LONG) div 10L AS cy")
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(eager = false) // feeds core set + noise mass
+      val core = cells.filter(col("n_docs") >= 5)
+        .selectExpr("cx", "cy", "cx * 100000L + cy AS cell_id", "n_docs")
+        .localCheckpoint(eager = false) // both sides of the offset join
+      val b = core.selectExpr("cx AS bx", "cy AS by", "cell_id AS bid")
+      val edges = core.join(b,
+          abs(col("cx") - col("bx")) <= 1 &&
+            abs(col("cy") - col("by")) <= 1 &&
+            col("cell_id") < col("bid"))
+        .select(col("cell_id").as("u"), col("bid").as("v"))
+      val cc = Components.connectedComponents(edges, "u", "v")
+      val clusters = core.join(cc, core("cell_id") === cc("node"), "left")
+        .select(coalesce(col("component"), col("cell_id")).as("cl"),
+          col("n_docs"))
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n_cells"), sum("n_docs").as("n_docs"))
+      val summary = clusters.agg(count(lit(1)).as("n_clusters"),
+        max("n_cells").as("largest_cells"),
+        max("n_docs").as("largest_docs"),
+        sum("n_docs").as("core_docs"))
+      cells.agg(count(lit(1)).as("n_cells_total"),
+          sum("n_docs").as("n_docs_total"))
+        .crossJoin(broadcast(core.agg(count(lit(1)).as("n_core_cells"))))
+        .crossJoin(broadcast(summary))
+        .selectExpr("n_cells_total", "n_core_cells", "n_clusters",
+          "largest_cells", "largest_docs",
+          "n_docs_total - core_docs AS noise_docs",
+          "core_docs * 1000000L div n_docs_total AS core_frac_e6")
+    }, Some("""
+      WITH RECURSIVE
+      cells AS (
+        SELECT n_chars // 50 AS cx,
+               CAST(len(string_split(text, ' ')) AS BIGINT) // 10 AS cy,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1, 2),
+      core AS (
+        SELECT cx, cy, cx * 100000 + cy AS cell_id, n_docs
+        FROM cells WHERE n_docs >= 5),
+      sel AS (
+        SELECT a.cell_id AS u, b.cell_id AS v
+        FROM core a JOIN core b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         AND a.cell_id < b.cell_id),
+      edges AS (SELECT u, v FROM sel UNION ALL SELECT v, u FROM sel),
+      reach(s, t) AS (
+        SELECT cell_id, cell_id FROM core
+        UNION
+        SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u),
+      comp AS (SELECT s, min(t) AS cl FROM reach GROUP BY s),
+      clusters AS (
+        SELECT c.cl, count(*) AS n_cells, sum(k.n_docs) AS n_docs
+        FROM comp c JOIN core k ON k.cell_id = c.s
+        GROUP BY c.cl),
+      summary AS (
+        SELECT count(*) AS n_clusters, max(n_cells) AS largest_cells,
+               max(n_docs) AS largest_docs, sum(n_docs) AS core_docs
+        FROM clusters),
+      totc AS (SELECT count(*) AS n_cells_total, sum(n_docs)
+                 AS n_docs_total FROM cells),
+      nc AS (SELECT count(*) AS n_core_cells FROM core)
+      SELECT CAST(t.n_cells_total AS BIGINT) AS n_cells_total,
+             CAST(nc.n_core_cells AS BIGINT) AS n_core_cells,
+             CAST(s.n_clusters AS BIGINT) AS n_clusters,
+             CAST(s.largest_cells AS BIGINT) AS largest_cells,
+             CAST(s.largest_docs AS BIGINT) AS largest_docs,
+             CAST(t.n_docs_total - s.core_docs AS BIGINT) AS noise_docs,
+             CAST(s.core_docs * 1000000 // t.n_docs_total AS BIGINT)
+               AS core_frac_e6
+      FROM totc t, nc, summary s""")),
+
+    // SA16 — systematic sampling on the md5-hash axis: rank the corpus by
+    // (hash, id) and keep every 16th row — the stratified-by-hash design
+    // whose variance beats Bernoulli sampling when the frame order is
+    // arbitrary, here made deterministic (and engine-identical) by the
+    // hash ordering itself. The audit reports sample vs population mean
+    // doc length as exact scaled integers, plus the realized interval.
+    // At scale the rank is per-shard stride + shard offsets (ck2's
+    // two-level scan); the semantics graded here are the global rank's.
+    Q("sa16_systematic_sample", (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      val ranked = d.withColumn("rn",
+        row_number().over(Window.orderBy("h", "doc_id")))
+      val samp = ranked.filter(expr("rn % 16 = 1"))
+        .agg(count(lit(1)).as("n_sample"),
+          sum("n_chars").as("s_chars"))
+      d.agg(count(lit(1)).as("n_pop"), sum("n_chars").as("p_chars"))
+        .crossJoin(broadcast(samp))
+        .selectExpr("n_pop", "n_sample", "16L AS interval",
+          "p_chars * 1000000L div n_pop AS pop_mean_e6",
+          "s_chars * 1000000L div n_sample AS sample_mean_e6",
+          "s_chars * 1000000L div n_sample - " +
+            "p_chars * 1000000L div n_pop AS bias_e6")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rn FROM d),
+      samp AS (
+        SELECT count(*) AS n_sample, sum(n_chars) AS s_chars
+        FROM ranked WHERE rn % 16 = 1),
+      pop AS (SELECT count(*) AS n_pop, sum(n_chars) AS p_chars FROM d)
+      SELECT CAST(p.n_pop AS BIGINT) AS n_pop,
+             CAST(s.n_sample AS BIGINT) AS n_sample,
+             CAST(16 AS BIGINT) AS interval,
+             CAST(p.p_chars * 1000000 // p.n_pop AS BIGINT)
+               AS pop_mean_e6,
+             CAST(s.s_chars * 1000000 // s.n_sample AS BIGINT)
+               AS sample_mean_e6,
+             CAST(s.s_chars * 1000000 // s.n_sample -
+                  p.p_chars * 1000000 // p.n_pop AS BIGINT) AS bias_e6
+      FROM pop p, samp s"""))
   )
 }

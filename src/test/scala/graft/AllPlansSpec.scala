@@ -103,7 +103,10 @@ class AllPlansSpec extends AnyFunSuite {
     "ts16_binary_segmentation" -> "1-row (n, Σy) total broadcast onto the bounded day table (ts12's shape)",
     "cs41_theil_decomposition" -> "1-row totals + 1-row between/total fold broadcasts onto the segment table",
     "gr17_boruvka_phase" -> "1-row node/edge/component stat broadcasts (the phase summary row)",
-    "ml15_score_ks" -> "1-row class-totals broadcast onto the distinct-score CDF table")
+    "ml15_score_ks" -> "1-row class-totals broadcast onto the distinct-score CDF table",
+    "cs42_mood_median" -> "1-row count/median/total broadcasts onto the bounded segment table",
+    "ol7_grid_dbscan" -> "bounded core-cell 8-neighborhood offset self-join + 1-row summary broadcasts",
+    "sa16_systematic_sample" -> "1-row sample-stats broadcast onto the population aggregate")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1706,4 +1706,95 @@ class MetricOpsSpec extends AnyFunSuite {
       .map(_.size - 1).sum.toLong
     assert(out.map(_.getAs[Long]("n_gaps")).sum == expTotal)
   }
+
+  // ------------------------------------------------------------------
+  // wave 36: cs42 / ol7 / sa16
+  // ------------------------------------------------------------------
+
+  test("cs42: mood cells match a brute-force pooled-median recount") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs42_mood_median").collect()(0)
+    val rows = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .select(col("seg"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(q => (q.getString(0), q.getLong(1), q.getLong(2)))
+    val n = rows.length
+    val med = rows.map(q => (q._3, q._2)).sorted.apply((n + 1) / 2 - 1)._1
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("n_above") == rows.count(_._3 > med).toLong)
+    assert(r.getAs[Long]("n_groups") ==
+      rows.map(_._1).distinct.length.toLong)
+    assert(r.getAs[Long]("dof") == r.getAs[Long]("n_groups") - 1)
+    assert(r.getAs[Long]("chi2_e6") >= 0L)
+    // brute chi2
+    val a = rows.count(_._3 > med).toLong
+    val chi2 = rows.groupBy(_._1).values.map { g =>
+      val (ng, ag) = (g.size.toLong, g.count(_._3 > med).toLong)
+      val e = ng * a / n.toDouble
+      (ag - e) * (ag - e) / (e * (1.0 - a / n.toDouble))
+    }.sum
+    assert(math.abs(r.getAs[Long]("chi2_e6") -
+      math.floor(1.0e6 * chi2).toLong) <= 1) // fold order slack
+  }
+
+  test("ol7: masses conserve and clusters respect the core threshold") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("ol7_grid_dbscan").collect()(0)
+    val docs = t(s, dir, "documents")
+      .selectExpr("n_chars div 50L AS cx",
+        "CAST(size(split(text, ' ')) AS LONG) div 10L AS cy")
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+    val cells = docs.groupBy(p => p).view.mapValues(_.length.toLong).toMap
+    assert(r.getAs[Long]("n_cells_total") == cells.size.toLong)
+    val core = cells.filter(_._2 >= 5L)
+    assert(r.getAs[Long]("n_core_cells") == core.size.toLong)
+    val coreDocs = core.values.sum
+    assert(r.getAs[Long]("noise_docs") == docs.length.toLong - coreDocs)
+    if (core.nonEmpty) {
+      // union-find over the 8-neighborhood
+      val keys = core.keys.toSeq
+      val parent = scala.collection.mutable.Map(keys.map(k => k -> k): _*)
+      def find(x: (Long, Long)): (Long, Long) = {
+        var c = x; while (parent(c) != c) c = parent(c); c
+      }
+      for (a <- keys; bq <- keys
+           if a != bq && math.abs(a._1 - bq._1) <= 1 &&
+             math.abs(a._2 - bq._2) <= 1)
+        parent(find(a)) = find(bq)
+      val comps = keys.groupBy(find)
+      assert(r.getAs[Long]("n_clusters") == comps.size.toLong)
+      assert(r.getAs[Long]("largest_cells") ==
+        comps.values.map(_.size.toLong).max)
+      assert(r.getAs[Long]("largest_docs") ==
+        comps.values.map(_.map(core).sum).max)
+      assert(r.getAs[Long]("core_frac_e6") ==
+        coreDocs * 1000000L / docs.length)
+    }
+  }
+
+  test("sa16: systematic sample matches a brute-force hash-rank replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("sa16_systematic_sample").collect()(0)
+    val d = t(s, dir, "documents")
+      .selectExpr("doc_id", "n_chars",
+        "md5(CAST(CAST(doc_id AS STRING) AS BINARY)) AS h")
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getString(2)))
+    val ranked = d.sortBy(q => (q._3, q._1))
+    val samp = ranked.zipWithIndex.filter(_._2 % 16 == 0).map(_._1)
+    assert(r.getAs[Long]("n_pop") == d.length.toLong)
+    assert(r.getAs[Long]("n_sample") == samp.length.toLong)
+    assert(r.getAs[Long]("sample_mean_e6") ==
+      samp.map(_._2).sum * 1000000L / samp.length)
+    assert(r.getAs[Long]("pop_mean_e6") ==
+      d.map(_._2).sum * 1000000L / d.length)
+    assert(r.getAs[Long]("bias_e6") ==
+      r.getAs[Long]("sample_mean_e6") - r.getAs[Long]("pop_mean_e6"))
+    // systematic interval: sample is ~1/16 of the population
+    assert(samp.length == (d.length + 15) / 16)
+  }
 }

@@ -3033,6 +3033,191 @@ object MetricQueries {
                AS sample_mean_e6,
              CAST(s.s_chars * 1000000 // s.n_sample -
                   p.p_chars * 1000000 // p.n_pop AS BIGINT) AS bias_e6
-      FROM pop p, samp s"""))
+      FROM pop p, samp s""")),
+
+    // TS17 — rolling 30-day beta of URGENT revenue on LOW revenue: the
+    // time-varying slope that says whether cs30's static coupling is
+    // stable or regime-dependent. All five running sums ride ONE
+    // RANGE-framed day window (d−29..d) in exact integer/decimal cents —
+    // the only double is the final per-day slope ratio. Emitted at every
+    // 30th day with a full window, so the output stays a bounded
+    // calendar sample while the windows themselves never recompute
+    // (frame-sliding, not per-probe re-aggregation).
+    Q("ts17_rolling_beta", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(
+          coalesce(sum(when(col("o_orderpriority") === "1-URGENT",
+            floor(col("o_totalprice") * 100).cast("long"))), lit(0L))
+            .as("y"),
+          coalesce(sum(when(col("o_orderpriority") === "5-LOW",
+            floor(col("o_totalprice") * 100).cast("long"))), lit(0L))
+            .as("x"))
+      val w = Window.orderBy("d").rangeBetween(-29, 0)
+      daily
+        .select(col("d"), count(lit(1)).over(w).cast("long").as("n"),
+          sum("x").over(w).as("sx"), sum("y").over(w).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).over(w)
+            .as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).over(w)
+            .as("sxy"))
+        .filter(col("n") >= 10 && col("d") % 30 === 0)
+        // zero-variance windows (all-zero x at tiny SF) yield NULL, not
+        // an ANSI divide-by-zero
+        .selectExpr("d", "n",
+          "CASE WHEN n * sxx = CAST(sx AS DECIMAL(38,0)) * sx " +
+            "THEN CAST(NULL AS BIGINT) ELSE " +
+            "CAST(floor(1.0e6 * (CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) " +
+            "* sy AS DOUBLE) / CAST(n * sxx - " +
+            "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))) AS BIGINT) END " +
+            "AS beta_e6")
+        .orderBy("d")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               coalesce(sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(floor(o_totalprice * 100) AS BIGINT) END), 0)
+                 AS x,
+               coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(floor(o_totalprice * 100) AS BIGINT) END), 0)
+                 AS y
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT d,
+               CAST(count(*) OVER wf AS BIGINT) AS n,
+               sum(x) OVER wf AS sx, sum(y) OVER wf AS sy,
+               sum(CAST(x AS HUGEINT) * x) OVER wf AS sxx,
+               sum(CAST(x AS HUGEINT) * y) OVER wf AS sxy
+        FROM daily
+        WINDOW wf AS (ORDER BY d RANGE BETWEEN 29 PRECEDING
+                      AND CURRENT ROW))
+      SELECT d, n,
+             CASE WHEN n * sxx = CAST(sx AS HUGEINT) * sx
+               THEN CAST(NULL AS BIGINT) ELSE
+               CAST(floor(1.0e6 * (CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                 AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                 AS DOUBLE))) AS BIGINT) END AS beta_e6
+      FROM r WHERE n >= 10 AND d % 30 = 0 ORDER BY d""")),
+
+    // CS44 — price elasticity of demand for one part brand: OLS slope of
+    // ln(weekly quantity) on ln(weekly avg unit price) over the shipped
+    // line items — the classic log-log regression, with the small part
+    // dim side broadcast into the lineitem scan (the star-join shape j6
+    // grades). Weekly masses are exact cents/units; the four OLS power
+    // sums fold their ln-double terms in week order (cs21's discipline),
+    // so the slope hash-grades.
+    Q("cs44_price_elasticity", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("l_partkey"))), "l_partkey")
+        .groupBy(datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+          .cast("long").divide(lit(7)).cast("long").as("wk"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("q"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("p"))
+        .filter(col("q") > 0 && col("p") > 0)
+        .select(col("wk"), log(col("q").cast("double")).as("ly"),
+          log((col("p") / col("q").cast("double"))).as("lx"))
+      val sums = li.agg(count(lit(1)).as("n"),
+        aggregate(transform(array_sort(collect_list(
+          struct(col("wk"), col("lx")))), q => q.getField("lx")),
+          lit(0.0), (a, q) => a + q).as("sx"),
+        aggregate(transform(array_sort(collect_list(
+          struct(col("wk"), col("ly")))), q => q.getField("ly")),
+          lit(0.0), (a, q) => a + q).as("sy"),
+        aggregate(transform(array_sort(collect_list(
+          struct(col("wk"), (col("lx") * col("lx")).as("v")))),
+          q => q.getField("v")), lit(0.0), (a, q) => a + q).as("sxx"),
+        aggregate(transform(array_sort(collect_list(
+          struct(col("wk"), (col("lx") * col("ly")).as("v")))),
+          q => q.getField("v")), lit(0.0), (a, q) => a + q).as("sxy"))
+      sums.selectExpr("n",
+        "CAST(floor(1.0e6 * ((n * sxy - sx * sy) / " +
+          "(n * sxx - sx * sx))) AS BIGINT) AS elasticity_e6")
+    }, Some("""
+      WITH li AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(l_shipdate AS DATE)) AS BIGINT) // 7 AS wk,
+               sum(CAST(floor(l_quantity) AS BIGINT)) AS q,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS p
+        FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+        WHERE pt.p_brand = 'Brand#13'
+        GROUP BY 1 HAVING q > 0 AND p > 0),
+      t AS (
+        SELECT wk, ln(CAST(q AS DOUBLE)) AS ly,
+               ln(p / CAST(q AS DOUBLE)) AS lx
+        FROM li),
+      f AS (
+        SELECT count(*) AS n,
+               list_sum(list(lx ORDER BY wk)) AS sx,
+               list_sum(list(ly ORDER BY wk)) AS sy,
+               list_sum(list(lx * lx ORDER BY wk)) AS sxx,
+               list_sum(list(lx * ly ORDER BY wk)) AS sxy
+        FROM t)
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(floor(1.0e6 * ((n * sxy - sx * sy) /
+               (n * sxx - sx * sx))) AS BIGINT) AS elasticity_e6
+      FROM f""")),
+
+    // A15 — semi-additive month-end balances: each customer's cumulative
+    // spend is a BALANCE (sum across customers, LAST-KNOWN across time —
+    // the measure class additive rollups silently corrupt), so every
+    // month reports Σ over customers of the balance carried forward from
+    // each customer's last active month. The dense (customer × month)
+    // carry-forward materializes per customer only from FIRST activity
+    // onward (sequence + explode), and the fill is w9's
+    // last(ignoreNulls) window — no month loop, no driver state. Exact
+    // integer cents end-to-end.
+    Q("a15_semi_additive_balance", (s, dir) => {
+      val m0 = expr("(year(to_date(o_orderdate)) - 1992) * 12 + " +
+        "month(to_date(o_orderdate)) - 1")
+      val cm = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"), m0.cast("long").as("m"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("spend"))
+      val bal = cm
+        .withColumn("balance", sum("spend").over(
+          Window.partitionBy("ck").orderBy("m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val mx = cm.agg(max("m").as("gm"))
+      val grid = bal.groupBy("ck").agg(min("m").as("m0"))
+        .crossJoin(broadcast(mx))
+        .select(col("ck"), explode(expr("sequence(m0, gm)")).as("m"))
+      val filled = grid.join(bal.select(col("ck"), col("m"),
+          col("balance")), Seq("ck", "m"), "left")
+        .withColumn("bal", last("balance", ignoreNulls = true).over(
+          Window.partitionBy("ck").orderBy("m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      filled.groupBy("m")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("bal").as("total_balance_cents"))
+        .orderBy("m")
+    }, Some("""
+      WITH cm AS (
+        SELECT o_custkey AS ck,
+               CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+                    month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend
+        FROM orders GROUP BY 1, 2),
+      bal AS (
+        SELECT ck, m, sum(spend) OVER (PARTITION BY ck ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+        FROM cm),
+      mx AS (SELECT max(m) AS gm FROM cm),
+      grid AS (
+        SELECT f.ck, unnest(generate_series(f.m0, x.gm)) AS m
+        FROM (SELECT ck, min(m) AS m0 FROM bal GROUP BY 1) f, mx x),
+      filled AS (
+        SELECT g.ck, g.m,
+               last_value(b.balance IGNORE NULLS) OVER (
+                 PARTITION BY g.ck ORDER BY g.m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+        FROM grid g LEFT JOIN bal b ON b.ck = g.ck AND b.m = g.m)
+      SELECT CAST(m AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(bal) AS BIGINT) AS total_balance_cents
+      FROM filled GROUP BY m ORDER BY m"""))
   )
 }

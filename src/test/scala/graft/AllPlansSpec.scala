@@ -106,7 +106,8 @@ class AllPlansSpec extends AnyFunSuite {
     "ml15_score_ks" -> "1-row class-totals broadcast onto the distinct-score CDF table",
     "cs42_mood_median" -> "1-row count/median/total broadcasts onto the bounded segment table",
     "ol7_grid_dbscan" -> "bounded core-cell 8-neighborhood offset self-join + 1-row summary broadcasts",
-    "sa16_systematic_sample" -> "1-row sample-stats broadcast onto the population aggregate")
+    "sa16_systematic_sample" -> "1-row sample-stats broadcast onto the population aggregate",
+    "a15_semi_additive_balance" -> "1-row global-max-month broadcast onto the customer first-activity table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1797,4 +1797,89 @@ class MetricOpsSpec extends AnyFunSuite {
     // systematic interval: sample is ~1/16 of the population
     assert(samp.length == (d.length + 15) / 16)
   }
+
+  // ------------------------------------------------------------------
+  // wave 37: ts17 / cs44 / a15
+  // ------------------------------------------------------------------
+
+  test("ts17: rolling beta matches a brute-force windowed OLS") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("ts17_rolling_beta").collect()
+    assert(out.nonEmpty)
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(
+        coalesce(sum(when(col("o_orderpriority") === "5-LOW",
+          floor(col("o_totalprice") * 100).cast("long"))), lit(0L))
+          .as("x"),
+        coalesce(sum(when(col("o_orderpriority") === "1-URGENT",
+          floor(col("o_totalprice") * 100).cast("long"))), lit(0L))
+          .as("y"))
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getLong(2)))
+      .sortBy(_._1)
+    out.foreach { r =>
+      val d0 = r.getAs[Long]("d")
+      val win = daily.filter(p => p._1 >= d0 - 29 && p._1 <= d0)
+      assert(r.getAs[Long]("n") == win.length.toLong)
+      val n = win.length
+      val sx = win.map(p => BigInt(p._2)).sum
+      val sy = win.map(p => BigInt(p._3)).sum
+      val sxx = win.map(p => BigInt(p._2) * p._2).sum
+      val sxy = win.map(p => BigInt(p._2) * p._3).sum
+      if (n * sxx == sx * sx) assert(r.isNullAt(r.fieldIndex("beta_e6")))
+      else {
+        val beta = (n * sxy - sx * sy).toDouble /
+          (n * sxx - sx * sx).toDouble
+        assert(r.getAs[Long]("beta_e6") == math.floor(1.0e6 * beta).toLong)
+      }
+      assert(d0 % 30 == 0 && n >= 10)
+    }
+  }
+
+  test("cs44: elasticity matches a brute-force log-log OLS") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs44_price_elasticity").collect()(0)
+    val wkly = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey").as("l_partkey")), "l_partkey")
+      .groupBy(datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+        .cast("long").divide(lit(7)).cast("long").as("wk"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("q"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("p"))
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getLong(2)))
+      .filter(q => q._2 > 0 && q._3 > 0).sortBy(_._1)
+    val n = wkly.length
+    assert(r.getAs[Long]("n") == n.toLong)
+    val lx = wkly.map(q => math.log(q._3 / q._2.toDouble))
+    val ly = wkly.map(q => math.log(q._2.toDouble))
+    val (sx, sy) = (lx.sum, ly.sum)
+    val sxx = lx.map(v => v * v).sum
+    val sxy = lx.zip(ly).map(p => p._1 * p._2).sum
+    val el = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getAs[Long]("elasticity_e6") == math.floor(1.0e6 * el).toLong)
+  }
+
+  test("a15: month-end balances carry forward and end at total revenue") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("a15_semi_additive_balance").collect()
+      .sortBy(_.getAs[Long]("m"))
+    assert(out.nonEmpty)
+    // customers-known count is non-decreasing (first-activity onward)
+    val ncs = out.map(_.getAs[Long]("n_customers")).toSeq
+    assert(ncs == ncs.sorted)
+    // total balance is non-decreasing (balances only accumulate)
+    val tots = out.map(_.getAs[Long]("total_balance_cents")).toSeq
+    assert(tots == tots.sorted)
+    // final month: every customer's full history → Σ all order cents
+    val totalRevenue = t(s, dir, "orders")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(tots.last == totalRevenue)
+    val nCust = t(s, dir, "orders").select("o_custkey").distinct().count()
+    assert(ncs.last == nCust)
+  }
 }

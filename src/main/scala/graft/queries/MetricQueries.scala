@@ -3218,6 +3218,169 @@ object MetricQueries {
       SELECT CAST(m AS BIGINT) AS m,
              CAST(count(*) AS BIGINT) AS n_customers,
              CAST(sum(bal) AS BIGINT) AS total_balance_cents
-      FROM filled GROUP BY m ORDER BY m"""))
+      FROM filled GROUP BY m ORDER BY m""")),
+
+    // CS45 — supplier-nation market-share shift: revenue share per
+    // supplier nation per order year (lineitem ⋈ supplier ⋈ nation, the
+    // dims broadcast into the fact scan), and each nation's largest
+    // year-over-year share swing — the competitive-dynamics rollup that
+    // turns j6's star join into a longitudinal answer. Shares are exact
+    // scaled divisions per (nation, year); the swing is one lag window
+    // over the bounded nation×year grid.
+    Q("cs45_share_shift", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey")
+          .as("l_orderkey"), year(to_date(col("o_orderdate"))).cast("long")
+          .as("yr")), "l_orderkey")
+        .join(broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("l_suppkey"),
+            col("n_name").as("nation"))), "l_suppkey")
+        .groupBy("nation", "yr")
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("rev"))
+      val yt = li.groupBy(col("yr").as("y2"))
+        .agg(sum("rev").as("ytot"))
+      val shares = li.join(broadcast(yt), col("yr") === col("y2"))
+        .selectExpr("nation", "yr", "rev",
+          "rev * 1000000L div ytot AS share_e6")
+      val w = Window.partitionBy("nation").orderBy("yr")
+      shares
+        .withColumn("prev_share", lag("share_e6", 1).over(w))
+        .withColumn("swing_e6", abs(col("share_e6") - col("prev_share")))
+        .withColumn("max_swing_e6",
+          max("swing_e6").over(Window.partitionBy("nation")))
+        .selectExpr("nation", "yr", "rev", "share_e6",
+          "coalesce(swing_e6, -1L) AS swing_e6",
+          "coalesce(max_swing_e6, -1L) AS max_swing_e6")
+        .orderBy("nation", "yr")
+    }, Some("""
+      WITH li AS (
+        SELECT n.n_name AS nation,
+               CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+               sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = sp.s_nationkey
+        GROUP BY 1, 2),
+      yt AS (SELECT yr AS y2, sum(rev) AS ytot FROM li GROUP BY 1),
+      shares AS (
+        SELECT li.nation, li.yr, li.rev,
+               li.rev * 1000000 // yt.ytot AS share_e6
+        FROM li JOIN yt ON yt.y2 = li.yr),
+      sw AS (
+        SELECT *, abs(share_e6 - lag(share_e6) OVER (PARTITION BY nation
+                 ORDER BY yr)) AS swing_e6
+        FROM shares)
+      SELECT nation, yr, CAST(rev AS BIGINT) AS rev,
+             CAST(share_e6 AS BIGINT) AS share_e6,
+             CAST(coalesce(swing_e6, -1) AS BIGINT) AS swing_e6,
+             CAST(coalesce(max(swing_e6) OVER (PARTITION BY nation), -1)
+               AS BIGINT) AS max_swing_e6
+      FROM sw ORDER BY nation, yr""")),
+
+    // W24 — Pareto cutoffs: how many top customers carry 50/80/90% of
+    // revenue — the "how concentrated is the book" question cs25's HHI
+    // scalar answers only on average. Customers rank by (spend desc,
+    // custkey); the cutoff is the FIRST rank whose cumulative spend
+    // clears each threshold, found by exact integer cross-multiplication
+    // (cum·100 ≥ total·pct — no float shares anywhere). One
+    // customer-grain sort + a 3-row threshold grid broadcast.
+    Q("w24_pareto_cutoffs", (s, dir) => {
+      val x = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+        .localCheckpoint(eager = false)
+      val ranked = x
+        .select(col("x"), row_number()
+          .over(Window.orderBy(col("x").desc, col("ck"))).cast("long")
+          .as("rn"))
+        .withColumn("cum", sum("x").over(Window.orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = x.agg(count(lit(1)).as("n"), sum("x").as("xt"))
+      val grid = x.sparkSession.range(0, 3)
+        .selectExpr("CASE id WHEN 0 THEN 50L WHEN 1 THEN 80L " +
+          "ELSE 90L END AS pct")
+      ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(grid))
+        .filter(col("cum") * 100 >= col("xt") * col("pct"))
+        .groupBy("pct", "n", "xt")
+        .agg(min("rn").as("n_top"))
+        .selectExpr("pct", "n AS n_customers", "n_top",
+          "n_top * 1000000L div n AS top_frac_e6")
+        .orderBy("pct")
+    }, Some("""
+      WITH x AS (
+        SELECT o_custkey AS ck,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+      ranked AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x DESC, ck) AS BIGINT)
+                 AS rn,
+               sum(x) OVER (ORDER BY x DESC, ck ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum
+        FROM x),
+      tot AS (SELECT count(*) AS n, sum(x) AS xt FROM x),
+      grid AS (SELECT CAST(pct AS BIGINT) AS pct
+               FROM UNNEST([50, 80, 90]) AS t(pct))
+      SELECT g.pct, CAST(t.n AS BIGINT) AS n_customers,
+             CAST(min(r.rn) AS BIGINT) AS n_top,
+             CAST(min(r.rn) * 1000000 // t.n AS BIGINT) AS top_frac_e6
+      FROM ranked r, tot t, grid g
+      WHERE r.cum * 100 >= t.xt * g.pct
+      GROUP BY g.pct, t.n ORDER BY g.pct""")),
+
+    // GR19 — longest-path layering of the divisor DAG (doc_id → ⌊id/2⌋,
+    // ⌊id/3⌋, edges pointing down): each node's layer = longest chain to
+    // a sink, by round-bounded iterative relaxation (the topological-
+    // depth primitive behind DAG scheduling). BOTH engines cap at 10
+    // rounds, so the graded semantics are min(longest path, 10) at every
+    // SF — a declared hop bound, gr2's convention. Output is the exact
+    // layer histogram plus the (bounded) DAG height. Integer-only; each
+    // round is one edges⤳layers hash join (gr15's shape).
+    Q("gr19_dag_layers", (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = docs.filter(col("doc_id") >= 2)
+        .selectExpr("doc_id AS u", "doc_id div 2L AS v")
+      val e2 = docs.filter(col("doc_id") >= 3)
+        .selectExpr("doc_id AS u", "doc_id div 3L AS v")
+      val edges = e1.unionByName(e2).distinct()
+        .localCheckpoint(eager = false)
+      var layer = docs.select(col("doc_id").as("node"),
+        lit(0L).as("layer"))
+      for (_ <- 1 to 10) {
+        val relax = edges
+          .join(layer.select(col("node").as("v"), col("layer").as("lv")),
+            "v")
+          .groupBy(col("u").as("node")).agg(max(expr("lv + 1L")).as("lu"))
+        layer = docs.select(col("doc_id").as("node"))
+          .join(relax, Seq("node"), "left")
+          .selectExpr("node", "coalesce(lu, 0L) AS layer")
+          .localCheckpoint(eager = false)
+      }
+      layer.groupBy("layer").agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(layer.agg(max("layer").as("height"))))
+        .orderBy("layer")
+    }, Some("""
+      WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+      edges AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT doc_id AS u, doc_id // 2 AS v FROM docs WHERE doc_id >= 2
+          UNION ALL
+          SELECT doc_id, doc_id // 3 FROM docs WHERE doc_id >= 3)),
+      chain(node, depth) AS (
+        SELECT doc_id, 0 FROM docs
+        UNION
+        SELECT e.u, c.depth + 1
+        FROM chain c JOIN edges e ON e.v = c.node
+        WHERE c.depth < 10),
+      layers AS (SELECT node, max(depth) AS layer FROM chain GROUP BY 1),
+      hist AS (SELECT layer, count(*) AS n_nodes FROM layers GROUP BY 1),
+      h AS (SELECT max(layer) AS height FROM layers)
+      SELECT CAST(hi.layer AS BIGINT) AS layer,
+             CAST(hi.n_nodes AS BIGINT) AS n_nodes,
+             CAST(h.height AS BIGINT) AS height
+      FROM hist hi, h ORDER BY layer"""))
   )
 }

@@ -107,7 +107,9 @@ class AllPlansSpec extends AnyFunSuite {
     "cs42_mood_median" -> "1-row count/median/total broadcasts onto the bounded segment table",
     "ol7_grid_dbscan" -> "bounded core-cell 8-neighborhood offset self-join + 1-row summary broadcasts",
     "sa16_systematic_sample" -> "1-row sample-stats broadcast onto the population aggregate",
-    "a15_semi_additive_balance" -> "1-row global-max-month broadcast onto the customer first-activity table")
+    "a15_semi_additive_balance" -> "1-row global-max-month broadcast onto the customer first-activity table",
+    "w24_pareto_cutoffs" -> "1-row totals + 3-row threshold-grid broadcasts onto the ranked spend table",
+    "gr19_dag_layers" -> "1-row height broadcast onto the bounded layer histogram")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1882,4 +1882,80 @@ class MetricOpsSpec extends AnyFunSuite {
     val nCust = t(s, dir, "orders").select("o_custkey").distinct().count()
     assert(ncs.last == nCust)
   }
+
+  // ------------------------------------------------------------------
+  // wave 38: cs45 / w24 / gr19
+  // ------------------------------------------------------------------
+
+  test("cs45: shares sum to 1e6 per year and swings match a replay") {
+    val out = run("cs45_share_shift").collect()
+    assert(out.nonEmpty)
+    val byYear = out.groupBy(_.getAs[Long]("yr"))
+    byYear.foreach { case (_, rows) =>
+      val tot = rows.map(_.getAs[Long]("share_e6")).sum
+      // floored scaled shares: Σ within (1e6 − #nations, 1e6]
+      assert(tot > 1000000L - rows.length && tot <= 1000000L)
+    }
+    out.groupBy(_.getAs[String]("nation")).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_.getAs[Long]("yr"))
+      val swings = seq.sliding(2).collect { case Array(a, b) =>
+        math.abs(b.getAs[Long]("share_e6") - a.getAs[Long]("share_e6"))
+      }.toSeq
+      seq.tail.zip(swings).foreach { case (r, sw) =>
+        assert(r.getAs[Long]("swing_e6") == sw)
+      }
+      assert(seq.head.getAs[Long]("swing_e6") == -1L)
+      if (swings.nonEmpty)
+        assert(seq.map(_.getAs[Long]("max_swing_e6")).toSet ==
+          Set(swings.max))
+    }
+  }
+
+  test("w24: cutoffs match a brute-force cumulative-share scan") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("w24_pareto_cutoffs").collect()
+    assert(out.map(_.getAs[Long]("pct")).toSeq == Seq(50L, 80L, 90L))
+    val xs = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+      .sortBy(p => (-p._2, p._1)).map(_._2)
+    val total = xs.sum
+    out.foreach { r =>
+      val pct = r.getAs[Long]("pct")
+      var cum = 0L
+      val nTop = xs.indexWhere { v => cum += v; cum * 100 >= total * pct } + 1
+      assert(r.getAs[Long]("n_top") == nTop.toLong)
+      assert(r.getAs[Long]("n_customers") == xs.length.toLong)
+      assert(r.getAs[Long]("top_frac_e6") ==
+        nTop.toLong * 1000000L / xs.length)
+    }
+    // monotone: higher coverage needs at least as many customers
+    val tops = out.sortBy(_.getAs[Long]("pct")).map(_.getAs[Long]("n_top"))
+    assert(tops.toSeq == tops.toSeq.sorted)
+  }
+
+  test("gr19: layers match a brute-force bounded longest-path") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("gr19_dag_layers").collect()
+    val ids = t(s, dir, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val memo = scala.collection.mutable.Map[Long, Long]()
+    def depth(n: Long): Long = memo.getOrElseUpdate(n, {
+      // children of n via edges n→n/2 (n≥2), n→n/3 (n≥3)
+      val kids = Seq(
+        if (n >= 2 && ids.contains(n / 2)) Some(n / 2) else None,
+        if (n >= 3 && ids.contains(n / 3)) Some(n / 3) else None).flatten
+      if (kids.isEmpty) 0L else kids.map(c => depth(c) + 1).max
+    })
+    val hist = ids.toSeq.map(n => math.min(depth(n), 10L))
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val got = out.map(r => (r.getAs[Long]("layer"),
+      r.getAs[Long]("n_nodes"))).toMap
+    assert(got == hist)
+    assert(out.map(_.getAs[Long]("n_nodes")).sum == ids.size.toLong)
+    assert(out.forall(_.getAs[Long]("height") == hist.keys.max))
+  }
 }

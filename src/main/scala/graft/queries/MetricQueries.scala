@@ -3381,6 +3381,191 @@ object MetricQueries {
       SELECT CAST(hi.layer AS BIGINT) AS layer,
              CAST(hi.n_nodes AS BIGINT) AS n_nodes,
              CAST(h.height AS BIGINT) AS height
-      FROM hist hi, h ORDER BY layer"""))
+      FROM hist hi, h ORDER BY layer""")),
+
+    // TX27 — character-bigram conditional entropy per source: H(next
+    // char | char) in bits over each source's text — the compressibility
+    // proxy (low H ⟹ repetitive/templated content, high H ⟹ natural
+    // prose or noise) that approximates a gzip-ratio quality signal
+    // without any compressor in the engine. Bigrams come from a
+    // length-bounded posexplode; counts are exact; each source's ≤
+    // |alphabet|² double terms fold in (char, next) order (cs21's
+    // discipline), and ln→bits is one division by ln(2).
+    Q("tx27_char_bigram_entropy", (s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(col("source"),
+          posexplode(expr("transform(sequence(1, length(text) - 1), " +
+            "i -> substring(text, i, 2))")).as(Seq("i", "bg")))
+        .select(col("source"), substring(col("bg"), 1, 1).as("c"),
+          substring(col("bg"), 2, 1).as("nx"))
+        .filter(length(col("nx")) === 1)
+        .groupBy("source", "c", "nx").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // feeds margins + fold
+      val cm = pairs.groupBy(col("source").as("s2"), col("c").as("c2"))
+        .agg(sum("n").as("nc"))
+      val st = pairs.groupBy(col("source").as("s3"))
+        .agg(sum("n").as("nt"))
+      pairs
+        .join(broadcast(cm), col("source") === col("s2") &&
+          col("c") === col("c2"))
+        .join(broadcast(st), col("source") === col("s3"))
+        .select(col("source"), col("c"), col("nx"), col("nt"),
+          (negate(col("n") / col("nt").cast("double")) *
+            log(col("n") / col("nc").cast("double"))).as("term"))
+        .groupBy("source", "nt")
+        .agg(aggregate(transform(array_sort(collect_list(
+          struct(col("c"), col("nx"), col("term")))),
+          q => q.getField("term")), lit(0.0), (a, q) => a + q).as("h"))
+        .selectExpr("source", "nt AS n_bigrams",
+          "CAST(floor(1.0e6 * (h / ln(2.0e0))) AS BIGINT) AS h_bits_e6")
+        .orderBy("source")
+    }, Some("""
+      WITH pairs AS (
+        SELECT source, substr(bg, 1, 1) AS c, substr(bg, 2, 1) AS nx,
+               count(*) AS n
+        FROM (
+          SELECT source,
+                 unnest(list_transform(generate_series(1, len(text) - 1),
+                   i -> substr(text, i, 2))) AS bg
+          FROM documents)
+        WHERE len(nx) = 1
+        GROUP BY 1, 2, 3),
+      cm AS (SELECT source AS s2, c AS c2, sum(n) AS nc
+             FROM pairs GROUP BY 1, 2),
+      st AS (SELECT source AS s3, sum(n) AS nt FROM pairs GROUP BY 1),
+      terms AS (
+        SELECT p.source, p.c, p.nx, st.nt,
+               -(p.n / CAST(st.nt AS DOUBLE)) *
+                 ln(p.n / CAST(cm.nc AS DOUBLE)) AS term
+        FROM pairs p
+        JOIN cm ON cm.s2 = p.source AND cm.c2 = p.c
+        JOIN st ON st.s3 = p.source),
+      f AS (
+        SELECT source, nt, list_sum(list(term ORDER BY c, nx)) AS h
+        FROM terms GROUP BY source, nt)
+      SELECT source, CAST(nt AS BIGINT) AS n_bigrams,
+             CAST(floor(1.0e6 * (h / ln(2.0e0))) AS BIGINT) AS h_bits_e6
+      FROM f ORDER BY source""")),
+
+    // W25 — period-to-date running totals: every day's MTD, QTD, and YTD
+    // revenue in one pass — three windows sharing ONE day-grain sort,
+    // partitioned by progressively coarser calendar keys (the BI
+    // "to-date" family a date dimension exists to serve). Exact cents;
+    // emitted at every 30th day to keep the graded output a calendar
+    // sample while the windows stay frame-running.
+    Q("w25_period_to_date", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .selectExpr("dt",
+          "CAST(datediff(dt, DATE '1992-01-01') AS LONG) AS d",
+          "CAST(year(dt) AS LONG) AS yr", "CAST(quarter(dt) AS LONG) AS q",
+          "CAST(month(dt) AS LONG) AS mo", "y")
+      def pt(ks: Seq[String]) = Window.partitionBy(ks.map(col): _*)
+        .orderBy("d").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+      daily
+        .withColumn("mtd", sum("y").over(pt(Seq("yr", "mo"))))
+        .withColumn("qtd", sum("y").over(pt(Seq("yr", "q"))))
+        .withColumn("ytd", sum("y").over(pt(Seq("yr"))))
+        .filter(col("d") % 30 === 0)
+        .selectExpr("d", "yr", "q", "mo", "y AS day_cents", "mtd", "qtd",
+          "ytd")
+        .orderBy("d")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      k AS (
+        SELECT dt, CAST(datediff('day', DATE '1992-01-01', dt) AS BIGINT)
+                 AS d,
+               CAST(year(dt) AS BIGINT) AS yr,
+               CAST(quarter(dt) AS BIGINT) AS q,
+               CAST(month(dt) AS BIGINT) AS mo, y
+        FROM daily),
+      r AS (
+        SELECT d, yr, q, mo, y,
+               sum(y) OVER (PARTITION BY yr, mo ORDER BY d ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS mtd,
+               sum(y) OVER (PARTITION BY yr, q ORDER BY d ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS qtd,
+               sum(y) OVER (PARTITION BY yr ORDER BY d ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd
+        FROM k)
+      SELECT d, yr, q, mo, y AS day_cents,
+             CAST(mtd AS BIGINT) AS mtd, CAST(qtd AS BIGINT) AS qtd,
+             CAST(ytd AS BIGINT) AS ytd
+      FROM r WHERE d % 30 = 0 ORDER BY d""")),
+
+    // OL8 — robust-location ladder for order values: plain mean, 10%-
+    // trimmed mean, 10%-winsorized mean, and the deterministic lower
+    // median, side by side — the one-row audit that says HOW MUCH the
+    // tails move the center (mean far from trimmed ⟹ ol5/ol6's outliers
+    // carry real mass). Rank bounds come from one integer-rank window;
+    // every location is an exact scaled-integer division over exact cent
+    // sums — no float quantiles.
+    Q("ol8_robust_locations", (s, dir) => {
+      val c = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+      val ranked = c
+        .select(col("c"), row_number().over(Window.orderBy("c", "k"))
+          .cast("long").as("rn"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+        .withColumn("lo", expr("n div 10L"))
+        .withColumn("hi", expr("n - n div 10L"))
+        .localCheckpoint(eager = false) // feeds all four locations
+      val med = ranked.filter(col("rn") === expr("(n + 1L) div 2L"))
+        .selectExpr("c AS median_cents")
+      val loVal = ranked.filter(col("rn") === col("lo") + 1)
+        .selectExpr("c AS lo_c")
+      val hiVal = ranked.filter(col("rn") === col("hi"))
+        .selectExpr("c AS hi_c")
+      val sums = ranked.agg(first("n").as("n"), sum("c").as("sc"),
+        sum(when(col("rn") > col("lo") && col("rn") <= col("hi"),
+          col("c")).otherwise(0L)).as("tsum"),
+        sum(when(col("rn") > col("lo") && col("rn") <= col("hi"), 1L)
+          .otherwise(0L)).as("tn"),
+        sum(when(col("rn") <= col("lo"), 1L).otherwise(0L)).as("nlo"),
+        sum(when(col("rn") > col("hi"), 1L).otherwise(0L)).as("nhi"))
+      sums.crossJoin(broadcast(med)).crossJoin(broadcast(loVal))
+        .crossJoin(broadcast(hiVal))
+        .selectExpr("n", "sc * 1000000L div n AS mean_e6",
+          "tsum * 1000000L div tn AS trimmed_e6",
+          "(tsum + nlo * lo_c + nhi * hi_c) * 1000000L div n " +
+            "AS winsorized_e6",
+          "median_cents * 1000000L AS median_e6")
+    }, Some("""
+      WITH c AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders),
+      nn AS (SELECT count(*) AS n FROM c),
+      ranked AS (
+        SELECT c.c, CAST(row_number() OVER (ORDER BY c.c, c.k) AS BIGINT)
+                 AS rn,
+               nn.n, nn.n // 10 AS lo, nn.n - nn.n // 10 AS hi
+        FROM c, nn),
+      med AS (SELECT c AS median_cents FROM ranked
+              WHERE rn = (n + 1) // 2),
+      lov AS (SELECT c AS lo_c FROM ranked WHERE rn = lo + 1),
+      hiv AS (SELECT c AS hi_c FROM ranked WHERE rn = hi),
+      sums AS (
+        SELECT any_value(n) AS n, sum(c) AS sc,
+               sum(CASE WHEN rn > lo AND rn <= hi THEN c ELSE 0 END)
+                 AS tsum,
+               sum(CASE WHEN rn > lo AND rn <= hi THEN 1 ELSE 0 END)
+                 AS tn,
+               sum(CASE WHEN rn <= lo THEN 1 ELSE 0 END) AS nlo,
+               sum(CASE WHEN rn > hi THEN 1 ELSE 0 END) AS nhi
+        FROM ranked)
+      SELECT CAST(s.n AS BIGINT) AS n,
+             CAST(s.sc * 1000000 // s.n AS BIGINT) AS mean_e6,
+             CAST(s.tsum * 1000000 // s.tn AS BIGINT) AS trimmed_e6,
+             CAST((s.tsum + s.nlo * l.lo_c + s.nhi * h.hi_c) * 1000000
+               // s.n AS BIGINT) AS winsorized_e6,
+             CAST(m.median_cents * 1000000 AS BIGINT) AS median_e6
+      FROM sums s, med m, lov l, hiv h"""))
   )
 }

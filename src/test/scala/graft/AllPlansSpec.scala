@@ -109,7 +109,8 @@ class AllPlansSpec extends AnyFunSuite {
     "sa16_systematic_sample" -> "1-row sample-stats broadcast onto the population aggregate",
     "a15_semi_additive_balance" -> "1-row global-max-month broadcast onto the customer first-activity table",
     "w24_pareto_cutoffs" -> "1-row totals + 3-row threshold-grid broadcasts onto the ranked spend table",
-    "gr19_dag_layers" -> "1-row height broadcast onto the bounded layer histogram")
+    "gr19_dag_layers" -> "1-row height broadcast onto the bounded layer histogram",
+    "ol8_robust_locations" -> "1-row count/median/bound-value broadcasts onto the ranked cents table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1958,4 +1958,95 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_nodes")).sum == ids.size.toLong)
     assert(out.forall(_.getAs[Long]("height") == hist.keys.max))
   }
+
+  // ------------------------------------------------------------------
+  // wave 39: tx27 / w25 / ol8
+  // ------------------------------------------------------------------
+
+  test("tx27: bigram entropy matches brute force and bounds hold") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("tx27_char_bigram_entropy").collect()
+    val docs = t(s, dir, "documents").select("source", "text").collect()
+      .map(q => (q.getString(0), q.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    assert(out.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    out.foreach { r =>
+      val texts = bySource(r.getAs[String]("source")).map(_._2)
+      val bigrams = texts.flatMap(tx => tx.sliding(2).filter(_.length == 2))
+      val nt = bigrams.length.toLong
+      assert(r.getAs[Long]("n_bigrams") == nt)
+      val byPair = bigrams.groupBy(identity(_)).view
+        .mapValues(_.length.toLong).toMap
+      val byC = bigrams.groupBy(_.charAt(0)).view
+        .mapValues(_.length.toLong).toMap
+      val h = byPair.map { case (bg, n) =>
+        -(n / nt.toDouble) * math.log(n / byC(bg.charAt(0)).toDouble)
+      }.sum / math.log(2.0)
+      // fold order differs from the Map sum → ±1 ulp slack at e6 scale
+      assert(math.abs(r.getAs[Long]("h_bits_e6") -
+        math.floor(1.0e6 * h).toLong) <= 1)
+      assert(r.getAs[Long]("h_bits_e6") >= 0)
+    }
+  }
+
+  test("w25: to-date totals match a brute-force calendar replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("w25_period_to_date").collect()
+    assert(out.nonEmpty)
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .selectExpr("CAST(datediff(dt, DATE '1992-01-01') AS LONG) AS d",
+        "CAST(year(dt) AS LONG) AS yr", "CAST(quarter(dt) AS LONG) AS q",
+        "CAST(month(dt) AS LONG) AS mo", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    out.foreach { r =>
+      val d0 = r.getAs[Long]("d")
+      val me = daily.find(_._1 == d0).get
+      assert(r.getAs[Long]("day_cents") == me._5)
+      def td(f: ((Long, Long, Long, Long, Long)) => Boolean) =
+        daily.filter(p => f(p) && p._1 <= d0).map(_._5).sum
+      assert(r.getAs[Long]("mtd") ==
+        td(p => p._2 == me._2 && p._4 == me._4))
+      assert(r.getAs[Long]("qtd") ==
+        td(p => p._2 == me._2 && p._3 == me._3))
+      assert(r.getAs[Long]("ytd") == td(p => p._2 == me._2))
+      // ordering law: MTD ≤ QTD ≤ YTD
+      assert(r.getAs[Long]("mtd") <= r.getAs[Long]("qtd") &&
+        r.getAs[Long]("qtd") <= r.getAs[Long]("ytd"))
+    }
+  }
+
+  test("ol8: locations match brute force and order sensibly") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("ol8_robust_locations").collect()(0)
+    val cs = t(s, dir, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100)
+        .cast("long").as("c"))
+      .collect().map(q => (q.getLong(1), q.getLong(0)))
+      .sorted.map(_._1)
+    val n = cs.length
+    val lo = n / 10
+    val hi = n - n / 10
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("mean_e6") ==
+      (cs.map(BigInt(_)).sum * 1000000 / n).toLong)
+    val trimmed = cs.slice(lo, hi)
+    assert(r.getAs[Long]("trimmed_e6") ==
+      (trimmed.map(BigInt(_)).sum * 1000000 / trimmed.length).toLong)
+    val win = cs.map(v => math.max(cs(lo), math.min(cs(hi - 1), v)))
+    assert(r.getAs[Long]("winsorized_e6") ==
+      (win.map(BigInt(_)).sum * 1000000 / n).toLong)
+    assert(r.getAs[Long]("median_e6") == cs((n + 1) / 2 - 1) * 1000000L)
+    // all four locations live inside the data range
+    Seq("mean_e6", "trimmed_e6", "winsorized_e6", "median_e6").foreach {
+      cname =>
+        val v = r.getAs[Long](cname)
+        assert(v >= cs.head * 1000000L && v <= cs.last * 1000000L)
+    }
+  }
 }

@@ -3566,6 +3566,175 @@ object MetricQueries {
              CAST((s.tsum + s.nlo * l.lo_c + s.nhi * h.hi_c) * 1000000
                // s.n AS BIGINT) AS winsorized_e6,
              CAST(m.median_cents * 1000000 AS BIGINT) AS median_e6
-      FROM sums s, med m, lov l, hiv h"""))
+      FROM sums s, med m, lov l, hiv h""")),
+
+    // F13 — Luhn checksum audit: validate 12-digit synthetic account
+    // numbers (zero-padded orderkeys) against the Luhn mod-10 rule and
+    // report the valid share plus the check digit that WOULD make each
+    // prefix valid, for the first 10 keys — the verification step a PII
+    // scanner (tx8) runs before treating a digit run as a live card
+    // number. The doubled-digit fold is a bounded transform over exactly
+    // 12 positions — pure integer arithmetic, identical on both engines.
+    Q("f13_luhn_audit", (s, dir) => {
+      val d = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("num"))
+      val luhn = d.selectExpr("o_orderkey", "num",
+        // position i from the RIGHT (1-based): double every 2nd digit
+        "aggregate(transform(sequence(1, 12), i -> " +
+          "CASE WHEN i % 2 = 0 THEN " +
+          "  CASE WHEN 2 * CAST(substring(num, 13 - i, 1) AS INT) > 9 " +
+          "  THEN 2 * CAST(substring(num, 13 - i, 1) AS INT) - 9 " +
+          "  ELSE 2 * CAST(substring(num, 13 - i, 1) AS INT) END " +
+          "ELSE CAST(substring(num, 13 - i, 1) AS INT) END), " +
+          "0, (a, x) -> a + x) AS digitsum")
+      val flagged = luhn.selectExpr("o_orderkey", "num",
+        "digitsum % 10 = 0 AS luhn_valid",
+        // check digit that would validate the first 11 digits
+        "CAST((10 - (digitsum - CAST(substring(num, 12, 1) AS INT)) " +
+          "% 10) % 10 AS LONG) AS would_check")
+      val summary = flagged.agg(count(lit(1)).as("n"),
+        sum(when(col("luhn_valid"), 1L).otherwise(0L)).as("n_valid"))
+      flagged.orderBy("o_orderkey").limit(10)
+        .crossJoin(broadcast(summary))
+        .selectExpr("o_orderkey", "num", "luhn_valid", "would_check",
+          "n", "n_valid", "n_valid * 1000000L div n AS valid_share_e6")
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH d AS (
+        SELECT o_orderkey,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS num
+        FROM orders),
+      luhn AS (
+        SELECT o_orderkey, num,
+               list_sum(list_transform(generate_series(1, 12), i ->
+                 CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN 2 * CAST(substring(num, 13 - i, 1) AS INT) > 9
+                   THEN 2 * CAST(substring(num, 13 - i, 1) AS INT) - 9
+                   ELSE 2 * CAST(substring(num, 13 - i, 1) AS INT) END
+                 ELSE CAST(substring(num, 13 - i, 1) AS INT) END))
+                 AS digitsum
+        FROM d),
+      flagged AS (
+        SELECT o_orderkey, num, digitsum % 10 = 0 AS luhn_valid,
+               CAST((10 - (digitsum - CAST(substring(num, 12, 1) AS INT))
+                 % 10) % 10 AS BIGINT) AS would_check
+        FROM luhn),
+      summary AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN luhn_valid THEN 1 ELSE 0 END) AS n_valid
+        FROM flagged),
+      top AS (SELECT * FROM flagged ORDER BY o_orderkey LIMIT 10)
+      SELECT t.o_orderkey, t.num, t.luhn_valid, t.would_check,
+             CAST(s.n AS BIGINT) AS n, CAST(s.n_valid AS BIGINT)
+               AS n_valid,
+             CAST(s.n_valid * 1000000 // s.n AS BIGINT)
+               AS valid_share_e6
+      FROM top t, summary s ORDER BY t.o_orderkey""")),
+
+    // CS46 — index of dispersion for daily order arrivals: variance-to-
+    // mean of per-day counts over the FULL calendar (empty days count as
+    // zero via the missing-day correction, never a dense grid) — ≈1 is
+    // Poisson traffic, ≫1 is bursty (w22's per-user spectrum, asked at
+    // fleet grain). D = (n·Σc² − S²)/((n−1)·S) with n the CALENDAR span:
+    // exact BIGINT arithmetic throughout, one day-grain aggregate and a
+    // 1-row span broadcast.
+    Q("cs46_arrival_dispersion", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val span = daily.agg((max("d") - min("d") + 1).as("n_days"),
+        count(lit(1)).as("active_days"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      // zero-count days contribute 0 to S and SS — only n changes
+      span.selectExpr("n_days", "active_days", "s AS n_orders",
+        "1000000L * (n_days * ss - s * s) div ((n_days - 1L) * s) " +
+          "AS dispersion_e6",
+        "s * 1000000L div n_days AS mean_per_day_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               count(*) AS c
+        FROM orders GROUP BY 1),
+      span AS (
+        SELECT max(d) - min(d) + 1 AS n_days, count(*) AS active_days,
+               sum(c) AS s, sum(c * c) AS ss
+        FROM daily)
+      SELECT CAST(n_days AS BIGINT) AS n_days,
+             CAST(active_days AS BIGINT) AS active_days,
+             CAST(s AS BIGINT) AS n_orders,
+             CAST(1000000 * (n_days * ss - s * s)
+               // ((n_days - 1) * s) AS BIGINT) AS dispersion_e6,
+             CAST(s * 1000000 // n_days AS BIGINT) AS mean_per_day_e6
+      FROM span""")),
+
+    // K32 — copy-on-write vs merge-on-read amplification: on k28's
+    // tombstoned file layout, what the SAME delete batch costs under
+    // each strategy — CoW rewrites every touched file NOW (write
+    // amplification = live bytes moved), MoR defers to read-time
+    // anti-joins (read amplification = dead bytes scanned per full read)
+    // — the numbers behind a table-format's merge-mode knob. One scan,
+    // one 16-file aggregate, exact byte masses.
+    Q("k32_cow_vs_mor", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          substring(md5(col("text")), 1, 1).isin("0", "1").as("del"))
+        .localCheckpoint(eager = false)
+      val mx = docs.agg(max("doc_id").as("m"))
+      val files = docs.crossJoin(broadcast(mx))
+        .selectExpr("doc_id * 16L div (m + 1L) AS file", "n_chars",
+          "del")
+        .groupBy("file")
+        .agg(count(lit(1)).as("rows"),
+          sum(when(col("del"), 1L).otherwise(0L)).as("dels"),
+          sum("n_chars").as("bytes"),
+          sum(when(col("del"), col("n_chars")).otherwise(0L))
+            .as("dead_bytes"))
+      files.agg(count(lit(1)).as("n_files"),
+          sum(when(col("dels") > 0, 1L).otherwise(0L)).as("touched_files"),
+          sum("bytes").as("total_bytes"),
+          sum(when(col("dels") > 0, col("bytes") - col("dead_bytes"))
+            .otherwise(0L)).as("cow_write_bytes"),
+          sum("dead_bytes").as("mor_dead_bytes"))
+        .selectExpr("n_files", "touched_files", "total_bytes",
+          "cow_write_bytes", "mor_dead_bytes",
+          "cow_write_bytes * 1000000L div total_bytes AS cow_amp_e6",
+          "mor_dead_bytes * 1000000L div total_bytes AS mor_amp_e6")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, n_chars,
+               substr(md5(text), 1, 1) IN ('0', '1') AS del
+        FROM documents),
+      mx AS (SELECT max(doc_id) AS m FROM d),
+      f AS (
+        SELECT d.doc_id * 16 // (x.m + 1) AS file, d.n_chars, d.del
+        FROM d, mx x),
+      files AS (
+        SELECT file, count(*) AS rows,
+               sum(CASE WHEN del THEN 1 ELSE 0 END) AS dels,
+               sum(n_chars) AS bytes,
+               sum(CASE WHEN del THEN n_chars ELSE 0 END) AS dead_bytes
+        FROM f GROUP BY 1),
+      agg AS (
+        SELECT count(*) AS n_files,
+               sum(CASE WHEN dels > 0 THEN 1 ELSE 0 END) AS touched_files,
+               sum(bytes) AS total_bytes,
+               sum(CASE WHEN dels > 0 THEN bytes - dead_bytes ELSE 0 END)
+                 AS cow_write_bytes,
+               sum(dead_bytes) AS mor_dead_bytes
+        FROM files)
+      SELECT CAST(n_files AS BIGINT) AS n_files,
+             CAST(touched_files AS BIGINT) AS touched_files,
+             CAST(total_bytes AS BIGINT) AS total_bytes,
+             CAST(cow_write_bytes AS BIGINT) AS cow_write_bytes,
+             CAST(mor_dead_bytes AS BIGINT) AS mor_dead_bytes,
+             CAST(cow_write_bytes * 1000000 // total_bytes AS BIGINT)
+               AS cow_amp_e6,
+             CAST(mor_dead_bytes * 1000000 // total_bytes AS BIGINT)
+               AS mor_amp_e6
+      FROM agg"""))
   )
 }

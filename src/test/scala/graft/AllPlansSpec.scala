@@ -110,7 +110,9 @@ class AllPlansSpec extends AnyFunSuite {
     "a15_semi_additive_balance" -> "1-row global-max-month broadcast onto the customer first-activity table",
     "w24_pareto_cutoffs" -> "1-row totals + 3-row threshold-grid broadcasts onto the ranked spend table",
     "gr19_dag_layers" -> "1-row height broadcast onto the bounded layer histogram",
-    "ol8_robust_locations" -> "1-row count/median/bound-value broadcasts onto the ranked cents table")
+    "ol8_robust_locations" -> "1-row count/median/bound-value broadcasts onto the ranked cents table",
+    "f13_luhn_audit" -> "1-row validity-summary broadcast onto the 10-row sample",
+    "k32_cow_vs_mor" -> "1-row max-id broadcast onto the scan before file bucketing (k28's shape)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2049,4 +2049,79 @@ class MetricOpsSpec extends AnyFunSuite {
         assert(v >= cs.head * 1000000L && v <= cs.last * 1000000L)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 40: f13 / cs46 / k32
+  // ------------------------------------------------------------------
+
+  test("f13: luhn validity matches a digit-by-digit recount") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("f13_luhn_audit").collect()
+    assert(out.length == 10)
+    def luhnSum(num: String): Int =
+      num.reverse.zipWithIndex.map { case (ch, i) =>
+        val d0 = ch - '0'
+        if (i % 2 == 1) { val x = 2 * d0; if (x > 9) x - 9 else x }
+        else d0
+      }.sum
+    val keys = t(s, dir, "orders").select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val nums = keys.map(k => (k, f"$k%012d"))
+    val nValid = nums.count(p => luhnSum(p._2) % 10 == 0).toLong
+    out.foreach { r =>
+      val num = r.getAs[String]("num")
+      val ds = luhnSum(num)
+      assert(r.getAs[Boolean]("luhn_valid") == (ds % 10 == 0))
+      val wc = (10 - (ds - (num.charAt(11) - '0')) % 10) % 10
+      assert(r.getAs[Long]("would_check") == wc.toLong)
+      // replacing the last digit with would_check validates the number
+      val fixed = num.take(11) + wc.toString
+      assert(luhnSum(fixed) % 10 == 0)
+      assert(r.getAs[Long]("n") == keys.length.toLong)
+      assert(r.getAs[Long]("n_valid") == nValid)
+    }
+    assert(out.map(_.getAs[Long]("o_orderkey")).toSeq ==
+      keys.sorted.take(10).toSeq)
+  }
+
+  test("cs46: dispersion matches a zero-inclusive calendar recount") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs46_arrival_dispersion").collect()(0)
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+    val nDays = daily.map(_._1).max - daily.map(_._1).min + 1
+    val sSum = daily.map(_._2).sum
+    val ss = daily.map(q => q._2 * q._2).sum
+    assert(r.getAs[Long]("n_days") == nDays)
+    assert(r.getAs[Long]("active_days") == daily.length.toLong)
+    assert(r.getAs[Long]("n_orders") == sSum)
+    assert(r.getAs[Long]("dispersion_e6") ==
+      1000000L * (nDays * ss - sSum * sSum) / ((nDays - 1) * sSum))
+    assert(r.getAs[Long]("mean_per_day_e6") == sSum * 1000000L / nDays)
+  }
+
+  test("k32: amplification masses agree with k28's file layout") {
+    val out = run("k32_cow_vs_mor").collect()(0)
+    val files = run("k28_delete_vector_plan").collect()
+    assert(out.getAs[Long]("n_files") == files.length.toLong)
+    assert(out.getAs[Long]("touched_files") ==
+      files.count(_.getAs[Long]("dels") > 0).toLong)
+    assert(out.getAs[Long]("total_bytes") ==
+      files.map(_.getAs[Long]("bytes")).sum)
+    assert(out.getAs[Long]("mor_dead_bytes") ==
+      files.map(_.getAs[Long]("dead_bytes")).sum)
+    assert(out.getAs[Long]("cow_write_bytes") ==
+      files.filter(_.getAs[Long]("dels") > 0)
+        .map(f => f.getAs[Long]("bytes") - f.getAs[Long]("dead_bytes"))
+        .sum)
+    // CoW moves live bytes of touched files; MoR scans only dead bytes —
+    // both amplifications are shares of the same total
+    assert(out.getAs[Long]("cow_amp_e6") <= 1000000L)
+    assert(out.getAs[Long]("mor_amp_e6") <= 1000000L)
+  }
 }

@@ -3735,6 +3735,207 @@ object MetricQueries {
                AS cow_amp_e6,
              CAST(mor_dead_bytes * 1000000 // total_bytes AS BIGINT)
                AS mor_amp_e6
-      FROM agg"""))
+      FROM agg""")),
+
+    // D13 — business-day order→ship lag histogram: working days between
+    // order and ship dates by CLOSED FORM (full weeks × 5 + weekday-
+    // offset correction — no per-day explode, no calendar table), the
+    // SLA metric a fulfillment dashboard buckets on. The weekend
+    // correction uses the day-of-week of the start date via epoch-day
+    // mod 7 — pure integer arithmetic, identical on both engines.
+    Q("d13_business_day_lag", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey")
+          .as("l_orderkey"), to_date(col("o_orderdate")).as("od")),
+          "l_orderkey")
+        .selectExpr(
+          "CAST(datediff(od, DATE '1992-01-01') AS LONG) AS d0",
+          "CAST(datediff(to_date(l_shipdate), DATE '1992-01-01') " +
+            "AS LONG) AS d1")
+        .filter(col("d1") >= col("d0"))
+        // 1992-01-01 is a Wednesday: dow 0..6 with 0 = Monday is
+        // (d + 2) % 7; business days in [d0, d1) = full weeks × 5 +
+        // weekdays among the (d1-d0) % 7 leftover days starting at d0's
+        // dow
+        .selectExpr("d1 - d0 AS cal_days", "(d0 + 2L) % 7L AS dw0")
+        // Spark sequence(0, -1) DESCENDS instead of emptying — guard the
+        // full-week case explicitly
+        .selectExpr("cal_days", "dw0",
+          "(cal_days div 7L) * 5L + CASE WHEN cal_days % 7L = 0L THEN 0L " +
+            "ELSE aggregate(transform(sequence(0L, cal_days % 7L - 1L), " +
+            "i -> CASE WHEN (dw0 + i) % 7 < 5 THEN 1L ELSE 0L END), " +
+            "0L, (a, x) -> a + x) END AS bdays")
+      li.groupBy("bdays").agg(count(lit(1)).as("n_lineitems"))
+        .orderBy("bdays")
+    }, Some("""
+      WITH li AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d0,
+               CAST(datediff('day', DATE '1992-01-01',
+                 CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d1
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)),
+      b AS (
+        SELECT d1 - d0 AS cal_days, (d0 + 2) % 7 AS dw0 FROM li),
+      c AS (
+        SELECT (cal_days // 7) * 5 +
+               coalesce(list_sum(list_transform(
+                 generate_series(0, cal_days % 7 - 1),
+                 i -> CASE WHEN (dw0 + i) % 7 < 5 THEN 1 ELSE 0 END)), 0)
+                 AS bdays
+        FROM b)
+      SELECT CAST(bdays AS BIGINT) AS bdays,
+             count(*) AS n_lineitems
+      FROM c GROUP BY 1 ORDER BY bdays""")),
+
+    // TS18 — discrete velocity/acceleration of monthly revenue and its
+    // inflection count: first and second differences of the month series
+    // (exact cents), the months where acceleration flips sign, and the
+    // latest trend direction — the "is growth growing?" readout ts6's
+    // smoothing constants presuppose. One bounded month window; sign
+    // flips are integer products < 0, zeros skipped per the classical
+    // rule.
+    Q("ts18_revenue_inflections", (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(expr("(year(to_date(o_orderdate)) - 1992) * 12 + " +
+          "month(to_date(o_orderdate)) - 1").cast("long").as("m"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val w = Window.orderBy("m")
+      val diffs = monthly
+        .withColumn("vel", col("y") - lag("y", 1).over(w))
+        .withColumn("acc", col("vel") - lag("vel", 1).over(w))
+        .withColumn("pacc", lag("acc", 1).over(w))
+      diffs
+        .agg(count(lit(1)).as("n_months"),
+          sum(when(col("acc").isNotNull && col("pacc").isNotNull &&
+            col("acc") * col("pacc") < 0, 1L).otherwise(0L))
+            .as("n_inflections"),
+          sum(when(col("vel") > 0, 1L).otherwise(0L)).as("n_up_months"),
+          max(struct(col("m"), col("vel"))).as("last"))
+        .selectExpr("n_months", "n_inflections", "n_up_months",
+          "last.m AS last_m",
+          "CASE WHEN last.vel > 0 THEN 1L WHEN last.vel < 0 THEN -1L " +
+            "ELSE 0L END AS last_trend")
+    }, Some("""
+      WITH monthly AS (
+        SELECT CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+                    month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      d AS (
+        SELECT m, y, y - lag(y) OVER (ORDER BY m) AS vel
+        FROM monthly),
+      d2 AS (
+        SELECT m, vel, vel - lag(vel) OVER (ORDER BY m) AS acc
+        FROM d),
+      d3 AS (
+        SELECT m, vel, acc, lag(acc) OVER (ORDER BY m) AS pacc
+        FROM d2)
+      SELECT CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(CASE WHEN acc IS NOT NULL AND pacc IS NOT NULL
+               AND acc * pacc < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inflections,
+             CAST(sum(CASE WHEN vel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up_months,
+             CAST(max(m) AS BIGINT) AS last_m,
+             CAST(CASE WHEN arg_max(vel, m) > 0 THEN 1
+                       WHEN arg_max(vel, m) < 0 THEN -1
+                       ELSE 0 END AS BIGINT) AS last_trend
+      FROM d3""")),
+
+    // CS47 — Yuen's trimmed t: do BUILDING and MACHINERY customers
+    // differ in typical order value once 10% tails are trimmed — the
+    // robust two-sample test cs13's z (means) and cs26's U (pure ranks)
+    // bracket. Per-segment rank windows give the trim bounds; trimmed
+    // means and WINSORIZED sums of squares are exact cents; the t
+    // statistic composes the two variance terms as one sqrt. Output
+    // includes both trimmed means so the direction is auditable.
+    Q("cs47_yuen_trimmed_t", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey")
+          .as("o_custkey"), col("c_mktsegment").as("seg")), "o_custkey")
+        .filter(col("seg").isin("BUILDING", "MACHINERY"))
+        .select(col("seg"), col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+      val ranked = o
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("seg").orderBy("c", "k")).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("seg")).cast("long"))
+        .withColumn("lo", expr("n div 10L"))
+        .withColumn("hi", expr("n - n div 10L"))
+        .localCheckpoint(eager = false) // feeds bounds + winsor sums
+      val bounds = ranked.filter(col("rn") === col("lo") + 1)
+        .select(col("seg").as("s2"), col("c").as("lo_c"))
+        .join(ranked.filter(col("rn") === col("hi"))
+          .select(col("seg").as("s3"), col("c").as("hi_c")),
+          col("s2") === col("s3"))
+        .select(col("s2"), col("lo_c"), col("hi_c"))
+      val stats = ranked.join(broadcast(bounds), col("seg") === col("s2"))
+        .withColumn("wc", expr("greatest(lo_c, least(hi_c, c))"))
+        .groupBy("seg", "n", "lo", "hi")
+        .agg(sum(when(col("rn") > col("lo") && col("rn") <= col("hi"),
+            col("c")).otherwise(0L)).as("tsum"),
+          sum(col("wc").cast("decimal(38,0)") * col("wc")).as("wss"),
+          sum(col("wc")).as("ws"))
+        .selectExpr("seg", "n", "hi - lo AS h",
+          "tsum * 1000000L div (hi - lo) AS tmean_e6",
+          "CAST(n * wss - CAST(ws AS DECIMAL(38,0)) * ws AS DOUBLE) / " +
+            "(CAST(n AS DOUBLE) * (n - 1)) AS wvar")
+      val a = stats.filter(col("seg") === "BUILDING")
+        .selectExpr("n AS n_a", "h AS h_a", "tmean_e6 AS tmean_a_e6",
+          "wvar AS wvar_a")
+      val b = stats.filter(col("seg") === "MACHINERY")
+        .selectExpr("n AS n_b", "h AS h_b", "tmean_e6 AS tmean_b_e6",
+          "wvar AS wvar_b")
+      a.crossJoin(broadcast(b))
+        .selectExpr("n_a", "n_b", "tmean_a_e6", "tmean_b_e6",
+          "CAST(floor(1.0e6 * ((CAST(tmean_a_e6 - tmean_b_e6 AS DOUBLE) " +
+            "/ 1.0e6) / sqrt((n_a - 1L) * wvar_a / (CAST(h_a AS DOUBLE) " +
+            "* (h_a - 1)) + (n_b - 1L) * wvar_b / (CAST(h_b AS DOUBLE) " +
+            "* (h_b - 1))))) AS BIGINT) AS t_e6")
+    }, Some("""
+      WITH o AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      ranked AS (
+        SELECT seg, k, c,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY c, k)
+                 AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+        FROM o),
+      rb AS (
+        SELECT *, n // 10 AS lo, n - n // 10 AS hi FROM ranked),
+      bounds AS (
+        SELECT l.seg AS s2, l.c AS lo_c, h.c AS hi_c
+        FROM (SELECT seg, c FROM rb WHERE rn = lo + 1) l
+        JOIN (SELECT seg, c FROM rb WHERE rn = hi) h ON h.seg = l.seg),
+      stats AS (
+        SELECT r.seg, r.n, r.hi - r.lo AS h,
+               sum(CASE WHEN r.rn > r.lo AND r.rn <= r.hi THEN r.c
+                   ELSE 0 END) * 1000000 // (r.hi - r.lo) AS tmean_e6,
+               CAST(r.n * sum(CAST(greatest(b.lo_c, least(b.hi_c, r.c))
+                 AS HUGEINT) * greatest(b.lo_c, least(b.hi_c, r.c))) -
+                 CAST(sum(greatest(b.lo_c, least(b.hi_c, r.c)))
+                 AS HUGEINT) * sum(greatest(b.lo_c, least(b.hi_c, r.c)))
+                 AS DOUBLE) / (CAST(r.n AS DOUBLE) * (r.n - 1)) AS wvar
+        FROM rb r JOIN bounds b ON b.s2 = r.seg
+        GROUP BY r.seg, r.n, r.hi, r.lo),
+      a AS (SELECT n AS n_a, h AS h_a, tmean_e6 AS tmean_a_e6,
+                   wvar AS wvar_a
+            FROM stats WHERE seg = 'BUILDING'),
+      bb AS (SELECT n AS n_b, h AS h_b, tmean_e6 AS tmean_b_e6,
+                    wvar AS wvar_b
+             FROM stats WHERE seg = 'MACHINERY')
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(tmean_a_e6 AS BIGINT) AS tmean_a_e6,
+             CAST(tmean_b_e6 AS BIGINT) AS tmean_b_e6,
+             CAST(floor(1.0e6 * ((CAST(tmean_a_e6 - tmean_b_e6 AS DOUBLE)
+               / 1.0e6) / sqrt((n_a - 1) * wvar_a / (CAST(h_a AS DOUBLE)
+               * (h_a - 1)) + (n_b - 1) * wvar_b / (CAST(h_b AS DOUBLE)
+               * (h_b - 1))))) AS BIGINT) AS t_e6
+      FROM a, bb"""))
   )
 }

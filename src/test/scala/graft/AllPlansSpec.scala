@@ -112,7 +112,8 @@ class AllPlansSpec extends AnyFunSuite {
     "gr19_dag_layers" -> "1-row height broadcast onto the bounded layer histogram",
     "ol8_robust_locations" -> "1-row count/median/bound-value broadcasts onto the ranked cents table",
     "f13_luhn_audit" -> "1-row validity-summary broadcast onto the 10-row sample",
-    "k32_cow_vs_mor" -> "1-row max-id broadcast onto the scan before file bucketing (k28's shape)")
+    "k32_cow_vs_mor" -> "1-row max-id broadcast onto the scan before file bucketing (k28's shape)",
+    "cs47_yuen_trimmed_t" -> "2-row trim-bound broadcast onto the ranked segment table + 1-row side join")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2124,4 +2124,84 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("cow_amp_e6") <= 1000000L)
     assert(out.getAs[Long]("mor_amp_e6") <= 1000000L)
   }
+
+  // ------------------------------------------------------------------
+  // wave 41: d13 / ts18 / cs47
+  // ------------------------------------------------------------------
+
+  test("d13: business-day lags match a walk-the-calendar recount") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("d13_business_day_lag").collect()
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        to_date(col("o_orderdate")).as("od")), "l_orderkey")
+      .selectExpr("CAST(datediff(od, DATE '1992-01-01') AS LONG) AS d0",
+        "CAST(datediff(to_date(l_shipdate), DATE '1992-01-01') AS LONG) " +
+          "AS d1")
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+      .filter(p => p._2 >= p._1)
+    // literal day walk: count weekdays in [d0, d1)
+    val brute = li.map { case (d0, d1) =>
+      (d0 until d1).count(d => (d + 2) % 7 < 5).toLong
+    }.groupBy(identity(_)).view.mapValues(_.length.toLong).toMap
+    val got = out.map(r => (r.getAs[Long]("bdays"),
+      r.getAs[Long]("n_lineitems"))).toMap
+    assert(got == brute)
+    assert(out.map(_.getAs[Long]("n_lineitems")).sum == li.length.toLong)
+  }
+
+  test("ts18: inflection count matches a brute-force diff replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("ts18_revenue_inflections").collect()(0)
+    val ys = t(s, dir, "orders")
+      .groupBy(expr("(year(to_date(o_orderdate)) - 1992) * 12 + " +
+        "month(to_date(o_orderdate)) - 1").cast("long").as("m"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(q => (q.getLong(0), q.getLong(1))).sortBy(_._1)
+    val vel = ys.sliding(2).map(p => p(1)._2 - p(0)._2).toSeq
+    val acc = vel.sliding(2).map(p => p(1) - p(0)).toSeq
+    val infl = acc.sliding(2).count(p => p(0) * p(1) < 0).toLong
+    assert(r.getAs[Long]("n_months") == ys.length.toLong)
+    assert(r.getAs[Long]("n_inflections") == infl)
+    assert(r.getAs[Long]("n_up_months") == vel.count(_ > 0).toLong)
+    assert(r.getAs[Long]("last_m") == ys.last._1)
+    assert(r.getAs[Long]("last_trend") == vel.last.signum.toLong)
+  }
+
+  test("cs47: trimmed means and t match a brute-force recount") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs47_yuen_trimmed_t").collect()(0)
+    val rows = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .filter(col("seg").isin("BUILDING", "MACHINERY"))
+      .select(col("seg"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(q => (q.getString(0), q.getLong(1), q.getLong(2)))
+    def segStats(name: String): (Long, Long, Long, Double) = {
+      val cs = rows.filter(_._1 == name).map(q => (q._3, q._2))
+        .sorted.map(_._1)
+      val n = cs.length
+      val (lo, hi) = (n / 10, n - n / 10)
+      val tmean = cs.slice(lo, hi).map(BigInt(_)).sum * 1000000 /
+        (hi - lo)
+      val wc = cs.map(v => math.max(cs(lo), math.min(cs(hi - 1), v)))
+      val ws = wc.map(BigInt(_)).sum
+      val wss = wc.map(v => BigInt(v) * v).sum
+      val wvar = (n * wss - ws * ws).toDouble / (n.toDouble * (n - 1))
+      (n.toLong, (hi - lo).toLong, tmean.toLong, wvar)
+    }
+    val (na, ha, ta, va) = segStats("BUILDING")
+    val (nb, hb, tb, vb) = segStats("MACHINERY")
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("tmean_a_e6") == ta)
+    assert(r.getAs[Long]("tmean_b_e6") == tb)
+    val tstat = ((ta - tb).toDouble / 1.0e6) /
+      math.sqrt((na - 1) * va / (ha.toDouble * (ha - 1)) +
+        (nb - 1) * vb / (hb.toDouble * (hb - 1)))
+    assert(r.getAs[Long]("t_e6") == math.floor(1.0e6 * tstat).toLong)
+  }
 }

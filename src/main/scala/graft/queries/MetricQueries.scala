@@ -3936,6 +3936,192 @@ object MetricQueries {
                / 1.0e6) / sqrt((n_a - 1) * wvar_a / (CAST(h_a AS DOUBLE)
                * (h_a - 1)) + (n_b - 1) * wvar_b / (CAST(h_b AS DOUBLE)
                * (h_b - 1))))) AS BIGINT) AS t_e6
-      FROM a, bb"""))
+      FROM a, bb""")),
+
+    // W26 — XmR (individuals / moving-range) control chart on daily
+    // revenue: center line, MR̄-derived limits (μ ± 2.66·MR̄ — the SPC
+    // constant for n=2 subgroups), out-of-control day counts on both
+    // sides, and the longest run above center (Western Electric rule 2's
+    // raw ingredient) — statistical process control as one day-grain
+    // window pass. Sums and run lengths are exact; the limits compose
+    // once as doubles.
+    Q("w26_xmr_control_chart", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .localCheckpoint(eager = false) // feeds MR window + rescan
+      val w = Window.orderBy("d")
+      val mr = daily
+        .withColumn("mrv", abs(col("y") - lag("y", 1).over(w)))
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum("mrv").as("smr"),
+          sum(when(col("mrv").isNotNull, 1L).otherwise(0L)).as("nmr"))
+      val lim = mr.selectExpr("n", "sy", "smr", "nmr",
+        "CAST(sy AS DOUBLE) / n AS center",
+        "CAST(sy AS DOUBLE) / n + 2.66e0 * CAST(smr AS DOUBLE) / nmr " +
+          "AS ucl",
+        "CAST(sy AS DOUBLE) / n - 2.66e0 * CAST(smr AS DOUBLE) / nmr " +
+          "AS lcl")
+      val flagged = daily.crossJoin(broadcast(lim))
+        .withColumn("above", col("y") > col("center"))
+        .withColumn("grp", sum(when(col("y") > col("center"), 0L)
+          .otherwise(1L)).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val runs = flagged.filter(col("above"))
+        .groupBy("grp").agg(count(lit(1)).as("len"))
+        .agg(coalesce(max("len"), lit(0L)).as("longest_run_above"))
+      flagged
+        .agg(first("n").as("n_days"),
+          sum(when(col("y") > col("ucl"), 1L).otherwise(0L))
+            .as("n_above_ucl"),
+          sum(when(col("y") < col("lcl"), 1L).otherwise(0L))
+            .as("n_below_lcl"),
+          first(expr("CAST(floor(center) AS LONG)")).as("center_cents"),
+          first(expr("CAST(floor(ucl) AS LONG)")).as("ucl_cents"),
+          first(expr("CAST(floor(lcl) AS LONG)")).as("lcl_cents"))
+        .crossJoin(broadcast(runs))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      mrt AS (
+        SELECT count(*) AS n, sum(y) AS sy,
+               sum(abs(y - py)) AS smr,
+               sum(CASE WHEN py IS NOT NULL THEN 1 ELSE 0 END) AS nmr
+        FROM (SELECT y, lag(y) OVER (ORDER BY d) AS py FROM daily)),
+      lim AS (
+        SELECT n, CAST(sy AS DOUBLE) / n AS center,
+               CAST(sy AS DOUBLE) / n + 2.66e0 * CAST(smr AS DOUBLE)
+                 / nmr AS ucl,
+               CAST(sy AS DOUBLE) / n - 2.66e0 * CAST(smr AS DOUBLE)
+                 / nmr AS lcl
+        FROM mrt),
+      flagged AS (
+        SELECT d.d, d.y, l.n, l.center, l.ucl, l.lcl,
+               d.y > l.center AS above,
+               sum(CASE WHEN d.y > l.center THEN 0 ELSE 1 END)
+                 OVER (ORDER BY d.d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS grp
+        FROM daily d, lim l),
+      runs AS (
+        SELECT coalesce(max(len), 0) AS longest_run_above FROM (
+          SELECT grp, count(*) AS len FROM flagged WHERE above
+          GROUP BY grp)),
+      agg AS (
+        SELECT any_value(n) AS n_days,
+               sum(CASE WHEN y > ucl THEN 1 ELSE 0 END) AS n_above_ucl,
+               sum(CASE WHEN y < lcl THEN 1 ELSE 0 END) AS n_below_lcl,
+               CAST(floor(any_value(center)) AS BIGINT) AS center_cents,
+               CAST(floor(any_value(ucl)) AS BIGINT) AS ucl_cents,
+               CAST(floor(any_value(lcl)) AS BIGINT) AS lcl_cents
+        FROM flagged)
+      SELECT CAST(a.n_days AS BIGINT) AS n_days,
+             CAST(a.n_above_ucl AS BIGINT) AS n_above_ucl,
+             CAST(a.n_below_lcl AS BIGINT) AS n_below_lcl,
+             a.center_cents, a.ucl_cents, a.lcl_cents,
+             CAST(r.longest_run_above AS BIGINT) AS longest_run_above
+      FROM agg a, runs r""")),
+
+    // CS48 — Hill tail-index estimator on the top-128 order values:
+    // α̂⁻¹ = mean of ln(x_i / x_{k+1}) over the k largest observations —
+    // the standard heavy-tail exponent (α ≈ Pareto shape) that says
+    // whether revenue extremes follow a power law (cs4 asks this of word
+    // frequencies; here it prices tail risk). Order statistics come from
+    // one rank window; the k ln terms fold in rank order; α̂ and its
+    // reciprocal are one double division each.
+    Q("cs48_hill_tail_index", (s, dir) => {
+      val k = 128
+      val ranked = t(s, dir, "orders")
+        .select(col("o_orderkey").as("kk"),
+          floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .select(col("c"), row_number().over(
+          Window.orderBy(col("c").desc, col("kk"))).cast("long").as("rn"))
+        .filter(col("rn") <= k + 1)
+        .localCheckpoint(eager = false) // feeds pivot + fold
+      val pivot = ranked.filter(col("rn") === k + 1)
+        .selectExpr("c AS xk1")
+      ranked.filter(col("rn") <= k)
+        .crossJoin(broadcast(pivot))
+        .select(col("rn"),
+          log(col("c") / col("xk1").cast("double")).as("term"))
+        .agg(aggregate(transform(array_sort(collect_list(
+          struct(col("rn"), col("term")))), q => q.getField("term")),
+          lit(0.0), (a, q) => a + q).as("hsum"))
+        .crossJoin(broadcast(pivot))
+        .selectExpr(s"${k}L AS k", "xk1 AS pivot_cents",
+          s"CAST(floor(1.0e6 * (hsum / $k)) AS BIGINT) AS hill_inv_e6",
+          s"CAST(floor(1.0e6 * ($k / hsum)) AS BIGINT) AS alpha_e6")
+    }, Some("""
+      WITH ranked AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+               CAST(row_number() OVER (ORDER BY
+                 CAST(floor(o_totalprice * 100) AS BIGINT) DESC,
+                 o_orderkey) AS BIGINT) AS rn
+        FROM orders),
+      pv AS (SELECT c AS xk1 FROM ranked WHERE rn = 129),
+      terms AS (
+        SELECT r.rn, ln(r.c / CAST(p.xk1 AS DOUBLE)) AS term
+        FROM ranked r, pv p WHERE r.rn <= 128),
+      f AS (SELECT list_sum(list(term ORDER BY rn)) AS hsum FROM terms)
+      SELECT CAST(128 AS BIGINT) AS k,
+             CAST(p.xk1 AS BIGINT) AS pivot_cents,
+             CAST(floor(1.0e6 * (f.hsum / 128)) AS BIGINT)
+               AS hill_inv_e6,
+             CAST(floor(1.0e6 * (128 / f.hsum)) AS BIGINT) AS alpha_e6
+      FROM f, pv p""")),
+
+    // MB5 — ABC inventory classification of parts by revenue: rank parts
+    // by lineitem revenue, classify by cumulative share (A ≤ 80% < B ≤
+    // 95% < C — exact integer cross-multiplication, w24's move at part
+    // grain), and report each class's part count and revenue mass. The
+    // slotting/assortment rollup every ops dashboard carries; one
+    // part-grain sort, no float shares.
+    Q("mb5_abc_classification", (s, dir) => {
+      val pr = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("rev"))
+        .localCheckpoint(eager = false)
+      val ranked = pr
+        .select(col("pk"), col("rev"), row_number().over(
+          Window.orderBy(col("rev").desc, col("pk"))).cast("long")
+          .as("rn"))
+        .withColumn("cum", sum("rev").over(Window.orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.crossJoin(broadcast(pr.agg(sum("rev").as("tot"))))
+        .selectExpr("pk", "rev",
+          "CASE WHEN (cum - rev) * 100 < tot * 80L THEN 'A' " +
+            "WHEN (cum - rev) * 100 < tot * 95L THEN 'B' " +
+            "ELSE 'C' END AS abc", "tot")
+        .groupBy("abc", "tot")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_rev"))
+        .selectExpr("abc", "n_parts", "class_rev",
+          "class_rev * 1000000L div tot AS rev_share_e6")
+        .orderBy("abc")
+    }, Some("""
+      WITH pr AS (
+        SELECT l_partkey AS pk,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1),
+      ranked AS (
+        SELECT pk, rev,
+               sum(rev) OVER (ORDER BY rev DESC, pk ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM pr),
+      tot AS (SELECT sum(rev) AS tot FROM pr),
+      cls AS (
+        SELECT r.pk, r.rev,
+               CASE WHEN (r.cum - r.rev) * 100 < t.tot * 80 THEN 'A'
+                    WHEN (r.cum - r.rev) * 100 < t.tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc, t.tot
+        FROM ranked r, tot t)
+      SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev) AS BIGINT) AS class_rev,
+             CAST(sum(rev) * 1000000 // any_value(tot) AS BIGINT)
+               AS rev_share_e6
+      FROM cls GROUP BY abc ORDER BY abc"""))
   )
 }

@@ -113,7 +113,10 @@ class AllPlansSpec extends AnyFunSuite {
     "ol8_robust_locations" -> "1-row count/median/bound-value broadcasts onto the ranked cents table",
     "f13_luhn_audit" -> "1-row validity-summary broadcast onto the 10-row sample",
     "k32_cow_vs_mor" -> "1-row max-id broadcast onto the scan before file bucketing (k28's shape)",
-    "cs47_yuen_trimmed_t" -> "2-row trim-bound broadcast onto the ranked segment table + 1-row side join")
+    "cs47_yuen_trimmed_t" -> "2-row trim-bound broadcast onto the ranked segment table + 1-row side join",
+    "w26_xmr_control_chart" -> "1-row control-limit + longest-run broadcasts onto the day table",
+    "cs48_hill_tail_index" -> "1-row pivot order-statistic broadcast onto the 128-row top-k",
+    "mb5_abc_classification" -> "1-row revenue-total broadcast onto the ranked part table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2204,4 +2204,85 @@ class MetricOpsSpec extends AnyFunSuite {
         (nb - 1) * vb / (hb.toDouble * (hb - 1)))
     assert(r.getAs[Long]("t_e6") == math.floor(1.0e6 * tstat).toLong)
   }
+
+  // ------------------------------------------------------------------
+  // wave 42: w26 / cs48 / mb5
+  // ------------------------------------------------------------------
+
+  test("w26: control-chart stats match a brute-force replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("w26_xmr_control_chart").collect()(0)
+    val ys = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(q => (q.getLong(0), q.getLong(1))).sortBy(_._1)
+      .map(_._2)
+    val n = ys.length
+    val center = ys.map(BigInt(_)).sum.toDouble / n
+    val mrbar = ys.sliding(2).map(p => math.abs(p(1) - p(0)).toDouble)
+      .sum / (n - 1)
+    val (ucl, lcl) = (center + 2.66 * mrbar, center - 2.66 * mrbar)
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("n_above_ucl") == ys.count(_ > ucl).toLong)
+    assert(r.getAs[Long]("n_below_lcl") == ys.count(_ < lcl).toLong)
+    assert(r.getAs[Long]("center_cents") == math.floor(center).toLong)
+    // longest run strictly above center
+    var (best, cur) = (0L, 0L)
+    ys.foreach { y =>
+      if (y > center) { cur += 1; best = math.max(best, cur) }
+      else cur = 0
+    }
+    assert(r.getAs[Long]("longest_run_above") == best)
+    assert(r.getAs[Long]("lcl_cents") < r.getAs[Long]("center_cents") &&
+      r.getAs[Long]("center_cents") < r.getAs[Long]("ucl_cents"))
+  }
+
+  test("cs48: hill estimator matches a brute-force top-k fold") {
+    val s = spark
+    import graft.queries.Tables.t
+    val r = run("cs48_hill_tail_index").collect()(0)
+    val cs = t(s, dir, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100)
+        .cast("long").as("c"))
+      .collect().map(q => (q.getLong(1), q.getLong(0)))
+      .sortBy(p => (-p._1, p._2)).map(_._1)
+    val k = 128
+    val pivot = cs(k)
+    assert(r.getAs[Long]("pivot_cents") == pivot)
+    val hsum = cs.take(k).map(c => math.log(c / pivot.toDouble)).sum
+    assert(r.getAs[Long]("hill_inv_e6") ==
+      math.floor(1.0e6 * (hsum / k)).toLong)
+    assert(r.getAs[Long]("alpha_e6") ==
+      math.floor(1.0e6 * (k / hsum)).toLong)
+    assert(r.getAs[Long]("alpha_e6") > 0)
+  }
+
+  test("mb5: ABC classes partition parts and respect cumulative bounds") {
+    val s = spark
+    import graft.queries.Tables.t
+    val out = run("mb5_abc_classification").collect()
+    val pr = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("r"))
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+      .sortBy(p => (-p._2, p._1))
+    val tot = pr.map(_._2).sum
+    var cum = 0L
+    val brute = pr.map { case (_, rev) =>
+      val before = cum; cum += rev
+      if (before * 100 < tot * 80) "A"
+      else if (before * 100 < tot * 95) "B" else "C"
+    }.groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val got = out.map(r => (r.getAs[String]("abc"),
+      r.getAs[Long]("n_parts"))).toMap
+    assert(got == brute)
+    assert(out.map(_.getAs[Long]("n_parts")).sum == pr.length.toLong)
+    assert(out.map(_.getAs[Long]("class_rev")).sum == tot)
+    // A carries the largest share per construction
+    val shares = out.map(r => r.getAs[String]("abc") ->
+      r.getAs[Long]("rev_share_e6")).toMap
+    assert(shares("A") >= shares.getOrElse("B", 0L))
+  }
 }

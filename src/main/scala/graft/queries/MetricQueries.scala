@@ -4122,6 +4122,273 @@ object MetricQueries {
              CAST(sum(rev) AS BIGINT) AS class_rev,
              CAST(sum(rev) * 1000000 // any_value(tot) AS BIGINT)
                AS rev_share_e6
-      FROM cls GROUP BY abc ORDER BY abc"""))
+      FROM cls GROUP BY abc ORDER BY abc""")),
+
+    // KM2 — Nelson–Aalen cumulative hazard on km1's spells (weeks until a
+    // customer's second order, right-censored at the horizon): H(t) =
+    // Σ d/n over event weeks plus its variance Σ d/n² — the estimator of
+    // choice when the hazard (not the survival curve) is the quantity of
+    // interest, and the additive twin that avoids km1's log/exp entirely.
+    // The risk table is exact integers; the two cumulative sums fold in
+    // week order on both engines (identical summation sequence), floored
+    // at e6/e9. Scale shape: one per-customer window, week-grain bounded
+    // output — same as km1.
+    Q("km2_nelson_aalen", (s, dir) => {
+      val wC = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+      val firstTwo = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(min(when(col("rn") === 1, col("d"))).as("d1"),
+          min(when(col("rn") === 2, col("d"))).as("d2"))
+      val horizon = t(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val spells = firstTwo.crossJoin(broadcast(horizon))
+        .selectExpr(
+          "CASE WHEN d2 IS NOT NULL THEN datediff(d2, d1) div 7 " +
+            "ELSE datediff(hz, d1) div 7 END AS tw",
+          "CASE WHEN d2 IS NOT NULL THEN 1L ELSE 0L END AS ev")
+      val weekly = spells.groupBy("tw")
+        .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+      val wT = Window.orderBy("tw")
+      weekly
+        .withColumn("n_risk", sum(col("d") + col("c")).over(
+          wT.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)) - coalesce(
+          sum(col("d") + col("c")).over(
+            wT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("h_e6", floor(lit(1.0e6) * sum(
+          col("d").cast("double") / col("n_risk"))
+          .over(wT.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow))).cast("long"))
+        .withColumn("var_e9", floor(lit(1.0e9) * sum(
+          col("d").cast("double") / (col("n_risk") * col("n_risk")))
+          .over(wT.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow))).cast("long"))
+        .select(col("tw"), col("n_risk"), col("d"), col("c"),
+          col("h_e6"), col("var_e9"))
+        .orderBy("tw")
+    }, Some("""
+      WITH ft AS (
+        SELECT o_custkey,
+               min(CASE WHEN rn = 1 THEN d END) AS d1,
+               min(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2 GROUP BY 1),
+      hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+      spells AS (
+        SELECT CASE WHEN d2 IS NOT NULL
+                 THEN datediff('day', d1, d2) // 7
+                 ELSE datediff('day', d1, hz) // 7 END AS tw,
+               CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM ft, hz),
+      weekly AS (
+        SELECT tw, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(sum(1 - ev) AS BIGINT) AS c
+        FROM spells GROUP BY 1),
+      risk AS (
+        SELECT tw, d, c,
+               sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY tw
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM weekly)
+      SELECT CAST(tw AS BIGINT) AS tw, CAST(n_risk AS BIGINT) AS n_risk,
+             d, c,
+             CAST(floor(1.0e6 * sum(CAST(d AS DOUBLE) / n_risk)
+               OVER (ORDER BY tw ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW)) AS BIGINT) AS h_e6,
+             CAST(floor(1.0e9 * sum(CAST(d AS DOUBLE) /
+                 (n_risk * n_risk))
+               OVER (ORDER BY tw ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW)) AS BIGINT) AS var_e9
+      FROM risk ORDER BY tw""")),
+
+    // KM3 — two-sample log-rank test: does the BUILDING market segment
+    // reach its second order on a different schedule than everyone else?
+    // At each event week the observed group-1 deaths are compared with
+    // the hypergeometric expectation d·n1/n and variance
+    // d·(n1/n)·(n2/n)·(n−d)/(n−1); χ² = (O1−E1)²/ΣV. The risk tables are
+    // exact integers from ONE conditional aggregation (no per-group
+    // grids); the two double sums fold in week order via the sorted-array
+    // fold (cs48's move) so both engines add in the same sequence.
+    Q("km3_logrank_test", (s, dir) => {
+      val wC = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+      val firstTwo = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(min(when(col("rn") === 1, col("d"))).as("d1"),
+          min(when(col("rn") === 2, col("d"))).as("d2"))
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("g"))
+      val horizon = t(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val spells = firstTwo.join(seg, "o_custkey")
+        .crossJoin(broadcast(horizon))
+        .selectExpr(
+          "CASE WHEN d2 IS NOT NULL THEN datediff(d2, d1) div 7 " +
+            "ELSE datediff(hz, d1) div 7 END AS tw",
+          "CASE WHEN d2 IS NOT NULL THEN 1L ELSE 0L END AS ev", "g")
+      val weekly = spells.groupBy("tw")
+        .agg(sum("ev").as("d"), sum(col("ev") * col("g")).as("dg"),
+          sum(lit(1L) - col("ev")).as("c"),
+          sum((lit(1L) - col("ev")) * col("g")).as("cg"))
+      val wT = Window.orderBy("tw")
+      def nRisk(dc: org.apache.spark.sql.Column) =
+        sum(dc).over(wT.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)) - coalesce(
+          sum(dc).over(wT.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))
+      val terms = weekly
+        .withColumn("n", nRisk(col("d") + col("c")))
+        .withColumn("n1", nRisk(col("dg") + col("cg")))
+        .filter(col("d") > 0 && col("n") > 1)
+        .selectExpr("tw", "d", "dg",
+          "CAST(d AS DOUBLE) * n1 / n AS e1",
+          "CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d) " +
+            "/ (CAST(n AS DOUBLE) * n * (n - 1)) AS v")
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("tw"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      terms
+        .agg(count(lit(1)).as("n_event_weeks"), sum("dg").as("o1"),
+          foldBy("e1").as("se1"), foldBy("v").as("sv"))
+        .selectExpr("n_event_weeks", "o1",
+          "CAST(floor(1.0e6 * se1) AS BIGINT) AS e1_e6",
+          "CAST(floor(1.0e6 * sv) AS BIGINT) AS v_e6",
+          "CAST(floor(1.0e6 * (CAST(o1 AS DOUBLE) - se1) * (o1 - se1) " +
+            "/ sv) AS BIGINT) AS chi2_e6")
+    }, Some("""
+      WITH ft AS (
+        SELECT o_custkey,
+               min(CASE WHEN rn = 1 THEN d END) AS d1,
+               min(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2 GROUP BY 1),
+      hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+      spells AS (
+        SELECT CASE WHEN d2 IS NOT NULL
+                 THEN datediff('day', f.d1, f.d2) // 7
+                 ELSE datediff('day', f.d1, hz) // 7 END AS tw,
+               CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                 AS g
+        FROM ft f JOIN customer c ON c.c_custkey = f.o_custkey, hz),
+      weekly AS (
+        SELECT tw, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(sum(ev * g) AS BIGINT) AS dg,
+               CAST(sum(1 - ev) AS BIGINT) AS c,
+               CAST(sum((1 - ev) * g) AS BIGINT) AS cg
+        FROM spells GROUP BY 1),
+      risk AS (
+        SELECT tw, d, dg,
+               sum(d + c) OVER () - coalesce(sum(d + c) OVER (ORDER BY tw
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n,
+               sum(dg + cg) OVER () - coalesce(sum(dg + cg)
+                 OVER (ORDER BY tw ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   1 PRECEDING), 0) AS n1
+        FROM weekly),
+      terms AS (
+        SELECT tw, d, dg,
+               CAST(d AS DOUBLE) * n1 / n AS e1,
+               CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+                 / (CAST(n AS DOUBLE) * n * (n - 1)) AS v
+        FROM risk WHERE d > 0 AND n > 1),
+      f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_event_weeks,
+               CAST(sum(dg) AS BIGINT) AS o1,
+               list_sum(list(e1 ORDER BY tw)) AS se1,
+               list_sum(list(v ORDER BY tw)) AS sv
+        FROM terms)
+      SELECT n_event_weeks, o1,
+             CAST(floor(1.0e6 * se1) AS BIGINT) AS e1_e6,
+             CAST(floor(1.0e6 * sv) AS BIGINT) AS v_e6,
+             CAST(floor(1.0e6 * (o1 - se1) * (o1 - se1) / sv) AS BIGINT)
+               AS chi2_e6
+      FROM f""")),
+
+    // TS19 — Ljung–Box portmanteau test on the daily event-count series:
+    // Q(m) = n(n+2)·Σ_{k≤m} ρ̂ₖ²/(n−k) over lags 1–10 — the standard
+    // "is there ANY autocorrelation left" gate applied after ts1/ts6
+    // detrending decisions. The ACF is computed in EXACT integers by
+    // clearing denominators: with residual rₜ = n·xₜ − Σx, ρₖ =
+    // Σ rₜ·rₜ₋ₖ / Σ rₜ² (the n² factors cancel) — the only doubles are
+    // the m per-lag divisions and the cumulative Q, which accumulates in
+    // lag order over a 10-row window. Day-grain bounds the integer
+    // magnitudes (documented; HUGEINT on the DuckDB side); the lag
+    // pairing is a rank self-join of the bounded day table against a
+    // 10-row literal, never corpus×corpus.
+    Q("ts19_ljung_box", (s, dir) => {
+      val m = 10
+      val days = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("x"), row_number().over(Window.orderBy("day"))
+          .cast("long").as("rn"))
+        .localCheckpoint(eager = false) // feeds totals + both join sides
+      val tot = days.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val r = days.crossJoin(broadcast(tot))
+        .select(col("rn"), (col("n") * col("x") - col("sx")).as("res"),
+          col("n"))
+      val ss = r.agg(sum(col("res") * col("res")).as("ss"))
+      import s.implicits._
+      val lags = (1 to m).map(k => Tuple1(k.toLong)).toDF("k")
+      val byLag = r.crossJoin(broadcast(lags))
+        .join(r.select(col("rn").as("prn"), col("res").as("pres")),
+          expr("prn = rn - k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("res") * col("pres")).as("a"), first("n").as("n"))
+      val wK = Window.orderBy("k")
+      byLag.crossJoin(broadcast(ss))
+        .withColumn("rho", col("a").cast("double") / col("ss"))
+        .withColumn("q_e6", floor(lit(1.0e6) * col("n") * (col("n") + 2)
+          * sum(col("rho") * col("rho") / (col("n") - col("k")))
+            .over(wK.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))).cast("long"))
+        .select(col("k"), col("n_pairs"),
+          floor(lit(1.0e6) * col("rho")).cast("long").as("rho_e6"),
+          col("q_e6"))
+        .orderBy("k")
+    }, Some("""
+      WITH days AS (
+        SELECT CAST(count(*) AS BIGINT) AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                 AS BIGINT) AS rn
+        FROM events GROUP BY CAST(ts AS DATE)),
+      tot AS (SELECT count(*) AS n, sum(x) AS sx FROM days),
+      r AS (SELECT rn, n * x - sx AS res, n FROM days, tot),
+      ss AS (SELECT sum(CAST(res AS HUGEINT) * res) AS ss FROM r),
+      ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS k),
+      bylag AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(CAST(a.res AS HUGEINT) * b.res) AS a,
+               any_value(a.n) AS n
+        FROM r a, ks, r b
+        WHERE b.rn = a.rn - k
+        GROUP BY k)
+      SELECT k, n_pairs,
+             CAST(floor(1.0e6 * (CAST(a AS DOUBLE) / CAST(ss AS DOUBLE)))
+               AS BIGINT) AS rho_e6,
+             CAST(floor(1.0e6 * n * (n + 2) * sum(
+               (CAST(a AS DOUBLE) / CAST(ss AS DOUBLE)) *
+               (CAST(a AS DOUBLE) / CAST(ss AS DOUBLE)) / (n - k))
+               OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW)) AS BIGINT) AS q_e6
+      FROM bylag, ss ORDER BY k"""))
   )
 }

@@ -116,7 +116,10 @@ class AllPlansSpec extends AnyFunSuite {
     "cs47_yuen_trimmed_t" -> "2-row trim-bound broadcast onto the ranked segment table + 1-row side join",
     "w26_xmr_control_chart" -> "1-row control-limit + longest-run broadcasts onto the day table",
     "cs48_hill_tail_index" -> "1-row pivot order-statistic broadcast onto the 128-row top-k",
-    "mb5_abc_classification" -> "1-row revenue-total broadcast onto the ranked part table")
+    "mb5_abc_classification" -> "1-row revenue-total broadcast onto the ranked part table",
+    "km2_nelson_aalen" -> "1-row dataset-horizon broadcast onto the customer-grain spell table",
+    "km3_logrank_test" -> "1-row dataset-horizon broadcast onto the customer-grain spell table",
+    "ts19_ljung_box" -> "1-row total + 1-row SS + 10-row lag-literal broadcasts onto the day table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2285,4 +2285,111 @@ class MetricOpsSpec extends AnyFunSuite {
       r.getAs[Long]("rev_share_e6")).toMap
     assert(shares("A") >= shares.getOrElse("B", 0L))
   }
+
+  // ------------------------------------------------------------------
+  // wave 43: km2 / km3 / ts19
+  // ------------------------------------------------------------------
+
+  /** Brute-force spells (weeks to second order, right-censored) per
+    * customer: (custkey, tw, event?).
+    */
+  private def bruteSpells(): Array[(Long, Long, Boolean)] = {
+    val s = spark
+    import graft.queries.Tables.t
+    val rows = t(s, dir, "orders")
+      .selectExpr("o_custkey", "o_orderkey", "CAST(o_orderdate AS DATE) d")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Date](2)))
+    val hz = rows.map(_._3.toLocalDate).max
+    rows.groupBy(_._1).map { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._3.toLocalDate.toEpochDay, o._2))
+      val d1 = sorted(0)._3.toLocalDate
+      if (sorted.length >= 2) {
+        val d2 = sorted(1)._3.toLocalDate
+        (ck, (d2.toEpochDay - d1.toEpochDay) / 7, true)
+      } else (ck, (hz.toEpochDay - d1.toEpochDay) / 7, false)
+    }.toArray
+  }
+
+  test("km2: Nelson-Aalen hazard matches a brute-force risk-table replay") {
+    val out = run("km2_nelson_aalen").collect()
+      .map(r => (r.getAs[Long]("tw"), r)).toMap
+    val weekly = bruteSpells().groupBy(_._2).map { case (tw, sp) =>
+      (tw, sp.count(_._3).toLong, sp.count(!_._3).toLong)
+    }.toArray.sortBy(_._1)
+    val total = weekly.map(w => w._2 + w._3).sum
+    var before = 0L; var h = 0.0; var v = 0.0
+    weekly.foreach { case (tw, d, c) =>
+      val n = total - before; before += d + c
+      h += d.toDouble / n; v += d.toDouble / (n * n)
+      val r = out(tw)
+      assert(r.getAs[Long]("n_risk") == n && r.getAs[Long]("d") == d &&
+        r.getAs[Long]("c") == c)
+      assert(r.getAs[Long]("h_e6") == math.floor(1.0e6 * h).toLong)
+      assert(r.getAs[Long]("var_e9") == math.floor(1.0e9 * v).toLong)
+    }
+    assert(out.size == weekly.length)
+  }
+
+  test("km3: log-rank chi2 matches a brute-force hypergeometric replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val grp = t(s, dir, "customer")
+      .selectExpr("c_custkey", "c_mktsegment = 'BUILDING' g")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val weekly = bruteSpells().groupBy(_._2).map { case (tw, sp) =>
+      (tw, sp.count(_._3).toLong,
+        sp.count(x => x._3 && grp(x._1)).toLong,
+        sp.count(!_._3).toLong,
+        sp.count(x => !x._3 && grp(x._1)).toLong)
+    }.toArray.sortBy(_._1)
+    val tot = weekly.map(w => w._2 + w._4).sum
+    val tot1 = weekly.map(w => w._3 + w._5).sum
+    var (b, b1) = (0L, 0L)
+    var (o1, se1, sv, nw) = (0L, 0.0, 0.0, 0L)
+    weekly.foreach { case (tw, d, dg, c, cg) =>
+      val n = tot - b; val n1 = tot1 - b1
+      b += d + c; b1 += dg + cg
+      if (d > 0 && n > 1) {
+        nw += 1; o1 += dg
+        se1 += d.toDouble * n1 / n
+        sv += d.toDouble * n1 * (n - n1) * (n - d) /
+          (n.toDouble * n * (n - 1))
+      }
+    }
+    val r = run("km3_logrank_test").collect()(0)
+    assert(r.getAs[Long]("n_event_weeks") == nw)
+    assert(r.getAs[Long]("o1") == o1)
+    assert(r.getAs[Long]("e1_e6") == math.floor(1.0e6 * se1).toLong)
+    assert(r.getAs[Long]("v_e6") == math.floor(1.0e6 * sv).toLong)
+    assert(r.getAs[Long]("chi2_e6") ==
+      math.floor(1.0e6 * (o1 - se1) * (o1 - se1) / sv).toLong)
+    assert(r.getAs[Long]("chi2_e6") >= 0L)
+  }
+
+  test("ts19: Ljung-Box Q matches an exact-integer ACF replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val xs = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val res = xs.map(x => n * x - sx)
+    val ss = res.map(r => r * r).sum
+    val out = run("ts19_ljung_box").collect()
+    assert(out.length == 10)
+    var q = 0.0
+    (1 to 10).foreach { k =>
+      val a = (k until xs.length).map(t => res(t) * res(t - k)).sum
+      val rho = a.toDouble / ss
+      q += rho * rho / (n - k)
+      val row = out(k - 1)
+      assert(row.getAs[Long]("k") == k.toLong)
+      assert(row.getAs[Long]("n_pairs") == n - k)
+      assert(row.getAs[Long]("rho_e6") == math.floor(1.0e6 * rho).toLong)
+      assert(row.getAs[Long]("q_e6") ==
+        math.floor(1.0e6 * n * (n + 2) * q).toLong)
+    }
+  }
 }

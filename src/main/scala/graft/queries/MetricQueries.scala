@@ -4389,6 +4389,202 @@ object MetricQueries {
                (CAST(a AS DOUBLE) / CAST(ss AS DOUBLE)) / (n - k))
                OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
                  CURRENT ROW)) AS BIGINT) AS q_e6
-      FROM bylag, ss ORDER BY k"""))
+      FROM bylag, ss ORDER BY k""")),
+
+    // W27 — maximum drawdown of the cumulative revenue-vs-run-rate curve:
+    // equity_t = Σ_{u≤t}(n·rev_u − Σrev) is the exact-integer cumulative
+    // deviation from the average daily run-rate (denominators cleared,
+    // ts19's move), its running max is the high-water mark, and the
+    // largest peak-to-trough gap is the worst sustained underperformance
+    // streak — finance's drawdown lens pointed at revenue pacing. All
+    // integers until the final div-by-n rescale to cents; trough day is
+    // the FIRST day attaining the max gap (deterministic tie-break).
+    // Day-grain windows over the bounded day table only.
+    Q("w27_max_drawdown", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      val wD = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = daily.crossJoin(broadcast(tot))
+        .withColumn("e", sum(col("n") * col("y") - col("sy")).over(wD))
+        .withColumn("dd", max("e").over(wD) - col("e"))
+      val mx = curve.agg(max("dd").as("maxdd"))
+      curve.crossJoin(broadcast(mx))
+        .agg(first("n").as("n_days"),
+          first("maxdd").as("max_dd_n"),
+          expr("first(maxdd div n)").as("max_dd_cents"),
+          min(when(col("dd") === col("maxdd"), col("d")))
+            .as("trough_d"),
+          sum(when(col("dd") > 0, 1L).otherwise(0L)).as("n_underwater"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n, sum(y) AS sy FROM daily),
+      curve AS (
+        SELECT d, n,
+               sum(n * y - sy) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS e
+        FROM daily, tot),
+      dd AS (
+        SELECT d, n,
+               max(e) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) - e AS dd
+        FROM curve),
+      mx AS (SELECT max(dd) AS maxdd FROM dd)
+      SELECT CAST(any_value(n) AS BIGINT) AS n_days,
+             CAST(any_value(maxdd) AS BIGINT) AS max_dd_n,
+             CAST(any_value(maxdd) // any_value(n) AS BIGINT)
+               AS max_dd_cents,
+             CAST(min(CASE WHEN dd = maxdd THEN d END) AS BIGINT)
+               AS trough_d,
+             CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_underwater
+      FROM dd, mx""")),
+
+    // CS49 — peak session concurrency + Little's-law occupancy audit:
+    // 30-minute-gap sessions per user become [start, end] second-grain
+    // intervals; `SweepLine.concurrency` (two-level distributed prefix
+    // sum — delta rows never cross a global window) gives the running
+    // open-session count; the graded row is the capacity-planning
+    // summary: peak concurrency, first second it's reached, total busy
+    // seconds, and average occupancy busy/span — which IS Little's L=λW
+    // with both sides measured. Session timestamps floor the epoch on
+    // both engines (the w11 pitfall).
+    Q("cs49_peak_concurrency", (s, dir) => {
+      val wU = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts2"))
+        .withColumn("ns", when(col("ts2") - lag("ts2", 1).over(wU) <= 1800,
+          0L).otherwise(1L))
+        .withColumn("sid", sum("ns").over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts2").as("st"), max("ts2").as("en"))
+      val conc = graft.operators.SweepLine.concurrency(sess, "st", "en")
+        .localCheckpoint(eager = false) // feeds peak + first-peak scans
+      val pk = conc.agg(max("conc").as("peak"))
+      val tp = conc.join(broadcast(pk), col("conc") === col("peak"))
+        .agg(min("t").as("t_peak"), first("peak").as("peak_conc"))
+      sess
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("en") - col("st") + 1).as("busy_s"),
+          (max("en") + 1 - min("st")).as("span_s"))
+        .crossJoin(broadcast(tp))
+        .selectExpr("n_sessions", "busy_s", "span_s",
+          "busy_s * 1000000L div span_s AS avg_conc_e6",
+          "peak_conc", "t_peak")
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events),
+      lagd AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id) <= 1800 THEN 0 ELSE 1 END AS ns
+        FROM ev),
+      sid AS (
+        SELECT user_id, t,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM lagd),
+      sess AS (
+        SELECT user_id, sid, min(t) AS st, max(t) AS en
+        FROM sid GROUP BY 1, 2),
+      deltas AS (
+        SELECT st AS t, 1 AS delta FROM sess
+        UNION ALL SELECT en + 1, -1 FROM sess),
+      run AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta DESC ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM deltas),
+      pk AS (SELECT max(conc) AS peak FROM run),
+      tp AS (SELECT min(t) AS t_peak, any_value(peak) AS peak_conc
+             FROM run, pk WHERE conc = peak),
+      st AS (SELECT count(*) AS n_sessions, sum(en - st + 1) AS busy_s,
+                    max(en) + 1 - min(st) AS span_s FROM sess)
+      SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+             CAST(busy_s AS BIGINT) AS busy_s,
+             CAST(span_s AS BIGINT) AS span_s,
+             CAST(busy_s * 1000000 // span_s AS BIGINT) AS avg_conc_e6,
+             CAST(peak_conc AS BIGINT) AS peak_conc,
+             CAST(t_peak AS BIGINT) AS t_peak
+      FROM st, tp""")),
+
+    // W28 — tail-risk panel on the day-over-day revenue change: exact
+    // historical VaR95 (the ceil(0.05·n)-th smallest daily P&L, an
+    // integer order statistic — no interpolation ambiguity), CVaR95 (the
+    // mean of that tail, one double division over an exact integer sum),
+    // and the Sharpe-style mean/σ ratio with both moments folded in day
+    // order (cs48's sorted-array fold — identical summation sequence on
+    // both engines; day-grain keeps the collect bounded). P&L stays in
+    // exact cents; doubles appear only in the three final ratios.
+    Q("w28_tail_risk", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val wD = Window.orderBy("d")
+      val pnl = daily
+        .withColumn("pnl", col("y") - lag("y", 1).over(wD))
+        .filter(col("pnl").isNotNull)
+        .select(col("d"), col("pnl"))
+        .localCheckpoint(eager = false) // feeds rank + moment folds
+      val n = pnl.count // day-grain bounded; drives the exact tail rank
+      val k = (n + 19) / 20
+      val ranked = pnl.select(col("pnl"), row_number().over(
+        Window.orderBy(col("pnl"), col("d"))).cast("long").as("rn"))
+      val tail = ranked.filter(col("rn") <= k)
+        .agg(max("pnl").as("var95_cents"), sum("pnl").as("tail_sum"))
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("d"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      val moments = pnl
+        .withColumn("p1", col("pnl").cast("double"))
+        .withColumn("p2", col("pnl").cast("double") * col("pnl"))
+        .agg(foldBy("p1").as("sp"), foldBy("p2").as("sq"))
+      moments.crossJoin(broadcast(tail))
+        .selectExpr(s"${n}L AS n_days", s"${k}L AS k_tail",
+          "var95_cents", "tail_sum",
+          s"CAST(floor(1.0e2 * tail_sum / ${k}L) AS BIGINT) AS cvar_e2",
+          s"CAST(floor(1.0e6 * (sp / ${n}L) / sqrt((sq - sp * sp / ${n}L)" +
+            s" / (${n}L - 1))) AS BIGINT) AS sharpe_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      pnl AS (
+        SELECT d, pnl FROM (
+          SELECT d, y - lag(y) OVER (ORDER BY d) AS pnl FROM daily)
+        WHERE pnl IS NOT NULL),
+      nn AS (SELECT count(*) AS n, (count(*) + 19) // 20 AS k FROM pnl),
+      ranked AS (
+        SELECT pnl, CAST(row_number() OVER (ORDER BY pnl, d) AS BIGINT)
+                 AS rn
+        FROM pnl),
+      tail AS (
+        SELECT max(pnl) AS var95_cents, sum(pnl) AS tail_sum
+        FROM ranked, nn WHERE rn <= k),
+      moments AS (
+        SELECT list_sum(list(CAST(pnl AS DOUBLE) ORDER BY d)) AS sp,
+               list_sum(list(CAST(pnl AS DOUBLE) * pnl ORDER BY d)) AS sq
+        FROM pnl)
+      SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_tail,
+             CAST(var95_cents AS BIGINT) AS var95_cents,
+             CAST(tail_sum AS BIGINT) AS tail_sum,
+             CAST(floor(1.0e2 * tail_sum / k) AS BIGINT) AS cvar_e2,
+             CAST(floor(1.0e6 * (sp / n) / sqrt((sq - sp * sp / n)
+               / (n - 1))) AS BIGINT) AS sharpe_e6
+      FROM moments, tail, nn"""))
   )
 }

@@ -119,7 +119,10 @@ class AllPlansSpec extends AnyFunSuite {
     "mb5_abc_classification" -> "1-row revenue-total broadcast onto the ranked part table",
     "km2_nelson_aalen" -> "1-row dataset-horizon broadcast onto the customer-grain spell table",
     "km3_logrank_test" -> "1-row dataset-horizon broadcast onto the customer-grain spell table",
-    "ts19_ljung_box" -> "1-row total + 1-row SS + 10-row lag-literal broadcasts onto the day table")
+    "ts19_ljung_box" -> "1-row total + 1-row SS + 10-row lag-literal broadcasts onto the day table",
+    "w27_max_drawdown" -> "1-row total + 1-row max-drawdown broadcasts onto the day table",
+    "cs49_peak_concurrency" -> "1-row peak/summary broadcasts; the sweep itself is the two-level prefix sum",
+    "w28_tail_risk" -> "1-row tail order-statistic broadcast onto the 1-row moments fold")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

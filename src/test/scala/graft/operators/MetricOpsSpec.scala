@@ -2392,4 +2392,95 @@ class MetricOpsSpec extends AnyFunSuite {
         math.floor(1.0e6 * n * (n + 2) * q).toLong)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 44: w27 / cs49 / w28
+  // ------------------------------------------------------------------
+
+  /** Daily revenue cents keyed by day offset, sorted by day. */
+  private def dailyCents(): Array[(Long, Long)] = {
+    val s = spark
+    import graft.queries.Tables.t
+    t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+  }
+
+  test("w27: max drawdown matches a brute-force equity replay") {
+    val ys = dailyCents()
+    val n = ys.length.toLong
+    val sy = ys.map(_._2).sum
+    var e = 0L; var peak = Long.MinValue
+    var maxdd = 0L; var trough = -1L; var under = 0L
+    ys.foreach { case (d, y) =>
+      e += n * y - sy; peak = math.max(peak, e)
+      val dd = peak - e
+      if (dd > maxdd) { maxdd = dd; trough = d }
+      if (dd > 0) under += 1
+    }
+    val r = run("w27_max_drawdown").collect()(0)
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("max_dd_n") == maxdd)
+    assert(r.getAs[Long]("max_dd_cents") == maxdd / n)
+    assert(r.getAs[Long]("trough_d") == trough)
+    assert(r.getAs[Long]("n_underwater") == under)
+  }
+
+  test("cs49: peak concurrency matches a brute-force interval sweep") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ev = t(s, dir, "events")
+      .selectExpr("user_id", "event_id", "CAST(ts AS LONG) t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sess = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var (st, en) = (ts.head, ts.head)
+      ts.tail.foreach { x =>
+        if (x - en <= 1800) en = x
+        else { out += ((st, en)); st = x; en = x }
+      }
+      out += ((st, en)); out
+    }.toArray
+    val deltas = sess.flatMap { case (a, b) =>
+      Seq((a, 1L), (b + 1, -1L)) }.sortBy(p => (p._1, -p._2))
+    var cur = 0L; var peak = 0L; var tPeak = -1L
+    deltas.foreach { case (tt, dl) =>
+      cur += dl
+      if (cur > peak) { peak = cur; tPeak = tt }
+    }
+    val busy = sess.map { case (a, b) => b - a + 1 }.sum
+    val span = sess.map(_._2).max + 1 - sess.map(_._1).min
+    val r = run("cs49_peak_concurrency").collect()(0)
+    assert(r.getAs[Long]("n_sessions") == sess.length.toLong)
+    assert(r.getAs[Long]("busy_s") == busy)
+    assert(r.getAs[Long]("span_s") == span)
+    assert(r.getAs[Long]("avg_conc_e6") == busy * 1000000L / span)
+    assert(r.getAs[Long]("peak_conc") == peak)
+    assert(r.getAs[Long]("t_peak") == tPeak)
+  }
+
+  test("w28: VaR/CVaR/Sharpe match a brute-force P&L replay") {
+    val ys = dailyCents()
+    val pnl = ys.sliding(2).map(p => (p(1)._1, p(1)._2 - p(0)._2)).toArray
+    val n = pnl.length.toLong
+    val k = (n + 19) / 20
+    val sortedTail = pnl.sortBy(p => (p._2, p._1)).take(k.toInt)
+    val var95 = sortedTail.map(_._2).max
+    val tailSum = sortedTail.map(_._2).sum
+    var sp = 0.0; var sq = 0.0
+    pnl.foreach { case (_, p) => sp += p.toDouble; sq += p.toDouble * p }
+    val sharpe = (sp / n) / math.sqrt((sq - sp * sp / n) / (n - 1))
+    val r = run("w28_tail_risk").collect()(0)
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("k_tail") == k)
+    assert(r.getAs[Long]("var95_cents") == var95)
+    assert(r.getAs[Long]("tail_sum") == tailSum)
+    assert(r.getAs[Long]("cvar_e2") ==
+      math.floor(1.0e2 * tailSum / k).toLong)
+    assert(r.getAs[Long]("sharpe_e6") ==
+      math.floor(1.0e6 * sharpe).toLong)
+  }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking: corpus-grain `row_number` without the
+  * single-partition global window — the rank primitive behind PIT/quantile
+  * transforms, gains tables, and top-p curation cuts.
+  */
+object Ranking {
+
+  /** Append a global 1-based `row_number` ordered by `(key, tie)` ascending,
+    * as a two-level prefix sum (the `Chunking.packAssignments` /
+    * `SweepLine.concurrency` layout): rows get a within-shard rank from a
+    * window partitioned by the order-preserving shard `key div bucket`, and
+    * shard offsets come from an exclusive prefix over the bounded per-shard
+    * count table, broadcast back. Rows never cross a global window; the only
+    * single-partition work is over `range(key)/bucket` rows.
+    *
+    * `key` must be a non-negative integral column (`div`-sharding is
+    * order-preserving only there — truncation breaks monotonicity below
+    * zero); ties within a key land in the same shard by construction, so the
+    * `tie` ordering is total. For descending ranks pass a reflected key
+    * (`C - key`), not a negated one.
+    */
+  def globalRowNumber(df: DataFrame, key: Column, tie: Column,
+                      bucket: Long = 64L, rankCol: String = "rn")
+      : DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val withShard = df.withColumn("__key", key.cast("long"))
+      .withColumn("__shard", expr(s"__key div ${bucket}L"))
+    val inShard = Window.partitionBy("__shard").orderBy(col("__key"), tie)
+    val local = withShard.withColumn("__local_rn",
+      row_number().over(inShard).cast("long"))
+    val overShards = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withShard.groupBy("__shard").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(overShards), lit(0L)))
+      .select("__shard", "__off")
+    local.join(broadcast(offs), "__shard")
+      .withColumn(rankCol, col("__off") + col("__local_rn"))
+      .drop("__key", "__shard", "__local_rn", "__off")
+  }
+}

@@ -4585,6 +4585,194 @@ object MetricQueries {
              CAST(floor(1.0e2 * tail_sum / k) AS BIGINT) AS cvar_e2,
              CAST(floor(1.0e6 * (sp / n) / sqrt((sq - sp * sp / n)
                / (n - 1))) AS BIGINT) AS sharpe_e6
-      FROM moments, tail, nn"""))
+      FROM moments, tail, nn""")),
+
+    // ML16 — weight-of-evidence / information value of the length feature
+    // against the src0 label: the credit-scoring screen that ranks a
+    // candidate feature BEFORE any training run (IV < 0.02 useless,
+    // > 0.3 strong). Counts are exact integers; the Laplace-smoothed
+    // (+0.5) densities and ln-odds are per-bin doubles over the bounded
+    // bin table, and IV accumulates in bin order. Corpus-grain work is
+    // one groupBy(bin); everything after is 17-row algebra.
+    Q("ml16_information_value", (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(least(expr("n_chars div 64"), lit(16L)).as("bin"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      val bins = base.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+          sum(lit(1L) - col("y")).as("n_neg"))
+      val tot = bins.agg(sum("n_pos").as("p"), sum("n_neg").as("q"),
+        count(lit(1)).as("b"))
+      val wB = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bins.crossJoin(broadcast(tot))
+        .withColumn("dp",
+          (col("n_pos") + lit(0.5)) / (col("p") + lit(0.5) * col("b")))
+        .withColumn("dn",
+          (col("n_neg") + lit(0.5)) / (col("q") + lit(0.5) * col("b")))
+        .withColumn("woe_e6",
+          floor(lit(1.0e6) * log(col("dp") / col("dn"))).cast("long"))
+        .withColumn("iv_cum_e6", floor(lit(1.0e6) * sum(
+          (col("dp") - col("dn")) * log(col("dp") / col("dn"))).over(wB))
+          .cast("long"))
+        .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          col("woe_e6"), col("iv_cum_e6"))
+        .orderBy("bin")
+    }, Some("""
+      WITH base AS (
+        SELECT least(n_chars // 64, 16) AS bin,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(1 - y) AS BIGINT) AS n_neg
+        FROM base GROUP BY 1),
+      tot AS (SELECT sum(n_pos) AS p, sum(n_neg) AS q, count(*) AS b
+              FROM bins),
+      woe AS (
+        SELECT bin, n, n_pos, n_neg,
+               (n_pos + 5.0e-1) / (p + 5.0e-1 * b) AS dp,
+               (n_neg + 5.0e-1) / (q + 5.0e-1 * b) AS dn
+        FROM bins, tot)
+      SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, n_neg,
+             CAST(floor(1.0e6 * ln(dp / dn)) AS BIGINT) AS woe_e6,
+             CAST(floor(1.0e6 * sum((dp - dn) * ln(dp / dn))
+               OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW)) AS BIGINT) AS iv_cum_e6
+      FROM woe ORDER BY bin""")),
+
+    // ML17 — gains / lift table: rank documents by the length score
+    // (descending, doc_id tie-break), cut into 10 exact rank deciles, and
+    // report each decile's positive capture and lift vs the base rate —
+    // the campaign-targeting readout every scored model ships with. The
+    // WHOLE table is integer cross-multiplication (no float shares), and
+    // the corpus-grain rank comes from `Ranking.globalRowNumber`'s
+    // two-level prefix sum — no single-partition global window (the key
+    // is reflected, C − n_chars, because div-sharding needs non-negative
+    // keys).
+    Q("ml17_gains_table", (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1000000000L) - col("n_chars")).as("kdesc"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      val ranked = graft.operators.Ranking.globalRowNumber(
+        scored, col("kdesc"), col("doc_id"))
+      val tot = ranked.agg(count(lit(1)).as("nt"), sum("y").as("pt"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .selectExpr("(rn - 1) * 10L div nt AS decile", "y", "nt", "pt")
+        .groupBy("decile", "nt", "pt")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      val wD = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("cum_pos", sum("n_pos").over(wD))
+        .selectExpr("decile", "n", "n_pos",
+          "cum_pos * 1000000L div pt AS capture_e6",
+          "n_pos * nt * 1000000L div (n * pt) AS lift_e6")
+        .orderBy("decile")
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, 1000000000 - n_chars AS kdesc,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY kdesc, doc_id)
+          AS BIGINT) AS rn
+        FROM scored),
+      tot AS (SELECT count(*) AS nt, sum(y) AS pt FROM ranked),
+      dec AS (
+        SELECT (rn - 1) * 10 // nt AS decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               any_value(nt) AS nt, any_value(pt) AS pt
+        FROM ranked, tot GROUP BY 1)
+      SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+             CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) * 1000000 // pt AS BIGINT)
+               AS capture_e6,
+             CAST(n_pos * nt * 1000000 // (n * pt) AS BIGINT) AS lift_e6
+      FROM dec ORDER BY decile""")),
+
+    // ML18 — Murphy decomposition of the Brier score for the PIT-uniform
+    // forecast p = rank/n (rank of n_chars): reliability (calibration
+    // error), resolution (how much the bins separate the base rate), and
+    // uncertainty — the proper-scoring-rule accounting that says WHY a
+    // probabilistic score is good or bad. The trick is denominator
+    // clearing: with p = rn/n, every squared term is an EXACT integer
+    // ((rn − y·n)², (Σrn − n·Σy)², (n·Σy − pos·n_k)²) and doubles appear
+    // only in the ten per-bin divisions, folded in bin order. The rank is
+    // `Ranking.globalRowNumber`'s two-level prefix sum — corpus rows never
+    // cross a global window.
+    Q("ml18_brier_decomposition", (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      val ranked = graft.operators.Ranking.globalRowNumber(
+        base, col("n_chars"), col("doc_id"))
+      val tot = ranked.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val bins = ranked.crossJoin(broadcast(tot))
+        .selectExpr("(rn - 1) * 10L div n AS k", "rn", "y", "n", "pos")
+        .groupBy("k", "n", "pos")
+        .agg(count(lit(1)).as("nk"), sum("rn").as("srn"),
+          sum("y").as("syk"),
+          sum(expr("(rn - y * n) * (rn - y * n)")).as("sq"))
+      val terms = bins.selectExpr("k", "n", "pos", "sq",
+        "CAST(srn - n * syk AS DOUBLE) * (srn - n * syk) / (n * n * nk)" +
+          " AS relt",
+        "CAST(n * syk - pos * nk AS DOUBLE) * (n * syk - pos * nk)" +
+          " / (n * n * nk) AS rest")
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("k"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      terms
+        .agg(first("n").as("n"), first("pos").as("pos"),
+          sum("sq").as("sqt"),
+          foldBy("relt").as("srel"), foldBy("rest").as("sres"))
+        .selectExpr("n", "pos",
+          "CAST(floor(1.0e6 * CAST(sqt AS DOUBLE) / n / n / n) AS BIGINT)" +
+            " AS brier_e6",
+          "CAST(floor(1.0e6 * srel / n) AS BIGINT) AS rel_e6",
+          "CAST(floor(1.0e6 * sres / n) AS BIGINT) AS res_e6",
+          "CAST(floor(1.0e6 * CAST(pos AS DOUBLE) * (n - pos)" +
+            " / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS unc_e6")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+          AS BIGINT) AS rn
+        FROM base),
+      tot AS (SELECT count(*) AS n, sum(y) AS pos FROM ranked),
+      bins AS (
+        SELECT (rn - 1) * 10 // n AS k, any_value(n) AS n,
+               any_value(pos) AS pos, CAST(count(*) AS BIGINT) AS nk,
+               CAST(sum(rn) AS BIGINT) AS srn,
+               CAST(sum(y) AS BIGINT) AS syk,
+               CAST(sum((rn - y * n) * (rn - y * n)) AS BIGINT) AS sq
+        FROM ranked, tot GROUP BY 1),
+      terms AS (
+        SELECT k, n, pos, sq,
+               CAST(srn - n * syk AS DOUBLE) * (srn - n * syk)
+                 / (n * n * nk) AS relt,
+               CAST(n * syk - pos * nk AS DOUBLE) * (n * syk - pos * nk)
+                 / (n * n * nk) AS rest
+        FROM bins),
+      f AS (
+        SELECT any_value(n) AS n, any_value(pos) AS pos,
+               CAST(sum(sq) AS BIGINT) AS sqt,
+               list_sum(list(relt ORDER BY k)) AS srel,
+               list_sum(list(rest ORDER BY k)) AS sres
+        FROM terms)
+      SELECT CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+             CAST(floor(1.0e6 * CAST(sqt AS DOUBLE) / n / n / n)
+               AS BIGINT) AS brier_e6,
+             CAST(floor(1.0e6 * srel / n) AS BIGINT) AS rel_e6,
+             CAST(floor(1.0e6 * sres / n) AS BIGINT) AS res_e6,
+             CAST(floor(1.0e6 * CAST(pos AS DOUBLE) * (n - pos)
+               / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS unc_e6
+      FROM f"""))
   )
 }

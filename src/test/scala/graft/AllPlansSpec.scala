@@ -122,7 +122,10 @@ class AllPlansSpec extends AnyFunSuite {
     "ts19_ljung_box" -> "1-row total + 1-row SS + 10-row lag-literal broadcasts onto the day table",
     "w27_max_drawdown" -> "1-row total + 1-row max-drawdown broadcasts onto the day table",
     "cs49_peak_concurrency" -> "1-row peak/summary broadcasts; the sweep itself is the two-level prefix sum",
-    "w28_tail_risk" -> "1-row tail order-statistic broadcast onto the 1-row moments fold")
+    "w28_tail_risk" -> "1-row tail order-statistic broadcast onto the 1-row moments fold",
+    "ml16_information_value" -> "1-row class-total broadcast onto the 17-row bin table",
+    "ml17_gains_table" -> "1-row corpus-total broadcast onto the ranked docs (rank itself is the two-level prefix sum)",
+    "ml18_brier_decomposition" -> "1-row corpus-total broadcast onto the ranked docs (rank itself is the two-level prefix sum)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2483,4 +2483,101 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sharpe_e6") ==
       math.floor(1.0e6 * sharpe).toLong)
   }
+
+  // ------------------------------------------------------------------
+  // wave 45: ml16 / ml17 / ml18
+  // ------------------------------------------------------------------
+
+  /** (doc_id, n_chars, src0?) for every document. */
+  private def docLabels(): Array[(Long, Long, Boolean)] = {
+    val s = spark
+    import graft.queries.Tables.t
+    t(s, dir, "documents").selectExpr("doc_id", "n_chars",
+      "source = 'src0' y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+  }
+
+  test("ml16: WoE / IV match a brute-force bin replay") {
+    val docs = docLabels()
+    val byBin = docs.groupBy(d => math.min(d._2 / 64, 16L))
+    val p = docs.count(_._3).toLong
+    val q = docs.length - p
+    val b = byBin.size
+    var iv = 0.0
+    val out = run("ml16_information_value").collect()
+    assert(out.length == b)
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val rows = byBin(bin)
+      val pos = rows.count(_._3).toLong
+      val neg = rows.length - pos
+      assert(r.getAs[Long]("n") == rows.length.toLong)
+      assert(r.getAs[Long]("n_pos") == pos && r.getAs[Long]("n_neg") == neg)
+      val dp = (pos + 0.5) / (p + 0.5 * b)
+      val dn = (neg + 0.5) / (q + 0.5 * b)
+      iv += (dp - dn) * math.log(dp / dn)
+      assert(r.getAs[Long]("woe_e6") ==
+        math.floor(1.0e6 * math.log(dp / dn)).toLong)
+      assert(r.getAs[Long]("iv_cum_e6") == math.floor(1.0e6 * iv).toLong)
+    }
+  }
+
+  test("ml17: gains table matches a brute-force decile replay") {
+    val docs = docLabels()
+    val ranked = docs.sortBy(d => (1000000000L - d._2, d._1))
+    val nt = ranked.length.toLong
+    val pt = ranked.count(_._3).toLong
+    val byDec = ranked.zipWithIndex.groupBy { case (_, i) =>
+      i.toLong * 10 / nt }
+    val out = run("ml17_gains_table").collect()
+    assert(out.map(_.getAs[Long]("n")).sum == nt)
+    var cum = 0L
+    out.sortBy(_.getAs[Long]("decile")).foreach { r =>
+      val rows = byDec(r.getAs[Long]("decile"))
+      val pos = rows.count(_._1._3).toLong
+      cum += pos
+      assert(r.getAs[Long]("n") == rows.length.toLong)
+      assert(r.getAs[Long]("n_pos") == pos)
+      assert(r.getAs[Long]("capture_e6") == cum * 1000000L / pt)
+      assert(r.getAs[Long]("lift_e6") ==
+        pos * nt * 1000000L / (rows.length * pt))
+    }
+  }
+
+  test("ml18: Brier decomposition matches a brute-force replay and " +
+    "obeys brier ~ rel - res + unc + within-bin variance") {
+    val docs = docLabels()
+    val ranked = docs.sortBy(d => (d._2, d._1))
+    val n = ranked.length.toLong
+    val pos = ranked.count(_._3).toLong
+    val rows = ranked.zipWithIndex.map { case ((_, _, y), i) =>
+      (i.toLong * 10 / n, i + 1L, if (y) 1L else 0L) }
+    var sqt = 0L
+    rows.foreach { case (_, rn, y) =>
+      val d = rn - y * n; sqt += d * d }
+    val bins = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var (srel, sres) = (0.0, 0.0)
+    bins.foreach { case (_, rs) =>
+      val nk = rs.length.toLong
+      val srn = rs.map(_._2).sum
+      val syk = rs.map(_._3).sum
+      srel += (srn - n * syk).toDouble * (srn - n * syk) / (n * n * nk)
+      sres += (n * syk - pos * nk).toDouble * (n * syk - pos * nk) /
+        (n * n * nk)
+    }
+    val r = run("ml18_brier_decomposition").collect()(0)
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("pos") == pos)
+    assert(r.getAs[Long]("brier_e6") ==
+      math.floor(1.0e6 * sqt.toDouble / n / n / n).toLong)
+    assert(r.getAs[Long]("rel_e6") ==
+      math.floor(1.0e6 * srel / n).toLong)
+    assert(r.getAs[Long]("res_e6") ==
+      math.floor(1.0e6 * sres / n).toLong)
+    val unc = pos.toDouble * (n - pos) / (n.toDouble * n)
+    assert(r.getAs[Long]("unc_e6") == math.floor(1.0e6 * unc).toLong)
+    // Murphy identity up to within-bin forecast variance (p varies
+    // inside a bin): brier = rel - res + unc + wbv with wbv in [0, 1/12]
+    val wbv = sqt.toDouble / n / n / n - (srel / n - sres / n + unc)
+    assert(wbv >= 0.0 && wbv <= 1.0 / 12.0 + 1e-9)
+  }
 }

@@ -4773,6 +4773,166 @@ object MetricQueries {
              CAST(floor(1.0e6 * sres / n) AS BIGINT) AS res_e6,
              CAST(floor(1.0e6 * CAST(pos AS DOUBLE) * (n - pos)
                / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS unc_e6
-      FROM f"""))
+      FROM f""")),
+
+    // K33 — rendezvous (highest-random-weight) routing audit: every
+    // customer key routes to the node with the max md5(node|key) over 8
+    // nodes, and AGAIN over the 7 survivors after node 7 is drained. HRW's
+    // selling point is graded as data: per node, the key count under both
+    // layouts and how many of ITS keys moved — minimal disruption means
+    // only node 7's keys move (the spec asserts it; here the per-node
+    // n_moved column shows it). The argmax is `max_by` over the hex hash
+    // (bytewise string order on both engines); the 8× key explosion is
+    // scan-side, the aggregate is keyed by customer — no global state
+    // anywhere, which is exactly why HRW is the 100 TB router.
+    Q("k33_rendezvous_routing", (s, dir) => {
+      val owners = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          explode(sequence(lit(0L), lit(7L))).as("node"))
+        .withColumn("h", md5(concat(lit("node"),
+          col("node").cast("string"), lit("|"),
+          col("c_custkey").cast("string"))))
+        .groupBy("c_custkey")
+        .agg(expr("max_by(node, h)").as("owner8"),
+          expr("max_by(node, h) FILTER (WHERE node < 7)").as("owner7"))
+        .localCheckpoint(eager = false) // feeds both layout rollups
+      val by8 = owners.groupBy(col("owner8").as("node"))
+        .agg(count(lit(1)).as("n_keys8"),
+          sum(when(col("owner8") =!= col("owner7"), 1L).otherwise(0L))
+            .as("n_moved"))
+      val by7 = owners.groupBy(col("owner7").as("node"))
+        .agg(count(lit(1)).as("n_keys7"))
+      val tot = owners.agg(count(lit(1)).as("nt"))
+      by8.join(by7, Seq("node"), "left")
+        .withColumn("n_keys7", coalesce(col("n_keys7"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .selectExpr("node", "n_keys8", "n_keys7", "n_moved",
+          "n_keys8 * 8000000L div nt AS load8_e6")
+        .orderBy("node")
+    }, Some("""
+      WITH owners AS (
+        SELECT c_custkey,
+               max_by(node, h) AS owner8,
+               max_by(node, h) FILTER (WHERE node < 7) AS owner7
+        FROM (
+          SELECT c_custkey, node,
+                 md5(concat('node', CAST(node AS VARCHAR), '|',
+                   CAST(c_custkey AS VARCHAR))) AS h
+          FROM customer,
+               (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT)
+                  AS node))
+        GROUP BY 1),
+      by8 AS (
+        SELECT owner8 AS node, CAST(count(*) AS BIGINT) AS n_keys8,
+               CAST(sum(CASE WHEN owner8 <> owner7 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_moved
+        FROM owners GROUP BY 1),
+      by7 AS (
+        SELECT owner7 AS node, CAST(count(*) AS BIGINT) AS n_keys7
+        FROM owners GROUP BY 1),
+      tot AS (SELECT count(*) AS nt FROM owners)
+      SELECT CAST(b8.node AS BIGINT) AS node, b8.n_keys8,
+             coalesce(b7.n_keys7, 0) AS n_keys7, b8.n_moved,
+             CAST(b8.n_keys8 * 8000000 // nt AS BIGINT) AS load8_e6
+      FROM by8 b8 LEFT JOIN by7 b7 ON b8.node = b7.node, tot
+      ORDER BY 1""")),
+
+    // K34 — l-diversity audit on k21's quasi-identifier classes
+    // (nation × balance band) with market segment as the sensitive
+    // attribute: a class that is k-anonymous but shows ONE segment still
+    // leaks; l = distinct sensitive values per class is the first-order
+    // fix (Machanavajjhala et al.). Graded as the l-histogram — how many
+    // classes (and rows) sit at each diversity level — pure integer
+    // aggregation, two groupBys deep.
+    Q("k34_l_diversity", (s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .agg(countDistinct("c_mktsegment").cast("long").as("l"),
+          count(lit(1)).as("sz"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"))
+        .orderBy("l")
+    }, Some("""
+      WITH cls AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+               count(*) AS sz
+        FROM customer GROUP BY 1, 2)
+      SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_rows
+      FROM cls GROUP BY 1 ORDER BY 1""")),
+
+    // K35 — t-closeness audit: total-variation distance between each
+    // QI-class's segment distribution and the global one, banded WITHOUT
+    // float comparisons. The missing-category trick keeps it one join:
+    // Σ_all |c/NC − g/NG| = (NC·NG + Σ_present(|c·NG − g·NC| − g·NC))
+    // / (NC·NG) since absent segments contribute exactly g·NC — so the
+    // numerator is an exact integer from the PRESENT (class, seg) rows
+    // only, band edges are integer cross-multiplications, and the one
+    // double is the reported max TVD per band. Scale shape: one
+    // (class, seg) groupBy, a 5-row broadcast, class-grain algebra.
+    Q("k35_t_closeness", (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+          col("c_mktsegment").as("seg"))
+      val cs = cust.groupBy("nat", "bal_band", "seg")
+        .agg(count(lit(1)).as("c"))
+      val g = cust.groupBy("seg").agg(count(lit(1)).as("gc"))
+      val ng = cust.agg(count(lit(1)).as("ng"))
+      val nc = cs.groupBy("nat", "bal_band").agg(sum("c").as("nc"))
+      val adj = cs.join(broadcast(g), "seg").join(nc, Seq("nat", "bal_band"))
+        .crossJoin(broadcast(ng))
+        .groupBy("nat", "bal_band", "nc", "ng")
+        .agg(sum(abs(col("c") * col("ng") - col("gc") * col("nc"))
+          - col("gc") * col("nc")).as("adj"))
+        .withColumn("num", col("nc") * col("ng") + col("adj"))
+      adj.select(
+        when(col("num") * 5 <= col("nc") * col("ng") * 2, "1_tvd_le_20")
+          .when(col("num") * 100 <= col("nc") * col("ng") * 70,
+            "2_tvd_le_35")
+          .when(col("num") <= col("nc") * col("ng"), "3_tvd_le_50")
+          .otherwise("4_tvd_gt_50").as("band"),
+        col("nc"),
+        expr("CAST(floor(1.0e6 * num / (2 * nc * ng)) AS BIGINT)")
+          .as("tvd_e6"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_classes"), sum("nc").as("n_rows"),
+          max("tvd_e6").as("max_tvd_e6"))
+        .orderBy("band")
+    }, Some("""
+      WITH cust AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               c_mktsegment AS seg
+        FROM customer),
+      cs AS (SELECT nat, bal_band, seg, CAST(count(*) AS BIGINT) AS c
+             FROM cust GROUP BY 1, 2, 3),
+      g AS (SELECT seg, CAST(count(*) AS BIGINT) AS gc
+            FROM cust GROUP BY 1),
+      ng AS (SELECT count(*) AS ng FROM cust),
+      nc AS (SELECT nat, bal_band, CAST(sum(c) AS BIGINT) AS nc
+             FROM cs GROUP BY 1, 2),
+      adj AS (
+        SELECT cs.nat, cs.bal_band, any_value(nc.nc) AS nc,
+               any_value(ng.ng) AS ng,
+               CAST(sum(abs(cs.c * ng.ng - g.gc * nc.nc)
+                 - g.gc * nc.nc) AS BIGINT) AS adj
+        FROM cs JOIN g ON cs.seg = g.seg
+          JOIN nc ON cs.nat = nc.nat AND cs.bal_band = nc.bal_band, ng
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT nc, nc * ng + adj AS num, ng FROM adj)
+      SELECT CASE WHEN num * 5 <= nc * ng * 2 THEN '1_tvd_le_20'
+                  WHEN num * 100 <= nc * ng * 70 THEN '2_tvd_le_35'
+                  WHEN num <= nc * ng THEN '3_tvd_le_50'
+                  ELSE '4_tvd_gt_50' END AS band,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(nc) AS BIGINT) AS n_rows,
+             max(CAST(floor(1.0e6 * num / (2 * nc * ng)) AS BIGINT))
+               AS max_tvd_e6
+      FROM scored GROUP BY 1 ORDER BY 1"""))
   )
 }

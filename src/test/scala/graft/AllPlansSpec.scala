@@ -125,7 +125,9 @@ class AllPlansSpec extends AnyFunSuite {
     "w28_tail_risk" -> "1-row tail order-statistic broadcast onto the 1-row moments fold",
     "ml16_information_value" -> "1-row class-total broadcast onto the 17-row bin table",
     "ml17_gains_table" -> "1-row corpus-total broadcast onto the ranked docs (rank itself is the two-level prefix sum)",
-    "ml18_brier_decomposition" -> "1-row corpus-total broadcast onto the ranked docs (rank itself is the two-level prefix sum)")
+    "ml18_brier_decomposition" -> "1-row corpus-total broadcast onto the ranked docs (rank itself is the two-level prefix sum)",
+    "k33_rendezvous_routing" -> "1-row key-total broadcast onto the 8-row node rollup",
+    "k35_t_closeness" -> "1-row population-total broadcast onto the (class, seg) table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2580,4 +2580,67 @@ class MetricOpsSpec extends AnyFunSuite {
     val wbv = sqt.toDouble / n / n / n - (srel / n - sres / n + unc)
     assert(wbv >= 0.0 && wbv <= 1.0 / 12.0 + 1e-9)
   }
+
+  // ------------------------------------------------------------------
+  // wave 46: k33 / k34 / k35
+  // ------------------------------------------------------------------
+
+  test("k33: HRW minimal disruption — only the drained node's keys move") {
+    val out = run("k33_rendezvous_routing").collect()
+      .map(r => (r.getAs[Long]("node"), r)).toMap
+    assert(out.keySet == (0L to 7L).toSet)
+    val moved7 = out(7L).getAs[Long]("n_keys8")
+    // node 7 loses everything, keeps nothing, and is the only mover
+    assert(out(7L).getAs[Long]("n_moved") == moved7)
+    assert(out(7L).getAs[Long]("n_keys7") == 0L)
+    (0L to 6L).foreach { nd =>
+      assert(out(nd).getAs[Long]("n_moved") == 0L)
+      assert(out(nd).getAs[Long]("n_keys7") >=
+        out(nd).getAs[Long]("n_keys8"))
+    }
+    // conservation under both layouts
+    val nt = out.values.map(_.getAs[Long]("n_keys8")).sum
+    assert(out.values.map(_.getAs[Long]("n_keys7")).sum == nt)
+    // HRW balance: no node should carry more than 3x its fair share
+    out.values.foreach(r => assert(r.getAs[Long]("load8_e6") < 3000000L))
+  }
+
+  test("k34/k35: diversity and closeness agree with a brute-force replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val rows = t(s, dir, "customer")
+      .selectExpr("CAST(c_nationkey AS LONG) nat",
+        "CAST(floor(c_acctbal / 1000) AS LONG) bb", "c_mktsegment seg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byClass = rows.groupBy(r => (r._1, r._2))
+    // l-diversity histogram
+    val lHist = byClass.values
+      .groupBy(_.map(_._3).distinct.size.toLong)
+      .map { case (l, cs) => (l, cs.size.toLong, cs.map(_.size).sum.toLong) }
+    val k34 = run("k34_l_diversity").collect()
+      .map(r => (r.getAs[Long]("l"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"))).toSet
+    assert(k34 == lHist.toSet)
+    // t-closeness: brute TVD per class, banded
+    val ngAll = rows.length.toLong
+    val g = rows.groupBy(_._3).map { case (k, v) => (k, v.size.toLong) }
+    val brute = byClass.values.map { cls =>
+      val ncC = cls.size.toLong
+      val cnt = cls.groupBy(_._3).map { case (k, v) => (k, v.size.toLong) }
+      val num = g.map { case (seg, gc) =>
+        math.abs(cnt.getOrElse(seg, 0L) * ngAll - gc * ncC) }.sum
+      val band =
+        if (num * 5 <= ncC * ngAll * 2) "1_tvd_le_20"
+        else if (num * 100 <= ncC * ngAll * 70) "2_tvd_le_35"
+        else if (num <= ncC * ngAll) "3_tvd_le_50"
+        else "4_tvd_gt_50"
+      (band, ncC, math.floor(1.0e6 * num / (2.0 * ncC * ngAll)).toLong)
+    }.toSeq
+    val bruteBands = brute.groupBy(_._1).map { case (b, v) =>
+      (b, v.size.toLong, v.map(_._2).sum, v.map(_._3).max) }.toSet
+    val k35 = run("k35_t_closeness").collect()
+      .map(r => (r.getAs[String]("band"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("max_tvd_e6"))).toSet
+    assert(k35 == bruteBands)
+  }
 }

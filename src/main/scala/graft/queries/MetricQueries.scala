@@ -4933,6 +4933,177 @@ object MetricQueries {
              CAST(sum(nc) AS BIGINT) AS n_rows,
              max(CAST(floor(1.0e6 * num / (2 * nc * ng)) AS BIGINT))
                AS max_tvd_e6
-      FROM scored GROUP BY 1 ORDER BY 1"""))
+      FROM scored GROUP BY 1 ORDER BY 1""")),
+
+    // TS20 — permutation entropy (Bandt–Pompe) of the daily revenue
+    // series at order 3: each day's ordinal pattern among (xₜ, xₜ₊₁,
+    // xₜ₊₂) — ranks only, so the statistic is invariant to monotone
+    // rescaling and EXACT integer comparisons on cents decide every
+    // pattern (ties break to the earlier index, the standard
+    // convention). Low entropy = predictable motif structure; ~ln 6 =
+    // noise. Pattern counting is two leads over the bounded day table;
+    // the entropy accumulates over ≤6 pattern rows in code order.
+    Q("ts20_permutation_entropy", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+      val wD = Window.orderBy("d")
+      val pats = daily
+        .withColumn("x1", lead("x", 1).over(wD))
+        .withColumn("x2", lead("x", 2).over(wD))
+        .filter(col("x2").isNotNull)
+        .selectExpr(
+          "CAST((CASE WHEN x1 < x THEN 1 ELSE 0 END " +
+            "+ CASE WHEN x2 < x THEN 1 ELSE 0 END) * 9 " +
+          "+ (CASE WHEN x <= x1 THEN 1 ELSE 0 END " +
+            "+ CASE WHEN x2 < x1 THEN 1 ELSE 0 END) * 3 " +
+          "+ (CASE WHEN x <= x2 THEN 1 ELSE 0 END " +
+            "+ CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS BIGINT) AS code")
+      val counts = pats.groupBy("code").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("nt"))
+      val wC = Window.orderBy("code")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.crossJoin(broadcast(tot))
+        .withColumn("h_cum_e6", floor(lit(1.0e6) * sum(
+          (col("n").cast("double") / col("nt")) *
+            -log(col("n").cast("double") / col("nt"))).over(wC))
+          .cast("long"))
+        .selectExpr("code", "n", "n * 1000000L div nt AS p_e6",
+          "h_cum_e6")
+        .orderBy("code")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+      led AS (
+        SELECT x, lead(x, 1) OVER (ORDER BY d) AS x1,
+               lead(x, 2) OVER (ORDER BY d) AS x2
+        FROM daily),
+      pats AS (
+        SELECT (CASE WHEN x1 < x THEN 1 ELSE 0 END
+                 + CASE WHEN x2 < x THEN 1 ELSE 0 END) * 9
+             + (CASE WHEN x <= x1 THEN 1 ELSE 0 END
+                 + CASE WHEN x2 < x1 THEN 1 ELSE 0 END) * 3
+             + (CASE WHEN x <= x2 THEN 1 ELSE 0 END
+                 + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS code
+        FROM led WHERE x2 IS NOT NULL),
+      counts AS (SELECT code, CAST(count(*) AS BIGINT) AS n
+                 FROM pats GROUP BY 1),
+      tot AS (SELECT sum(n) AS nt FROM counts)
+      SELECT CAST(code AS BIGINT) AS code, n,
+             CAST(n * 1000000 // nt AS BIGINT) AS p_e6,
+             CAST(floor(1.0e6 * sum((CAST(n AS DOUBLE) / nt) *
+               -ln(CAST(n AS DOUBLE) / nt)) OVER (ORDER BY code
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS BIGINT) AS h_cum_e6
+      FROM counts, tot ORDER BY code""")),
+
+    // MB6 — newsvendor stocking level: with underage:overage cost 3:1
+    // the optimal order is the 75% critical fractile of daily demand —
+    // the smallest q with F(q) ≥ 0.75, i.e. the ceil(0.75·n)-th order
+    // statistic, an EXACT rank pick (no quantile interpolation to
+    // disagree on). Graded beside it: the realized integer cost of
+    // stocking q* vs stocking the naive mean — the classic "mean is not
+    // the answer" demonstration, all in exact units. Day-grain ranks;
+    // two 1-row policy broadcasts back onto the day table.
+    Q("mb6_newsvendor", (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("dem"))
+        .localCheckpoint(eager = false) // feeds rank, mean, and cost scans
+      val wR = Window.orderBy(col("dem"), col("day"))
+      val ranked = daily.select(col("dem"),
+        row_number().over(wR).cast("long").as("rn"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("dem").as("sd"))
+      val pol = ranked.crossJoin(broadcast(tot))
+        .filter(col("rn") === expr("(n * 3 + 3) div 4"))
+        .selectExpr("dem AS q_star", "sd div n AS q_mean", "n AS n_days")
+      daily.crossJoin(broadcast(pol))
+        .agg(first("n_days").as("n_days"),
+          first("q_star").as("q_star"), first("q_mean").as("q_mean"),
+          sum(greatest(col("dem") - col("q_star"), lit(0L)) * 3 +
+            greatest(col("q_star") - col("dem"), lit(0L)))
+            .as("cost_qstar"),
+          sum(greatest(col("dem") - col("q_mean"), lit(0L)) * 3 +
+            greatest(col("q_mean") - col("dem"), lit(0L)))
+            .as("cost_qmean"))
+        .withColumn("saving", col("cost_qmean") - col("cost_qstar"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               sum(CAST(floor(l_quantity) AS BIGINT)) AS dem
+        FROM lineitem GROUP BY 1),
+      ranked AS (
+        SELECT dem, CAST(row_number() OVER (ORDER BY dem, day) AS BIGINT)
+                 AS rn
+        FROM daily),
+      tot AS (SELECT count(*) AS n, sum(dem) AS sd FROM daily),
+      pol AS (
+        SELECT dem AS q_star, sd // n AS q_mean, n AS n_days
+        FROM ranked, tot WHERE rn = (n * 3 + 3) // 4)
+      SELECT CAST(any_value(n_days) AS BIGINT) AS n_days,
+             CAST(any_value(q_star) AS BIGINT) AS q_star,
+             CAST(any_value(q_mean) AS BIGINT) AS q_mean,
+             CAST(sum(greatest(dem - q_star, 0) * 3 +
+               greatest(q_star - dem, 0)) AS BIGINT) AS cost_qstar,
+             CAST(sum(greatest(dem - q_mean, 0) * 3 +
+               greatest(q_mean - dem, 0)) AS BIGINT) AS cost_qmean,
+             CAST(sum(greatest(dem - q_mean, 0) * 3 +
+               greatest(q_mean - dem, 0)) -
+               sum(greatest(dem - q_star, 0) * 3 +
+               greatest(q_star - dem, 0)) AS BIGINT) AS saving
+      FROM daily, pol""")),
+
+    // W29 — Bollinger-band breakouts on daily revenue (20-day window,
+    // ±2σ) with ZERO floats: the breakout test (w·x − S)² > 4·(w·Q − S²)
+    // is the band inequality cross-multiplied through — S and Q are
+    // exact rolling integer sums of dollars and squared dollars, so
+    // population variance, the ±2σ edges, and every breakout verdict
+    // are integer-exact (dollars, not cents, keep (w·x−S)² inside a
+    // BIGINT at these SFs — documented bound). Emits the breakout days
+    // only, with side and the rolling mean. One day-grain window pass.
+    Q("w29_bollinger_breakouts", (s, dir) => {
+      val w = 20
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+      val wD = Window.orderBy("d").rowsBetween(-(w - 1), 0)
+      daily
+        .withColumn("nw", count(lit(1)).over(wD))
+        .withColumn("sw", sum("x").over(wD))
+        .withColumn("qw", sum(col("x") * col("x")).over(wD))
+        .filter(col("nw") === w)
+        .selectExpr("d", "x", "sw",
+          s"$w * x - sw AS dev", s"$w * qw - sw * sw AS varn")
+        .filter(col("dev") * col("dev") > lit(4L) * col("varn"))
+        .selectExpr("d", "x",
+          "CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS side",
+          s"sw * 100 div $w AS ma_e2")
+        .orderBy("d")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+      roll AS (
+        SELECT d, x,
+               count(*) OVER w20 AS nw,
+               sum(x) OVER w20 AS sw,
+               sum(x * x) OVER w20 AS qw
+        FROM daily
+        WINDOW w20 AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND
+          CURRENT ROW)),
+      dev AS (
+        SELECT d, x, sw, 20 * x - sw AS dev, 20 * qw - sw * sw AS varn
+        FROM roll WHERE nw = 20)
+      SELECT d, x,
+             CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS side,
+             CAST(sw * 100 // 20 AS BIGINT) AS ma_e2
+      FROM dev WHERE dev * dev > 4 * varn ORDER BY d"""))
   )
 }

@@ -127,7 +127,9 @@ class AllPlansSpec extends AnyFunSuite {
     "ml17_gains_table" -> "1-row corpus-total broadcast onto the ranked docs (rank itself is the two-level prefix sum)",
     "ml18_brier_decomposition" -> "1-row corpus-total broadcast onto the ranked docs (rank itself is the two-level prefix sum)",
     "k33_rendezvous_routing" -> "1-row key-total broadcast onto the 8-row node rollup",
-    "k35_t_closeness" -> "1-row population-total broadcast onto the (class, seg) table")
+    "k35_t_closeness" -> "1-row population-total broadcast onto the (class, seg) table",
+    "ts20_permutation_entropy" -> "1-row pattern-total broadcast onto the 6-row pattern table",
+    "mb6_newsvendor" -> "1-row day-total + 1-row policy broadcasts onto the day table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2643,4 +2643,85 @@ class MetricOpsSpec extends AnyFunSuite {
         r.getAs[Long]("n_rows"), r.getAs[Long]("max_tvd_e6"))).toSet
     assert(k35 == bruteBands)
   }
+
+  // ------------------------------------------------------------------
+  // wave 47: ts20 / mb6 / w29
+  // ------------------------------------------------------------------
+
+  test("ts20: ordinal patterns match a brute-force Bandt-Pompe replay") {
+    val ys = dailyCents().map(_._2)
+    val codes = ys.sliding(3).filter(_.length == 3).map { v =>
+      val r0 = (if (v(1) < v(0)) 1 else 0) + (if (v(2) < v(0)) 1 else 0)
+      val r1 = (if (v(0) <= v(1)) 1 else 0) + (if (v(2) < v(1)) 1 else 0)
+      val r2 = (if (v(0) <= v(2)) 1 else 0) + (if (v(1) <= v(2)) 1 else 0)
+      (r0 * 9 + r1 * 3 + r2).toLong
+    }.toArray
+    val counts = codes.groupBy(identity(_)).view
+      .mapValues(_.length.toLong).toMap
+    val nt = codes.length.toLong
+    val out = run("ts20_permutation_entropy").collect()
+    assert(out.map(_.getAs[Long]("n")).sum == nt)
+    var h = 0.0
+    out.foreach { r =>
+      val c = r.getAs[Long]("code")
+      // ranks form a permutation: distinct {0,1,2}
+      val (a, b, cc) = (c / 9, (c / 3) % 3, c % 3)
+      assert(Set(a, b, cc) == Set(0L, 1L, 2L))
+      assert(r.getAs[Long]("n") == counts(c))
+      val p = counts(c).toDouble / nt
+      h += p * -math.log(p)
+      assert(r.getAs[Long]("p_e6") == counts(c) * 1000000L / nt)
+      assert(r.getAs[Long]("h_cum_e6") == math.floor(1.0e6 * h).toLong)
+    }
+    assert(h <= math.log(6.0) + 1e-12)
+  }
+
+  test("mb6: critical fractile beats the mean policy in realized cost") {
+    val s = spark
+    import graft.queries.Tables.t
+    val dem = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("dem"))
+      .collect().map(r => (r.getAs[java.sql.Date](0), r.getLong(1)))
+    val n = dem.length.toLong
+    val sorted = dem.sortBy(p => (p._2, p._1.toLocalDate.toEpochDay))
+      .map(_._2)
+    val qStar = sorted(((n * 3 + 3) / 4 - 1).toInt)
+    val qMean = dem.map(_._2).sum / n
+    def cost(q: Long) = dem.map { case (_, d) =>
+      math.max(d - q, 0L) * 3 + math.max(q - d, 0L) }.sum
+    val r = run("mb6_newsvendor").collect()(0)
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[Long]("q_star") == qStar)
+    assert(r.getAs[Long]("q_mean") == qMean)
+    assert(r.getAs[Long]("cost_qstar") == cost(qStar))
+    assert(r.getAs[Long]("cost_qmean") == cost(qMean))
+    assert(r.getAs[Long]("saving") == cost(qMean) - cost(qStar))
+    // with 3:1 asymmetry the fractile policy cannot lose
+    assert(r.getAs[Long]("saving") >= 0L)
+  }
+
+  test("w29: breakout days match a brute-force integer band replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ys = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = ys.indices.filter(_ >= 19).flatMap { i =>
+      val win = (i - 19 to i).map(ys(_)._2)
+      val (sw, qw) = (win.sum, win.map(v => v * v).sum)
+      val dev = 20 * ys(i)._2 - sw
+      if (dev * dev > 4 * (20 * qw - sw * sw))
+        Some((ys(i)._1, ys(i)._2, if (dev > 0) "up" else "down",
+          sw * 100 / 20))
+      else None
+    }
+    val got = run("w29_bollinger_breakouts").collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("x"),
+        r.getAs[String]("side"), r.getAs[Long]("ma_e2"))).toSeq
+    assert(got == brute)
+    assert(got.nonEmpty) // 2000+ trading days produce at least one
+  }
 }

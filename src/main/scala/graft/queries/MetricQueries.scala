@@ -5104,6 +5104,163 @@ object MetricQueries {
       SELECT d, x,
              CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS side,
              CAST(sw * 100 // 20 AS BIGINT) AS ma_e2
-      FROM dev WHERE dev * dev > 4 * varn ORDER BY d"""))
+      FROM dev WHERE dev * dev > 4 * varn ORDER BY d""")),
+
+    // SA19 — Horvitz–Thompson estimation under unequal-probability
+    // stratified sampling: customers keep with per-segment design
+    // probabilities whose reciprocals are INTEGERS (1/10 … 1/1), so the
+    // HT total Σ y_i/π_i is exact integer arithmetic — the estimator a
+    // 100 TB pipeline uses to audit a metric from its sampled shard
+    // without rescanning the corpus. Sampling is the md5-fraction
+    // determinism every sa-query shares (no rand()); the graded row
+    // compares HT against the true stratum total with a signed
+    // floor-scaled relative error (floor, not div — trunc-vs-floor
+    // differs on negatives across engines).
+    Q("sa19_horvitz_thompson", (s, dir) => {
+      val weight = expr("""CASE c_mktsegment WHEN 'BUILDING' THEN 10L
+        WHEN 'AUTOMOBILE' THEN 5L WHEN 'FURNITURE' THEN 4L
+        WHEN 'HOUSEHOLD' THEN 2L ELSE 1L END""")
+      val frac = graft.operators.Sampling.hashFraction(
+        col("c_custkey").cast("string"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"),
+          weight.as("w"), frac.as("f"))
+        .groupBy("seg", "w")
+        .agg(count(lit(1)).as("n_pop"),
+          sum("cents").as("true_cents"),
+          sum(when(col("f") * col("w") < 1, 1L).otherwise(0L))
+            .as("n_sampled"),
+          (sum(when(col("f") * col("w") < 1, col("cents"))
+            .otherwise(0L)) * col("w")).as("ht_cents"))
+        .selectExpr("seg", "w", "n_pop", "n_sampled", "true_cents",
+          "ht_cents",
+          "CAST(floor(1.0e6 * (ht_cents - true_cents) / true_cents)" +
+            " AS BIGINT) AS err_e6")
+        .orderBy("seg")
+    }, Some("""
+      WITH c AS (
+        SELECT c_mktsegment AS seg,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+               CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 10
+                 WHEN 'AUTOMOBILE' THEN 5 WHEN 'FURNITURE' THEN 4
+                 WHEN 'HOUSEHOLD' THEN 2 ELSE 1 END AS BIGINT) AS w,
+               list_sum(list_transform(generate_series(1, 8), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(c_custkey AS VARCHAR)), i, 1))
+                  - 1) * (16.0 ** (8 - i)))) / 4294967296.0 AS f
+        FROM customer),
+      agg AS (
+        SELECT seg, w,
+               CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(cents) AS BIGINT) AS true_cents,
+               CAST(sum(CASE WHEN f * w < 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sampled,
+               CAST(sum(CASE WHEN f * w < 1 THEN cents ELSE 0 END) * w
+                 AS BIGINT) AS ht_cents
+        FROM c GROUP BY 1, 2)
+      SELECT seg, w, n_pop, n_sampled, true_cents, ht_cents,
+             CAST(floor(1.0e6 * (ht_cents - true_cents) / true_cents)
+               AS BIGINT) AS err_e6
+      FROM agg ORDER BY seg""")),
+
+    // CS52 — entropy rate of the per-user event-type Markov chain: per
+    // previous state, the conditional next-state entropy H_i (how
+    // predictable the next action is GIVEN this one), weighted by the
+    // empirical state mass into the chain's entropy rate
+    // −Σ_ij (c_ij/N)·ln(c_ij/n_i) — the sequence-level twin of ts4's
+    // transition matrix and the number that says whether sessions are
+    // scripted (≈0) or noise (≈ln k). Counts are one user-keyed lag
+    // pass; each H_i folds over ≤k cells in next-state order; the rate
+    // accumulates in prev order over the k-row state table.
+    Q("cs52_entropy_rate", (s, dir) => {
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = t(s, dir, "events")
+        .withColumn("prev", lag("event_type", 1).over(wU))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("c"))
+      val tot = trans.agg(sum("c").as("nt"))
+      def foldH = aggregate(transform(array_sort(collect_list(
+        struct(col("nxt"), col("hterm")))), q => q.getField("hterm")),
+        lit(0.0), (a, q) => a + q)
+      val byPrev = trans
+        .withColumn("ni", sum("c").over(Window.partitionBy("prev")))
+        .withColumn("hterm", (col("c").cast("double") / col("ni")) *
+          -log(col("c").cast("double") / col("ni")))
+        .groupBy("prev", "ni").agg(foldH.as("hi"))
+      val wP = Window.orderBy("prev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byPrev.crossJoin(broadcast(tot))
+        .withColumn("rate_cum_e6", floor(lit(1.0e6) * sum(
+          (col("ni").cast("double") / col("nt")) * col("hi")).over(wP))
+          .cast("long"))
+        .selectExpr("prev", "ni", "nt",
+          "CAST(floor(1.0e6 * hi) AS BIGINT) AS hi_e6", "rate_cum_e6")
+        .orderBy("prev")
+    }, Some("""
+      WITH seq AS (
+        SELECT event_type AS nxt,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+        FROM events),
+      trans AS (
+        SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT sum(c) AS nt FROM trans),
+      byprev2 AS (
+        SELECT prev,
+               CAST(sum(c) AS BIGINT) AS ni,
+               list_sum(list(hterm ORDER BY nxt)) AS hi
+        FROM (
+          SELECT prev, nxt, c,
+                 sum(c) OVER (PARTITION BY prev) AS nig,
+                 (CAST(c AS DOUBLE) / (sum(c) OVER (PARTITION BY prev)))
+                   * -ln(CAST(c AS DOUBLE) /
+                       (sum(c) OVER (PARTITION BY prev))) AS hterm
+          FROM trans)
+        GROUP BY 1)
+      SELECT b.prev, b.ni, CAST(t.nt AS BIGINT) AS nt,
+             CAST(floor(1.0e6 * b.hi) AS BIGINT) AS hi_e6,
+             CAST(floor(1.0e6 * sum((CAST(b.ni AS DOUBLE) / t.nt) * b.hi)
+               OVER (ORDER BY b.prev ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)) AS BIGINT) AS rate_cum_e6
+      FROM byprev2 b, tot t ORDER BY b.prev""")),
+
+    // TX26 — Simpson diversity of each source's vocabulary: 1 −
+    // Σc(c−1)/(N(N−1)) is the probability two tokens drawn without
+    // replacement differ — the concentration lens on vocabulary that
+    // Zipf-slope (cs4) and Heaps-law (tx23) don't give, and it is EXACT
+    // integer arithmetic until one final division (repeat-pair counts
+    // Σc(c−1) are sums of products of term counts). One (source, term)
+    // groupBy — the same shuffle a TF table already pays.
+    Q("tx26_vocab_simpson", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_terms"),
+          sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+        .selectExpr("source", "n_tokens", "n_terms", "rep_pairs",
+          "CAST(floor(1.0e6 * (1.0e0 - CAST(rep_pairs AS DOUBLE)" +
+            " / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)))) AS BIGINT)" +
+            " AS simpson_e6")
+        .orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM toks GROUP BY 1, 2),
+      agg AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+        FROM tf GROUP BY 1)
+      SELECT source, n_tokens, n_terms, rep_pairs,
+             CAST(floor(1.0e6 * (1.0e0 - CAST(rep_pairs AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)))) AS BIGINT)
+               AS simpson_e6
+      FROM agg ORDER BY source"""))
   )
 }

@@ -129,7 +129,8 @@ class AllPlansSpec extends AnyFunSuite {
     "k33_rendezvous_routing" -> "1-row key-total broadcast onto the 8-row node rollup",
     "k35_t_closeness" -> "1-row population-total broadcast onto the (class, seg) table",
     "ts20_permutation_entropy" -> "1-row pattern-total broadcast onto the 6-row pattern table",
-    "mb6_newsvendor" -> "1-row day-total + 1-row policy broadcasts onto the day table")
+    "mb6_newsvendor" -> "1-row day-total + 1-row policy broadcasts onto the day table",
+    "cs52_entropy_rate" -> "1-row transition-total broadcast onto the 5-row state table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2724,4 +2724,87 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got.nonEmpty) // 2000+ trading days produce at least one
   }
+
+  // ------------------------------------------------------------------
+  // wave 48: sa19 / cs52 / tx26
+  // ------------------------------------------------------------------
+
+  test("sa19: HT estimator laws — full stratum exact, sampling exact") {
+    val out = run("sa19_horvitz_thompson").collect()
+      .map(r => (r.getAs[String]("seg"), r)).toMap
+    assert(out.size == 5)
+    out.values.foreach { r =>
+      val (w, nPop, nS) = (r.getAs[Long]("w"), r.getAs[Long]("n_pop"),
+        r.getAs[Long]("n_sampled"))
+      assert(nS <= nPop && nS > 0)
+      if (w == 1L) {
+        // the certainty stratum: HT is exactly the truth
+        assert(nS == nPop)
+        assert(r.getAs[Long]("ht_cents") == r.getAs[Long]("true_cents"))
+        assert(r.getAs[Long]("err_e6") == 0L)
+      } else {
+        // md5-fraction sampling should land near n/w
+        assert(math.abs(nS - nPop.toDouble / w) < nPop.toDouble / w)
+      }
+      val err = math.floor(1.0e6 *
+        (r.getAs[Long]("ht_cents") - r.getAs[Long]("true_cents")).toDouble
+        / r.getAs[Long]("true_cents")).toLong
+      assert(r.getAs[Long]("err_e6") == err)
+    }
+  }
+
+  test("cs52: entropy rate matches a brute-force chain replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ev = t(s, dir, "events")
+      .selectExpr("user_id", "event_id", "CAST(ts AS LONG) tl",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      seq.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }.toArray
+    val byCell = trans.groupBy(identity(_)).view
+      .mapValues(_.length.toLong).toMap
+    val byPrev = trans.groupBy(_._1)
+    val nt = trans.length.toLong
+    val out = run("cs52_entropy_rate").collect()
+    assert(out.map(_.getAs[Long]("ni")).sum == nt)
+    var rate = 0.0
+    out.sortBy(_.getAs[String]("prev")).foreach { r =>
+      val prev = r.getAs[String]("prev")
+      val ni = byPrev(prev).length.toLong
+      assert(r.getAs[Long]("ni") == ni)
+      val hi = byCell.filter(_._1._1 == prev).toSeq.sortBy(_._1._2)
+        .map { case (_, c) =>
+          (c.toDouble / ni) * -math.log(c.toDouble / ni) }.sum
+      rate += (ni.toDouble / nt) * hi
+      assert(r.getAs[Long]("hi_e6") == math.floor(1.0e6 * hi).toLong)
+      assert(r.getAs[Long]("rate_cum_e6") ==
+        math.floor(1.0e6 * rate).toLong)
+    }
+  }
+
+  test("tx26: Simpson diversity matches a brute-force vocab replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val toks = t(s, dir, "documents").selectExpr("source", "text")
+      .collect().flatMap(r => r.getString(1).split(" ", -1)
+        .map(tk => (r.getString(0), tk)))
+    val out = run("tx26_vocab_simpson").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val counts = toks.filter(_._1 == src).groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap
+      val n = counts.values.sum
+      val rep = counts.values.map(c => c * (c - 1)).sum
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("n_terms") == counts.size.toLong)
+      assert(r.getAs[Long]("rep_pairs") == rep)
+      assert(r.getAs[Long]("simpson_e6") == math.floor(1.0e6 *
+        (1.0 - rep.toDouble / (n.toDouble * (n - 1)))).toLong)
+    }
+  }
 }

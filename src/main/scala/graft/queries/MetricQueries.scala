@@ -5261,6 +5261,214 @@ object MetricQueries {
              CAST(floor(1.0e6 * (1.0e0 - CAST(rep_pairs AS DOUBLE)
                / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)))) AS BIGINT)
                AS simpson_e6
-      FROM agg ORDER BY source"""))
+      FROM agg ORDER BY source""")),
+
+    // CS53 — Kruskal–Wallis H across the seven weekday groups of daily
+    // revenue: the k-sample rank ANOVA (does day-of-week shift the
+    // distribution, not just the mean) that needs no normality. Ranks are
+    // midranks kept EXACT by the ×2 trick (2·midrank = 2·min_rank + t − 1,
+    // an integer even for ties), so every group rank-sum and its square
+    // are exact longs at day grain; H and its tie-corrected twin are
+    // closed-form doubles composed once. One bounded-table rank window +
+    // a 7-row rollup.
+    Q("cs53_kruskal_wallis", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val ranked = daily
+        .withColumn("r2", (lit(2) * rank().over(Window.orderBy("x"))
+          + count(lit(1)).over(Window.partitionBy("x")) - 1).cast("long"))
+      val grp = ranked.groupBy("dow")
+        .agg(count(lit(1)).as("n_i"), sum("r2").as("r2_i"))
+      val ties = ranked.groupBy("x").agg(count(lit(1)).as("tc"))
+        .agg(sum(col("tc") * col("tc") * col("tc") - col("tc")).as("t3t"))
+      // H = 3·Σ(R2_i²/n_i)/(N(N+1)) − 3(N+1); r2_i² ≤ (2N²)² stays exact
+      // in a double at day grain, and the 7 per-group terms fold in dow
+      // order so both engines add in the same sequence
+      def foldT = aggregate(transform(array_sort(collect_list(
+        struct(col("dow"), col("t")))), q => q.getField("t")),
+        lit(0.0), (a, q) => a + q)
+      val tot = grp
+        .withColumn("t", expr("CAST(r2_i * r2_i AS DOUBLE) / n_i"))
+        .agg(sum("n_i").as("n"), foldT.as("sr2"))
+      val h = tot.crossJoin(broadcast(ties))
+        .selectExpr("n", "t3t",
+          "3.0e0 * sr2 / (CAST(n AS DOUBLE)" +
+            " * (n + 1)) - 3.0e0 * (n + 1) AS hraw")
+      grp.crossJoin(broadcast(h))
+        .withColumn("h_e6",
+          floor(lit(1.0e6) * col("hraw")).cast("long"))
+        .withColumn("h_adj_e6", floor(lit(1.0e6) * col("hraw") /
+          (lit(1.0e0) - col("t3t").cast("double") /
+            (col("n") * col("n") * col("n") - col("n")))).cast("long"))
+        .selectExpr("dow", "n_i", "r2_i", "h_e6", "h_adj_e6")
+        .orderBy("dow")
+    }, Some("""
+      WITH daily AS (
+        SELECT day, x, CAST(dayofweek(day) AS BIGINT) + 1 AS dow
+        FROM (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+          FROM orders GROUP BY 1)),
+      ranked AS (
+        SELECT dow,
+               CAST(2 * rank() OVER (ORDER BY x)
+                 + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
+        FROM daily),
+      grp AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(r2) AS BIGINT) AS r2_i
+        FROM ranked GROUP BY 1),
+      ties AS (
+        SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS t3t
+        FROM (SELECT count(*) AS tc FROM daily GROUP BY x)),
+      tot AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               list_sum(list(CAST(r2_i * r2_i AS DOUBLE) / n_i
+                 ORDER BY dow)) AS sr2
+        FROM grp),
+      h AS (
+        SELECT n, t3t,
+               3.0e0 * sr2
+                 / (CAST(n AS DOUBLE) * (n + 1)) - 3.0e0 * (n + 1) AS hraw
+        FROM tot, ties)
+      SELECT g.dow, g.n_i, g.r2_i,
+             CAST(floor(1.0e6 * h.hraw) AS BIGINT) AS h_e6,
+             CAST(floor(1.0e6 * h.hraw / (1.0e0 - CAST(h.t3t AS DOUBLE)
+               / (h.n * h.n * h.n - h.n))) AS BIGINT) AS h_adj_e6
+      FROM grp g, h ORDER BY g.dow""")),
+
+    // ATT5 — Shapley-value attribution over channel coalitions: each
+    // purchase's preceding 7-day touch channels {view, click, signup}
+    // form a bitmask; coalition worth v(S) = purchases whose touch set
+    // ⊆ S (cumulative conversions the coalition can claim); each
+    // channel's Shapley credit is the weighted marginal Σ w(|S|)·(v(S∪i)
+    // − v(S)). With k=3 the factorial weights are sixths, so phi_x6 is
+    // an EXACT integer and efficiency (Σφ = v(full) − v(∅)) is a law the
+    // spec asserts. Corpus work is att1's user-keyed touch↔purchase
+    // join; everything after lives on an 8-row mask table.
+    Q("att5_shapley_attribution", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev
+        .filter(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id").as("u"),
+          col("ts").cast("long").as("tt"),
+          when(col("event_type") === "view", 1L)
+            .when(col("event_type") === "click", 2L)
+            .otherwise(4L).as("bit"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("pid"),
+          col("ts").cast("long").as("pt"))
+      val masks = purchases.join(touches, Seq("u"), "left")
+        .withColumn("inwin", col("tt").isNotNull &&
+          col("tt") < col("pt") && col("tt") >= col("pt") - 604800L)
+        .groupBy("pid")
+        .agg(coalesce(expr("bit_or(CASE WHEN inwin THEN bit END)"),
+          lit(0L)).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      import s.implicits._
+      val subsets = (0L to 7L).toDF("s")
+      val v = subsets.join(masks, expr("(mask & s) = mask"), "left")
+        .groupBy("s").agg(coalesce(sum("cnt"), lit(0L)).as("v"))
+        .localCheckpoint(eager = false) // feeds two coalition joins
+      // (channel, S without channel, |S|) triples — 12 literal rows
+      val triples = (for {
+        i <- Seq(1L, 2L, 4L); ss <- 0L to 7L if (ss & i) == 0L
+      } yield (i, ss, java.lang.Long.bitCount(ss).toLong))
+        .toDF("bit", "s0", "ssz")
+      val w6 = expr("CASE ssz WHEN 0 THEN 2L WHEN 1 THEN 1L ELSE 2L END")
+      triples
+        .join(v.select(col("s").as("s0"), col("v").as("v0")), "s0")
+        .join(v.select(col("s").as("s1"), col("v").as("v1")),
+          expr("s1 = s0 + bit"))
+        .groupBy("bit")
+        .agg(sum(w6 * (col("v1") - col("v0"))).as("phi_x6"))
+        .selectExpr(
+          "CASE bit WHEN 1 THEN 'view' WHEN 2 THEN 'click' " +
+            "ELSE 'signup' END AS channel",
+          "phi_x6")
+        .orderBy("channel")
+    }, Some("""
+      WITH touches AS (
+        SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS tt,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                 ELSE 4 END AS bit
+        FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      purchases AS (
+        SELECT user_id AS u, event_id AS pid,
+               CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        FROM events WHERE event_type = 'purchase'),
+      pmask AS (
+        SELECT p.pid,
+               coalesce(bit_or(CASE WHEN t.tt IS NOT NULL
+                 AND t.tt < p.pt AND t.tt >= p.pt - 604800
+                 THEN t.bit END), 0) AS mask
+        FROM purchases p LEFT JOIN touches t ON t.u = p.u
+        GROUP BY 1),
+      mcnt AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+               FROM pmask GROUP BY 1),
+      subsets AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT)
+                    AS s),
+      v AS (
+        SELECT s, CAST(coalesce(sum(CASE WHEN (mask & s) = mask
+                 THEN cnt END), 0) AS BIGINT) AS v
+        FROM subsets, mcnt GROUP BY 1),
+      triples AS (
+        SELECT b.bit, s.s AS s0,
+               ((s.s & 1) + ((s.s >> 1) & 1) + ((s.s >> 2) & 1)) AS ssz
+        FROM (SELECT unnest([1, 2, 4]) AS bit) b, subsets s
+        WHERE (s.s & b.bit) = 0)
+      SELECT CASE t.bit WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+               ELSE 'signup' END AS channel,
+             CAST(sum((CASE t.ssz WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)
+               * (v1.v - v0.v)) AS BIGINT) AS phi_x6
+      FROM triples t
+        JOIN v v0 ON v0.s = t.s0
+        JOIN v v1 ON v1.s = t.s0 + t.bit
+      GROUP BY 1 ORDER BY 1""")),
+
+    // K36 — Bloom-filter capacity planner per partition: from each
+    // nation-partition's EXACT key cardinality, the textbook sizing
+    // m = ⌈−n·ln p / (ln 2)²⌉ bits and h = ⌈(m/n)·ln 2⌉ hashes for a 1%
+    // FPR target, plus the predicted FPR (1 − e^{−hn/m})^h of the
+    // rounded plan — the planning twin of dd18's runtime Bloom dedup and
+    // k24's partition planner. Exact counts in, one closed-form double
+    // chain out, identical expression text on both engines.
+    Q("k36_bloom_planner", (s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nat"))
+        .agg(countDistinct("c_custkey").cast("long").as("n_keys"))
+        .selectExpr("nat", "n_keys",
+          "CAST(ceil(-(CAST(n_keys AS DOUBLE)) * ln(1.0e-2)" +
+            " / (ln(2.0e0) * ln(2.0e0))) AS BIGINT) AS m_bits")
+        .selectExpr("nat", "n_keys", "m_bits",
+          "CAST(ceil((CAST(m_bits AS DOUBLE) / n_keys) * ln(2.0e0))" +
+            " AS BIGINT) AS h_hashes")
+        .selectExpr("nat", "n_keys", "m_bits", "h_hashes",
+          "CAST(floor(1.0e9 * power(1.0e0 - exp(-(CAST(h_hashes" +
+            " AS DOUBLE)) * n_keys / m_bits), CAST(h_hashes AS DOUBLE)))" +
+            " AS BIGINT) AS pred_fpr_e9")
+        .orderBy("nat")
+    }, Some("""
+      WITH counts AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        FROM customer GROUP BY 1),
+      m AS (
+        SELECT nat, n_keys,
+               CAST(ceil(-(CAST(n_keys AS DOUBLE)) * ln(1.0e-2)
+                 / (ln(2.0e0) * ln(2.0e0))) AS BIGINT) AS m_bits
+        FROM counts),
+      h AS (
+        SELECT nat, n_keys, m_bits,
+               CAST(ceil((CAST(m_bits AS DOUBLE) / n_keys) * ln(2.0e0))
+                 AS BIGINT) AS h_hashes
+        FROM m)
+      SELECT nat, n_keys, m_bits, h_hashes,
+             CAST(floor(1.0e9 * power(1.0e0 - exp(-(CAST(h_hashes
+               AS DOUBLE)) * n_keys / m_bits), CAST(h_hashes AS DOUBLE)))
+               AS BIGINT) AS pred_fpr_e9
+      FROM h ORDER BY nat"""))
   )
 }

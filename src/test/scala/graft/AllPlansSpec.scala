@@ -130,7 +130,9 @@ class AllPlansSpec extends AnyFunSuite {
     "k35_t_closeness" -> "1-row population-total broadcast onto the (class, seg) table",
     "ts20_permutation_entropy" -> "1-row pattern-total broadcast onto the 6-row pattern table",
     "mb6_newsvendor" -> "1-row day-total + 1-row policy broadcasts onto the day table",
-    "cs52_entropy_rate" -> "1-row transition-total broadcast onto the 5-row state table")
+    "cs52_entropy_rate" -> "1-row transition-total broadcast onto the 5-row state table",
+    "cs53_kruskal_wallis" -> "1-row tie-correction + 1-row H broadcasts onto the 7-row weekday table",
+    "att5_shapley_attribution" -> "8-row coalition-mask subset join (bitwise containment, both sides bounded by 2^k)")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

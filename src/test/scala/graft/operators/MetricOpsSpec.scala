@@ -2807,4 +2807,104 @@ class MetricOpsSpec extends AnyFunSuite {
         (1.0 - rep.toDouble / (n.toDouble * (n - 1)))).toLong)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 49: cs53 / att5 / k36
+  // ------------------------------------------------------------------
+
+  test("cs53: Kruskal-Wallis H matches a brute-force midrank replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val days = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+      .collect().map(r => (r.getAs[Long]("dow"), r.getAs[Long]("x")))
+    val n = days.length.toLong
+    val sortedX = days.map(_._2).sorted
+    val minRank = sortedX.zipWithIndex.reverse.toMap // first index per x
+    val tieCnt = days.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val r2 = days.map { case (dow, x) =>
+      (dow, 2L * (minRank(x) + 1) + tieCnt(x) - 1) }
+    val grp = r2.groupBy(_._1).toSeq.sortBy(_._1)
+    var sr2 = 0.0
+    grp.foreach { case (_, rows) =>
+      val r2i = rows.map(_._2).sum
+      sr2 += r2i.toDouble * r2i / rows.length
+    }
+    val hraw = 3.0 * sr2 / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+    val t3t = tieCnt.values.map(c => c * c * c - c).sum
+    val hadj = hraw / (1.0 - t3t.toDouble / (n * n * n - n))
+    val out = run("cs53_kruskal_wallis").collect()
+    assert(out.length == grp.length)
+    out.foreach { r =>
+      val (dow, rows) = grp.find(_._1 == r.getAs[Long]("dow")).get
+      assert(dow == r.getAs[Long]("dow"))
+      assert(r.getAs[Long]("n_i") == rows.length.toLong)
+      assert(r.getAs[Long]("r2_i") == rows.map(_._2).sum)
+      assert(r.getAs[Long]("h_e6") == math.floor(1.0e6 * hraw).toLong)
+      assert(r.getAs[Long]("h_adj_e6") == math.floor(1.0e6 * hadj).toLong)
+    }
+    assert(out(0).getAs[Long]("h_adj_e6") >= out(0).getAs[Long]("h_e6"))
+  }
+
+  test("att5: Shapley credits match a brute replay and obey efficiency") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ev = t(s, dir, "events")
+      .selectExpr("user_id u", "event_id", "CAST(ts AS LONG) tl",
+        "event_type et").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val touches = ev.filter(e => Set("view", "click", "signup")(e._4))
+      .groupBy(_._1)
+    val bit = Map("view" -> 1L, "click" -> 2L, "signup" -> 4L)
+    val maskCnt = ev.filter(_._4 == "purchase").map { p =>
+      touches.getOrElse(p._1, Array.empty[(Long, Long, Long, String)])
+        .filter(tc => tc._3 < p._3 && tc._3 >= p._3 - 604800L)
+        .map(tc => bit(tc._4)).foldLeft(0L)(_ | _)
+    }.groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    def v(ss: Long) = maskCnt.filter { case (m, _) => (m & ss) == m }
+      .values.sum
+    val phi = Seq(1L, 2L, 4L).map { i =>
+      val contributions = (0L to 7L).filter(ss => (ss & i) == 0).map {
+        ss =>
+          val w6 = java.lang.Long.bitCount(ss) match {
+            case 0 => 2L; case 1 => 1L; case _ => 2L }
+          w6 * (v(ss | i) - v(ss))
+      }.sum
+      i -> contributions
+    }.toMap
+    val out = run("att5_shapley_attribution").collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("phi_x6")))
+      .toMap
+    assert(out == Map("view" -> phi(1L), "click" -> phi(2L),
+      "signup" -> phi(4L)))
+    // efficiency: credits exhaust v(grand) − v(empty)
+    assert(out.values.sum == 6L * (v(7L) - v(0L)))
+  }
+
+  test("k36: bloom plan matches the closed form and hits the FPR target") {
+    val s = spark
+    import graft.queries.Tables.t
+    val counts = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nat"))
+      .agg(countDistinct("c_custkey").cast("long").as("nk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val out = run("k36_bloom_planner").collect()
+    assert(out.length == counts.size)
+    out.foreach { r =>
+      val nk = counts(r.getAs[Long]("nat"))
+      val m = math.ceil(-nk.toDouble * math.log(0.01) /
+        (math.log(2.0) * math.log(2.0))).toLong
+      val h = math.ceil(m.toDouble / nk * math.log(2.0)).toLong
+      assert(r.getAs[Long]("n_keys") == nk)
+      assert(r.getAs[Long]("m_bits") == m)
+      assert(r.getAs[Long]("h_hashes") == h)
+      val fpr = math.pow(1.0 - math.exp(-h.toDouble * nk / m), h.toDouble)
+      assert(r.getAs[Long]("pred_fpr_e9") ==
+        math.floor(1.0e9 * fpr).toLong)
+      // the rounded plan still honors the 1% design target (small slack)
+      assert(r.getAs[Long]("pred_fpr_e9") <= 10500000L)
+    }
+  }
 }

@@ -5469,6 +5469,214 @@ object MetricQueries {
              CAST(floor(1.0e9 * power(1.0e0 - exp(-(CAST(h_hashes
                AS DOUBLE)) * n_keys / m_bits), CAST(h_hashes AS DOUBLE)))
                AS BIGINT) AS pred_fpr_e9
-      FROM h ORDER BY nat"""))
+      FROM h ORDER BY nat""")),
+
+    // GR18 — directed reciprocity of the two-generator fixture digraph
+    // (u → 7u+1 and u → 3u+2 mod 499, the gr2-family construction): the
+    // share of edges whose reverse edge also exists — the first statistic
+    // of any interaction graph (follows, citations, messages) because it
+    // separates broadcast structure from conversation structure. Pure
+    // integer set algebra: distinct edges, one self-equi-join on the
+    // reversed key, three counts. Edge-keyed shuffles only.
+    Q("gr18_reciprocity", (s, dir) => {
+      val edges = t(s, dir, "documents")
+        .selectExpr("doc_id % 499 AS u")
+        .selectExpr("u", "(7 * u + 1) % 499 AS v")
+        .unionAll(t(s, dir, "documents")
+          .selectExpr("doc_id % 499 AS u")
+          .selectExpr("u", "(3 * u + 2) % 499 AS v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds both join sides + count
+      val recip = edges.join(
+        edges.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_semi")
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+        .selectExpr("n_edges", "n_recip",
+          "n_recip div 2 AS n_mutual_pairs",
+          "n_edges - n_recip AS n_asym",
+          "n_recip * 1000000L div n_edges AS recip_e6")
+    }, Some("""
+      WITH nodes AS (SELECT DISTINCT doc_id % 499 AS u FROM documents),
+      edges AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT u, (7 * u + 1) % 499 AS v FROM nodes
+          UNION ALL
+          SELECT u, (3 * u + 2) % 499 AS v FROM nodes)
+        WHERE u <> v),
+      recip AS (
+        SELECT count(*) AS n_recip
+        FROM edges e WHERE EXISTS (
+          SELECT 1 FROM edges r WHERE r.u = e.v AND r.v = e.u)),
+      tot AS (SELECT count(*) AS n_edges FROM edges)
+      SELECT CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(n_recip AS BIGINT) AS n_recip,
+             CAST(n_recip // 2 AS BIGINT) AS n_mutual_pairs,
+             CAST(n_edges - n_recip AS BIGINT) AS n_asym,
+             CAST(n_recip * 1000000 // n_edges AS BIGINT) AS recip_e6
+      FROM tot, recip""")),
+
+    // CS55 — Cohen's kappa between the tx1 marker-heuristic language
+    // prediction and the labeled `lang` column: chance-corrected
+    // agreement, the honest upgrade over raw accuracy when the label
+    // distribution is skewed. The kappa is EXACT integer arithmetic end
+    // to end — κ = (N·Σdiag − Σ row_l·col_l) / (N² − Σ row_l·col_l) —
+    // one double division at the very end. Confusion and marginals are
+    // label-grain aggregates off one corpus scan.
+    Q("cs55_cohens_kappa", (s, dir) => {
+      val preds = t(s, dir, "documents")
+        .select(col("lang"),
+          graft.operators.TextAnalysis.langId(col("text")).as("pred"))
+        .localCheckpoint(eager = false) // feeds diag + both marginals
+      val n = preds.agg(count(lit(1)).as("n"))
+      val agree = preds.filter(col("lang") === col("pred"))
+        .agg(count(lit(1)).as("n_agree"))
+      val rows = preds.groupBy(col("lang").as("lbl"))
+        .agg(count(lit(1)).as("rc"))
+      val cols = preds.groupBy(col("pred").as("lbl"))
+        .agg(count(lit(1)).as("cc"))
+      val pe = rows.join(cols, Seq("lbl"), "full_outer")
+        .agg(sum(coalesce(col("rc"), lit(0L)) *
+          coalesce(col("cc"), lit(0L))).as("pe_num"))
+      n.crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+        .selectExpr("n", "n_agree", "pe_num",
+          "CAST(floor(1.0e6 * CAST(n_agree AS DOUBLE) / n) AS BIGINT)" +
+            " AS po_e6",
+          "CAST(floor(1.0e6 * CAST(pe_num AS DOUBLE) / (n * n))" +
+            " AS BIGINT) AS pe_e6",
+          "CAST(floor(1.0e6 * CAST(n * n_agree - pe_num AS DOUBLE)" +
+            " / (n * n - pe_num)) AS BIGINT) AS kappa_e6")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'of', 'and'))) AS c_en,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('le', 'et', 'les'))) AS c_fr,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('el', 'y', 'los'))) AS c_es,
+          len(list_filter(string_split(text, ' '),
+              x -> x IN ('der', 'und', 'die'))) AS c_de
+        FROM documents),
+      preds AS (
+        SELECT lang,
+          CASE WHEN c_en > 0 AND c_en >= greatest(c_en, c_fr, c_es, c_de)
+                 THEN 'en'
+               WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_fr, c_es, c_de)
+                 THEN 'fr'
+               WHEN c_es > 0 AND c_es >= greatest(c_en, c_fr, c_es, c_de)
+                 THEN 'es'
+               WHEN c_de > 0 AND c_de >= greatest(c_en, c_fr, c_es, c_de)
+                 THEN 'de'
+               ELSE 'und' END AS pred
+        FROM c),
+      nn AS (SELECT count(*) AS n FROM preds),
+      agree AS (SELECT count(*) AS n_agree FROM preds
+                WHERE lang = pred),
+      rmarg AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS rc
+                FROM preds GROUP BY 1),
+      cmarg AS (SELECT pred AS lbl, CAST(count(*) AS BIGINT) AS cc
+                FROM preds GROUP BY 1),
+      pe AS (
+        SELECT CAST(sum(coalesce(rc, 0) * coalesce(cc, 0)) AS BIGINT)
+                 AS pe_num
+        FROM rmarg FULL OUTER JOIN cmarg USING (lbl))
+      SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+             pe_num,
+             CAST(floor(1.0e6 * CAST(n_agree AS DOUBLE) / n) AS BIGINT)
+               AS po_e6,
+             CAST(floor(1.0e6 * CAST(pe_num AS DOUBLE) / (n * n))
+               AS BIGINT) AS pe_e6,
+             CAST(floor(1.0e6 * CAST(n * n_agree - pe_num AS DOUBLE)
+               / (n * n - pe_num)) AS BIGINT) AS kappa_e6
+      FROM nn, agree, pe""")),
+
+    // TS21 — Lo–MacKinlay variance-ratio test on daily revenue P&L (in
+    // dollars): VR(q) = Var(q-period sums)/(q·Var(1-period)) — 1 under a
+    // random walk, <1 mean-reverting, >1 trending. Overlapping q-sums
+    // come from one rolling window; each variance's two moments fold in
+    // day order (bounded day-grain collect), so the doubles are
+    // bit-reproducible across engines even where a² exceeds 2⁵³ —
+    // identical IEEE ops in an identical sequence. Rows: q ∈ {1, 5, 20}.
+    Q("ts21_variance_ratio", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val pnl = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("y"))
+        .withColumn("p", col("y") - lag("y", 1).over(wD))
+        .filter(col("p").isNotNull)
+        .select(col("d"), col("p"))
+        .localCheckpoint(eager = false) // feeds all three q-frames
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("d"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      def varOf(q: Int) = {
+        val frame = wD.rowsBetween(-(q - 1), 0)
+        pnl.withColumn("a", sum("p").over(frame))
+          .withColumn("nw", count(lit(1)).over(frame))
+          .filter(col("nw") === q)
+          .withColumn("a1", col("a").cast("double"))
+          .withColumn("a2", col("a").cast("double") * col("a"))
+          .agg(count(lit(1)).as("m"), foldBy("a1").as("sa"),
+            foldBy("a2").as("sq"))
+          .selectExpr(s"$q AS q", "m",
+            "sq / m - (sa / m) * (sa / m) AS v")
+      }
+      val v1 = varOf(1).selectExpr("v AS v1")
+      varOf(1).unionAll(varOf(5)).unionAll(varOf(20))
+        .crossJoin(broadcast(v1))
+        .selectExpr("CAST(q AS BIGINT) AS q", "m",
+          "CAST(floor(1.0e6 * v / (q * v1)) AS BIGINT) AS vr_e6")
+        .orderBy("q")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      pnl AS (
+        SELECT d, p FROM (
+          SELECT d, y - lag(y) OVER (ORDER BY d) AS p FROM daily)
+        WHERE p IS NOT NULL),
+      q1 AS (
+        SELECT 1 AS q, count(*) AS m,
+               list_sum(list(CAST(p AS DOUBLE) ORDER BY d)) AS sa,
+               list_sum(list(CAST(p AS DOUBLE) * p ORDER BY d)) AS sq
+        FROM pnl),
+      r5 AS (
+        SELECT d, sum(p) OVER (ORDER BY d ROWS BETWEEN 4 PRECEDING AND
+                 CURRENT ROW) AS a,
+               count(*) OVER (ORDER BY d ROWS BETWEEN 4 PRECEDING AND
+                 CURRENT ROW) AS nw
+        FROM pnl),
+      q5 AS (
+        SELECT 5 AS q, count(*) AS m,
+               list_sum(list(CAST(a AS DOUBLE) ORDER BY d)) AS sa,
+               list_sum(list(CAST(a AS DOUBLE) * a ORDER BY d)) AS sq
+        FROM r5 WHERE nw = 5),
+      r20 AS (
+        SELECT d, sum(p) OVER (ORDER BY d ROWS BETWEEN 19 PRECEDING AND
+                 CURRENT ROW) AS a,
+               count(*) OVER (ORDER BY d ROWS BETWEEN 19 PRECEDING AND
+                 CURRENT ROW) AS nw
+        FROM pnl),
+      q20 AS (
+        SELECT 20 AS q, count(*) AS m,
+               list_sum(list(CAST(a AS DOUBLE) ORDER BY d)) AS sa,
+               list_sum(list(CAST(a AS DOUBLE) * a ORDER BY d)) AS sq
+        FROM r20 WHERE nw = 20),
+      uni AS (
+        SELECT q, m, sq / m - (sa / m) * (sa / m) AS v FROM q1
+        UNION ALL
+        SELECT q, m, sq / m - (sa / m) * (sa / m) AS v FROM q5
+        UNION ALL
+        SELECT q, m, sq / m - (sa / m) * (sa / m) AS v FROM q20),
+      v1t AS (SELECT v AS v1 FROM uni WHERE q = 1)
+      SELECT CAST(q AS BIGINT) AS q, CAST(m AS BIGINT) AS m,
+             CAST(floor(1.0e6 * v / (q * v1)) AS BIGINT) AS vr_e6
+      FROM uni, v1t ORDER BY q"""))
   )
 }

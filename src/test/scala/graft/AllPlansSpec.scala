@@ -132,7 +132,10 @@ class AllPlansSpec extends AnyFunSuite {
     "mb6_newsvendor" -> "1-row day-total + 1-row policy broadcasts onto the day table",
     "cs52_entropy_rate" -> "1-row transition-total broadcast onto the 5-row state table",
     "cs53_kruskal_wallis" -> "1-row tie-correction + 1-row H broadcasts onto the 7-row weekday table",
-    "att5_shapley_attribution" -> "8-row coalition-mask subset join (bitwise containment, both sides bounded by 2^k)")
+    "att5_shapley_attribution" -> "8-row coalition-mask subset join (bitwise containment, both sides bounded by 2^k)",
+    "gr18_reciprocity" -> "1-row edge-count broadcast onto the 1-row reciprocal count",
+    "cs55_cohens_kappa" -> "1-row agree + 1-row chance-expectation broadcasts onto the 1-row total",
+    "ts21_variance_ratio" -> "1-row base-variance broadcast onto the 3-row q table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -2907,4 +2907,80 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("pred_fpr_e9") <= 10500000L)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 50: gr18 / cs55 / ts21
+  // ------------------------------------------------------------------
+
+  test("gr18: reciprocity matches a brute-force edge-set replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val nodes = t(s, dir, "documents").selectExpr("doc_id % 499 u")
+      .collect().map(_.getLong(0)).distinct
+    val edges = nodes.flatMap(u =>
+      Seq((u, (7 * u + 1) % 499), (u, (3 * u + 2) % 499)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    val nRecip = edges.count(e => edges((e._2, e._1))).toLong
+    val r = run("gr18_reciprocity").collect()(0)
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_recip") == nRecip)
+    assert(r.getAs[Long]("n_mutual_pairs") == nRecip / 2)
+    assert(nRecip % 2 == 0) // mutual edges come in pairs
+    assert(r.getAs[Long]("n_asym") == edges.size - nRecip)
+    assert(r.getAs[Long]("recip_e6") ==
+      nRecip * 1000000L / edges.size)
+  }
+
+  test("cs55: kappa matches a brute-force confusion replay and is " +
+    "below raw accuracy") {
+    val s = spark
+    import graft.queries.Tables.t
+    import graft.operators.TextAnalysis
+    val pairs = t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = pairs.length.toLong
+    val agree = pairs.count(p => p._1 == p._2).toLong
+    val rm = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val peNum = (rm.keySet ++ cm.keySet).toSeq.map(l =>
+      rm.getOrElse(l, 0L) * cm.getOrElse(l, 0L)).sum
+    val r = run("cs55_cohens_kappa").collect()(0)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_agree") == agree)
+    assert(r.getAs[Long]("pe_num") == peNum)
+    assert(r.getAs[Long]("kappa_e6") == math.floor(1.0e6 *
+      (n * agree - peNum).toDouble / (n * n - peNum)).toLong)
+    // chance correction can only lower the score
+    assert(r.getAs[Long]("kappa_e6") <= r.getAs[Long]("po_e6"))
+  }
+
+  test("ts21: variance ratios match a brute-force overlapping-sum replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ys = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val pnl = ys.sliding(2).map(p => p(1)._2 - p(0)._2).toArray
+    def varOf(q: Int): (Long, Double) = {
+      val sums = pnl.sliding(q).map(_.sum).toArray
+      var sa = 0.0; var sq = 0.0
+      sums.foreach { a => sa += a.toDouble; sq += a.toDouble * a }
+      val m = sums.length
+      (m.toLong, sq / m - (sa / m) * (sa / m))
+    }
+    val (_, v1) = varOf(1)
+    val out = run("ts21_variance_ratio").collect()
+      .map(r => (r.getAs[Long]("q"),
+        (r.getAs[Long]("m"), r.getAs[Long]("vr_e6")))).toMap
+    Seq(1, 5, 20).foreach { q =>
+      val (m, v) = varOf(q)
+      assert(out(q.toLong)._1 == m)
+      assert(out(q.toLong)._2 ==
+        math.floor(1.0e6 * v / (q * v1)).toLong)
+    }
+    assert(out(1L)._2 == 1000000L)
+  }
 }

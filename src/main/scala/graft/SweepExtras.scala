@@ -298,4 +298,58 @@ object SweepExtras {
     run("K5 slideForward (left_anti on symbol, date-range residual)", k5)
     run("J2 supersededCleanup (equi on symbol, range residual)", j2)
   }
+
+  // ------------------------------------------------------- prefix sums
+
+  /** Two-level distributed prefix-sum operators on synthetic tables sized
+    * off the corpus: `SweepLine.concurrency` over interval sets and
+    * `Ranking.globalRowNumber` over skew-free key sets, each at 1× and
+    * N×, plus the NAIVE single-partition global-window rank at both sizes
+    * — the row that shows WHY the two-level layout exists (the naive plan
+    * drags every row through one task; its wall should grow with data at
+    * single-thread speed while the sharded rank rides the cluster).
+    * Expected shape for the two-level ops: ratio ≤ data ratio (shuffle-
+    * and scan-dominated, no quadratic anywhere).
+    */
+  def runPrefix(spark: SparkSession, sfDir: String, factor: Int,
+                only: Option[Set[String]]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Ranking, SweepLine}
+    val par = spark.sparkContext.defaultParallelism
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val n1 = nDocs * 200 // ~1M intervals at sf0.1: data-dominated
+    def intervals(n: Long): DataFrame =
+      spark.range(0, n).select(
+        ((col("id") * 2654435761L) % 31536000L).as("st"),
+        (col("id") % 7200L).as("len"))
+        .select(col("st"), (col("st") + col("len")).as("en"))
+        .repartition(par).localCheckpoint(eager = true)
+    def keys(n: Long): DataFrame =
+      spark.range(0, n).select(col("id"),
+        ((col("id") * 22695477L) % 1048576L).as("key"))
+        .repartition(par).localCheckpoint(eager = true)
+    val (iv1, ivN) = (intervals(n1), intervals(n1 * factor))
+    val (k1, kN) = (keys(n1), keys(n1 * factor))
+    def sweep(df: DataFrame): Long =
+      SweepLine.concurrency(df, "st", "en", bucket = 86400L)
+        .agg(max("conc"), sum("delta")).collect()(0).getLong(1) + df.count()
+    def rank2(df: DataFrame): Long =
+      Ranking.globalRowNumber(df, col("key"), col("id"))
+        .agg(sum("rn")).collect()(0).getLong(0)
+    def rankNaive(df: DataFrame): Long =
+      df.withColumn("rn", row_number().over(
+        Window.orderBy(col("key"), col("id"))).cast("long"))
+        .agg(sum("rn")).collect()(0).getLong(0)
+    header(factor)
+    Seq[(String, DataFrame => Long)](
+      ("sweep_concurrency", sweep),
+      ("rank_two_level", rank2),
+      ("rank_naive_window", rankNaive)).foreach { case (name, f) =>
+      if (only.forall(_.contains(name))) {
+        val (t1, r1) = time(() => f(if (name == "sweep_concurrency") iv1 else k1))
+        val (tN, rN) = time(() => f(if (name == "sweep_concurrency") ivN else kN))
+        println(f"$name%-20s $t1%8.2f $tN%8.2f ${tN / t1}%6.1f  $r1/$rN")
+      }
+    }
+  }
 }

@@ -5677,6 +5677,156 @@ object MetricQueries {
       v1t AS (SELECT v AS v1 FROM uni WHERE q = 1)
       SELECT CAST(q AS BIGINT) AS q, CAST(m AS BIGINT) AS m,
              CAST(floor(1.0e6 * v / (q * v1)) AS BIGINT) AS vr_e6
-      FROM uni, v1t ORDER BY q"""))
+      FROM uni, v1t ORDER BY q""")),
+
+    // ML19 — nDCG@100 of the length-score ranking against the src0
+    // relevance label: the graded-relevance ranking metric (position
+    // discounted by log₂) that ml17's gains table doesn't capture —
+    // gains count hits per decile, nDCG rewards putting them EARLY. The
+    // realized ranking reuses `Ranking.globalRowNumber` (reflected key,
+    // no global window); the ideal ranking needs only the count of
+    // positives (relevance is binary, so IDCG is a closed sum over
+    // min(pos, k) rows). Both DCGs fold in rank order over ≤k rows.
+    Q("ml19_ndcg_at_k", (s, dir) => {
+      val k = 100
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1000000000L) - col("n_chars")).as("kdesc"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      val ranked = graft.operators.Ranking.globalRowNumber(
+        scored, col("kdesc"), col("doc_id"))
+      val pos = ranked.agg(sum("y").as("n_pos"))
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("rn"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      val dcg = ranked.filter(col("rn") <= k)
+        .withColumn("g", col("y").cast("double") /
+          (log(col("rn").cast("double") + 1) / log(lit(2.0))))
+        .agg(count(lit(1)).as("k_eff"), sum("y").as("hits_at_k"),
+          foldBy("g").as("dcg"))
+      val idcg = ranked.crossJoin(broadcast(pos))
+        .filter(col("rn") <= least(col("n_pos"), lit(k.toLong)))
+        .withColumn("g", lit(1.0) /
+          (log(col("rn").cast("double") + 1) / log(lit(2.0))))
+        .agg(foldBy("g").as("idcg"))
+      dcg.crossJoin(broadcast(idcg)).crossJoin(broadcast(pos))
+        .selectExpr(s"${k}L AS k", "k_eff", "n_pos", "hits_at_k",
+          "CAST(floor(1.0e6 * dcg) AS BIGINT) AS dcg_e6",
+          "CAST(floor(1.0e6 * idcg) AS BIGINT) AS idcg_e6",
+          "CAST(floor(1.0e6 * dcg / idcg) AS BIGINT) AS ndcg_e6")
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, 1000000000 - n_chars AS kdesc,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY kdesc, doc_id)
+          AS BIGINT) AS rn
+        FROM scored),
+      pos AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM ranked),
+      dcg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_eff,
+               CAST(sum(y) AS BIGINT) AS hits_at_k,
+               list_sum(list(CAST(y AS DOUBLE) /
+                 (ln(CAST(rn AS DOUBLE) + 1) / ln(2.0e0))
+                 ORDER BY rn)) AS dcg
+        FROM ranked WHERE rn <= 100),
+      idcg AS (
+        SELECT list_sum(list(1.0e0 /
+                 (ln(CAST(rn AS DOUBLE) + 1) / ln(2.0e0))
+                 ORDER BY rn)) AS idcg
+        FROM ranked, pos WHERE rn <= least(n_pos, 100))
+      SELECT CAST(100 AS BIGINT) AS k, d.k_eff, p.n_pos, d.hits_at_k,
+             CAST(floor(1.0e6 * d.dcg) AS BIGINT) AS dcg_e6,
+             CAST(floor(1.0e6 * i.idcg) AS BIGINT) AS idcg_e6,
+             CAST(floor(1.0e6 * d.dcg / i.idcg) AS BIGINT) AS ndcg_e6
+      FROM dcg d, idcg i, pos p""")),
+
+    // TS23 — runs-up-and-down test on daily revenue: count the maximal
+    // monotone runs of the day-over-day sign sequence and compare with
+    // the i.i.d. expectation — E[runs] = (2n−1)/3, Var = (16n−29)/90 —
+    // the turning-point cousin that catches drift cs38's median-runs
+    // test is blind to. Sign and run-start flags are exact integer
+    // comparisons; the z-score is one double composition. Ties (equal
+    // consecutive days) break downward (non-ascent), stated and
+    // replicated on both engines. Day-grain windows only.
+    Q("ts23_diffsign_runs", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val signs = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .withColumn("py", lag("y", 1).over(wD))
+        .withColumn("up", when(col("y") > col("py"), 1L).otherwise(0L))
+        .filter(col("py").isNotNull) // diffs only, THEN the run lag
+        .withColumn("prev_up", lag("up", 1).over(wD))
+      signs
+        .agg(count(lit(1)).as("n_diffs"), sum("up").as("n_up"),
+          sum(when(col("prev_up").isNull || col("up") =!= col("prev_up"),
+            1L).otherwise(0L)).as("n_runs"))
+        .selectExpr("n_diffs", "n_up", "n_runs",
+          "CAST(floor(1.0e6 * (2.0e0 * (n_diffs + 1) - 1) / 3)" +
+            " AS BIGINT) AS e_runs_e6",
+          "CAST(floor(1.0e6 * (n_runs - (2.0e0 * (n_diffs + 1) - 1)" +
+            " / 3) / sqrt((16.0e0 * (n_diffs + 1) - 29) / 90)) AS BIGINT)" +
+            " AS z_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      sgn AS (
+        SELECT d, py,
+               CASE WHEN y > py THEN 1 ELSE 0 END AS up
+        FROM (SELECT d, y, lag(y) OVER (ORDER BY d) AS py FROM daily)),
+      flg AS (
+        SELECT up, lag(up) OVER (ORDER BY d) AS prev_up
+        FROM sgn WHERE py IS NOT NULL),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_diffs,
+               CAST(sum(up) AS BIGINT) AS n_up,
+               CAST(sum(CASE WHEN prev_up IS NULL OR up <> prev_up
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM flg)
+      SELECT n_diffs, n_up, n_runs,
+             CAST(floor(1.0e6 * (2.0e0 * (n_diffs + 1) - 1) / 3)
+               AS BIGINT) AS e_runs_e6,
+             CAST(floor(1.0e6 * (n_runs - (2.0e0 * (n_diffs + 1) - 1)
+               / 3) / sqrt((16.0e0 * (n_diffs + 1) - 29) / 90)) AS BIGINT)
+               AS z_e6
+      FROM agg""")),
+
+    // CS56 — Hoover (Robin Hood) index of customer order activity: the
+    // share of all orders that would have to move between customers to
+    // equalize them — Σ|x_i − μ| / (2Σx), the max vertical gap of the
+    // Lorenz curve and the blunter, more explainable sibling of cs18's
+    // Gini. Denominators cleared (|n·x_i − S| is an exact long), so the
+    // numerator is EXACT and the index is one double division. One
+    // customer-grain aggregate + a 1-row total broadcast.
+    Q("cs56_hoover_index", (s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      val tot = perCust.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      perCust.crossJoin(broadcast(tot))
+        .agg(first("n").as("n_customers"), first("sx").as("n_orders"),
+          sum(abs(col("n") * col("x") - col("sx"))).as("absdev_n"))
+        .selectExpr("n_customers", "n_orders", "absdev_n",
+          "CAST(floor(1.0e6 * CAST(absdev_n AS DOUBLE)" +
+            " / (2.0e0 * n_customers * n_orders)) AS BIGINT)" +
+            " AS hoover_e6")
+    }, Some("""
+      WITH pc AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n, sum(x) AS sx FROM pc)
+      SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+             CAST(any_value(sx) AS BIGINT) AS n_orders,
+             CAST(sum(abs(n * x - sx)) AS BIGINT) AS absdev_n,
+             CAST(floor(1.0e6 * CAST(sum(abs(n * x - sx)) AS DOUBLE)
+               / (2.0e0 * any_value(n) * any_value(sx))) AS BIGINT)
+               AS hoover_e6
+      FROM pc, tot"""))
   )
 }

@@ -135,7 +135,9 @@ class AllPlansSpec extends AnyFunSuite {
     "att5_shapley_attribution" -> "8-row coalition-mask subset join (bitwise containment, both sides bounded by 2^k)",
     "gr18_reciprocity" -> "1-row edge-count broadcast onto the 1-row reciprocal count",
     "cs55_cohens_kappa" -> "1-row agree + 1-row chance-expectation broadcasts onto the 1-row total",
-    "ts21_variance_ratio" -> "1-row base-variance broadcast onto the 3-row q table")
+    "ts21_variance_ratio" -> "1-row base-variance broadcast onto the 3-row q table",
+    "ml19_ndcg_at_k" -> "1-row positive-count + 1-row IDCG broadcasts onto the 100-row top-k",
+    "cs56_hoover_index" -> "1-row total broadcast onto the customer-grain count table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

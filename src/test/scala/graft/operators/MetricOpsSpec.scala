@@ -2983,4 +2983,64 @@ class MetricOpsSpec extends AnyFunSuite {
     }
     assert(out(1L)._2 == 1000000L)
   }
+
+  // ------------------------------------------------------------------
+  // wave 51: ml19 / ts23 / cs56
+  // ------------------------------------------------------------------
+
+  test("ml19: nDCG@100 matches a brute-force discounted replay") {
+    val docs = docLabels()
+    val ranked = docs.sortBy(d => (1000000000L - d._2, d._1))
+    def disc(i: Int) = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    val k = 100
+    val dcg = ranked.take(k).zipWithIndex
+      .map { case (d, i) => (if (d._3) 1.0 else 0.0) * disc(i + 1) }.sum
+    val nPos = ranked.count(_._3).toLong
+    val idcg = (1 to math.min(nPos.toInt, k)).map(disc).sum
+    val r = run("ml19_ndcg_at_k").collect()(0)
+    assert(r.getAs[Long]("k_eff") == k.toLong)
+    assert(r.getAs[Long]("n_pos") == nPos)
+    assert(r.getAs[Long]("hits_at_k") ==
+      ranked.take(k).count(_._3).toLong)
+    assert(r.getAs[Long]("dcg_e6") == math.floor(1.0e6 * dcg).toLong)
+    assert(r.getAs[Long]("idcg_e6") == math.floor(1.0e6 * idcg).toLong)
+    assert(r.getAs[Long]("ndcg_e6") ==
+      math.floor(1.0e6 * dcg / idcg).toLong)
+    assert(r.getAs[Long]("ndcg_e6") <= 1000000L)
+  }
+
+  test("ts23: runs-up-and-down statistic matches a brute-force replay") {
+    val ys = dailyCents().map(_._2)
+    val ups = ys.sliding(2).map(p => if (p(1) > p(0)) 1L else 0L).toArray
+    val nDiffs = ups.length.toLong
+    var runs = 1L
+    (1 until ups.length).foreach(i => if (ups(i) != ups(i - 1)) runs += 1)
+    val n = nDiffs + 1
+    val e = (2.0 * n - 1) / 3
+    val z = (runs - e) / math.sqrt((16.0 * n - 29) / 90)
+    val r = run("ts23_diffsign_runs").collect()(0)
+    assert(r.getAs[Long]("n_diffs") == nDiffs)
+    assert(r.getAs[Long]("n_up") == ups.sum)
+    assert(r.getAs[Long]("n_runs") == runs)
+    assert(r.getAs[Long]("e_runs_e6") == math.floor(1.0e6 * e).toLong)
+    assert(r.getAs[Long]("z_e6") == math.floor(1.0e6 * z).toLong)
+  }
+
+  test("cs56: Hoover index matches a brute-force Lorenz-gap replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val xs = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("x")).collect().map(_.getLong(1))
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val absdev = xs.map(x => math.abs(n * x - sx)).sum
+    val r = run("cs56_hoover_index").collect()(0)
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(r.getAs[Long]("n_orders") == sx)
+    assert(r.getAs[Long]("absdev_n") == absdev)
+    val hoover = absdev.toDouble / (2.0 * n * sx)
+    assert(r.getAs[Long]("hoover_e6") ==
+      math.floor(1.0e6 * hoover).toLong)
+    assert(hoover >= 0.0 && hoover <= 1.0)
+  }
 }

@@ -5827,6 +5827,188 @@ object MetricQueries {
              CAST(floor(1.0e6 * CAST(sum(abs(n * x - sx)) AS DOUBLE)
                / (2.0e0 * any_value(n) * any_value(sx))) AS BIGINT)
                AS hoover_e6
-      FROM pc, tot"""))
+      FROM pc, tot""")),
+
+    // IX7 — reciprocal-rank fusion of two retrieval rankings for the same
+    // query (BM25 vs boolean term-coverage): RRF = Σ 1/(60 + rankᵢ) — the
+    // standard zero-tuning hybrid-search combiner (Cormack et al.), here
+    // over ix3's exact BM25 ranking and an all-integer coverage ranking
+    // (distinct terms, total tf, doc_id). Ranks are deterministic
+    // (round(score,6) bands, doc_id ties), the fused score is two
+    // reciprocals of small integers, and the final cut orders by the
+    // FLOORED fusion so the top-10 is engine-portable. Candidate set =
+    // docs containing ≥1 query term — the posting lists, never the corpus.
+    Q("ix7_rrf_fusion", (s, dir) => {
+      val terms = Seq("spark", "shuffle", "broadcast")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .localCheckpoint(eager = false) // feeds lengths + the tf table
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        avg("len").as("avglen"))
+      val tf = toks.filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val perDoc = tf.join(dfs, "term").join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("part",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("len") / col("avglen"))))
+        .groupBy("doc_id")
+        .agg(round(sum("part"), 6).as("score"),
+          countDistinct("term").as("n_terms"), sum("tf").as("sum_tf"))
+      val ranked = perDoc
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("n_terms").desc, col("sum_tf").desc,
+            col("doc_id"))).cast("long"))
+      ranked
+        .selectExpr("doc_id", "ra", "rb",
+          "CAST(floor(1.0e9 * (1.0e0 / (60 + ra) + 1.0e0 / (60 + rb)))" +
+            " AS BIGINT) AS rrf_e9")
+        .orderBy(col("rrf_e9").desc, col("doc_id"))
+        .limit(10)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, avg(len) AS avglen FROM lens),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'shuffle', 'broadcast')
+             GROUP BY doc_id, term),
+      dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      perdoc AS (
+        SELECT tf.doc_id, round(sum(
+                 ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / stats.avglen))
+               ), 6) AS score,
+               CAST(count(DISTINCT tf.term) AS BIGINT) AS n_terms,
+               CAST(sum(tf.tf) AS BIGINT) AS sum_tf
+        FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+        GROUP BY tf.doc_id),
+      ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS ra,
+               CAST(row_number() OVER (ORDER BY n_terms DESC,
+                 sum_tf DESC, doc_id) AS BIGINT) AS rb
+        FROM perdoc)
+      SELECT doc_id, ra, rb,
+             CAST(floor(1.0e9 * (1.0e0 / (60 + ra) + 1.0e0 / (60 + rb)))
+               AS BIGINT) AS rrf_e9
+      FROM ranked
+      ORDER BY rrf_e9 DESC, doc_id LIMIT 10""")),
+
+    // CS57 — pinball (quantile) loss evaluation of static quantile
+    // forecasts: train on the first four years of daily revenue (exact
+    // positional q50/q90), score the rest with the asymmetric pinball
+    // loss — 10·L_τ = ⌈10τ⌉(y−q)⁺ + (10−⌈10τ⌉)(q−y)⁺ stays EXACT integer
+    // cents. The law the spec asserts is the defining property of proper
+    // quantile scoring: each forecast wins (≤) under ITS OWN τ. One rank
+    // window on the bounded train table, 2-row policy broadcast back.
+    Q("cs57_pinball_loss", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .localCheckpoint(eager = false) // feeds train ranks + test scans
+      val train = daily.filter(col("d") < 1460)
+      val m = train.count
+      val ranked = train.select(col("y"), row_number().over(
+        Window.orderBy(col("y"), col("d"))).cast("long").as("rn"))
+      val qs = ranked
+        .filter(col("rn") === (m + 1) / 2 || col("rn") === (m * 9 + 9) / 10)
+        .selectExpr(
+          s"max(CASE WHEN rn = ${(m + 1) / 2}L THEN y END) AS q50",
+          s"max(CASE WHEN rn = ${(m * 9 + 9) / 10}L THEN y END) AS q90")
+      import s.implicits._
+      val taus = Seq((5L, "q50"), (9L, "q90")).toDF("tau10", "which")
+      daily.filter(col("d") >= 1460)
+        .crossJoin(broadcast(qs)).crossJoin(broadcast(taus))
+        .withColumn("q", when(col("which") === "q50", col("q50"))
+          .otherwise(col("q90")))
+        .groupBy("tau10", "which", "q")
+        .agg(count(lit(1)).as("n_test"),
+          sum(greatest(col("y") - col("q"), lit(0L)) * col("tau10") +
+            greatest(col("q") - col("y"), lit(0L)) *
+              (lit(10L) - col("tau10"))).as("loss_x10"))
+        .selectExpr("tau10", "which", "q AS qhat_cents", "n_test",
+          "loss_x10", "loss_x10 div (10 * n_test) AS mean_loss_cents")
+        .orderBy("tau10")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      train AS (SELECT d, y FROM daily WHERE d < 1460),
+      mm AS (SELECT count(*) AS m FROM train),
+      ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY y, d) AS BIGINT)
+                 AS rn
+        FROM train),
+      qs AS (
+        SELECT max(CASE WHEN rn = (m + 1) // 2 THEN y END) AS q50,
+               max(CASE WHEN rn = (m * 9 + 9) // 10 THEN y END) AS q90
+        FROM ranked, mm),
+      taus AS (SELECT 5 AS tau10, 'q50' AS which
+               UNION ALL SELECT 9, 'q90'),
+      scored AS (
+        SELECT t.tau10, t.which,
+               CASE WHEN t.which = 'q50' THEN q.q50 ELSE q.q90 END AS q,
+               d.y
+        FROM daily d, qs q, taus t WHERE d.d >= 1460)
+      SELECT CAST(tau10 AS BIGINT) AS tau10, which,
+             CAST(q AS BIGINT) AS qhat_cents,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(greatest(y - q, 0) * tau10 +
+               greatest(q - y, 0) * (10 - tau10)) AS BIGINT) AS loss_x10,
+             CAST(sum(greatest(y - q, 0) * tau10 +
+               greatest(q - y, 0) * (10 - tau10))
+               // (10 * count(*)) AS BIGINT) AS mean_loss_cents
+      FROM scored GROUP BY 1, 2, 3 ORDER BY tau10""")),
+
+    // MB7 — repeat-purchase curve: for k = 1..10, how many customers
+    // placed ≥ k orders, what share of the base that is, and how many
+    // orders that cohort carries — the retention-economics readout
+    // (nearly every revenue model starts from "what fraction ever comes
+    // back"). Anti-monotone by construction (the spec asserts it); all
+    // exact integers; one customer-grain aggregate + a 10-row grid range
+    // join.
+    Q("mb7_repeat_curve", (s, dir) => {
+      val pc = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      val tot = pc.agg(count(lit(1)).as("n"), sum("x").as("so"))
+      import s.implicits._
+      val grid = (1L to 10L).map(Tuple1(_)).toDF("k")
+      pc.crossJoin(broadcast(grid))
+        .filter(col("x") >= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_ge_k"), sum("x").as("orders_ge_k"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("k", "n_ge_k", "orders_ge_k",
+          "n_ge_k * 1000000L div n AS share_e6",
+          "orders_ge_k * 1000000L div so AS order_share_e6")
+        .orderBy("k")
+    }, Some("""
+      WITH pc AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n, sum(x) AS so FROM pc),
+      grid AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+                 AS k)
+      SELECT k, CAST(count(*) AS BIGINT) AS n_ge_k,
+             CAST(sum(x) AS BIGINT) AS orders_ge_k,
+             CAST(count(*) * 1000000 // any_value(n) AS BIGINT)
+               AS share_e6,
+             CAST(sum(x) * 1000000 // any_value(so) AS BIGINT)
+               AS order_share_e6
+      FROM pc, grid, tot WHERE x >= k
+      GROUP BY k ORDER BY k"""))
   )
 }

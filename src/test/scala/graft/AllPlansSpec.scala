@@ -137,7 +137,10 @@ class AllPlansSpec extends AnyFunSuite {
     "cs55_cohens_kappa" -> "1-row agree + 1-row chance-expectation broadcasts onto the 1-row total",
     "ts21_variance_ratio" -> "1-row base-variance broadcast onto the 3-row q table",
     "ml19_ndcg_at_k" -> "1-row positive-count + 1-row IDCG broadcasts onto the 100-row top-k",
-    "cs56_hoover_index" -> "1-row total broadcast onto the customer-grain count table")
+    "cs56_hoover_index" -> "1-row total broadcast onto the customer-grain count table",
+    "ix7_rrf_fusion" -> "1-row corpus-stats broadcast onto the posting-bounded tf table (ix3's shape)",
+    "cs57_pinball_loss" -> "1-row quantile-policy + 2-row tau broadcasts onto the day table",
+    "mb7_repeat_curve" -> "10-row k-grid range join + 1-row total broadcast onto the customer-grain counts")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -3043,4 +3043,75 @@ class MetricOpsSpec extends AnyFunSuite {
       math.floor(1.0e6 * hoover).toLong)
     assert(hoover >= 0.0 && hoover <= 1.0)
   }
+
+  // ------------------------------------------------------------------
+  // wave 52: ix7 / cs57 / mb7
+  // ------------------------------------------------------------------
+
+  test("ix7: RRF fusion laws — rank-1 coherence and fused-score shape") {
+    val out = run("ix7_rrf_fusion").collect()
+    assert(out.length == 10)
+    val rrf = out.map(_.getAs[Long]("rrf_e9"))
+    // returned in fused order, every score the exact reciprocal sum
+    assert(rrf.sameElements(rrf.sorted.reverse))
+    out.foreach { r =>
+      val (ra, rb) = (r.getAs[Long]("ra"), r.getAs[Long]("rb"))
+      assert(ra >= 1 && rb >= 1)
+      assert(r.getAs[Long]("rrf_e9") == math.floor(1.0e9 *
+        (1.0 / (60 + ra) + 1.0 / (60 + rb))).toLong)
+    }
+    // a doc ranked #1 by BOTH lists must head the fusion
+    out.find(r => r.getAs[Long]("ra") == 1 && r.getAs[Long]("rb") == 1)
+      .foreach(r => assert(r == out(0)))
+  }
+
+  test("cs57: pinball losses match a brute replay; each tau prefers " +
+    "its own quantile") {
+    val ys = dailyCents()
+    val train = ys.filter(_._1 < 1460)
+    val test = ys.filter(_._1 >= 1460).map(_._2)
+    val m = train.length.toLong
+    val sorted = train.sortBy(p => (p._2, p._1)).map(_._2)
+    val q50 = sorted(((m + 1) / 2 - 1).toInt)
+    val q90 = sorted(((m * 9 + 9) / 10 - 1).toInt)
+    def loss10(q: Long, tau10: Long) = test.map(y =>
+      math.max(y - q, 0L) * tau10 + math.max(q - y, 0L) * (10 - tau10))
+      .sum
+    val out = run("cs57_pinball_loss").collect()
+      .map(r => (r.getAs[Long]("tau10"), r)).toMap
+    assert(out(5L).getAs[Long]("qhat_cents") == q50)
+    assert(out(9L).getAs[Long]("qhat_cents") == q90)
+    assert(out(5L).getAs[Long]("loss_x10") == loss10(q50, 5))
+    assert(out(9L).getAs[Long]("loss_x10") == loss10(q90, 9))
+    assert(out(9L).getAs[Long]("n_test") == test.length.toLong)
+    // proper scoring: the tau-matched forecast can't lose to the other
+    assert(loss10(q90, 9) <= loss10(q50, 9))
+    assert(loss10(q50, 5) <= loss10(q90, 5))
+  }
+
+  test("mb7: repeat curve matches brute force and is anti-monotone") {
+    val s = spark
+    import graft.queries.Tables.t
+    val xs = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("x")).collect().map(_.getLong(1))
+    val n = xs.length.toLong
+    val so = xs.sum
+    val out = run("mb7_repeat_curve").collect()
+      .map(r => (r.getAs[Long]("k"), r)).toMap
+    var prev = Long.MaxValue
+    (1L to 10L).filter(out.contains).foreach { k =>
+      val cohort = xs.filter(_ >= k)
+      val r = out(k)
+      assert(r.getAs[Long]("n_ge_k") == cohort.length.toLong)
+      assert(r.getAs[Long]("orders_ge_k") == cohort.sum)
+      assert(r.getAs[Long]("share_e6") ==
+        cohort.length * 1000000L / n)
+      assert(r.getAs[Long]("order_share_e6") ==
+        cohort.sum * 1000000L / so)
+      assert(r.getAs[Long]("n_ge_k") <= prev)
+      prev = r.getAs[Long]("n_ge_k")
+    }
+    assert(out(1L).getAs[Long]("n_ge_k") == n)
+    assert(out(1L).getAs[Long]("order_share_e6") == 1000000L)
+  }
 }

@@ -6009,6 +6009,176 @@ object MetricQueries {
              CAST(sum(x) * 1000000 // any_value(so) AS BIGINT)
                AS order_share_e6
       FROM pc, grid, tot WHERE x >= k
-      GROUP BY k ORDER BY k"""))
+      GROUP BY k ORDER BY k""")),
+
+    // EMB3 — per-dimension variance screen over the embedding corpus:
+    // the feature-selection / dead-dimension audit (a dim with ~zero
+    // variance carries no signal; the top-variance dims dominate
+    // distances). Float sums across a corpus are association-ordered, so
+    // each component is QUANTIZED to an exact integer (floor(x·1e4) — an
+    // audit-grade grid) and the variance numerator n·Σq² − (Σq)² is
+    // exact; ranking the top-5 dims happens on that integer, never on a
+    // float. One posexplode + dim-grain aggregate — embarrassingly
+    // parallel at any corpus size.
+    Q("emb3_dim_variance", (s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .select((col("i") + 1).cast("long").as("dim"),
+          floor(col("x").cast("double") * 1.0e4).cast("long").as("q"))
+      dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+          sum(col("q") * col("q")).as("sqq"))
+        .selectExpr("dim", "n",
+          "n * sqq - sq * sq AS var_num")
+        .orderBy(col("var_num").desc, col("dim"))
+        .limit(5)
+        .selectExpr("dim", "n", "var_num",
+          "CAST(floor(1.0e9 * var_num / (CAST(n AS DOUBLE) * n)" +
+            " / 1.0e8) AS BIGINT) AS var_e9")
+    }, Some("""
+      WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (
+        SELECT CAST(i AS BIGINT) AS dim,
+               CAST(floor(v[i] * 1.0e4) AS BIGINT) AS q
+        FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+      agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(q * q) AS BIGINT) AS sqq
+        FROM dims GROUP BY 1)
+      SELECT dim, n, n * sqq - sq * sq AS var_num,
+             CAST(floor(1.0e9 * (n * sqq - sq * sq)
+               / (CAST(n AS DOUBLE) * n) / 1.0e8) AS BIGINT) AS var_e9
+      FROM agg ORDER BY var_num DESC, dim LIMIT 5""")),
+
+    // W30 — underwater spells of the w27 equity curve: gaps-and-islands
+    // over the drawdown>0 flag gives every peak-to-recovery episode —
+    // count, longest duration, deepest spell — the "how long does a bad
+    // stretch last" readout that w27's single max-drawdown number hides.
+    // All integers (the curve is w27's exact cumulative deviation);
+    // day-grain windows only.
+    Q("w30_underwater_spells", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val cum = wD.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .localCheckpoint(eager = false) // feeds totals + the curve
+      val curve = daily
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"),
+          sum("y").as("sy"))))
+        .withColumn("e", sum(col("n") * col("y") - col("sy")).over(cum))
+        .withColumn("dd", max("e").over(cum) - col("e"))
+        .withColumn("under", (col("dd") > 0).cast("long"))
+        .withColumn("grp", sum(lit(1L) - col("under")).over(cum))
+      val spells = curve.filter(col("under") === 1)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("len"), min("d").as("start_d"),
+          max("dd").as("depth"))
+        .localCheckpoint(eager = false) // feeds the rollup + the top-1
+      spells
+        .agg(count(lit(1)).as("n_spells"),
+          coalesce(max("len"), lit(0L)).as("longest_days"))
+        .crossJoin(broadcast(spells.orderBy(col("len").desc, col("start_d"))
+          .limit(1).selectExpr("start_d AS longest_start_d",
+            "depth AS longest_depth_n")))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n, sum(y) AS sy FROM daily),
+      curve AS (
+        SELECT d,
+               sum(n * y - sy) OVER w AS e
+        FROM daily, tot
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+          CURRENT ROW)),
+      dd AS (
+        SELECT d,
+               max(e) OVER w - e AS dd
+        FROM curve
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+          CURRENT ROW)),
+      flagged AS (
+        SELECT d, dd, CASE WHEN dd > 0 THEN 1 ELSE 0 END AS under,
+               sum(CASE WHEN dd > 0 THEN 0 ELSE 1 END) OVER
+                 (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS grp
+        FROM dd),
+      spells AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS len,
+               CAST(min(d) AS BIGINT) AS start_d,
+               CAST(max(dd) AS BIGINT) AS depth
+        FROM flagged WHERE under = 1 GROUP BY 1),
+      top AS (
+        SELECT start_d AS longest_start_d, depth AS longest_depth_n
+        FROM spells ORDER BY len DESC, start_d LIMIT 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_spells,
+             CAST(coalesce(max(len), 0) AS BIGINT) AS longest_days,
+             any_value(t.longest_start_d) AS longest_start_d,
+             any_value(t.longest_depth_n) AS longest_depth_n
+      FROM spells, top t""")),
+
+    // GR20 — log₂-binned degree distribution of the fixture digraph's
+    // undirected total degree, with the CCDF per bin: the heavy-tail
+    // fingerprint (hubs vs chains) every graph pipeline profiles before
+    // choosing hub caps (gr4's wedge bound, pr1's damping). Bin =
+    // position of the degree's highest set bit via the binary-string
+    // length (floor(log2(2^k)) through doubles can flip at exact powers
+    // of two across engines); counts and the CCDF are exact integers.
+    Q("gr20_degree_tail", (s, dir) => {
+      val edges = t(s, dir, "documents")
+        .selectExpr("doc_id % 499 AS u")
+        .selectExpr("u", "(7 * u + 1) % 499 AS v")
+        .unionAll(t(s, dir, "documents")
+          .selectExpr("doc_id % 499 AS u")
+          .selectExpr("u", "(3 * u + 2) % 499 AS v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val deg = edges.selectExpr("u AS node")
+        .unionAll(edges.selectExpr("v AS node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val binned = deg
+        .selectExpr("node", "deg",
+          "CAST(length(bin(deg)) - 1 AS BIGINT) AS bin")
+        .groupBy("bin").agg(count(lit(1)).as("n_nodes"),
+          sum("deg").as("deg_mass"))
+      val tot = binned.agg(sum("n_nodes").as("nt"))
+      val wB = Window.orderBy("bin")
+      binned.crossJoin(broadcast(tot))
+        .withColumn("cum_prev", coalesce(sum("n_nodes").over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .selectExpr("bin", "n_nodes", "deg_mass",
+          "(nt - cum_prev) * 1000000L div nt AS ccdf_e6")
+        .orderBy("bin")
+    }, Some("""
+      WITH nodes AS (SELECT DISTINCT doc_id % 499 AS u FROM documents),
+      edges AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT u, (7 * u + 1) % 499 AS v FROM nodes
+          UNION ALL
+          SELECT u, (3 * u + 2) % 499 AS v FROM nodes)
+        WHERE u <> v),
+      deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM edges
+          UNION ALL SELECT v FROM edges)
+        GROUP BY 1),
+      binned AS (
+        SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg) AS BIGINT) AS deg_mass
+        FROM deg GROUP BY 1),
+      tot AS (SELECT sum(n_nodes) AS nt FROM binned)
+      SELECT bin, n_nodes, deg_mass,
+             CAST((nt - coalesce(sum(n_nodes) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               * 1000000 // nt AS BIGINT) AS ccdf_e6
+      FROM binned, tot ORDER BY bin"""))
   )
 }

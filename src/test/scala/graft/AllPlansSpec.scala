@@ -140,7 +140,9 @@ class AllPlansSpec extends AnyFunSuite {
     "cs56_hoover_index" -> "1-row total broadcast onto the customer-grain count table",
     "ix7_rrf_fusion" -> "1-row corpus-stats broadcast onto the posting-bounded tf table (ix3's shape)",
     "cs57_pinball_loss" -> "1-row quantile-policy + 2-row tau broadcasts onto the day table",
-    "mb7_repeat_curve" -> "10-row k-grid range join + 1-row total broadcast onto the customer-grain counts")
+    "mb7_repeat_curve" -> "10-row k-grid range join + 1-row total broadcast onto the customer-grain counts",
+    "w30_underwater_spells" -> "1-row total + 1-row longest-spell broadcasts onto the day table",
+    "gr20_degree_tail" -> "1-row node-total broadcast onto the ~10-row bin table")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -3114,4 +3114,88 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("n_ge_k") == n)
     assert(out(1L).getAs[Long]("order_share_e6") == 1000000L)
   }
+
+  // ------------------------------------------------------------------
+  // wave 53: emb3 / w30 / gr20
+  // ------------------------------------------------------------------
+
+  test("emb3: dim variances match a brute-force quantized replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val vecs = t(s, dir, "embeddings").select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    val dims = vecs.head.length
+    val stats = (1 to dims).map { d =>
+      val qs = vecs.map(v => math.floor(v(d - 1).toDouble * 1.0e4).toLong)
+      val n = qs.length.toLong
+      val sq = qs.sum
+      val sqq = qs.map(q => q * q).sum
+      (d.toLong, n, n * sqq - sq * sq)
+    }
+    val top5 = stats.sortBy(t3 => (-t3._3, t3._1)).take(5)
+    val out = run("emb3_dim_variance").collect()
+    assert(out.length == 5)
+    out.zip(top5).foreach { case (r, (d, n, num)) =>
+      assert(r.getAs[Long]("dim") == d)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("var_num") == num)
+      assert(r.getAs[Long]("var_e9") == math.floor(1.0e9 *
+        num / (n.toDouble * n) / 1.0e8).toLong)
+    }
+  }
+
+  test("w30: underwater spells match a brute-force islands replay") {
+    val ys = dailyCents()
+    val n = ys.length.toLong
+    val sy = ys.map(_._2).sum
+    var e = 0L; var peak = Long.MinValue
+    val under = ys.map { case (d, y) =>
+      e += n * y - sy; peak = math.max(peak, e)
+      (d, peak - e)
+    }
+    // brute islands of dd > 0
+    val spells = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var len = 0L; var start = -1L; var depth = 0L
+    under.foreach { case (d, dd) =>
+      if (dd > 0) {
+        if (len == 0) { start = d; depth = 0 }
+        len += 1; depth = math.max(depth, dd)
+      } else if (len > 0) { spells += ((len, start, depth)); len = 0 }
+    }
+    if (len > 0) spells += ((len, start, depth))
+    val longest = spells.sortBy(sp => (-sp._1, sp._2)).head
+    val r = run("w30_underwater_spells").collect()(0)
+    assert(r.getAs[Long]("n_spells") == spells.length.toLong)
+    assert(r.getAs[Long]("longest_days") == longest._1)
+    assert(r.getAs[Long]("longest_start_d") == longest._2)
+    assert(r.getAs[Long]("longest_depth_n") == longest._3)
+  }
+
+  test("gr20: degree tail matches a brute-force binned replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val nodes = t(s, dir, "documents").selectExpr("doc_id % 499 u")
+      .collect().map(_.getLong(0)).distinct
+    val edges = nodes.flatMap(u =>
+      Seq((u, (7 * u + 1) % 499), (u, (3 * u + 2) % 499)))
+      .filter(e => e._1 != e._2).distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val binned = deg.values.groupBy(d =>
+      (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong)
+    val nt = deg.size.toLong
+    val out = run("gr20_degree_tail").collect()
+    assert(out.map(_.getAs[Long]("n_nodes")).sum == nt)
+    var cum = 0L
+    out.sortBy(_.getAs[Long]("bin")).foreach { r =>
+      val ds = binned(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_nodes") == ds.size.toLong)
+      assert(r.getAs[Long]("deg_mass") == ds.sum)
+      assert(r.getAs[Long]("ccdf_e6") == (nt - cum) * 1000000L / nt)
+      cum += ds.size
+    }
+    // CCDF starts at exactly 1
+    assert(out.minBy(_.getAs[Long]("bin")).getAs[Long]("ccdf_e6")
+      == 1000000L)
+  }
 }

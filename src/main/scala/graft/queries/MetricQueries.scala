@@ -6179,6 +6179,151 @@ object MetricQueries {
              CAST((nt - coalesce(sum(n_nodes) OVER (ORDER BY bin
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
                * 1000000 // nt AS BIGINT) AS ccdf_e6
-      FROM binned, tot ORDER BY bin"""))
+      FROM binned, tot ORDER BY bin""")),
+
+    // CS59 — Wilson 95% score interval for the high-value share per
+    // event type: the interval that behaves at small n and extreme p̂
+    // where the naive Wald ±1.96√(p̂q̂/n) collapses — the number an
+    // experimentation dashboard should print next to every rate. Counts
+    // are exact; the interval is one closed-form double chain per row of
+    // the bounded event-type table, written with identical text on both
+    // engines (z = 1.96, z² = 3.8416 as exact decimal literals).
+    Q("cs59_wilson_ci", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("x"))
+        .withColumn("px", col("x").cast("double") / col("n"))
+        .selectExpr("event_type", "n", "x",
+          "CAST(floor(1.0e6 * px) AS BIGINT) AS p_e6",
+          "CAST(floor(1.0e6 * (px + 3.8416e0 / (2 * n) - 1.96e0 *" +
+            " sqrt(px * (1 - px) / n + 3.8416e0 / (4.0e0 * n * n)))" +
+            " / (1.0e0 + 3.8416e0 / n)) AS BIGINT) AS lo_e6",
+          "CAST(floor(1.0e6 * (px + 3.8416e0 / (2 * n) + 1.96e0 *" +
+            " sqrt(px * (1 - px) / n + 3.8416e0 / (4.0e0 * n * n)))" +
+            " / (1.0e0 + 3.8416e0 / n)) AS BIGINT) AS hi_e6")
+        .orderBy("event_type")
+    }, Some("""
+      WITH agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      px AS (SELECT event_type, n, x, CAST(x AS DOUBLE) / n AS px
+             FROM agg)
+      SELECT event_type, n, x,
+             CAST(floor(1.0e6 * px) AS BIGINT) AS p_e6,
+             CAST(floor(1.0e6 * (px + 3.8416e0 / (2 * n) - 1.96e0 *
+               sqrt(px * (1 - px) / n + 3.8416e0 / (4.0e0 * n * n)))
+               / (1.0e0 + 3.8416e0 / n)) AS BIGINT) AS lo_e6,
+             CAST(floor(1.0e6 * (px + 3.8416e0 / (2 * n) + 1.96e0 *
+               sqrt(px * (1 - px) / n + 3.8416e0 / (4.0e0 * n * n)))
+               / (1.0e0 + 3.8416e0 / n)) AS BIGINT) AS hi_e6
+      FROM px ORDER BY event_type""")),
+
+    // TS24 — moving-average crossover backtest on daily revenue: long
+    // whenever MA20 > MA50 (compared by exact integer cross-
+    // multiplication 5·S20 > 2·S50 — never two float averages), P&L
+    // credited on the day AFTER the signal (no look-ahead), trades
+    // counted as 0→1 signal flips. The whole backtest — signal, trade
+    // count, strategy vs buy-and-hold P&L — is exact integer cents.
+    // One day-grain window pass.
+    Q("ts24_sma_crossover", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val sig = daily
+        .withColumn("rn", row_number().over(wD).cast("long"))
+        .withColumn("s20", sum("y").over(wD.rowsBetween(-19, 0)))
+        .withColumn("s50", sum("y").over(wD.rowsBetween(-49, 0)))
+        .withColumn("lng", when(col("rn") >= 50 &&
+          col("s20") * 5 > col("s50") * 2, 1L).otherwise(0L))
+        .withColumn("pnl", col("y") - lag("y", 1).over(wD))
+        .withColumn("prev_lng", lag("lng", 1).over(wD))
+      sig.filter(col("rn") >= 50)
+        .agg(count(lit(1)).as("n_days_eval"),
+          sum("lng").as("n_long_days"),
+          sum(when(col("lng") === 1 && col("prev_lng") === 0, 1L)
+            .otherwise(0L)).as("n_trades"),
+          sum(when(col("prev_lng") === 1, col("pnl")).otherwise(0L))
+            .as("strat_pnl_cents"),
+          (expr("max_by(y, rn)") - expr("min_by(y, rn)"))
+            .as("buyhold_pnl_cents"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      roll AS (
+        SELECT d, y,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+               sum(y) OVER (ORDER BY d ROWS BETWEEN 19 PRECEDING AND
+                 CURRENT ROW) AS s20,
+               sum(y) OVER (ORDER BY d ROWS BETWEEN 49 PRECEDING AND
+                 CURRENT ROW) AS s50,
+               y - lag(y) OVER (ORDER BY d) AS pnl
+        FROM daily),
+      sig AS (
+        SELECT d, y, rn, pnl,
+               CASE WHEN rn >= 50 AND s20 * 5 > s50 * 2 THEN 1 ELSE 0
+                 END AS lng
+        FROM roll),
+      lagged AS (
+        SELECT d, y, rn, pnl, lng,
+               lag(lng) OVER (ORDER BY d) AS prev_lng
+        FROM sig)
+      SELECT CAST(count(*) AS BIGINT) AS n_days_eval,
+             CAST(sum(lng) AS BIGINT) AS n_long_days,
+             CAST(sum(CASE WHEN lng = 1 AND prev_lng = 0 THEN 1 ELSE 0
+               END) AS BIGINT) AS n_trades,
+             CAST(sum(CASE WHEN prev_lng = 1 THEN pnl ELSE 0 END)
+               AS BIGINT) AS strat_pnl_cents,
+             CAST(max_by(y, rn) - min_by(y, rn) AS BIGINT)
+               AS buyhold_pnl_cents
+      FROM lagged WHERE rn >= 50""")),
+
+    // K38 — TTL retention audit: rows older than a 180-day horizon-
+    // anchored cutoff per event type, with the payload bytes a purge
+    // would reclaim — the GDPR/retention-policy twin of k16's compaction
+    // planner (what to delete, not what to rewrite). Exact integers
+    // (epoch floors, byte lengths); one event-type-grain aggregate plus
+    // a 1-row horizon broadcast.
+    Q("k38_ttl_audit", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("ts").cast("long").as("et"),
+          length(col("props")).cast("long").as("pbytes"))
+        .localCheckpoint(eager = false) // feeds horizon + the rollup
+      val hz = ev.agg(max("et").as("hz"))
+      ev.crossJoin(broadcast(hz))
+        .withColumn("expired",
+          (col("et") < col("hz") - 15552000L).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"), sum("expired").as("n_expired"),
+          sum(col("expired") * (col("pbytes") + 16L))
+            .as("reclaim_bytes"))
+        .selectExpr("event_type", "n_total", "n_expired",
+          "n_expired * 1000000L div n_total AS expired_share_e6",
+          "reclaim_bytes")
+        .orderBy("event_type")
+    }, Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS et,
+               CAST(length(props) AS BIGINT) AS pbytes
+        FROM events),
+      hz AS (SELECT max(et) AS hz FROM ev),
+      flagged AS (
+        SELECT event_type, pbytes,
+               CASE WHEN et < hz - 15552000 THEN 1 ELSE 0 END AS expired
+        FROM ev, hz)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(expired) AS BIGINT) AS n_expired,
+             CAST(sum(expired) * 1000000 // count(*) AS BIGINT)
+               AS expired_share_e6,
+             CAST(sum(expired * (pbytes + 16)) AS BIGINT)
+               AS reclaim_bytes
+      FROM flagged GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -3198,4 +3198,87 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(out.minBy(_.getAs[Long]("bin")).getAs[Long]("ccdf_e6")
       == 1000000L)
   }
+
+  // ------------------------------------------------------------------
+  // wave 54: cs59 / ts24 / k38
+  // ------------------------------------------------------------------
+
+  test("cs59: Wilson intervals match brute force and bracket p-hat") {
+    val s = spark
+    import graft.queries.Tables.t
+    val rows = t(s, dir, "events")
+      .selectExpr("event_type", "value >= 100.0 hit")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val out = run("cs59_wilson_ci").collect()
+    out.foreach { r =>
+      val grp = rows.filter(_._1 == r.getAs[String]("event_type"))
+      val n = grp.length.toLong
+      val x = grp.count(_._2).toLong
+      val px = x.toDouble / n
+      def bound(sign: Double) = (px + 3.8416 / (2 * n) + sign * 1.96 *
+        math.sqrt(px * (1 - px) / n + 3.8416 / (4.0 * n * n))) /
+        (1.0 + 3.8416 / n)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("x") == x)
+      assert(r.getAs[Long]("lo_e6") ==
+        math.floor(1.0e6 * bound(-1)).toLong)
+      assert(r.getAs[Long]("hi_e6") ==
+        math.floor(1.0e6 * bound(1)).toLong)
+      // the interval brackets the point estimate
+      assert(r.getAs[Long]("lo_e6") <= r.getAs[Long]("p_e6"))
+      assert(r.getAs[Long]("hi_e6") >= r.getAs[Long]("p_e6"))
+    }
+  }
+
+  test("ts24: crossover backtest matches a brute-force signal replay") {
+    val ys = dailyCents().map(_._2)
+    var (nEval, nLong, nTrades, strat) = (0L, 0L, 0L, 0L)
+    var prevLong = 0L
+    var (firstY, lastY) = (0L, 0L)
+    ys.indices.foreach { i =>
+      val lng =
+        if (i >= 49) {
+          val s20 = (i - 19 to i).map(ys(_)).sum
+          val s50 = (i - 49 to i).map(ys(_)).sum
+          if (s20 * 5 > s50 * 2) 1L else 0L
+        } else 0L
+      if (i >= 49) {
+        if (nEval == 0) firstY = ys(i)
+        lastY = ys(i)
+        nEval += 1; nLong += lng
+        if (lng == 1 && prevLong == 0) nTrades += 1
+        if (prevLong == 1) strat += ys(i) - ys(i - 1)
+      }
+      prevLong = lng
+    }
+    val r = run("ts24_sma_crossover").collect()(0)
+    assert(r.getAs[Long]("n_days_eval") == nEval)
+    assert(r.getAs[Long]("n_long_days") == nLong)
+    assert(r.getAs[Long]("n_trades") == nTrades)
+    assert(r.getAs[Long]("strat_pnl_cents") == strat)
+    assert(r.getAs[Long]("buyhold_pnl_cents") == lastY - firstY)
+    assert(nTrades > 0) // 2000+ days produce at least one crossover
+  }
+
+  test("k38: TTL audit matches a brute-force cutoff replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ev = t(s, dir, "events")
+      .selectExpr("event_type", "CAST(ts AS LONG) et",
+        "length(props) pb")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2).toLong))
+    val hz = ev.map(_._2).max
+    val out = run("k38_ttl_audit").collect()
+    assert(out.map(_.getAs[Long]("n_total")).sum == ev.length.toLong)
+    out.foreach { r =>
+      val grp = ev.filter(_._1 == r.getAs[String]("event_type"))
+      val exp = grp.filter(_._2 < hz - 15552000L)
+      assert(r.getAs[Long]("n_total") == grp.length.toLong)
+      assert(r.getAs[Long]("n_expired") == exp.length.toLong)
+      assert(r.getAs[Long]("expired_share_e6") ==
+        exp.length * 1000000L / grp.length)
+      assert(r.getAs[Long]("reclaim_bytes") ==
+        exp.map(_._3 + 16L).sum)
+    }
+  }
 }

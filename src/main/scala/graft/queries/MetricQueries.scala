@@ -6324,6 +6324,191 @@ object MetricQueries {
                AS expired_share_e6,
              CAST(sum(expired * (pbytes + 16)) AS BIGINT)
                AS reclaim_bytes
-      FROM flagged GROUP BY 1 ORDER BY 1"""))
+      FROM flagged GROUP BY 1 ORDER BY 1""")),
+
+    // SA20 — CUPED variance reduction: adjust each user's post-period
+    // spend Y by their pre-period covariate X (θ = cov/var, Y′ = Y −
+    // θ(X − X̄)) — the standard experimentation trick that shrinks metric
+    // variance by exactly corr²(X,Y). All moments are EXACT integer
+    // numerators with denominators cleared (vx = n·Σx² − (Σx)² etc.);
+    // θ and the realized reduction are two double divisions composed
+    // identically on both engines. One user-grain aggregate + 5-number
+    // algebra; magnitudes documented (Σxy at this grain stays inside
+    // int64 at bench SFs, HUGEINT on the oracle side regardless).
+    Q("sa20_cuped", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("et"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .localCheckpoint(eager = false) // feeds the midpoint + rollup
+      val mid = ev.agg(expr("(min(et) + max(et)) div 2").as("cut"))
+      val perUser = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("et") < col("cut"), col("cents")).otherwise(0L))
+            .as("x"),
+          sum(when(col("et") >= col("cut"), col("cents")).otherwise(0L))
+            .as("y"))
+      perUser
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("n", "sx", "sy",
+          "n * sxx - sx * sx AS vx",
+          "n * syy - sy * sy AS vy",
+          "n * sxy - sx * sy AS cxy")
+        .selectExpr("n", "vx", "vy", "cxy",
+          "CAST(floor(1.0e6 * CAST(cxy AS DOUBLE) / vx) AS BIGINT)" +
+            " AS theta_e6",
+          "CAST(floor(1.0e6 * CAST(cxy AS DOUBLE) * cxy" +
+            " / (CAST(vx AS DOUBLE) * vy)) AS BIGINT)" +
+            " AS var_reduction_e6")
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS et,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events),
+      mid AS (SELECT (min(et) + max(et)) // 2 AS cut FROM ev),
+      pu AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN et < cut THEN cents ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN et >= cut THEN cents ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM ev, mid GROUP BY 1),
+      m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM pu),
+      v AS (
+        SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+               CAST(sy AS BIGINT) AS sy,
+               CAST(n * sxx - sx * sx AS BIGINT) AS vx,
+               CAST(n * syy - sy * sy AS BIGINT) AS vy,
+               CAST(n * sxy - sx * sy AS BIGINT) AS cxy
+        FROM m)
+      SELECT n, vx, vy, cxy,
+             CAST(floor(1.0e6 * CAST(cxy AS DOUBLE) / vx) AS BIGINT)
+               AS theta_e6,
+             CAST(floor(1.0e6 * CAST(cxy AS DOUBLE) * cxy
+               / (CAST(vx AS DOUBLE) * vy)) AS BIGINT)
+               AS var_reduction_e6
+      FROM v""")),
+
+    // F12 — Damm checksum (the quasigroup check digit that catches ALL
+    // single-digit errors and adjacent transpositions, unlike Luhn's
+    // f13): the check digit is a STATEFUL fold st ← M[st][d] over the
+    // key's digits — Spark `aggregate` / DuckDB `list_reduce` with the
+    // 10×10 antisymmetric-quasigroup table as a nested array literal,
+    // all integer table lookups. Graded as the check-digit census over
+    // all order keys; the diagonal-zero law (append the check digit →
+    // state 0) is asserted in the spec.
+    Q("f12_damm_checksum", (s, dir) => {
+      val m = "array(" +
+        "array(0,3,1,7,5,9,8,6,4,2)," +
+        "array(7,0,9,2,1,5,4,8,6,3)," +
+        "array(4,2,0,6,8,7,1,3,5,9)," +
+        "array(1,7,5,0,9,8,3,4,2,6)," +
+        "array(6,1,2,3,0,4,5,9,7,8)," +
+        "array(3,6,7,4,2,0,9,5,8,1)," +
+        "array(5,8,6,9,7,2,0,1,3,4)," +
+        "array(8,9,4,5,3,6,2,0,1,7)," +
+        "array(9,4,3,8,6,1,7,2,0,5)," +
+        "array(2,5,8,1,4,3,6,7,9,0))"
+      val checks = t(s, dir, "orders")
+        .selectExpr("CAST(o_orderkey AS STRING) AS num")
+        .selectExpr(
+          "CAST(aggregate(transform(sequence(1, length(num)), i -> " +
+            "CAST(substring(num, i, 1) AS INT)), 0, (st, d) -> " +
+            s"element_at(element_at($m, st + 1), d + 1)) AS BIGINT)" +
+            " AS check_digit")
+      val tot = checks.agg(count(lit(1)).as("nt"))
+      checks.groupBy("check_digit").agg(count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("check_digit", "n_keys",
+          "n_keys * 1000000L div nt AS share_e6")
+        .orderBy("check_digit")
+    }, Some("""
+      WITH checks AS (
+        SELECT CAST(list_reduce(list_prepend(0,
+                 list_transform(generate_series(1, length(num)), i ->
+                   CAST(substring(num, i, 1) AS INT))),
+                 (st, d) ->
+                 [[0,3,1,7,5,9,8,6,4,2],
+                  [7,0,9,2,1,5,4,8,6,3],
+                  [4,2,0,6,8,7,1,3,5,9],
+                  [1,7,5,0,9,8,3,4,2,6],
+                  [6,1,2,3,0,4,5,9,7,8],
+                  [3,6,7,4,2,0,9,5,8,1],
+                  [5,8,6,9,7,2,0,1,3,4],
+                  [8,9,4,5,3,6,2,0,1,7],
+                  [9,4,3,8,6,1,7,2,0,5],
+                  [2,5,8,1,4,3,6,7,9,0]][st + 1][d + 1]) AS BIGINT)
+                 AS check_digit
+        FROM (SELECT CAST(o_orderkey AS VARCHAR) AS num FROM orders)),
+      tot AS (SELECT count(*) AS nt FROM checks)
+      SELECT check_digit, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(count(*) * 1000000 // any_value(nt) AS BIGINT)
+               AS share_e6
+      FROM checks, tot GROUP BY 1 ORDER BY 1""")),
+
+    // IX8 — mean reciprocal rank over three single-term queries: per
+    // query, documents rank by (tf DESC, doc_id) among those containing
+    // the term; RR = 1/rank of the first src0-relevant hit; MRR
+    // accumulates in query order. The "did the FIRST answer land"
+    // metric that nDCG@k (ml19) smooths away. Ranks are per-term
+    // windows over posting-bounded candidate sets; RR and MRR are
+    // reciprocals of small integers.
+    Q("ix8_mrr", (s, dir) => {
+      val terms = Seq("spark", "filter", "data")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("term", "doc_id", "source")
+        .agg(count(lit(1)).as("tf"))
+      val ranked = docs.withColumn("rnk", row_number().over(
+        Window.partitionBy("term")
+          .orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      val perQuery = ranked
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_candidates"),
+          min(when(col("source") === "src0", col("rnk")))
+            .as("first_rel_rank"))
+      val wT = Window.orderBy("term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perQuery
+        .withColumn("mrr_cum_e6", floor(lit(1.0e6) / lit(3.0) * sum(
+          coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0))).over(wT))
+          .cast("long"))
+        .selectExpr("term", "n_candidates", "first_rel_rank",
+          "CAST(floor(1.0e6 / first_rel_rank) AS BIGINT) AS rr_e6",
+          "mrr_cum_e6")
+        .orderBy("term")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (
+        SELECT term, doc_id, source, count(*) AS tf
+        FROM toks WHERE term IN ('spark', 'filter', 'data')
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT term, source,
+               CAST(row_number() OVER (PARTITION BY term
+                 ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+        FROM tf),
+      pq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(min(CASE WHEN source = 'src0' THEN rnk END)
+                 AS BIGINT) AS first_rel_rank
+        FROM ranked GROUP BY 1)
+      SELECT term, n_candidates, first_rel_rank,
+             CAST(floor(1.0e6 / first_rel_rank) AS BIGINT) AS rr_e6,
+             CAST(floor(1.0e6 / 3.0e0 * sum(coalesce(
+               1.0e0 / first_rel_rank, 0.0e0)) OVER (ORDER BY term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS BIGINT) AS mrr_cum_e6
+      FROM pq ORDER BY term"""))
   )
 }

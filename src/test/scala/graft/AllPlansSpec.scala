@@ -143,7 +143,9 @@ class AllPlansSpec extends AnyFunSuite {
     "mb7_repeat_curve" -> "10-row k-grid range join + 1-row total broadcast onto the customer-grain counts",
     "w30_underwater_spells" -> "1-row total + 1-row longest-spell broadcasts onto the day table",
     "gr20_degree_tail" -> "1-row node-total broadcast onto the ~10-row bin table",
-    "k38_ttl_audit" -> "1-row horizon broadcast onto the event scan")
+    "k38_ttl_audit" -> "1-row horizon broadcast onto the event scan",
+    "f12_damm_checksum" -> "1-row key-total broadcast onto the 10-row check-digit census",
+    "sa20_cuped" -> "1-row midpoint broadcast onto the event scan")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -3281,4 +3281,100 @@ class MetricOpsSpec extends AnyFunSuite {
         exp.map(_._3 + 16L).sum)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 55: sa20 / f12 / ix8
+  // ------------------------------------------------------------------
+
+  test("sa20: CUPED moments match brute force; reduction = corr^2") {
+    val s = spark
+    import graft.queries.Tables.t
+    val raw = t(s, dir, "events")
+      .selectExpr("user_id", "CAST(ts AS LONG) et",
+        "CAST(floor(value * 100) AS LONG) cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = (raw.map(_._2).min + raw.map(_._2).max) / 2
+    val pu = raw.groupBy(_._1).values.map { rows =>
+      (rows.filter(_._2 < cut).map(_._3).sum,
+        rows.filter(_._2 >= cut).map(_._3).sum)
+    }.toArray
+    val n = pu.length.toLong
+    val (sx, sy) = (pu.map(_._1).sum, pu.map(_._2).sum)
+    val sxx = pu.map(p => p._1 * p._1).sum
+    val syy = pu.map(p => p._2 * p._2).sum
+    val sxy = pu.map(p => p._1 * p._2).sum
+    val (vx, vy, cxy) = (n * sxx - sx * sx, n * syy - sy * sy,
+      n * sxy - sx * sy)
+    val r = run("sa20_cuped").collect()(0)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("vx") == vx && r.getAs[Long]("vy") == vy)
+    assert(r.getAs[Long]("cxy") == cxy)
+    assert(r.getAs[Long]("theta_e6") ==
+      math.floor(1.0e6 * cxy.toDouble / vx).toLong)
+    val red = cxy.toDouble * cxy / (vx.toDouble * vy)
+    assert(r.getAs[Long]("var_reduction_e6") ==
+      math.floor(1.0e6 * red).toLong)
+    // corr² lives in [0, 1]
+    assert(r.getAs[Long]("var_reduction_e6") >= 0L &&
+      r.getAs[Long]("var_reduction_e6") <= 1000000L)
+  }
+
+  private val dammM = Array(
+    Array(0, 3, 1, 7, 5, 9, 8, 6, 4, 2), Array(7, 0, 9, 2, 1, 5, 4, 8, 6, 3),
+    Array(4, 2, 0, 6, 8, 7, 1, 3, 5, 9), Array(1, 7, 5, 0, 9, 8, 3, 4, 2, 6),
+    Array(6, 1, 2, 3, 0, 4, 5, 9, 7, 8), Array(3, 6, 7, 4, 2, 0, 9, 5, 8, 1),
+    Array(5, 8, 6, 9, 7, 2, 0, 1, 3, 4), Array(8, 9, 4, 5, 3, 6, 2, 0, 1, 7),
+    Array(9, 4, 3, 8, 6, 1, 7, 2, 0, 5), Array(2, 5, 8, 1, 4, 3, 6, 7, 9, 0))
+
+  test("f12: Damm census matches brute force; appending the check " +
+    "digit always folds to state 0") {
+    val s = spark
+    import graft.queries.Tables.t
+    val keys = t(s, dir, "orders").selectExpr("o_orderkey")
+      .collect().map(_.getLong(0))
+    def damm(num: String): Int =
+      num.foldLeft(0)((st, c) => dammM(st)(c - '0'))
+    val brute = keys.map(k => damm(k.toString).toLong)
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val out = run("f12_damm_checksum").collect()
+    assert(out.map(_.getAs[Long]("n_keys")).sum == keys.length.toLong)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_keys") ==
+        brute(r.getAs[Long]("check_digit")))
+      assert(r.getAs[Long]("share_e6") ==
+        brute(r.getAs[Long]("check_digit")) * 1000000L / keys.length)
+    }
+    // the defining property: number + its check digit validates to 0
+    keys.take(200).foreach { k =>
+      val c = damm(k.toString)
+      assert(damm(k.toString + c.toString) == 0)
+    }
+  }
+
+  test("ix8: MRR matches a brute-force first-relevant replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val docs = t(s, dir, "documents")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val terms = Seq("data", "filter", "spark") // term order = output order
+    var mrr = 0.0
+    val out = run("ix8_mrr").collect()
+      .map(r => (r.getAs[String]("term"), r)).toMap
+    terms.foreach { term =>
+      val cand = docs.map { case (id, src, text) =>
+        (id, src, text.split(" ", -1).count(_ == term).toLong) }
+        .filter(_._3 > 0)
+        .sortBy(c => (-c._3, c._1))
+      val firstRel = cand.zipWithIndex.find(_._1._2 == "src0")
+        .map(_._2 + 1L)
+      val r = out(term)
+      assert(r.getAs[Long]("n_candidates") == cand.length.toLong)
+      assert(Option(r.getAs[Any]("first_rel_rank"))
+        .map(_.asInstanceOf[Long]) == firstRel)
+      mrr += firstRel.map(1.0 / _).getOrElse(0.0)
+      assert(r.getAs[Long]("mrr_cum_e6") ==
+        math.floor(1.0e6 / 3.0 * mrr).toLong)
+    }
+  }
 }

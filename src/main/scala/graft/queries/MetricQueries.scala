@@ -6509,6 +6509,175 @@ object MetricQueries {
                1.0e0 / first_rel_rank, 0.0e0)) OVER (ORDER BY term
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
                AS BIGINT) AS mrr_cum_e6
-      FROM pq ORDER BY term"""))
+      FROM pq ORDER BY term""")),
+
+    // K39 — dictionary-encoding planner: per candidate column, the exact
+    // NDV, the dictionary code width ⌈log₂ ndv⌉ (via the binary-string
+    // length, gr20's integer-exact move), and the bits saved vs a plain
+    // 64-bit encoding — the storage-layout advisor behind parquet's
+    // dictionary-vs-plain decision, graded as data. Three column
+    // aggregates unioned; everything integer.
+    Q("k39_dict_encoding_planner", (s, dir) => {
+      def census(colName: String, ex: String) =
+        t(s, dir, "customer")
+          .selectExpr(s"$ex AS v")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("v").cast("long").as("ndv"))
+          .selectExpr(s"'$colName' AS col_name", "n", "ndv",
+            "CAST(length(bin(greatest(ndv - 1, 1))) AS BIGINT)" +
+              " AS dict_bits")
+          .selectExpr("col_name", "n", "ndv", "dict_bits",
+            "(64 - dict_bits) * 1000000L div 64 AS saved_e6")
+      census("mktsegment", "c_mktsegment")
+        .unionAll(census("nationkey", "CAST(c_nationkey AS BIGINT)"))
+        .unionAll(census("acctbal_dollars",
+          "CAST(floor(c_acctbal) AS BIGINT)"))
+        .orderBy("col_name")
+    }, Some("""
+      WITH seg AS (
+        SELECT 'mktsegment' AS col_name, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ndv
+        FROM customer),
+      nat AS (
+        SELECT 'nationkey', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT c_nationkey) AS BIGINT)
+        FROM customer),
+      bal AS (
+        SELECT 'acctbal_dollars', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT CAST(floor(c_acctbal) AS BIGINT))
+                 AS BIGINT)
+        FROM customer),
+      uni AS (SELECT * FROM seg UNION ALL SELECT * FROM nat
+              UNION ALL SELECT * FROM bal),
+      bits AS (
+        SELECT col_name, n, ndv,
+               CAST(length(bin(greatest(ndv - 1, 1))) AS BIGINT)
+                 AS dict_bits
+        FROM uni)
+      SELECT col_name, n, ndv, dict_bits,
+             CAST((64 - dict_bits) * 1000000 // 64 AS BIGINT)
+               AS saved_e6
+      FROM bits ORDER BY col_name""")),
+
+    // ML20 — average precision at 100 for the length-score ranking
+    // (src0 relevance): AP = mean over HIT positions of precision@hit —
+    // the area under the PR curve that nDCG (ml19) and the gains table
+    // (ml17) each miss. Precision terms are exact rationals folded in
+    // rank order; normalization is by hits@k (stated convention). Rank
+    // rides `Ranking.globalRowNumber`; only the 100-row head folds.
+    Q("ml20_average_precision", (s, dir) => {
+      val k = 100
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(1000000000L) - col("n_chars")).as("kdesc"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      val top = graft.operators.Ranking.globalRowNumber(
+        scored, col("kdesc"), col("doc_id"))
+        .filter(col("rn") <= k)
+        .withColumn("cum_hits", sum("y").over(Window.orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("rn"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      top
+        .withColumn("pterm", when(col("y") === 1,
+          col("cum_hits").cast("double") / col("rn")).otherwise(lit(0.0)))
+        .agg(count(lit(1)).as("k_eff"), sum("y").as("hits_at_k"),
+          foldBy("pterm").as("psum"),
+          max(when(col("rn") <= 10, col("cum_hits"))).as("hits_at_10"))
+        .selectExpr(s"${k}L AS k", "k_eff", "hits_at_k", "hits_at_10",
+          "hits_at_10 * 1000000L div 10 AS p_at_10_e6",
+          "hits_at_k * 1000000L div k_eff AS p_at_k_e6",
+          "CAST(floor(1.0e6 * psum / hits_at_k) AS BIGINT) AS ap_e6")
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, 1000000000 - n_chars AS kdesc,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY kdesc, doc_id)
+          AS BIGINT) AS rn
+        FROM scored),
+      top AS (
+        SELECT y, rn,
+               sum(y) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum_hits
+        FROM ranked WHERE rn <= 100),
+      terms AS (
+        SELECT rn, y, cum_hits,
+               CASE WHEN y = 1 THEN CAST(cum_hits AS DOUBLE) / rn
+                 ELSE 0.0e0 END AS pterm
+        FROM top),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_eff,
+               CAST(sum(y) AS BIGINT) AS hits_at_k,
+               list_sum(list(pterm ORDER BY rn)) AS psum,
+               CAST(max(CASE WHEN rn <= 10 THEN cum_hits END)
+                 AS BIGINT) AS hits_at_10
+        FROM terms)
+      SELECT CAST(100 AS BIGINT) AS k, k_eff, hits_at_k, hits_at_10,
+             CAST(hits_at_10 * 1000000 // 10 AS BIGINT) AS p_at_10_e6,
+             CAST(hits_at_k * 1000000 // k_eff AS BIGINT) AS p_at_k_e6,
+             CAST(floor(1.0e6 * psum / hits_at_k) AS BIGINT) AS ap_e6
+      FROM agg""")),
+
+    // CS60 — turning-points test on daily revenue: count strict local
+    // peaks and troughs and compare with the i.i.d. expectation
+    // E[T] = 2(n−2)/3, Var = (16n−29)/90 — ts23's sibling that reads
+    // oscillation rather than monotone persistence (an MA-smoothed
+    // series turns too RARELY, a mean-reverting one too OFTEN). Strict
+    // inequalities on exact cents decide every point; one double z at
+    // the end.
+    Q("cs60_turning_points", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val pts = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .withColumn("py", lag("y", 1).over(wD))
+        .withColumn("ny", lead("y", 1).over(wD))
+        .filter(col("py").isNotNull && col("ny").isNotNull)
+      pts
+        .agg(count(lit(1)).as("n_interior"),
+          sum(when(col("y") > col("py") && col("y") > col("ny"), 1L)
+            .otherwise(0L)).as("n_peaks"),
+          sum(when(col("y") < col("py") && col("y") < col("ny"), 1L)
+            .otherwise(0L)).as("n_troughs"))
+        .selectExpr("n_interior", "n_peaks", "n_troughs",
+          "n_peaks + n_troughs AS n_turns",
+          "CAST(floor(1.0e6 * 2.0e0 * n_interior / 3) AS BIGINT)" +
+            " AS e_turns_e6",
+          "CAST(floor(1.0e6 * (n_peaks + n_troughs - 2.0e0 * n_interior" +
+            " / 3) / sqrt((16.0e0 * (n_interior + 2) - 29) / 90))" +
+            " AS BIGINT) AS z_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      pts AS (
+        SELECT y, lag(y) OVER (ORDER BY d) AS py,
+               lead(y) OVER (ORDER BY d) AS ny
+        FROM daily),
+      interior AS (SELECT * FROM pts
+                   WHERE py IS NOT NULL AND ny IS NOT NULL)
+      SELECT CAST(count(*) AS BIGINT) AS n_interior,
+             CAST(sum(CASE WHEN y > py AND y > ny THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_peaks,
+             CAST(sum(CASE WHEN y < py AND y < ny THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_troughs,
+             CAST(sum(CASE WHEN y > py AND y > ny THEN 1 ELSE 0 END) +
+               sum(CASE WHEN y < py AND y < ny THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_turns,
+             CAST(floor(1.0e6 * 2.0e0 * count(*) / 3) AS BIGINT)
+               AS e_turns_e6,
+             CAST(floor(1.0e6 * (sum(CASE WHEN y > py AND y > ny
+               THEN 1 ELSE 0 END) + sum(CASE WHEN y < py AND y < ny
+               THEN 1 ELSE 0 END) - 2.0e0 * count(*) / 3)
+               / sqrt((16.0e0 * (count(*) + 2) - 29) / 90)) AS BIGINT)
+               AS z_e6
+      FROM interior"""))
   )
 }

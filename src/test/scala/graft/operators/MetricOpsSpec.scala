@@ -3377,4 +3377,70 @@ class MetricOpsSpec extends AnyFunSuite {
         math.floor(1.0e6 / 3.0 * mrr).toLong)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 56: k39 / ml20 / cs60
+  // ------------------------------------------------------------------
+
+  test("k39: dict planner matches exact NDV and ceil-log2 widths") {
+    val s = spark
+    import graft.queries.Tables.t
+    val rows = t(s, dir, "customer")
+      .selectExpr("c_mktsegment", "CAST(c_nationkey AS LONG)",
+        "CAST(floor(c_acctbal) AS LONG)").collect()
+    val ndvs = Map(
+      "mktsegment" -> rows.map(_.getString(0)).distinct.length.toLong,
+      "nationkey" -> rows.map(_.getLong(1)).distinct.length.toLong,
+      "acctbal_dollars" -> rows.map(_.getLong(2)).distinct.length.toLong)
+    val out = run("k39_dict_encoding_planner").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val ndv = ndvs(r.getAs[String]("col_name"))
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(ndv - 1, 1))
+      assert(r.getAs[Long]("n") == rows.length.toLong)
+      assert(r.getAs[Long]("ndv") == ndv)
+      assert(r.getAs[Long]("dict_bits") == bits.toLong)
+      assert(r.getAs[Long]("saved_e6") == (64 - bits) * 1000000L / 64)
+    }
+  }
+
+  test("ml20: average precision matches a brute-force PR replay") {
+    val docs = docLabels()
+    val top = docs.sortBy(d => (1000000000L - d._2, d._1)).take(100)
+    var cum = 0L; var psum = 0.0; var hits10 = 0L
+    top.zipWithIndex.foreach { case (d, i) =>
+      if (d._3) { cum += 1; psum += cum.toDouble / (i + 1) }
+      if (i < 10) hits10 = cum
+    }
+    val r = run("ml20_average_precision").collect()(0)
+    assert(r.getAs[Long]("k_eff") == 100L)
+    assert(r.getAs[Long]("hits_at_k") == cum)
+    assert(r.getAs[Long]("hits_at_10") == hits10)
+    assert(r.getAs[Long]("p_at_10_e6") == hits10 * 1000000L / 10)
+    assert(r.getAs[Long]("ap_e6") ==
+      math.floor(1.0e6 * psum / cum).toLong)
+    // AP can't exceed precision@k=1
+    assert(r.getAs[Long]("ap_e6") <= 1000000L)
+  }
+
+  test("cs60: turning points match brute force; complements ts23") {
+    val ys = dailyCents().map(_._2)
+    val interior = ys.sliding(3).filter(_.length == 3).toArray
+    val peaks = interior.count(w => w(1) > w(0) && w(1) > w(2)).toLong
+    val troughs = interior.count(w => w(1) < w(0) && w(1) < w(2)).toLong
+    val ni = interior.length.toLong
+    val r = run("cs60_turning_points").collect()(0)
+    assert(r.getAs[Long]("n_interior") == ni)
+    assert(r.getAs[Long]("n_peaks") == peaks)
+    assert(r.getAs[Long]("n_troughs") == troughs)
+    assert(r.getAs[Long]("n_turns") == peaks + troughs)
+    assert(r.getAs[Long]("e_turns_e6") ==
+      math.floor(1.0e6 * 2.0 * ni / 3).toLong)
+    val z = (peaks + troughs - 2.0 * ni / 3) /
+      math.sqrt((16.0 * (ni + 2) - 29) / 90)
+    assert(r.getAs[Long]("z_e6") == math.floor(1.0e6 * z).toLong)
+    // peaks and troughs alternate: counts differ by at most one
+    assert(math.abs(peaks - troughs) <= 1)
+  }
 }

@@ -123,7 +123,13 @@ object Bench {
         val rounds = Option(repo.toFile.list()).getOrElse(Array.empty[String])
           .flatMap { n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
         val n = if (rounds.isEmpty) 0 else rounds.max + 1
-        repo.resolve(f"bench/bench_r$n%02d.json")
+        // a BENCH_ONLY-filtered run is a sanity probe, not the round
+        // artifact — writing it to bench_r{N}.json would clobber the
+        // full-coverage record the anchor protocol diffs against (it
+        // did, twice); probes land in a side file instead
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+          repo.resolve(f"bench/bench_r$n%02d_probe.json")
+        else repo.resolve(f"bench/bench_r$n%02d.json")
       }
       Files.createDirectories(out.getParent)
       Files.write(out, (line + "\n").getBytes("UTF-8"))

@@ -6678,6 +6678,203 @@ object MetricQueries {
                THEN 1 ELSE 0 END) - 2.0e0 * count(*) / 3)
                / sqrt((16.0e0 * (count(*) + 2) - 29) / 90)) AS BIGINT)
                AS z_e6
-      FROM interior"""))
+      FROM interior""")),
+
+    // CS61 — Brown–Forsythe test for variance homogeneity across the
+    // weekday groups of daily revenue (dollars): ANOVA on |x − median_j|
+    // — the robust Levene variant that cs28's mean-ANOVA assumes away.
+    // Group medians are exact positional picks (lower median, day
+    // tie-break); deviations are exact integers in DEKA-dollars (the
+    // grain that keeps n_j·Σz² inside int64 at day scale — dollars
+    // would graze 2⁶³ at sf0.1); the two scatter sums fold over the
+    // 7-row group table in dow order and F composes once.
+    Q("cs61_brown_forsythe", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 10")
+          .as("x"))
+        .select(col("day"), col("x"),
+          dayofweek(col("day")).cast("long").as("dow"))
+        .localCheckpoint(eager = false) // feeds median ranks + deviations
+      val wG = Window.partitionBy("dow").orderBy(col("x"), col("day"))
+      val med = daily
+        .withColumn("rn", row_number().over(wG).cast("long"))
+        .withColumn("nj", count(lit(1)).over(Window.partitionBy("dow")))
+        .filter(col("rn") === expr("(nj + 1) div 2"))
+        .select(col("dow"), col("x").as("med"))
+      val z = daily.join(med, "dow")
+        .select(col("dow"), abs(col("x") - col("med")).as("z"))
+      val grp = z.groupBy("dow")
+        .agg(count(lit(1)).as("nj"), sum("z").as("sz"),
+          sum(col("z") * col("z")).as("qz"))
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("dow"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      grp
+        .withColumn("sswj", expr("CAST(nj * qz - sz * sz AS DOUBLE) / nj"))
+        .withColumn("ssbj", expr("CAST(sz AS DOUBLE) * sz / nj"))
+        .agg(count(lit(1)).as("k"), sum("nj").as("n"), sum("sz").as("szt"),
+          foldBy("sswj").as("ssw"), foldBy("ssbj").as("ssbr"))
+        .selectExpr("k", "n",
+          "ssbr - CAST(szt AS DOUBLE) * szt / n AS ssb", "ssw")
+        .selectExpr("k", "n",
+          "CAST(floor(1.0e3 * ssb) AS BIGINT) AS ssb_e3",
+          "CAST(floor(1.0e3 * ssw) AS BIGINT) AS ssw_e3",
+          "CAST(floor(1.0e6 * (ssb / (k - 1)) / (ssw / (n - k)))" +
+            " AS BIGINT) AS f_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT day, x, CAST(dayofweek(day) AS BIGINT) + 1 AS dow
+        FROM (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 sum(CAST(floor(o_totalprice) AS BIGINT)) // 10 AS x
+          FROM orders GROUP BY 1)),
+      med AS (
+        SELECT dow, x AS med FROM (
+          SELECT dow, x, day,
+                 CAST(row_number() OVER (PARTITION BY dow
+                   ORDER BY x, day) AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY dow) AS nj
+          FROM daily)
+        WHERE rn = (nj + 1) // 2),
+      z AS (
+        SELECT d.dow, abs(d.x - m.med) AS z
+        FROM daily d JOIN med m USING (dow)),
+      grp AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS nj,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(z * z) AS BIGINT) AS qz
+        FROM z GROUP BY 1),
+      folds AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(nj) AS BIGINT) AS n,
+               CAST(sum(sz) AS BIGINT) AS szt,
+               list_sum(list(CAST(nj * qz - sz * sz AS DOUBLE) / nj
+                 ORDER BY dow)) AS ssw,
+               list_sum(list(CAST(sz AS DOUBLE) * sz / nj
+                 ORDER BY dow)) AS ssbr
+        FROM grp),
+      f AS (
+        SELECT k, n, ssbr - CAST(szt AS DOUBLE) * szt / n AS ssb, ssw
+        FROM folds)
+      SELECT k, n,
+             CAST(floor(1.0e3 * ssb) AS BIGINT) AS ssb_e3,
+             CAST(floor(1.0e3 * ssw) AS BIGINT) AS ssw_e3,
+             CAST(floor(1.0e6 * (ssb / (k - 1)) / (ssw / (n - k)))
+               AS BIGINT) AS f_e6
+      FROM f""")),
+
+    // TS25 — MASE of the seasonal-naive forecast (ŷₜ = yₜ₋₇, positional
+    // over observed days — stated convention): mean absolute error of
+    // the 7-step forecast scaled by the in-sample 1-step naive MAE — the
+    // scale-free forecast-accuracy metric (Hyndman) that complements
+    // cs57's pinball loss. MASE < 1 ⟺ weekly seasonality carries real
+    // signal. Absolute errors are exact cents; one double ratio.
+    Q("ts25_mase", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val errs = daily
+        .withColumn("e7", abs(col("y") - lag("y", 7).over(wD)))
+        .withColumn("e1", abs(col("y") - lag("y", 1).over(wD)))
+      errs
+        .agg(sum(when(col("e7").isNotNull, 1L).otherwise(0L)).as("n7"),
+          sum("e7").as("sae7"),
+          sum(when(col("e1").isNotNull, 1L).otherwise(0L)).as("n1"),
+          sum("e1").as("sae1"))
+        .selectExpr("n7", "sae7", "n1", "sae1",
+          "sae7 div n7 AS mae7_cents", "sae1 div n1 AS mae1_cents",
+          "CAST(floor(1.0e6 * (CAST(sae7 AS DOUBLE) / n7)" +
+            " / (CAST(sae1 AS DOUBLE) / n1)) AS BIGINT) AS mase_e6")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      errs AS (
+        SELECT abs(y - lag(y, 7) OVER (ORDER BY d)) AS e7,
+               abs(y - lag(y, 1) OVER (ORDER BY d)) AS e1
+        FROM daily)
+      SELECT CAST(sum(CASE WHEN e7 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n7,
+             CAST(sum(e7) AS BIGINT) AS sae7,
+             CAST(sum(CASE WHEN e1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(e1) AS BIGINT) AS sae1,
+             CAST(sum(e7) // sum(CASE WHEN e7 IS NOT NULL THEN 1
+               ELSE 0 END) AS BIGINT) AS mae7_cents,
+             CAST(sum(e1) // sum(CASE WHEN e1 IS NOT NULL THEN 1
+               ELSE 0 END) AS BIGINT) AS mae1_cents,
+             CAST(floor(1.0e6 * (CAST(sum(e7) AS DOUBLE) /
+               sum(CASE WHEN e7 IS NOT NULL THEN 1 ELSE 0 END))
+               / (CAST(sum(e1) AS DOUBLE) /
+               sum(CASE WHEN e1 IS NOT NULL THEN 1 ELSE 0 END)))
+               AS BIGINT) AS mase_e6
+      FROM errs""")),
+
+    // EMB4 — class-separation audit: squared distance between each
+    // label's embedding centroid and the global centroid, on emb3's
+    // exact integer quantization grid — the "are the classes even
+    // separable" screen run before training a probe. Per-dim centroid
+    // differences clear denominators ((N·S_ld − n_l·S_d)² / (n_l·N)²);
+    // diffs are exact integers, squares go through identical IEEE
+    // doubles, and each label's 32 dim terms fold in dim order. Label-
+    // and dim-grain aggregates only.
+    Q("emb4_class_separation", (s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("lbl"),
+          posexplode(col("embedding")).as(Seq("i", "xx")))
+        .select(col("lbl"), (col("i") + 1).cast("long").as("dim"),
+          floor(col("xx").cast("double") * 1.0e4).cast("long").as("q"))
+      val byLbl = dims.groupBy("lbl", "dim")
+        .agg(count(lit(1)).as("nl"), sum("q").as("sl"))
+      val glob = dims.groupBy("dim")
+        .agg(count(lit(1)).as("ng"), sum("q").as("sg"))
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("dim"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      byLbl.join(glob, "dim")
+        .withColumn("term", expr("CAST(ng * sl - nl * sg AS DOUBLE)" +
+          " * (ng * sl - nl * sg) / (CAST(nl AS DOUBLE) * nl * ng * ng)"))
+        .groupBy("lbl")
+        .agg(first("nl").as("n_vecs"), foldBy("term").as("d2"))
+        .selectExpr("lbl", "n_vecs",
+          "CAST(floor(1.0e9 * d2 / 1.0e8) AS BIGINT) AS d2g_e9")
+        .orderBy("lbl")
+    }, Some("""
+      WITH e AS (
+        SELECT CAST(label AS BIGINT) AS lbl,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      dims AS (
+        SELECT lbl, CAST(i AS BIGINT) AS dim,
+               CAST(floor(v[i] * 1.0e4) AS BIGINT) AS q
+        FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+      bylbl AS (
+        SELECT lbl, dim, CAST(count(*) AS BIGINT) AS nl,
+               CAST(sum(q) AS BIGINT) AS sl
+        FROM dims GROUP BY 1, 2),
+      gl AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(q) AS BIGINT) AS sg
+        FROM dims GROUP BY 1),
+      terms AS (
+        SELECT b.lbl, b.dim, b.nl,
+               CAST(g.ng * b.sl - b.nl * g.sg AS DOUBLE)
+                 * (g.ng * b.sl - b.nl * g.sg)
+                 / (CAST(b.nl AS DOUBLE) * b.nl * g.ng * g.ng) AS term
+        FROM bylbl b JOIN gl g USING (dim)),
+      agg AS (
+        SELECT lbl, any_value(nl) AS n_vecs,
+               list_sum(list(term ORDER BY dim)) AS d2
+        FROM terms GROUP BY 1)
+      SELECT lbl, n_vecs,
+             CAST(floor(1.0e9 * d2 / 1.0e8) AS BIGINT) AS d2g_e9
+      FROM agg ORDER BY lbl"""))
   )
 }

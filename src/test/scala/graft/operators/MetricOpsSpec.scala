@@ -3443,4 +3443,83 @@ class MetricOpsSpec extends AnyFunSuite {
     // peaks and troughs alternate: counts differ by at most one
     assert(math.abs(peaks - troughs) <= 1)
   }
+
+  // ------------------------------------------------------------------
+  // wave 57: cs61 / ts25 / emb4
+  // ------------------------------------------------------------------
+
+  test("cs61: Brown-Forsythe F matches a brute-force robust-ANOVA replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val days = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(floor(o_totalprice) AS BIGINT)) div 10")
+        .as("x"))
+      .selectExpr("day", "x", "CAST(dayofweek(day) AS LONG) dow")
+      .collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[java.sql.Date]("day"),
+        r.getAs[Long]("x")))
+    val byDow = days.groupBy(_._1).toSeq.sortBy(_._1)
+    var (ssw, ssbr) = (0.0, 0.0)
+    var (n, szt) = (0L, 0L)
+    val k = byDow.length.toLong
+    byDow.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2.toLocalDate.toEpochDay))
+      val medv = sorted(((rows.length + 1) / 2 - 1)).  _3
+      val zs = rows.map(r => math.abs(r._3 - medv))
+      val (nj, sz, qz) = (zs.length.toLong, zs.sum,
+        zs.map(z => z * z).sum)
+      n += nj; szt += sz
+      ssw += (nj * qz - sz * sz).toDouble / nj
+      ssbr += sz.toDouble * sz / nj
+    }
+    val ssb = ssbr - szt.toDouble * szt / n
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = run("cs61_brown_forsythe").collect()(0)
+    assert(r.getAs[Long]("k") == k && r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("ssb_e3") == math.floor(1.0e3 * ssb).toLong)
+    assert(r.getAs[Long]("ssw_e3") == math.floor(1.0e3 * ssw).toLong)
+    assert(r.getAs[Long]("f_e6") == math.floor(1.0e6 * f).toLong)
+  }
+
+  test("ts25: MASE matches a brute-force lag replay") {
+    val ys = dailyCents().map(_._2)
+    val e7 = (7 until ys.length).map(i => math.abs(ys(i) - ys(i - 7)))
+    val e1 = (1 until ys.length).map(i => math.abs(ys(i) - ys(i - 1)))
+    val r = run("ts25_mase").collect()(0)
+    assert(r.getAs[Long]("n7") == e7.length.toLong)
+    assert(r.getAs[Long]("sae7") == e7.sum)
+    assert(r.getAs[Long]("n1") == e1.length.toLong)
+    assert(r.getAs[Long]("sae1") == e1.sum)
+    val mase = (e7.sum.toDouble / e7.length) / (e1.sum.toDouble / e1.length)
+    assert(r.getAs[Long]("mase_e6") == math.floor(1.0e6 * mase).toLong)
+  }
+
+  test("emb4: class separation matches a brute-force centroid replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val vecs = t(s, dir, "embeddings").selectExpr("CAST(label AS LONG)",
+      "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dims = vecs.head._2.length
+    val q = vecs.map { case (l, v) =>
+      (l, v.map(x => math.floor(x.toDouble * 1.0e4).toLong)) }
+    val ng = q.length.toLong
+    val sg = (0 until dims).map(d => q.map(_._2(d)).sum)
+    val out = run("emb4_class_separation").collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == ng)
+    out.foreach { r =>
+      val grp = q.filter(_._1 == r.getAs[Long]("lbl"))
+      val nl = grp.length.toLong
+      var d2 = 0.0
+      (0 until dims).foreach { d =>
+        val sl = grp.map(_._2(d)).sum
+        val diff = ng * sl - nl * sg(d)
+        d2 += diff.toDouble * diff / (nl.toDouble * nl * ng * ng)
+      }
+      assert(r.getAs[Long]("n_vecs") == nl)
+      assert(r.getAs[Long]("d2g_e9") ==
+        math.floor(1.0e9 * d2 / 1.0e8).toLong)
+    }
+  }
 }

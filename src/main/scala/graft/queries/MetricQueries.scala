@@ -6875,6 +6875,200 @@ object MetricQueries {
         FROM terms GROUP BY 1)
       SELECT lbl, n_vecs,
              CAST(floor(1.0e9 * d2 / 1.0e8) AS BIGINT) AS d2g_e9
-      FROM agg ORDER BY lbl"""))
+      FROM agg ORDER BY lbl""")),
+
+    // W31 — hour-of-week activity heatmap: the 7×24 census of events
+    // with each cell's share and a per-dow peak-hour flag — the
+    // capacity-planning / anomaly-baseline grid behind cs37's uniformity
+    // number and cs49's peak. Pure integer census; hour/dow extraction
+    // is UTC on both engines; peak ties break to the earlier hour.
+    Q("w31_hourly_heatmap", (s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(dayofweek(to_date(col("ts"))).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("nt"))
+      val wD = Window.partitionBy("dow")
+        .orderBy(col("n").desc, col("hr"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("is_peak",
+          (row_number().over(wD) === 1).cast("long"))
+        .selectExpr("dow", "hr", "n",
+          "n * 1000000L div nt AS share_e6", "is_peak")
+        .orderBy("dow", "hr")
+    }, Some("""
+      WITH cells AS (
+        SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) + 1 AS dow,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT sum(n) AS nt FROM cells)
+      SELECT dow, hr, n,
+             CAST(n * 1000000 // nt AS BIGINT) AS share_e6,
+             CAST(CASE WHEN row_number() OVER (PARTITION BY dow
+               ORDER BY n DESC, hr) = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_peak
+      FROM cells, tot ORDER BY dow, hr""")),
+
+    // SA21 — Wald's SPRT on the daily purchase share: test H₀ p=0.05 vs
+    // H₁ p=0.08 with α=β=0.05 boundaries ±ln 19, accumulating the exact-
+    // count log-likelihood ratio day by day (the sequential A/B monitor
+    // that stops EARLY, unlike cs13's fixed-horizon z-test). Daily
+    // increments are two exact counts × two ln constants; the walk
+    // accumulates in day order; the graded row is the decision — first
+    // boundary day, verdict, final LLR. Day-grain windows only.
+    Q("sa21_sprt", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val cum = wD.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val llr = "x * (ln(8.0e-2) - ln(5.0e-2)) + " +
+        "(n - x) * (ln(9.2e-1) - ln(9.5e-1))"
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+        .withColumn("llr", expr(llr))
+        .withColumn("cum_llr", sum("llr").over(cum))
+        .withColumn("crossed", when(abs(col("cum_llr")) >=
+          log(lit(19.0)), 1L).otherwise(0L))
+      val firstCross = daily.filter(col("crossed") === 1)
+        .agg(coalesce(min("d"), lit(-1L)).as("decision_d"))
+      val ending = daily.orderBy(col("d").desc).limit(1)
+        .selectExpr("d AS last_d",
+          "CAST(floor(1.0e6 * cum_llr) AS BIGINT) AS final_llr_e6")
+      val atCross = daily.filter(col("crossed") === 1)
+        .orderBy("d").limit(1)
+        .selectExpr("CASE WHEN cum_llr > 0 THEN 'accept_h1' " +
+          "ELSE 'accept_h0' END AS verdict")
+      daily.agg(count(lit(1)).as("n_days"), sum("n").as("n_events"),
+        sum("x").as("n_purchases"))
+        .crossJoin(broadcast(firstCross))
+        .crossJoin(broadcast(ending))
+        .crossJoin(broadcast(atCross))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      walk AS (
+        SELECT d, n, x,
+               sum(x * (ln(8.0e-2) - ln(5.0e-2)) +
+                   (n - x) * (ln(9.2e-1) - ln(9.5e-1)))
+                 OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS cum_llr
+        FROM daily),
+      flagged AS (
+        SELECT d, n, x, cum_llr,
+               CASE WHEN abs(cum_llr) >= ln(19.0e0) THEN 1 ELSE 0 END
+                 AS crossed
+        FROM walk),
+      fc AS (SELECT coalesce(min(CASE WHEN crossed = 1 THEN d END), -1)
+               AS decision_d FROM flagged),
+      ending AS (
+        SELECT d AS last_d,
+               CAST(floor(1.0e6 * cum_llr) AS BIGINT) AS final_llr_e6
+        FROM flagged ORDER BY d DESC LIMIT 1),
+      atcross AS (
+        SELECT CASE WHEN cum_llr > 0 THEN 'accept_h1' ELSE 'accept_h0'
+                 END AS verdict
+        FROM flagged WHERE crossed = 1 ORDER BY d LIMIT 1),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(x) AS BIGINT) AS n_purchases
+        FROM daily)
+      SELECT t.n_days, t.n_events, t.n_purchases,
+             CAST(f.decision_d AS BIGINT) AS decision_d,
+             CAST(e.last_d AS BIGINT) AS last_d, e.final_llr_e6,
+             a.verdict
+      FROM tot t, fc f, ending e, atcross a""")),
+
+    // TS26 — integrated autocorrelation time τ = 1 + 2·Σρₖ (summed to
+    // the first NEGATIVE autocorrelation, Sokal's initial-positive
+    // window): the factor by which serial correlation shrinks the
+    // effective sample size of the daily series — the number that says
+    // how much to trust cs13-style i.i.d. tests on it. ACF reuses ts19's
+    // exact-integer clearing, so the CUTOFF is decided by integer signs
+    // (a_k < 0), never a float comparison; the ≤20 retained ρ's fold in
+    // lag order; ESS = n/τ composes once.
+    Q("ts26_autocorr_time", (s, dir) => {
+      val m = 20
+      val days = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("x"), row_number().over(Window.orderBy("day"))
+          .cast("long").as("rn"))
+        .localCheckpoint(eager = false)
+      val tot = days.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val r = days.crossJoin(broadcast(tot))
+        .select(col("rn"), (col("n") * col("x") - col("sx")).as("res"),
+          col("n"))
+      val ss = r.agg(sum(col("res") * col("res")).as("ss"))
+      import s.implicits._
+      val lags = (1 to m).map(k => Tuple1(k.toLong)).toDF("k")
+      val byLag = r.crossJoin(broadcast(lags))
+        .join(r.select(col("rn").as("prn"), col("res").as("pres")),
+          expr("prn = rn - k"))
+        .groupBy("k")
+        .agg(sum(col("res") * col("pres")).as("a"), first("n").as("n"))
+        .localCheckpoint(eager = false) // feeds cutoff + fold
+      val cutoff = byLag.filter(col("a") < 0)
+        .agg(coalesce(min("k"), lit(m.toLong + 1)).as("kneg"))
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("k"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      val folded = byLag.crossJoin(broadcast(cutoff))
+        .crossJoin(broadcast(ss))
+        .filter(col("k") < col("kneg"))
+        .withColumn("rho", col("a").cast("double") / col("ss"))
+        .agg(count(lit(1)).as("k_used"), foldBy("rho").as("rsum"))
+      // n and kneg come from their own 1-row frames so the empty-kept
+      // edge (first autocorrelation already negative) stays well-defined
+      tot.select(col("n")).crossJoin(broadcast(cutoff))
+        .crossJoin(broadcast(folded))
+        .selectExpr("n", "kneg", "k_used",
+          "CAST(floor(1.0e6 * (1.0e0 + 2.0e0 * rsum)) AS BIGINT)" +
+            " AS tau_e6",
+          "CAST(floor(CAST(n AS DOUBLE) / (1.0e0 + 2.0e0 * rsum))" +
+            " AS BIGINT) AS ess_days")
+    }, Some("""
+      WITH days AS (
+        SELECT CAST(count(*) AS BIGINT) AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                 AS BIGINT) AS rn
+        FROM events GROUP BY CAST(ts AS DATE)),
+      tot AS (SELECT count(*) AS n, sum(x) AS sx FROM days),
+      r AS (SELECT rn, n * x - sx AS res, n FROM days, tot),
+      ss AS (SELECT sum(CAST(res AS HUGEINT) * res) AS ss FROM r),
+      ks AS (SELECT CAST(unnest(generate_series(1, 20)) AS BIGINT)
+               AS k),
+      bylag AS (
+        SELECT k, sum(CAST(a.res AS HUGEINT) * b.res) AS a,
+               any_value(a.n) AS n
+        FROM r a, ks, r b WHERE b.rn = a.rn - k
+        GROUP BY k),
+      cutoff AS (SELECT coalesce(min(CASE WHEN a < 0 THEN k END), 21)
+                   AS kneg FROM bylag),
+      kept AS (
+        SELECT b.k,
+               CAST(b.a AS DOUBLE) / CAST(s.ss AS DOUBLE) AS rho
+        FROM bylag b, cutoff c, ss s WHERE b.k < c.kneg),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_used,
+               coalesce(list_sum(list(rho ORDER BY k)), 0.0e0) AS rsum
+        FROM kept)
+      SELECT CAST(t.n AS BIGINT) AS n, CAST(c.kneg AS BIGINT) AS kneg,
+             a.k_used,
+             CAST(floor(1.0e6 * (1.0e0 + 2.0e0 * a.rsum)) AS BIGINT)
+               AS tau_e6,
+             CAST(floor(CAST(t.n AS DOUBLE) / (1.0e0 + 2.0e0 * a.rsum))
+               AS BIGINT) AS ess_days
+      FROM agg a, cutoff c, tot t"""))
   )
 }

@@ -145,7 +145,10 @@ class AllPlansSpec extends AnyFunSuite {
     "gr20_degree_tail" -> "1-row node-total broadcast onto the ~10-row bin table",
     "k38_ttl_audit" -> "1-row horizon broadcast onto the event scan",
     "f12_damm_checksum" -> "1-row key-total broadcast onto the 10-row check-digit census",
-    "sa20_cuped" -> "1-row midpoint broadcast onto the event scan")
+    "sa20_cuped" -> "1-row midpoint broadcast onto the event scan",
+    "w31_hourly_heatmap" -> "1-row total broadcast onto the 168-row hour-of-week grid",
+    "sa21_sprt" -> "1-row decision/ending/verdict broadcasts onto the 1-row totals",
+    "ts26_autocorr_time" -> "ts19's lag-table broadcasts plus a 1-row sign-cutoff broadcast")
 
   test("no registered query plans an unbounded cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -3522,4 +3522,82 @@ class MetricOpsSpec extends AnyFunSuite {
         math.floor(1.0e9 * d2 / 1.0e8).toLong)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 58: w31 / sa21 / ts26
+  // ------------------------------------------------------------------
+
+  test("w31: hour-of-week heatmap matches a brute census") {
+    val s = spark
+    import graft.queries.Tables.t
+    val cells = t(s, dir, "events")
+      .selectExpr("CAST(dayofweek(CAST(ts AS DATE)) AS LONG) dow",
+        "CAST(hour(ts) AS LONG) hr")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val nt = cells.values.sum
+    val out = run("w31_hourly_heatmap").collect()
+    assert(out.map(_.getAs[Long]("n")).sum == nt)
+    assert(out.map(_.getAs[Long]("is_peak")).sum ==
+      out.map(_.getAs[Long]("dow")).distinct.length.toLong)
+    out.foreach { r =>
+      val key = (r.getAs[Long]("dow"), r.getAs[Long]("hr"))
+      assert(r.getAs[Long]("n") == cells(key))
+      assert(r.getAs[Long]("share_e6") == cells(key) * 1000000L / nt)
+      val peers = cells.filter(_._1._1 == key._1)
+      val peak = peers.toSeq.sortBy(c => (-c._2, c._1._2)).head._1
+      assert(r.getAs[Long]("is_peak") == (if (key == peak) 1L else 0L))
+    }
+  }
+
+  test("sa21: SPRT walk matches a brute replay and crosses a boundary") {
+    val s = spark
+    import graft.queries.Tables.t
+    val daily = t(s, dir, "events")
+      .selectExpr("CAST(datediff(CAST(ts AS DATE), '2024-01-01') " +
+        "AS LONG) d", "event_type = 'purchase' p")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, rows) =>
+        (d, rows.length.toLong, rows.count(_._2).toLong) }
+    var cum = 0.0; var decision = -1L; var verdict = ""
+    val b = math.log(19.0)
+    daily.foreach { case (d, n, x) =>
+      cum += x * (math.log(0.08) - math.log(0.05)) +
+        (n - x) * (math.log(0.92) - math.log(0.95))
+      if (decision == -1L && math.abs(cum) >= b) {
+        decision = d; verdict = if (cum > 0) "accept_h1" else "accept_h0"
+      }
+    }
+    val r = run("sa21_sprt").collect()(0)
+    assert(r.getAs[Long]("n_days") == daily.length.toLong)
+    assert(r.getAs[Long]("decision_d") == decision)
+    assert(r.getAs[String]("verdict") == verdict)
+    assert(r.getAs[Long]("final_llr_e6") ==
+      math.floor(1.0e6 * cum).toLong)
+    assert(decision >= 0) // the 20% purchase share crosses fast
+  }
+
+  test("ts26: integrated autocorrelation time matches a brute replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val xs = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val res = xs.map(x => n * x - sx)
+    val ss = res.map(v => v * v).sum
+    val as = (1 to 20).map(k =>
+      (k.toLong, (k until xs.length).map(t => res(t) * res(t - k)).sum))
+    val kneg = as.find(_._2 < 0).map(_._1).getOrElse(21L)
+    val rsum = as.filter(_._1 < kneg).map(_._2.toDouble / ss).sum
+    val tau = 1.0 + 2.0 * rsum
+    val r = run("ts26_autocorr_time").collect()(0)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("kneg") == kneg)
+    assert(r.getAs[Long]("k_used") == kneg - 1)
+    assert(r.getAs[Long]("tau_e6") == math.floor(1.0e6 * tau).toLong)
+    assert(r.getAs[Long]("ess_days") == math.floor(n / tau).toLong)
+  }
 }

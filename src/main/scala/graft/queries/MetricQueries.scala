@@ -7069,6 +7069,116 @@ object MetricQueries {
                AS tau_e6,
              CAST(floor(CAST(t.n AS DOUBLE) / (1.0e0 + 2.0e0 * a.rsum))
                AS BIGINT) AS ess_days
-      FROM agg a, cutoff c, tot t"""))
+      FROM agg a, cutoff c, tot t""")),
+
+    // MB8 — price-ending census: the top-10 cents endings of line-item
+    // prices with their corpus share — the psychological-pricing /
+    // synthetic-data fingerprint (real retail masses on .99/.00; a
+    // uniform ending histogram means generated prices). Pure integer
+    // census (cents mod 100), deterministic top-10 (count desc, ending).
+    Q("mb8_price_endings", (s, dir) => {
+      val endings = t(s, dir, "lineitem")
+        .selectExpr("floor(l_extendedprice * 100) % 100 AS ending")
+        .groupBy("ending").agg(count(lit(1)).as("n"))
+      val tot = endings.agg(sum("n").as("nt"))
+      endings.crossJoin(broadcast(tot))
+        .selectExpr("CAST(ending AS BIGINT) AS ending", "n",
+          "n * 1000000L div nt AS share_e6")
+        .orderBy(col("n").desc, col("ending"))
+        .limit(10)
+    }, Some("""
+      WITH endings AS (
+        SELECT CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) % 100
+                 AS BIGINT) AS ending,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT sum(n) AS nt FROM endings)
+      SELECT ending, n,
+             CAST(n * 1000000 // nt AS BIGINT) AS share_e6
+      FROM endings, tot
+      ORDER BY n DESC, ending LIMIT 10""")),
+
+    // D15 — turn-of-month effect: revenue per calendar day in the last
+    // three days of each month vs the rest — the budget-flush /
+    // settlement-cycle seasonality that day-of-week models (cs53, ts1)
+    // cannot see. Classification uses last_day() on both engines; sums
+    // and day counts are exact; the per-day rate ratio is one double.
+    Q("d15_month_end_effect", (s, dir) => {
+      val days = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .withColumn("me",
+          (datediff(last_day(col("day")), col("day")) < 3).cast("long"))
+      days
+        .agg(sum(when(col("me") === 1, 1L).otherwise(0L)).as("d_l3"),
+          sum(when(col("me") === 1, col("y")).otherwise(0L)).as("rev_l3"),
+          sum(when(col("me") === 0, 1L).otherwise(0L)).as("d_rest"),
+          sum(when(col("me") === 0, col("y")).otherwise(0L))
+            .as("rev_rest"))
+        .selectExpr("d_l3", "rev_l3", "d_rest", "rev_rest",
+          "CAST(floor(1.0e6 * (CAST(rev_l3 AS DOUBLE) / d_l3)" +
+            " / (CAST(rev_rest AS DOUBLE) / d_rest)) AS BIGINT)" +
+            " AS rate_ratio_e6")
+    }, Some("""
+      WITH days AS (
+        SELECT day, y,
+               CASE WHEN datediff('day', day, last_day(day)) < 3
+                 THEN 1 ELSE 0 END AS me
+        FROM (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+          FROM orders GROUP BY 1))
+      SELECT CAST(sum(CASE WHEN me = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_l3,
+             CAST(sum(CASE WHEN me = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS rev_l3,
+             CAST(sum(CASE WHEN me = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_rest,
+             CAST(sum(CASE WHEN me = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS rev_rest,
+             CAST(floor(1.0e6 * (CAST(sum(CASE WHEN me = 1 THEN y
+               ELSE 0 END) AS DOUBLE) / sum(CASE WHEN me = 1 THEN 1
+               ELSE 0 END)) / (CAST(sum(CASE WHEN me = 0 THEN y ELSE 0
+               END) AS DOUBLE) / sum(CASE WHEN me = 0 THEN 1 ELSE 0
+               END))) AS BIGINT) AS rate_ratio_e6
+      FROM days""")),
+
+    // W32 — revenue by customer tenure: each order bucketed by the
+    // customer's age in 30-day months at order time (first order =
+    // month 0), with order count, active customers, revenue mass, and
+    // the exact per-order average — the lifecycle curve behind every
+    // LTV model (w12's growth accounting gives WHO is active; this
+    // gives what age is WORTH). One customer-keyed window + a bounded
+    // tenure-grain rollup, all integers.
+    Q("w32_tenure_revenue", (s, dir) => {
+      val wC = Window.partitionBy("o_custkey")
+      val aged = t(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("first_day", min("day").over(wC))
+        .selectExpr("o_custkey", "cents",
+          "datediff(day, first_day) div 30 AS age_m")
+      aged.groupBy("age_m")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").cast("long").as("n_customers"),
+          sum("cents").as("rev_cents"))
+        .selectExpr("age_m", "n_orders", "n_customers", "rev_cents",
+          "rev_cents div n_orders AS avg_order_cents")
+        .orderBy("age_m")
+    }, Some("""
+      WITH aged AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               datediff('day',
+                 min(CAST(o_orderdate AS DATE)) OVER
+                   (PARTITION BY o_custkey),
+                 CAST(o_orderdate AS DATE)) // 30 AS age_m
+        FROM orders)
+      SELECT CAST(age_m AS BIGINT) AS age_m,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(sum(cents) // count(*) AS BIGINT) AS avg_order_cents
+      FROM aged GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -3600,4 +3600,74 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("tau_e6") == math.floor(1.0e6 * tau).toLong)
     assert(r.getAs[Long]("ess_days") == math.floor(n / tau).toLong)
   }
+
+  // ------------------------------------------------------------------
+  // wave 59: mb8 / d15 / w32
+  // ------------------------------------------------------------------
+
+  test("mb8: price endings match a brute census, top-10 deterministic") {
+    val s = spark
+    import graft.queries.Tables.t
+    val endings = t(s, dir, "lineitem")
+      .selectExpr("CAST(floor(l_extendedprice * 100) AS LONG) % 100 e")
+      .collect().map(_.getLong(0))
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val nt = endings.values.sum
+    val top = endings.toSeq.sortBy(e => (-e._2, e._1)).take(10)
+    val out = run("mb8_price_endings").collect()
+    assert(out.length == 10)
+    out.zip(top).foreach { case (r, (e, n)) =>
+      assert(r.getAs[Long]("ending") == e)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("share_e6") == n * 1000000L / nt)
+    }
+  }
+
+  test("d15: month-end split matches a brute last_day replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val days = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getAs[java.sql.Date](0).toLocalDate,
+        r.getLong(1)))
+    val (l3, rest) = days.partition { case (d, _) =>
+      d.lengthOfMonth - d.getDayOfMonth < 3 }
+    val r = run("d15_month_end_effect").collect()(0)
+    assert(r.getAs[Long]("d_l3") == l3.length.toLong)
+    assert(r.getAs[Long]("rev_l3") == l3.map(_._2).sum)
+    assert(r.getAs[Long]("d_rest") == rest.length.toLong)
+    assert(r.getAs[Long]("rev_rest") == rest.map(_._2).sum)
+    val ratio = (l3.map(_._2).sum.toDouble / l3.length) /
+      (rest.map(_._2).sum.toDouble / rest.length)
+    assert(r.getAs[Long]("rate_ratio_e6") ==
+      math.floor(1.0e6 * ratio).toLong)
+  }
+
+  test("w32: tenure curve matches a brute first-order replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val orders = t(s, dir, "orders")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) day",
+        "CAST(floor(o_totalprice * 100) AS LONG) cents")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.sql.Date](1).toLocalDate.toEpochDay, r.getLong(2)))
+    val firstDay = orders.groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toMap
+    val byAge = orders.groupBy(o => (o._2 - firstDay(o._1)) / 30)
+    val out = run("w32_tenure_revenue").collect()
+    assert(out.map(_.getAs[Long]("n_orders")).sum == orders.length.toLong)
+    out.foreach { r =>
+      val grp = byAge(r.getAs[Long]("age_m"))
+      assert(r.getAs[Long]("n_orders") == grp.length.toLong)
+      assert(r.getAs[Long]("n_customers") ==
+        grp.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("rev_cents") == grp.map(_._3).sum)
+      assert(r.getAs[Long]("avg_order_cents") ==
+        grp.map(_._3).sum / grp.length)
+    }
+    // month 0 contains every customer's first order
+    assert(out.find(_.getAs[Long]("age_m") == 0L).get
+      .getAs[Long]("n_customers") == firstDay.size.toLong)
+  }
 }

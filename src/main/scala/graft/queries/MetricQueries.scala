@@ -7179,6 +7179,169 @@ object MetricQueries {
              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
              CAST(sum(cents) AS BIGINT) AS rev_cents,
              CAST(sum(cents) // count(*) AS BIGINT) AS avg_order_cents
-      FROM aged GROUP BY 1 ORDER BY 1"""))
+      FROM aged GROUP BY 1 ORDER BY 1""")),
+
+    // CS62 — Cochran's Q across three per-user binary outcomes (ever
+    // crossed the 150 / 100 / 50 value thresholds): the k-sample
+    // extension of cs35's McNemar — are the pass-rates equal for the
+    // SAME population? The nested thresholds guarantee discordant rows
+    // (u_i ∈ {1, 2} users), so the denominator k·N − Σu² cannot
+    // degenerate the way an every-user-does-everything fixture does.
+    // Q = (k−1)(k·ΣTⱼ² − N²)/(k·N − Σuᵢ²) is EXACT integers end to end;
+    // one double division for the scaled report.
+    Q("cs62_cochran_q", (s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("value") >= 150.0, 1L).otherwise(0L))
+          .as("bh"),
+          max(when(col("value") >= 100.0, 1L).otherwise(0L)).as("bm"),
+          max(when(col("value") >= 50.0, 1L).otherwise(0L)).as("bl"))
+      perUser
+        .agg(count(lit(1)).as("n_users"), sum("bh").as("t_hi"),
+          sum("bm").as("t_mid"), sum("bl").as("t_lo"),
+          sum(expr("(bh + bm + bl) * (bh + bm + bl)")).as("su2"))
+        .selectExpr("n_users", "t_hi", "t_mid", "t_lo",
+          "t_hi + t_mid + t_lo AS nn", "su2")
+        .selectExpr("n_users", "t_hi", "t_mid", "t_lo",
+          "CASE WHEN 3 * nn - su2 = 0 THEN NULL ELSE" +
+            " CAST(floor(1.0e6 * (2.0e0 * (3 * (t_hi * t_hi" +
+            " + t_mid * t_mid + t_lo * t_lo)" +
+            " - nn * nn)) / (3 * nn - su2)) AS BIGINT) END AS q_e6")
+    }, Some("""
+      WITH pu AS (
+        SELECT user_id,
+               max(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END) AS bh,
+               max(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS bm,
+               max(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS bl
+        FROM events GROUP BY 1),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(bh) AS BIGINT) AS t_hi,
+               CAST(sum(bm) AS BIGINT) AS t_mid,
+               CAST(sum(bl) AS BIGINT) AS t_lo,
+               CAST(sum((bh + bm + bl) * (bh + bm + bl)) AS BIGINT)
+                 AS su2
+        FROM pu),
+      nn AS (SELECT *, t_hi + t_mid + t_lo AS nn FROM agg)
+      SELECT n_users, t_hi, t_mid, t_lo,
+             CASE WHEN 3 * nn - su2 = 0 THEN NULL ELSE
+               CAST(floor(1.0e6 * (2.0e0 * (3 * (t_hi * t_hi
+                 + t_mid * t_mid + t_lo * t_lo)
+                 - nn * nn)) / (3 * nn - su2)) AS BIGINT) END AS q_e6
+      FROM nn""")),
+
+    // TS27 — temporal PSI drift monitor: each month's event-value
+    // distribution vs the FIRST month over a fixed 11-bin grid
+    // (Laplace-smoothed, cs2's formula pointed at time instead of
+    // source) — the "has the metric's shape drifted since launch"
+    // dashboard row, with the standard <0.1 / >0.25 thresholds. Counts
+    // are exact on a (month × bin) grid join; each month's 11 bin terms
+    // fold in bin order.
+    Q("ts27_monthly_psi", (s, dir) => {
+      val binned = t(s, dir, "events")
+        .selectExpr(
+          "CAST((year(ts) - 2024) * 12 + month(ts) - 1 AS BIGINT) AS mk",
+          "least(CAST(floor(value / 25) AS BIGINT), 10L) AS bin")
+        .groupBy("mk", "bin").agg(count(lit(1)).as("c"))
+      import s.implicits._
+      val grid = (0L to 10L).map(Tuple1(_)).toDF("bin")
+      val months = binned.select("mk").distinct()
+      val full = months.crossJoin(broadcast(grid))
+        .join(binned, Seq("mk", "bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("nm", sum("c").over(Window.partitionBy("mk")))
+      val base = full.crossJoin(broadcast(
+          full.agg(min("mk").as("mk0"))))
+        .filter(col("mk") === col("mk0"))
+        .select(col("bin"), col("c").as("cb"), col("nm").as("nb"))
+      def foldBy(field: String) =
+        aggregate(transform(array_sort(collect_list(
+          struct(col("bin"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q)
+      full.join(broadcast(base), "bin")
+        .withColumn("pm",
+          (col("c") + lit(0.5)) / (col("nm") + lit(5.5)))
+        .withColumn("pb",
+          (col("cb") + lit(0.5)) / (col("nb") + lit(5.5)))
+        .withColumn("term",
+          (col("pm") - col("pb")) * log(col("pm") / col("pb")))
+        .groupBy("mk", "nm")
+        .agg(foldBy("term").as("psi"))
+        .selectExpr("mk", "nm AS n_events",
+          "CAST(floor(1.0e6 * psi) AS BIGINT) AS psi_e6")
+        .orderBy("mk")
+    }, Some("""
+      WITH binned AS (
+        SELECT CAST((year(ts) - 2024) * 12 + month(ts) - 1 AS BIGINT)
+                 AS mk,
+               least(CAST(floor(value / 25) AS BIGINT), 10) AS bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      months AS (SELECT DISTINCT mk FROM binned),
+      grid AS (SELECT CAST(unnest(generate_series(0, 10)) AS BIGINT)
+                 AS bin),
+      fullg AS (
+        SELECT mg.mk, mg.bin, coalesce(b.c, 0) AS c,
+               sum(coalesce(b.c, 0)) OVER (PARTITION BY mg.mk) AS nm
+        FROM (SELECT m.mk, g.bin FROM months m, grid g) mg
+        LEFT JOIN binned b ON b.mk = mg.mk AND b.bin = mg.bin),
+      base AS (
+        SELECT bin, c AS cb, nm AS nb FROM fullg
+        WHERE mk = (SELECT min(mk) FROM fullg)),
+      terms AS (
+        SELECT f.mk, f.bin, f.nm,
+               ((f.c + 5.0e-1) / (f.nm + 5.5e0)
+                 - (b.cb + 5.0e-1) / (b.nb + 5.5e0))
+               * ln(((f.c + 5.0e-1) / (f.nm + 5.5e0))
+                 / ((b.cb + 5.0e-1) / (b.nb + 5.5e0))) AS term
+        FROM fullg f JOIN base b USING (bin))
+      SELECT CAST(mk AS BIGINT) AS mk,
+             CAST(any_value(nm) AS BIGINT) AS n_events,
+             CAST(floor(1.0e6 * list_sum(list(term ORDER BY bin)))
+               AS BIGINT) AS psi_e6
+      FROM terms GROUP BY mk ORDER BY mk""")),
+
+    // GR21 — partition locality of the fixture digraph under modulo
+    // hashing at P ∈ {8, 16, 32}: the share of edges whose endpoints
+    // land in the same partition — the number that decides whether a
+    // graph workload benefits from co-partitioning (high locality ⇒
+    // fewer cross-partition shuffles per BFS/PR round) vs the 1/P
+    // uniform baseline. Pure integer census over an edge × 3-row grid.
+    Q("gr21_partition_locality", (s, dir) => {
+      val edges = t(s, dir, "documents")
+        .selectExpr("doc_id % 499 AS u")
+        .selectExpr("u", "(7 * u + 1) % 499 AS v")
+        .unionAll(t(s, dir, "documents")
+          .selectExpr("doc_id % 499 AS u")
+          .selectExpr("u", "(3 * u + 2) % 499 AS v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      import s.implicits._
+      val ps = Seq(8L, 16L, 32L).map(Tuple1(_)).toDF("p")
+      edges.crossJoin(broadcast(ps))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("u") % col("p") === col("v") % col("p"), 1L)
+            .otherwise(0L)).as("n_local"))
+        .selectExpr("p", "n_edges", "n_local",
+          "n_local * 1000000L div n_edges AS local_share_e6",
+          "1000000L div p AS uniform_share_e6")
+        .orderBy("p")
+    }, Some("""
+      WITH nodes AS (SELECT DISTINCT doc_id % 499 AS u FROM documents),
+      edges AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT u, (7 * u + 1) % 499 AS v FROM nodes
+          UNION ALL
+          SELECT u, (3 * u + 2) % 499 AS v FROM nodes)
+        WHERE u <> v),
+      ps AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS p)
+      SELECT p, CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(CASE WHEN u % p = v % p THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_local,
+             CAST(sum(CASE WHEN u % p = v % p THEN 1 ELSE 0 END)
+               * 1000000 // count(*) AS BIGINT) AS local_share_e6,
+             CAST(1000000 // p AS BIGINT) AS uniform_share_e6
+      FROM edges, ps GROUP BY p ORDER BY p"""))
   )
 }

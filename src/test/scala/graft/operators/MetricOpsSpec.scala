@@ -3670,4 +3670,92 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(out.find(_.getAs[Long]("age_m") == 0L).get
       .getAs[Long]("n_customers") == firstDay.size.toLong)
   }
+
+  // ------------------------------------------------------------------
+  // wave 60: cs62 / ts27 / gr21
+  // ------------------------------------------------------------------
+
+  test("cs62: Cochran's Q matches a brute-force threshold replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val pu = t(s, dir, "events").selectExpr("user_id", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).values.map { rows =>
+        val mx = rows.map(_._2).max
+        (if (mx >= 150.0) 1L else 0L, if (mx >= 100.0) 1L else 0L,
+          if (mx >= 50.0) 1L else 0L)
+      }.toArray
+    val (th, tm, tl) = (pu.map(_._1).sum, pu.map(_._2).sum,
+      pu.map(_._3).sum)
+    val nn = th + tm + tl
+    val su2 = pu.map(u => {
+      val s3 = u._1 + u._2 + u._3; s3 * s3 }).sum
+    val r = run("cs62_cochran_q").collect()(0)
+    assert(r.getAs[Long]("n_users") == pu.length.toLong)
+    assert(r.getAs[Long]("t_hi") == th)
+    assert(r.getAs[Long]("t_mid") == tm)
+    assert(r.getAs[Long]("t_lo") == tl)
+    if (3 * nn - su2 == 0) {
+      // fully concordant fixture: Q is undefined by construction
+      assert(r.isNullAt(r.fieldIndex("q_e6")))
+    } else {
+      val q = 2.0 * (3 * (th * th + tm * tm + tl * tl) - nn * nn) /
+        (3 * nn - su2)
+      assert(r.getAs[Long]("q_e6") == math.floor(1.0e6 * q).toLong)
+      assert(r.getAs[Long]("q_e6") >= 0L)
+    }
+    // nesting law: pass counts are monotone in the threshold
+    assert(th <= tm && tm <= tl)
+  }
+
+  test("ts27: monthly PSI matches a brute replay; base month reads 0") {
+    val s = spark
+    import graft.queries.Tables.t
+    val rows = t(s, dir, "events")
+      .selectExpr("CAST((year(ts) - 2024) * 12 + month(ts) - 1 AS LONG)",
+        "least(CAST(floor(value / 25) AS LONG), 10L)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val months = rows.map(_._1).distinct.sorted
+    val counts = rows.groupBy(identity(_)).view
+      .mapValues(_.size.toLong).toMap
+    def cOf(m: Long, b: Long) = counts.getOrElse((m, b), 0L)
+    def nOf(m: Long) = (0L to 10L).map(cOf(m, _)).sum
+    val mk0 = months.min
+    val out = run("ts27_monthly_psi").collect()
+      .map(r => (r.getAs[Long]("mk"), r)).toMap
+    assert(out.keySet == months.toSet)
+    months.foreach { m =>
+      var psi = 0.0
+      (0L to 10L).foreach { b =>
+        val pm = (cOf(m, b) + 0.5) / (nOf(m) + 5.5)
+        val pb = (cOf(mk0, b) + 0.5) / (nOf(mk0) + 5.5)
+        psi += (pm - pb) * math.log(pm / pb)
+      }
+      assert(out(m).getAs[Long]("n_events") == nOf(m))
+      assert(out(m).getAs[Long]("psi_e6") ==
+        math.floor(1.0e6 * psi).toLong)
+    }
+    assert(out(mk0).getAs[Long]("psi_e6") == 0L)
+  }
+
+  test("gr21: partition locality matches brute force at every P") {
+    val s = spark
+    import graft.queries.Tables.t
+    val nodes = t(s, dir, "documents").selectExpr("doc_id % 499 u")
+      .collect().map(_.getLong(0)).distinct
+    val edges = nodes.flatMap(u =>
+      Seq((u, (7 * u + 1) % 499), (u, (3 * u + 2) % 499)))
+      .filter(e => e._1 != e._2).distinct
+    val out = run("gr21_partition_locality").collect()
+      .map(r => (r.getAs[Long]("p"), r)).toMap
+    assert(out.keySet == Set(8L, 16L, 32L))
+    out.foreach { case (p, r) =>
+      val local = edges.count(e => e._1 % p == e._2 % p).toLong
+      assert(r.getAs[Long]("n_edges") == edges.length.toLong)
+      assert(r.getAs[Long]("n_local") == local)
+      assert(r.getAs[Long]("local_share_e6") ==
+        local * 1000000L / edges.length)
+      assert(r.getAs[Long]("uniform_share_e6") == 1000000L / p)
+    }
+  }
 }

@@ -7342,6 +7342,218 @@ object MetricQueries {
              CAST(sum(CASE WHEN u % p = v % p THEN 1 ELSE 0 END)
                * 1000000 // count(*) AS BIGINT) AS local_share_e6,
              CAST(1000000 // p AS BIGINT) AS uniform_share_e6
-      FROM edges, ps GROUP BY p ORDER BY p"""))
+      FROM edges, ps GROUP BY p ORDER BY p""")),
+
+    // W33 — customer value-band migration: spend quartile in the first
+    // half of the dataset vs the second (plus 'none' for inactive
+    // halves), as a transition matrix — the retention-economics SCD that
+    // says whether top-quartile customers STAY top-quartile. Bands are
+    // exact rank arithmetic ((rank−1)·4 div n_active, custkey ties), the
+    // matrix is an integer census; one customer-grain aggregate + two
+    // bounded rank windows.
+    Q("w33_value_migration", (s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(to_date(col("o_orderdate")) < lit("1995-07-01"),
+            floor(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("s1"),
+          sum(when(to_date(col("o_orderdate")) >= lit("1995-07-01"),
+            floor(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("s2"))
+      // rank-based quartiles over each half's ACTIVE set only
+      val b1 = spend.filter(col("s1") > 0)
+        .withColumn("r1", rank().over(
+          Window.orderBy(col("s1"), col("o_custkey"))).cast("long"))
+        .withColumn("n1", count(lit(1)).over(Window.partitionBy()))
+        .selectExpr("o_custkey", "concat('q', (r1 - 1) * 4 div n1 + 1)" +
+          " AS band1")
+      val b2 = spend.filter(col("s2") > 0)
+        .withColumn("r2", rank().over(
+          Window.orderBy(col("s2"), col("o_custkey"))).cast("long"))
+        .withColumn("n2", count(lit(1)).over(Window.partitionBy()))
+        .selectExpr("o_custkey", "concat('q', (r2 - 1) * 4 div n2 + 1)" +
+          " AS band2")
+      spend.select("o_custkey")
+        .join(b1, Seq("o_custkey"), "left")
+        .join(b2, Seq("o_custkey"), "left")
+        .selectExpr("coalesce(band1, 'none') AS band1",
+          "coalesce(band2, 'none') AS band2")
+        .groupBy("band1", "band2").agg(count(lit(1)).as("n_customers"))
+        .orderBy("band1", "band2")
+    }, Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+               sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE
+                 '1995-07-01' THEN CAST(floor(o_totalprice * 100)
+                 AS BIGINT) ELSE 0 END) AS s1,
+               sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE
+                 '1995-07-01' THEN CAST(floor(o_totalprice * 100)
+                 AS BIGINT) ELSE 0 END) AS s2
+        FROM orders GROUP BY 1),
+      b1 AS (
+        SELECT o_custkey,
+               'q' || CAST((rank() OVER (ORDER BY s1, o_custkey) - 1)
+                 * 4 // (count(*) OVER ()) + 1 AS VARCHAR) AS band1
+        FROM spend WHERE s1 > 0),
+      b2 AS (
+        SELECT o_custkey,
+               'q' || CAST((rank() OVER (ORDER BY s2, o_custkey) - 1)
+                 * 4 // (count(*) OVER ()) + 1 AS VARCHAR) AS band2
+        FROM spend WHERE s2 > 0)
+      SELECT coalesce(b1.band1, 'none') AS band1,
+             coalesce(b2.band2, 'none') AS band2,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM spend s
+        LEFT JOIN b1 ON b1.o_custkey = s.o_custkey
+        LEFT JOIN b2 ON b2.o_custkey = s.o_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // TS28 — Engle's ARCH-effect screen: Ljung–Box on SQUARED daily P&L
+    // (dollars) at lags 1–5 — volatility clustering that ts19 (levels)
+    // cannot see; the gate before trusting any constant-variance model
+    // on the series. Residuals n·s − Σs are exact longs; the lag
+    // products exceed 2⁵³ so they go through IDENTICAL double folds in
+    // day order on both engines (bit-reproducible, ts21's argument).
+    Q("ts28_arch_effect", (s, dir) => {
+      val m = 5
+      val wD = Window.orderBy("d")
+      val sq = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("y"))
+        .withColumn("p", col("y") - lag("y", 1).over(wD))
+        .filter(col("p").isNotNull)
+        .select(col("d"), (col("p") * col("p")).as("s2"))
+        .select(col("s2"), row_number().over(Window.orderBy("d"))
+          .cast("long").as("rn"))
+        .localCheckpoint(eager = false)
+      val tot = sq.agg(count(lit(1)).as("n"), sum("s2").as("ss2"))
+      val r = sq.crossJoin(broadcast(tot))
+        .select(col("rn"),
+          (col("n") * col("s2") - col("ss2")).as("res"), col("n"))
+        .localCheckpoint(eager = false) // feeds SS + all lag joins
+      def foldBy(df: org.apache.spark.sql.DataFrame, field: String) =
+        df.agg(aggregate(transform(array_sort(collect_list(
+          struct(col("rn"), col(field)))), q => q.getField(field)),
+          lit(0.0), (a, q) => a + q).as(field))
+      val ss = foldBy(r.withColumn("t",
+        col("res").cast("double") * col("res")).select("rn", "t"), "t")
+        .selectExpr("t AS ss")
+      import s.implicits._
+      val lags = (1 to m).map(k => Tuple1(k.toLong)).toDF("k")
+      val byLag = r.crossJoin(broadcast(lags))
+        .join(r.select(col("rn").as("prn"), col("res").as("pres")),
+          expr("prn = rn - k"))
+        .withColumn("t", col("res").cast("double") * col("pres"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"), first("n").as("n"),
+          aggregate(transform(array_sort(collect_list(
+            struct(col("rn"), col("t")))), q => q.getField("t")),
+            lit(0.0), (a, q) => a + q).as("a"))
+      val wK = Window.orderBy("k")
+      byLag.crossJoin(broadcast(ss))
+        .withColumn("rho", col("a") / col("ss"))
+        .withColumn("q_e6", floor(lit(1.0e6) * col("n") * (col("n") + 2)
+          * sum(col("rho") * col("rho") / (col("n") - col("k")))
+            .over(wK.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))).cast("long"))
+        .select(col("k"), col("n_pairs"),
+          floor(lit(1.0e6) * col("rho")).cast("long").as("rho_e6"),
+          col("q_e6"))
+        .orderBy("k")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      sq AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+               p * p AS s2
+        FROM (SELECT d, y - lag(y) OVER (ORDER BY d) AS p FROM daily)
+        WHERE p IS NOT NULL),
+      tot AS (SELECT count(*) AS n, sum(s2) AS ss2 FROM sq),
+      r AS (SELECT rn, n * s2 - ss2 AS res, n FROM sq, tot),
+      ss AS (SELECT list_sum(list(CAST(res AS DOUBLE) * res
+               ORDER BY rn)) AS ss FROM r),
+      ks AS (SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT) AS k),
+      bylag AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+               any_value(a.n) AS n,
+               list_sum(list(CAST(a.res AS DOUBLE) * b.res
+                 ORDER BY a.rn)) AS a
+        FROM r a, ks, r b WHERE b.rn = a.rn - k
+        GROUP BY k)
+      SELECT k, n_pairs,
+             CAST(floor(1.0e6 * (a / ss)) AS BIGINT) AS rho_e6,
+             CAST(floor(1.0e6 * n * (n + 2) * sum(
+               (a / ss) * (a / ss) / (n - k))
+               OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW)) AS BIGINT) AS q_e6
+      FROM bylag, ss ORDER BY k""")),
+
+    // D16 — calendar-gap audit on a thinned order stream (custkey ≡ 0
+    // mod 97, ~1% of orders): explode the full date spine between the
+    // subset's first and last day, anti-join the active days, and
+    // summarize the missing-day islands — count, longest run, total,
+    // share — the data-completeness check every daily-partitioned
+    // ingest needs (a silent 3-day feed outage IS a missing-run here).
+    // All integers; spine and islands are day-grain bounded.
+    Q("d16_calendar_gaps", (s, dir) => {
+      val active = t(s, dir, "orders")
+        .filter(col("o_custkey") % 97 === 0)
+        .select(to_date(col("o_orderdate")).as("day")).distinct()
+        .localCheckpoint(eager = false) // feeds span + the anti-join
+      val span = active.agg(min("day").as("d0"), max("day").as("d1"),
+        count(lit(1)).as("n_active"))
+      val spine = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+      val missing = spine.join(active, Seq("day"), "left_anti")
+        .withColumn("ep", datediff(col("day"), lit("1992-01-01"))
+          .cast("long"))
+      val islands = missing
+        .withColumn("grp", col("ep") - row_number().over(
+          Window.orderBy("ep")).cast("long"))
+        .groupBy("grp").agg(count(lit(1)).as("len"))
+      span
+        .crossJoin(broadcast(missing.agg(count(lit(1)).as("n_missing"))))
+        .crossJoin(broadcast(islands.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_gaps"),
+          coalesce(max("len"), lit(0L)).as("longest_gap"))))
+        .selectExpr("n_active", "n_missing", "n_gaps", "longest_gap",
+          "n_missing * 1000000L div (n_active + n_missing)" +
+            " AS missing_share_e6")
+    }, Some("""
+      WITH active AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+        FROM orders WHERE o_custkey % 97 = 0),
+      span AS (SELECT min(day) AS d0, max(day) AS d1,
+                      count(*) AS n_active FROM active),
+      spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1,
+          INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      missing AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01', s.day)
+          AS BIGINT) AS ep
+        FROM spine s LEFT JOIN active a ON a.day = s.day
+        WHERE a.day IS NULL),
+      islands AS (
+        SELECT ep - CAST(row_number() OVER (ORDER BY ep) AS BIGINT)
+                 AS grp,
+               ep
+        FROM missing),
+      gaps AS (SELECT grp, CAST(count(*) AS BIGINT) AS len
+               FROM islands GROUP BY 1),
+      mtot AS (SELECT CAST(count(*) AS BIGINT) AS n_missing
+               FROM missing),
+      gtot AS (SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_gaps,
+                      CAST(coalesce(max(len), 0) AS BIGINT)
+                        AS longest_gap
+               FROM gaps)
+      SELECT CAST(s.n_active AS BIGINT) AS n_active, m.n_missing,
+             g.n_gaps, g.longest_gap,
+             CAST(m.n_missing * 1000000 // (s.n_active + m.n_missing)
+               AS BIGINT) AS missing_share_e6
+      FROM span s, mtot m, gtot g"""))
   )
 }

@@ -3758,4 +3758,95 @@ class MetricOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("uniform_share_e6") == 1000000L / p)
     }
   }
+
+  // ------------------------------------------------------------------
+  // wave 61: w33 / ts28 / d16
+  // ------------------------------------------------------------------
+
+  test("w33: value migration matches a brute quartile replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val spend = t(s, dir, "orders")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) day",
+        "CAST(floor(o_totalprice * 100) AS LONG) cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate,
+        r.getLong(2)))
+      .groupBy(_._1).map { case (ck, rows) =>
+        val cut = java.time.LocalDate.parse("1995-07-01")
+        (ck, rows.filter(_._2.isBefore(cut)).map(_._3).sum,
+          rows.filter(!_._2.isBefore(cut)).map(_._3).sum)
+      }.toArray
+    def bands(vals: Array[(Long, Long)]): Map[Long, String] = {
+      val act = vals.filter(_._2 > 0).sortBy(v => (v._2, v._1))
+      val n = act.length.toLong
+      act.zipWithIndex.map { case ((ck, _), i) =>
+        ck -> s"q${i.toLong * 4 / n + 1}" }.toMap
+    }
+    val b1 = bands(spend.map(p => (p._1, p._2)))
+    val b2 = bands(spend.map(p => (p._1, p._3)))
+    val brute = spend.map(p => (b1.getOrElse(p._1, "none"),
+      b2.getOrElse(p._1, "none")))
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val got = run("w33_value_migration").collect()
+      .map(r => ((r.getAs[String]("band1"), r.getAs[String]("band2")),
+        r.getAs[Long]("n_customers"))).toMap
+    assert(got == brute)
+    assert(got.values.sum == spend.length.toLong)
+  }
+
+  test("ts28: ARCH-effect Q matches a brute squared-P&L ACF replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val ys = t(s, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .map(_._2)
+    val s2 = ys.sliding(2).map(p => {
+      val d = p(1) - p(0); d * d }).toArray
+    val n = s2.length.toLong
+    val ss2 = s2.sum
+    val res = s2.map(v => n * v - ss2)
+    var ss = 0.0
+    res.foreach(v => ss += v.toDouble * v)
+    val out = run("ts28_arch_effect").collect()
+    assert(out.length == 5)
+    var q = 0.0
+    (1 to 5).foreach { k =>
+      var a = 0.0
+      (k until res.length).foreach(t => a += res(t).toDouble * res(t - k))
+      val rho = a / ss
+      q += rho * rho / (n - k)
+      val row = out(k - 1)
+      assert(row.getAs[Long]("n_pairs") == n - k)
+      assert(row.getAs[Long]("rho_e6") == math.floor(1.0e6 * rho).toLong)
+      assert(row.getAs[Long]("q_e6") ==
+        math.floor(1.0e6 * n * (n + 2) * q).toLong)
+    }
+  }
+
+  test("d16: calendar gaps match a brute spine replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val act = t(s, dir, "orders").filter(col("o_custkey") % 97 === 0)
+      .selectExpr("CAST(o_orderdate AS DATE) day").distinct()
+      .collect().map(_.getAs[java.sql.Date](0).toLocalDate.toEpochDay)
+      .sorted
+    val all = (act.min to act.max).toSet
+    val missing = (all -- act.toSet).toSeq.sorted
+    var gaps = 0L; var longest = 0L; var cur = 0L; var prev = Long.MinValue
+    missing.foreach { e =>
+      if (e == prev + 1) cur += 1 else { gaps += 1; cur = 1 }
+      longest = math.max(longest, cur); prev = e
+    }
+    val r = run("d16_calendar_gaps").collect()(0)
+    assert(r.getAs[Long]("n_active") == act.length.toLong)
+    assert(r.getAs[Long]("n_missing") == missing.length.toLong)
+    assert(r.getAs[Long]("n_gaps") == gaps)
+    assert(r.getAs[Long]("longest_gap") == longest)
+    assert(r.getAs[Long]("missing_share_e6") ==
+      missing.length.toLong * 1000000L / (act.length + missing.length))
+  }
 }

@@ -7554,6 +7554,137 @@ object MetricQueries {
              g.n_gaps, g.longest_gap,
              CAST(m.n_missing * 1000000 // (s.n_active + m.n_missing)
                AS BIGINT) AS missing_share_e6
-      FROM span s, mtot m, gtot g"""))
+      FROM span s, mtot m, gtot g""")),
+
+    // CS63 — birthday-bound hash-collision audit: observed collisions
+    // (n − ndv) of 16/24/32-bit md5 prefixes over document texts vs the
+    // birthday expectation n(n−1)/2^{b+1} — the measurement behind
+    // dd4's "32-bit SimHash saturates" scaling note and the width
+    // chooser for any hash-keyed dedup. Truncated md5 hex prefixes are
+    // identical on both engines; counts exact; expectation one double.
+    Q("cs63_hash_collision_audit", (s, dir) => {
+      import s.implicits._
+      val widths = Seq((4L, 16L), (6L, 24L), (8L, 32L))
+        .toDF("hex_chars", "bits")
+      val docs = t(s, dir, "documents")
+        .select(md5(col("text")).as("h"))
+        .localCheckpoint(eager = false) // feeds all three widths
+      docs.crossJoin(broadcast(widths))
+        .select(col("hex_chars"), col("bits"),
+          expr("substring(h, 1, CAST(hex_chars AS INT))").as("hw"))
+        .groupBy("hex_chars", "bits")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("hw").cast("long").as("ndv"))
+        .selectExpr("bits", "n", "ndv", "n - ndv AS observed",
+          "CAST(floor(1.0e6 * CAST(n AS DOUBLE) * (n - 1)" +
+            " / power(2.0e0, CAST(bits AS DOUBLE) + 1)) AS BIGINT)" +
+            " AS expected_e6")
+        .orderBy("bits")
+    }, Some("""
+      WITH docs AS (SELECT md5(text) AS h FROM documents),
+      widths AS (
+        SELECT CAST(unnest([4, 6, 8]) AS BIGINT) AS hex_chars,
+               CAST(unnest([16, 24, 32]) AS BIGINT) AS bits),
+      cut AS (
+        SELECT w.hex_chars, w.bits,
+               substring(d.h, 1, CAST(w.hex_chars AS INT)) AS hw
+        FROM docs d, widths w),
+      agg AS (
+        SELECT bits, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT hw) AS BIGINT) AS ndv
+        FROM cut GROUP BY 1)
+      SELECT bits, n, ndv, n - ndv AS observed,
+             CAST(floor(1.0e6 * CAST(n AS DOUBLE) * (n - 1)
+               / power(2.0e0, CAST(bits AS DOUBLE) + 1)) AS BIGINT)
+               AS expected_e6
+      FROM agg ORDER BY bits""")),
+
+    // SA22 — sample-size planner for a ±2% / 95% proportion estimate:
+    // n* = z²·p̂(1−p̂)/e² per event type, with the current n and the
+    // verdict (enough data or not) — cs36's power/MDE planner pointed at
+    // estimation rather than testing. p̂ from exact counts; n* one
+    // closed-form double, ceil'd; the comparison is integer.
+    Q("sa22_proportion_n", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("x"))
+        .withColumn("px", col("x").cast("double") / col("n"))
+        .selectExpr("event_type", "n", "x",
+          "CAST(ceil(3.8416e0 * px * (1 - px) / (2.0e-2 * 2.0e-2))" +
+            " AS BIGINT) AS n_star")
+        .selectExpr("event_type", "n", "x", "n_star",
+          "CAST(CASE WHEN n >= n_star THEN 1 ELSE 0 END AS BIGINT)" +
+            " AS sufficient")
+        .orderBy("event_type")
+    }, Some("""
+      WITH agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      px AS (SELECT event_type, n, x, CAST(x AS DOUBLE) / n AS px
+             FROM agg),
+      ns AS (
+        SELECT event_type, n, x,
+               CAST(ceil(3.8416e0 * px * (1 - px)
+                 / (2.0e-2 * 2.0e-2)) AS BIGINT) AS n_star
+        FROM px)
+      SELECT event_type, n, x, n_star,
+             CAST(CASE WHEN n >= n_star THEN 1 ELSE 0 END AS BIGINT)
+               AS sufficient
+      FROM ns ORDER BY event_type""")),
+
+    // W34 — up-streak length histogram of daily revenue: gaps-and-
+    // islands over the ascent flag, then the run-length census with
+    // each length's geometric expectation n_runs·(1/2)^len under the
+    // i.i.d. null — the distributional refinement of ts23's single
+    // runs count (a too-heavy tail here = momentum). All integers but
+    // the per-row expectation double.
+    Q("w34_upstreak_histogram", (s, dir) => {
+      val wD = Window.orderBy("d")
+      val flags = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+        .withColumn("py", lag("y", 1).over(wD))
+        .withColumn("up", when(col("y") > col("py"), 1L).otherwise(0L))
+        .filter(col("py").isNotNull)
+      val streaks = flags
+        .withColumn("grp", sum(lit(1L) - col("up")).over(
+          wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("up") === 1)
+        .groupBy("grp").agg(count(lit(1)).as("len"))
+      val hist = streaks.groupBy("len").agg(count(lit(1)).as("n_runs"))
+      val tot = hist.agg(sum("n_runs").as("nt"))
+      hist.crossJoin(broadcast(tot))
+        .selectExpr("len", "n_runs",
+          "CAST(floor(1.0e6 * nt / power(2.0e0, CAST(len AS DOUBLE)))" +
+            " AS BIGINT) AS expected_e6")
+        .orderBy("len")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1),
+      flags AS (
+        SELECT d, CASE WHEN y > py THEN 1 ELSE 0 END AS up
+        FROM (SELECT d, y, lag(y) OVER (ORDER BY d) AS py FROM daily)
+        WHERE py IS NOT NULL),
+      streaks AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS len FROM (
+          SELECT d, up,
+                 sum(1 - up) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS grp
+          FROM flags)
+        WHERE up = 1 GROUP BY grp),
+      hist AS (SELECT len, CAST(count(*) AS BIGINT) AS n_runs
+               FROM streaks GROUP BY 1),
+      tot AS (SELECT sum(n_runs) AS nt FROM hist)
+      SELECT len, n_runs,
+             CAST(floor(1.0e6 * nt / power(2.0e0, CAST(len AS DOUBLE)))
+               AS BIGINT) AS expected_e6
+      FROM hist, tot ORDER BY len"""))
   )
 }

@@ -3849,4 +3849,73 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("missing_share_e6") ==
       missing.length.toLong * 1000000L / (act.length + missing.length))
   }
+
+  // ------------------------------------------------------------------
+  // wave 62: cs63 / sa22 / w34
+  // ------------------------------------------------------------------
+
+  test("cs63: collision audit matches brute truncated-md5 counts") {
+    val s = spark
+    import graft.queries.Tables.t
+    val hs = t(s, dir, "documents").selectExpr("md5(text) h")
+      .collect().map(_.getString(0))
+    val out = run("cs63_hash_collision_audit").collect()
+      .map(r => (r.getAs[Long]("bits"), r)).toMap
+    assert(out.keySet == Set(16L, 24L, 32L))
+    Seq((4, 16L), (6, 24L), (8, 32L)).foreach { case (hex, bits) =>
+      val ndv = hs.map(_.take(hex)).distinct.length.toLong
+      val n = hs.length.toLong
+      val r = out(bits)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("ndv") == ndv)
+      assert(r.getAs[Long]("observed") == n - ndv)
+      val exp = n.toDouble * (n - 1) / math.pow(2.0, bits + 1.0)
+      assert(r.getAs[Long]("expected_e6") ==
+        math.floor(1.0e6 * exp).toLong)
+    }
+    // narrower hashes can only collide more
+    assert(out(16L).getAs[Long]("observed") >=
+      out(32L).getAs[Long]("observed"))
+  }
+
+  test("sa22: sample-size planner matches the closed form") {
+    val s = spark
+    import graft.queries.Tables.t
+    val rows = t(s, dir, "events")
+      .selectExpr("event_type", "value >= 100.0 hit")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val out = run("sa22_proportion_n").collect()
+    out.foreach { r =>
+      val grp = rows.filter(_._1 == r.getAs[String]("event_type"))
+      val n = grp.length.toLong
+      val x = grp.count(_._2).toLong
+      val px = x.toDouble / n
+      val nStar = math.ceil(3.8416 * px * (1 - px) / (0.02 * 0.02)).toLong
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("x") == x)
+      assert(r.getAs[Long]("n_star") == nStar)
+      assert(r.getAs[Long]("sufficient") == (if (n >= nStar) 1L else 0L))
+    }
+  }
+
+  test("w34: up-streak histogram matches a brute islands replay") {
+    val ys = dailyCents().map(_._2)
+    val ups = ys.sliding(2).map(p => p(1) > p(0)).toArray
+    val lens = scala.collection.mutable.ArrayBuffer[Long]()
+    var cur = 0L
+    ups.foreach { u =>
+      if (u) cur += 1 else { if (cur > 0) lens += cur; cur = 0 } }
+    if (cur > 0) lens += cur
+    val hist = lens.groupBy(identity(_)).view
+      .mapValues(_.size.toLong).toMap
+    val nt = hist.values.sum
+    val out = run("w34_upstreak_histogram").collect()
+    assert(out.map(_.getAs[Long]("n_runs")).sum == nt)
+    out.foreach { r =>
+      val len = r.getAs[Long]("len")
+      assert(r.getAs[Long]("n_runs") == hist(len))
+      assert(r.getAs[Long]("expected_e6") == math.floor(
+        1.0e6 * nt / math.pow(2.0, len.toDouble)).toLong)
+    }
+    // total streak days equals total up days
+    assert(lens.sum == ups.count(identity(_)).toLong)
+  }
 }

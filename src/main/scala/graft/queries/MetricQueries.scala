@@ -7685,6 +7685,156 @@ object MetricQueries {
       SELECT len, n_runs,
              CAST(floor(1.0e6 * nt / power(2.0e0, CAST(len AS DOUBLE)))
                AS BIGINT) AS expected_e6
-      FROM hist, tot ORDER BY len"""))
+      FROM hist, tot ORDER BY len""")),
+
+    // CS64 — likelihood-ratio G-test for weekday uniformity of order
+    // volume: G = 2·Σ O·ln(7O/n) — the information-theoretic sibling of
+    // the χ² that cs40 uses, additive under aggregation (per-cell G
+    // terms sum exactly, χ² terms don't). Counts exact; the 7 cell terms
+    // accumulate in dow order; each row carries its own term and the
+    // running G so the final row IS the statistic (df = 6).
+    Q("cs64_g_test", (s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(dayofweek(to_date(col("o_orderdate"))).cast("long")
+          .as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val tot = counts.agg(sum("o").as("n"))
+      val wD = Window.orderBy("dow")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.crossJoin(broadcast(tot))
+        .withColumn("term", lit(2.0) * col("o") *
+          log(lit(7.0) * col("o") / col("n")))
+        .withColumn("g_cum_e6",
+          floor(lit(1.0e6) * sum("term").over(wD)).cast("long"))
+        .selectExpr("dow", "o", "n",
+          "CAST(floor(1.0e6 * term) AS BIGINT) AS term_e6", "g_cum_e6")
+        .orderBy("dow")
+    }, Some("""
+      WITH counts AS (
+        SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) + 1
+                 AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1),
+      tot AS (SELECT sum(o) AS n FROM counts),
+      terms AS (
+        SELECT dow, o, CAST(n AS BIGINT) AS n,
+               2.0e0 * o * ln(7.0e0 * o / n) AS term
+        FROM counts, tot)
+      SELECT dow, o, n,
+             CAST(floor(1.0e6 * term) AS BIGINT) AS term_e6,
+             CAST(floor(1.0e6 * sum(term) OVER (ORDER BY dow
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS BIGINT) AS g_cum_e6
+      FROM terms ORDER BY dow""")),
+
+    // W35 — dominant-season detector: the lag in 2..14 with the maximum
+    // autocorrelation of the daily event count, decided ENTIRELY on
+    // ts19's exact integer numerators (every a_k shares the same
+    // positive denominator, so argmax a_k IS argmax ρ_k — no float
+    // ordering anywhere; ties to the smaller lag). Reports the winner,
+    // its ρ, and the lag-7 reference the weekly hypothesis predicts.
+    Q("w35_acf_peak_lag", (s, dir) => {
+      val m = 14
+      val days = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("x"), row_number().over(Window.orderBy("day"))
+          .cast("long").as("rn"))
+        .localCheckpoint(eager = false)
+      val tot = days.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val r = days.crossJoin(broadcast(tot))
+        .select(col("rn"), (col("n") * col("x") - col("sx")).as("res"))
+      val ss = r.agg(sum(col("res") * col("res")).as("ss"))
+      import s.implicits._
+      val lags = (2 to m).map(k => Tuple1(k.toLong)).toDF("k")
+      val byLag = r.crossJoin(broadcast(lags))
+        .join(r.select(col("rn").as("prn"), col("res").as("pres")),
+          expr("prn = rn - k"))
+        .groupBy("k").agg(sum(col("res") * col("pres")).as("a"))
+        .localCheckpoint(eager = false) // feeds argmax + the lag-7 probe
+      val best = byLag.orderBy(col("a").desc, col("k")).limit(1)
+        .selectExpr("k AS best_lag", "a AS a_best")
+      val ref7 = byLag.filter(col("k") === 7)
+        .selectExpr("a AS a_lag7")
+      best.crossJoin(broadcast(ref7)).crossJoin(broadcast(ss))
+        .selectExpr("best_lag",
+          "CAST(floor(1.0e6 * (CAST(a_best AS DOUBLE) / ss)) AS BIGINT)" +
+            " AS rho_best_e6",
+          "CAST(floor(1.0e6 * (CAST(a_lag7 AS DOUBLE) / ss)) AS BIGINT)" +
+            " AS rho_lag7_e6")
+    }, Some("""
+      WITH days AS (
+        SELECT CAST(count(*) AS BIGINT) AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                 AS BIGINT) AS rn
+        FROM events GROUP BY CAST(ts AS DATE)),
+      tot AS (SELECT count(*) AS n, sum(x) AS sx FROM days),
+      r AS (SELECT rn, n * x - sx AS res FROM days, tot),
+      ss AS (SELECT sum(CAST(res AS HUGEINT) * res) AS ss FROM r),
+      ks AS (SELECT CAST(unnest(generate_series(2, 14)) AS BIGINT)
+               AS k),
+      bylag AS (
+        SELECT k, sum(CAST(a.res AS HUGEINT) * b.res) AS a
+        FROM r a, ks, r b WHERE b.rn = a.rn - k
+        GROUP BY k),
+      best AS (SELECT k AS best_lag, a AS a_best FROM bylag
+               ORDER BY a DESC, k LIMIT 1),
+      ref7 AS (SELECT a AS a_lag7 FROM bylag WHERE k = 7)
+      SELECT CAST(b.best_lag AS BIGINT) AS best_lag,
+             CAST(floor(1.0e6 * (CAST(b.a_best AS DOUBLE)
+               / CAST(s.ss AS DOUBLE))) AS BIGINT) AS rho_best_e6,
+             CAST(floor(1.0e6 * (CAST(r7.a_lag7 AS DOUBLE)
+               / CAST(s.ss AS DOUBLE))) AS BIGINT) AS rho_lag7_e6
+      FROM best b, ref7 r7, ss s""")),
+
+    // GR22 — two-hop reach distribution on the fixture digraph
+    // (undirected): distinct nodes within ≤2 hops of each node,
+    // excluding itself, histogrammed — the neighborhood-growth profile
+    // that separates expander-like graphs (reach ≈ d²) from clustered
+    // ones (reach ≪ d²), and the cost model for a 2-hop join. One
+    // adjacency self-join on the bounded fixture; exact set counts.
+    Q("gr22_two_hop_reach", (s, dir) => {
+      val edges = t(s, dir, "documents")
+        .selectExpr("doc_id % 499 AS u")
+        .selectExpr("u", "(7 * u + 1) % 499 AS v")
+        .unionAll(t(s, dir, "documents")
+          .selectExpr("doc_id % 499 AS u")
+          .selectExpr("u", "(3 * u + 2) % 499 AS v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val adj = edges.unionAll(edges.select(col("v").as("u"),
+        col("u").as("v"))).distinct()
+        .localCheckpoint(eager = false) // feeds both hops
+      val twoHop = adj.select(col("u"), col("v").as("mid"))
+        .join(adj.select(col("u").as("mid"), col("v").as("w")), "mid")
+        .select(col("u"), col("w").as("v"))
+        .unionAll(adj)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val reach = twoHop.groupBy("u")
+        .agg(count(lit(1)).as("reach2"))
+      reach.groupBy("reach2").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("reach2")
+    }, Some("""
+      WITH nodes AS (SELECT DISTINCT doc_id % 499 AS u FROM documents),
+      edges AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT u, (7 * u + 1) % 499 AS v FROM nodes
+          UNION ALL
+          SELECT u, (3 * u + 2) % 499 AS v FROM nodes)
+        WHERE u <> v),
+      adj AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)),
+      twohop AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT a.u, b.v FROM adj a JOIN adj b ON b.u = a.v
+          UNION ALL SELECT u, v FROM adj)
+        WHERE u <> v),
+      reach AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS reach2
+        FROM twohop GROUP BY 1)
+      SELECT reach2, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM reach GROUP BY 1 ORDER BY 1"""))
   )
 }

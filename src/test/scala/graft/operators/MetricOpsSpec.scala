@@ -3918,4 +3918,76 @@ class MetricOpsSpec extends AnyFunSuite {
     // total streak days equals total up days
     assert(lens.sum == ups.count(identity(_)).toLong)
   }
+
+  // ------------------------------------------------------------------
+  // wave 63: cs64 / w35 / gr22
+  // ------------------------------------------------------------------
+
+  test("cs64: G statistic matches a brute replay and tracks chi2") {
+    val s = spark
+    import graft.queries.Tables.t
+    val dows = t(s, dir, "orders")
+      .selectExpr("CAST(dayofweek(CAST(o_orderdate AS DATE)) AS LONG) w")
+      .collect().map(_.getLong(0))
+    val counts = dows.groupBy(identity(_)).view
+      .mapValues(_.length.toLong).toMap
+    val n = dows.length.toLong
+    val out = run("cs64_g_test").collect()
+    var g = 0.0
+    out.sortBy(_.getAs[Long]("dow")).foreach { r =>
+      val o = counts(r.getAs[Long]("dow"))
+      val term = 2.0 * o * math.log(7.0 * o / n)
+      g += term
+      assert(r.getAs[Long]("o") == o)
+      assert(r.getAs[Long]("term_e6") == math.floor(1.0e6 * term).toLong)
+      assert(r.getAs[Long]("g_cum_e6") == math.floor(1.0e6 * g).toLong)
+    }
+    assert(g >= 0.0 - 1e-9) // G is nonnegative at the MLE
+  }
+
+  test("w35: ACF argmax is decided on exact integers") {
+    val s = spark
+    import graft.queries.Tables.t
+    val xs = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val res = xs.map(x => n * x - sx)
+    val ss = res.map(v => v * v).sum
+    val as = (2 to 14).map(k =>
+      (k.toLong, (k until xs.length).map(t => res(t) * res(t - k)).sum))
+    val (bestLag, aBest) = as.sortBy(p => (-p._2, p._1)).head
+    val a7 = as.find(_._1 == 7L).get._2
+    val r = run("w35_acf_peak_lag").collect()(0)
+    assert(r.getAs[Long]("best_lag") == bestLag)
+    assert(r.getAs[Long]("rho_best_e6") ==
+      math.floor(1.0e6 * (aBest.toDouble / ss)).toLong)
+    assert(r.getAs[Long]("rho_lag7_e6") ==
+      math.floor(1.0e6 * (a7.toDouble / ss)).toLong)
+    assert(r.getAs[Long]("rho_best_e6") >= r.getAs[Long]("rho_lag7_e6"))
+  }
+
+  test("gr22: two-hop reach matches a brute neighborhood replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    val nodes = t(s, dir, "documents").selectExpr("doc_id % 499 u")
+      .collect().map(_.getLong(0)).distinct
+    val edges = nodes.flatMap(u =>
+      Seq((u, (7 * u + 1) % 499), (u, (3 * u + 2) % 499)))
+      .filter(e => e._1 != e._2).distinct
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val reach = adj.map { case (u, n1) =>
+      val n2 = n1 ++ n1.flatMap(adj.getOrElse(_, Set.empty[Long]))
+      (n2 - u).size.toLong
+    }
+    val brute = reach.groupBy(identity(_)).view
+      .mapValues(_.size.toLong).toMap
+    val got = run("gr22_two_hop_reach").collect()
+      .map(r => (r.getAs[Long]("reach2"), r.getAs[Long]("n_nodes")))
+      .toMap
+    assert(got == brute)
+    assert(got.values.sum == adj.size.toLong)
+  }
 }

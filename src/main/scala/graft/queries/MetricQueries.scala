@@ -7835,6 +7835,190 @@ object MetricQueries {
         SELECT u, CAST(count(*) AS BIGINT) AS reach2
         FROM twohop GROUP BY 1)
       SELECT reach2, CAST(count(*) AS BIGINT) AS n_nodes
-      FROM reach GROUP BY 1 ORDER BY 1"""))
+      FROM reach GROUP BY 1 ORDER BY 1""")),
+
+    // ML21 — Youden's J threshold sweep for the length→src0 classifier:
+    // J = TPR − FPR per cut, with the ARGMAX decided on the exact
+    // integer numerator TP·N − FP·P (common denominator P·N — ml13's
+    // cross-multiplication discipline applied to threshold selection, no
+    // float ordering anywhere; ties to the smaller threshold). The
+    // corpus collapses to a bounded histogram before the 10-row sweep.
+    Q("ml21_youden_threshold", (s, dir) => {
+      val labeled = t(s, dir, "documents")
+        .select(col("n_chars"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      val tot = labeled.agg(sum("y").as("p"),
+        sum(lit(1L) - col("y")).as("q"))
+      import s.implicits._
+      val thrs = (1 to 10).map(i => Tuple1(i * 64L)).toDF("thr")
+      val sweep = labeled.crossJoin(broadcast(thrs))
+        .groupBy("thr")
+        .agg(sum(when(col("n_chars") >= col("thr"), col("y"))
+          .otherwise(0L)).as("tp"),
+          sum(when(col("n_chars") >= col("thr"), lit(1L) - col("y"))
+            .otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(tot))
+        .withColumn("j_num", col("tp") * col("q") - col("fp") * col("p"))
+      val best = sweep.orderBy(col("j_num").desc, col("thr")).limit(1)
+        .selectExpr("thr AS best_thr")
+      sweep.crossJoin(broadcast(best))
+        .selectExpr("thr", "tp", "fp", "j_num",
+          "CAST(floor(1.0e6 * CAST(j_num AS DOUBLE) / (CAST(p AS" +
+            " DOUBLE) * q)) AS BIGINT) AS j_e6",
+          "CAST(CASE WHEN thr = best_thr THEN 1 ELSE 0 END AS BIGINT)" +
+            " AS is_best")
+        .orderBy("thr")
+    }, Some("""
+      WITH labeled AS (
+        SELECT n_chars,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      tot AS (SELECT CAST(sum(y) AS BIGINT) AS p,
+                     CAST(sum(1 - y) AS BIGINT) AS q FROM labeled),
+      thrs AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+                 * 64 AS thr),
+      sweep AS (
+        SELECT t.thr,
+               CAST(sum(CASE WHEN l.n_chars >= t.thr THEN l.y ELSE 0
+                 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN l.n_chars >= t.thr THEN 1 - l.y
+                 ELSE 0 END) AS BIGINT) AS fp
+        FROM labeled l, thrs t GROUP BY 1),
+      num AS (
+        SELECT s.thr, s.tp, s.fp, s.tp * o.q - s.fp * o.p AS j_num,
+               o.p, o.q
+        FROM sweep s, tot o),
+      best AS (SELECT thr AS best_thr FROM num
+               ORDER BY j_num DESC, thr LIMIT 1)
+      SELECT n.thr, n.tp, n.fp, n.j_num,
+             CAST(floor(1.0e6 * CAST(n.j_num AS DOUBLE)
+               / (CAST(n.p AS DOUBLE) * n.q)) AS BIGINT) AS j_e6,
+             CAST(CASE WHEN n.thr = b.best_thr THEN 1 ELSE 0 END
+               AS BIGINT) AS is_best
+      FROM num n, best b ORDER BY n.thr""")),
+
+    // SA23 — finite-population-corrected standard errors per stratum:
+    // for each nation's md5-deterministic 20% customer sample, the FPC
+    // factor (1 − n/N) and the corrected SE of the mean balance —
+    // without the correction a 20% sample overstates its uncertainty by
+    // ~11%, and at a 100% census it pretends uncertainty remains. The
+    // sample variance numerator n·Σx² − (Σx)² is exact; strata with
+    // n < 2 report NULL explicitly (ANSI-safe, cs62's convention).
+    Q("sa23_fpc_se", (s, dir) => {
+      val frac = graft.operators.Sampling.hashFraction(
+        col("c_custkey").cast("string"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"),
+          (frac < 0.2).cast("long").as("insample"))
+        .groupBy("nat")
+        .agg(count(lit(1)).as("n_pop"), sum("insample").as("n"),
+          sum(when(col("insample") === 1, col("cents")).otherwise(0L))
+            .as("sx"),
+          sum(when(col("insample") === 1, col("cents") * col("cents"))
+            .otherwise(0L)).as("sxx"))
+        .selectExpr("nat", "n_pop", "n",
+          "(n_pop - n) * 1000000L div n_pop AS fpc_e6",
+          "CASE WHEN n < 2 THEN NULL ELSE" +
+            " CAST(floor(1.0e2 * sqrt((1.0e0 - CAST(n AS DOUBLE)" +
+            " / n_pop) * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE)" +
+            " * sx) / (CAST(n AS DOUBLE) * n * (n - 1)))) AS BIGINT)" +
+            " END AS se_cents_e2")
+        .orderBy("nat")
+    }, Some("""
+      WITH c AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+               CASE WHEN list_sum(list_transform(generate_series(1, 8),
+                 i -> (strpos('0123456789abcdef',
+                   substr(md5(CAST(c_custkey AS VARCHAR)), i, 1)) - 1)
+                   * (16.0 ** (8 - i)))) / 4294967296.0 < 0.2
+                 THEN 1 ELSE 0 END AS insample
+        FROM customer),
+      agg AS (
+        SELECT nat, CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(insample) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN insample = 1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS sx,
+               CAST(sum(CASE WHEN insample = 1 THEN cents * cents
+                 ELSE 0 END) AS BIGINT) AS sxx
+        FROM c GROUP BY 1)
+      SELECT nat, n_pop, n,
+             CAST((n_pop - n) * 1000000 // n_pop AS BIGINT) AS fpc_e6,
+             CASE WHEN n < 2 THEN NULL ELSE
+               CAST(floor(1.0e2 * sqrt((1.0e0 - CAST(n AS DOUBLE)
+                 / n_pop) * (CAST(n AS DOUBLE) * sxx - CAST(sx AS
+                 DOUBLE) * sx) / (CAST(n AS DOUBLE) * n * (n - 1))))
+                 AS BIGINT) END AS se_cents_e2
+      FROM agg ORDER BY nat""")),
+
+    // J15 — join-cardinality estimator audit: the EXACT size of two
+    // date-key joins computed WITHOUT running them (Σ_d a_d·b_d from the
+    // two per-key histograms) vs the textbook CBO estimate
+    // n_a·n_b / max(ndv_a, ndv_b) — the planner's number graded against
+    // ground truth, which is exactly how an engine decides broadcast vs
+    // shuffle before reading a byte of the join. Key-grain aggregates
+    // only; the signed relative error floors through a double.
+    Q("j15_join_cardinality_estimate", (s, dir) => {
+      val oDates = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("k"))
+        .agg(count(lit(1)).as("a"))
+        .localCheckpoint(eager = false)
+      val lDates = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("k"))
+        .agg(count(lit(1)).as("b"))
+        .localCheckpoint(eager = false)
+      def audit(name: String, left: org.apache.spark.sql.DataFrame,
+                right: org.apache.spark.sql.DataFrame) = {
+        val exact = left.join(right, "k")
+          .agg(sum(col("a") * col("b")).as("exact_rows"))
+        val stats = left.agg(sum("a").as("na"),
+          count(lit(1)).as("ndva"))
+          .crossJoin(broadcast(right.agg(sum("b").as("nb"),
+            count(lit(1)).as("ndvb"))))
+        exact.crossJoin(broadcast(stats))
+          .selectExpr(s"'$name' AS join_name", "exact_rows",
+            "na * nb div greatest(ndva, ndvb) AS est_rows")
+          .selectExpr("join_name", "exact_rows", "est_rows",
+            "CAST(floor(1.0e6 * (CAST(est_rows AS DOUBLE) - exact_rows)" +
+              " / exact_rows) AS BIGINT) AS rel_err_e6")
+      }
+      audit("orders_self_date", oDates, oDates.select(col("k"),
+          col("a").as("b")))
+        .unionAll(audit("orders_lineitem_date", oDates, lDates))
+        .orderBy("join_name")
+    }, Some("""
+      WITH od AS (
+        SELECT CAST(o_orderdate AS DATE) AS k, count(*) AS a
+        FROM orders GROUP BY 1),
+      ld AS (
+        SELECT CAST(l_shipdate AS DATE) AS k, count(*) AS b
+        FROM lineitem GROUP BY 1),
+      self_exact AS (
+        SELECT CAST(sum(o1.a * o2.a) AS BIGINT) AS exact_rows
+        FROM od o1 JOIN od o2 ON o1.k = o2.k),
+      self_stats AS (
+        SELECT CAST(sum(a) AS BIGINT) AS na,
+               CAST(count(*) AS BIGINT) AS ndva FROM od),
+      ol_exact AS (
+        SELECT CAST(sum(od.a * ld.b) AS BIGINT) AS exact_rows
+        FROM od JOIN ld ON od.k = ld.k),
+      ol_stats AS (
+        SELECT (SELECT CAST(sum(a) AS BIGINT) FROM od) AS na,
+               (SELECT CAST(count(*) AS BIGINT) FROM od) AS ndva,
+               (SELECT CAST(sum(b) AS BIGINT) FROM ld) AS nb,
+               (SELECT CAST(count(*) AS BIGINT) FROM ld) AS ndvb),
+      uni AS (
+        SELECT 'orders_self_date' AS join_name, e.exact_rows,
+               s.na * s.na // greatest(s.ndva, s.ndva) AS est_rows
+        FROM self_exact e, self_stats s
+        UNION ALL
+        SELECT 'orders_lineitem_date', e.exact_rows,
+               s.na * s.nb // greatest(s.ndva, s.ndvb)
+        FROM ol_exact e, ol_stats s)
+      SELECT join_name, exact_rows, est_rows,
+             CAST(floor(1.0e6 * (CAST(est_rows AS DOUBLE) - exact_rows)
+               / exact_rows) AS BIGINT) AS rel_err_e6
+      FROM uni ORDER BY join_name"""))
   )
 }

@@ -3990,4 +3990,92 @@ class MetricOpsSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got.values.sum == adj.size.toLong)
   }
+
+  // ------------------------------------------------------------------
+  // wave 64: ml21 / sa23 / j15
+  // ------------------------------------------------------------------
+
+  test("ml21: Youden sweep matches brute force with an integer argmax") {
+    val docs = docLabels()
+    val p = docs.count(_._3).toLong
+    val q = docs.length - p
+    val sweep = (1 to 10).map { i =>
+      val thr = i * 64L
+      val tp = docs.count(d => d._2 >= thr && d._3).toLong
+      val fp = docs.count(d => d._2 >= thr && !d._3).toLong
+      (thr, tp, fp, tp * q - fp * p)
+    }
+    val bestThr = sweep.sortBy(s4 => (-s4._4, s4._1)).head._1
+    val out = run("ml21_youden_threshold").collect()
+    assert(out.length == 10)
+    out.zip(sweep).foreach { case (r, (thr, tp, fp, jn)) =>
+      assert(r.getAs[Long]("thr") == thr)
+      assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp)
+      assert(r.getAs[Long]("j_num") == jn)
+      assert(r.getAs[Long]("j_e6") ==
+        math.floor(1.0e6 * jn.toDouble / (p.toDouble * q)).toLong)
+      assert(r.getAs[Long]("is_best") == (if (thr == bestThr) 1L else 0L))
+    }
+    assert(out.map(_.getAs[Long]("is_best")).sum == 1L)
+  }
+
+  test("sa23: FPC standard errors match a brute stratified replay") {
+    val s = spark
+    import graft.queries.Tables.t
+    import graft.operators.Sampling
+    val rows = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"),
+        (Sampling.hashFraction(col("c_custkey").cast("string")) < 0.2)
+          .as("ins"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val out = run("sa23_fpc_se").collect()
+    out.foreach { r =>
+      val grp = rows.filter(_._1 == r.getAs[Long]("nat"))
+      val samp = grp.filter(_._3).map(_._2)
+      val (nPop, n) = (grp.length.toLong, samp.length.toLong)
+      assert(r.getAs[Long]("n_pop") == nPop && r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("fpc_e6") == (nPop - n) * 1000000L / nPop)
+      if (n < 2) assert(r.isNullAt(r.fieldIndex("se_cents_e2")))
+      else {
+        val (sx, sxx) = (samp.sum, samp.map(x => x * x).sum)
+        val se = math.sqrt((1.0 - n.toDouble / nPop) *
+          (n.toDouble * sxx - sx.toDouble * sx) /
+          (n.toDouble * n * (n - 1)))
+        assert(r.getAs[Long]("se_cents_e2") ==
+          math.floor(1.0e2 * se).toLong)
+      }
+    }
+  }
+
+  test("j15: exact join sizes from histograms; estimates graded") {
+    val s = spark
+    import graft.queries.Tables.t
+    val od = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("k"))
+      .agg(count(lit(1)).as("a")).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate, r.getLong(1)))
+      .toMap
+    val ld = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("k"))
+      .agg(count(lit(1)).as("b")).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate, r.getLong(1)))
+      .toMap
+    val out = run("j15_join_cardinality_estimate").collect()
+      .map(r => (r.getAs[String]("join_name"), r)).toMap
+    val selfExact = od.values.map(a => a * a).sum
+    val selfEst = od.values.sum * od.values.sum / od.size
+    val rSelf = out("orders_self_date")
+    assert(rSelf.getAs[Long]("exact_rows") == selfExact)
+    assert(rSelf.getAs[Long]("est_rows") == selfEst)
+    val olExact = od.keySet.intersect(ld.keySet).toSeq
+      .map(k => od(k) * ld(k)).sum
+    val olEst = od.values.sum * ld.values.sum /
+      math.max(od.size, ld.size)
+    val rOl = out("orders_lineitem_date")
+    assert(rOl.getAs[Long]("exact_rows") == olExact)
+    assert(rOl.getAs[Long]("est_rows") == olEst)
+    assert(rOl.getAs[Long]("rel_err_e6") == math.floor(1.0e6 *
+      (olEst.toDouble - olExact) / olExact).toLong)
+  }
 }

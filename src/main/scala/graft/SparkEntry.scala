@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticsQueries, BehaviorQueries, ExtractQueries, LlmQueries, MetricQueries, PipelineQueries, Q, RelationalQueries, SignalQueries, TrendQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, ExtractQueries, LlmQueries, MetricQueries, PipelineQueries, ProbeQueries, Q, RelationalQueries, SignalQueries, TrendQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   private lazy val registry: Seq[Q] =
     RelationalQueries.all ++ LlmQueries.all ++ ExtractQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all ++ BehaviorQueries.all ++
-      SignalQueries.all ++ TrendQueries.all ++ MetricQueries.all
+      SignalQueries.all ++ TrendQueries.all ++ MetricQueries.all ++
+      ProbeQueries.all
 
   /** Flagship: star join + window keep-latest + universe-style filter +
     * quarter-end projection over sf0.001; exercises scan→filter→join→agg→

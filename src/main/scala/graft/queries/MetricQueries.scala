@@ -3493,7 +3493,7 @@ object MetricQueries {
                sum(y) OVER (PARTITION BY yr ORDER BY d ROWS BETWEEN
                  UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd
         FROM k)
-      SELECT d, yr, q, mo, y AS day_cents,
+      SELECT d, yr, q, mo, CAST(y AS BIGINT) AS day_cents,
              CAST(mtd AS BIGINT) AS mtd, CAST(qtd AS BIGINT) AS qtd,
              CAST(ytd AS BIGINT) AS ytd
       FROM r WHERE d % 30 = 0 ORDER BY d""")),
@@ -5101,7 +5101,7 @@ object MetricQueries {
       dev AS (
         SELECT d, x, sw, 20 * x - sw AS dev, 20 * qw - sw * sw AS varn
         FROM roll WHERE nw = 20)
-      SELECT d, x,
+      SELECT d, CAST(x AS BIGINT) AS x,
              CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS side,
              CAST(sw * 100 // 20 AS BIGINT) AS ma_e2
       FROM dev WHERE dev * dev > 4 * varn ORDER BY d""")),

@@ -671,10 +671,12 @@ object RelationalQueries {
     // aggregate), cum_users is a running sum over the 30-row daily frame —
     // the global window runs on post-aggregation rows (days), never on
     // the event stream. The day key is an explicit INTEGER epoch-day
-    // (days since 1970-01-01) on both engines, not a DATE: r11's driver
-    // grade hash-failed on the DATE-keyed form while the identical local
-    // harness passed, so the output carries no date-typed column for an
-    // engine/pandas version to re-render differently.
+    // (days since 1970-01-01) on both engines, not a DATE. r11+r12 driver
+    // reds were root-caused in r13: DuckDB's integer sum() returns
+    // HUGEINT, whose duckdb->pandas dtype mapping differs across DuckDB
+    // versions (float64 locally, object on the driver) — so every
+    // HUGEINT OUTPUT column is CAST AS BIGINT (values are nowhere near
+    // 2^63; intermediates may stay HUGEINT).
     Q("cs8_daily_actives", (s, dir) => {
       val ev = t(s, dir, "events")
         .select(datediff(to_date(col("ts")), lit("1970-01-01"))
@@ -700,8 +702,8 @@ object RelationalQueries {
              FROM (SELECT user_id, min(d) AS d FROM ev GROUP BY user_id)
              GROUP BY d)
       SELECT d, n_events, n_active, coalesce(n_new, 0) AS n_new,
-             sum(coalesce(n_new, 0)) OVER (ORDER BY d
-               ROWS UNBOUNDED PRECEDING) AS cum_users
+             CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       FROM daily LEFT JOIN fs USING (d)
       ORDER BY d""")),
 
@@ -1494,8 +1496,9 @@ object RelationalQueries {
         FROM lineitem WHERE l_suppkey = 2)
       SELECT a_okey, a_line, a_start, a_end,
              count(*) AS n_overlaps,
-             sum(date_diff('day', greatest(a_start, b_start),
-                           least(a_end, b_end)) + 1) AS overlap_days
+             CAST(sum(date_diff('day', greatest(a_start, b_start),
+                           least(a_end, b_end)) + 1) AS BIGINT)
+               AS overlap_days
       FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
       GROUP BY 1, 2, 3, 4
       ORDER BY 1, 2""")),
@@ -1525,10 +1528,10 @@ object RelationalQueries {
         FROM e)
       SELECT CAST(floor(sec / 3600) AS BIGINT) AS win,
              count(*) AS n_events,
-             sum(CASE WHEN wm IS NOT NULL AND sec < wm
-                      THEN 1 ELSE 0 END) AS n_late,
-             count(*) - sum(CASE WHEN wm IS NOT NULL AND sec < wm
-                                 THEN 1 ELSE 0 END) AS n_ontime
+             CAST(sum(CASE WHEN wm IS NOT NULL AND sec < wm
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(count(*) - sum(CASE WHEN wm IS NOT NULL AND sec < wm
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
       FROM w GROUP BY 1 ORDER BY win""")),
 
     // J14 — nearest-in-time as-of join (pandas merge_asof

@@ -94,11 +94,12 @@ object SignalQueries {
       f AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY 1),
       d AS (
         SELECT day, CAST(count(*) AS BIGINT) AS n_active,
-               sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS n_new
+               CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new
         FROM ud JOIN f USING (user_id) GROUP BY 1)
       SELECT day, n_active, n_new, n_active - n_new AS n_returning,
-             sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum_users
+             CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       FROM d ORDER BY day""")),
 
     // CS21 — Jensen–Shannon divergence of each source's language mix vs
@@ -187,8 +188,9 @@ object SignalQueries {
                coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         FROM documents)
-      SELECT source, off // 2048 AS grp, CAST(count(*) AS BIGINT) AS n_files,
-             sum(n_chars) AS bytes, min(doc_id) AS first_doc,
+      SELECT source, CAST(off // 2048 AS BIGINT) AS grp,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(n_chars) AS BIGINT) AS bytes, min(doc_id) AS first_doc,
              max(doc_id) AS last_doc
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
 
@@ -227,11 +229,13 @@ object SignalQueries {
 
     // GR7 — HITS hubs/authorities (`Components.hits`), 2 iterations of
     // INTEGER score propagation (normalization only rescales, so it's
-    // deferred to one final float division against the max — every
-    // intermediate is exact). Oracle unrolls the same two iterations as
-    // chained joins. Fixture: two deterministic out-edges per doc, which
-    // makes low-id nodes heavy authorities (many in-edges) and every doc a
-    // hub scored by what it points at.
+    // deferred to the end — and even the final normalization is an
+    // integer per-million floor against the max, so every emitted value
+    // is exact; no round(double) anywhere to drift across engines).
+    // Oracle unrolls the same two iterations as chained joins. Fixture:
+    // two deterministic out-edges per doc, which makes low-id nodes heavy
+    // authorities (many in-edges) and every doc a hub scored by what it
+    // points at.
     Q("gr7_hits", (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val e1 = docs.select(col("doc_id").as("u"),
@@ -242,8 +246,8 @@ object SignalQueries {
       val mx = r.groupBy().agg(max("h").as("__mh"), max("a").as("__ma"))
       r.crossJoin(broadcast(mx))
         .select(col("node"), col("h").as("hub"), col("a").as("auth"),
-          round(col("h").cast("double") / col("__mh"), 6).as("hub_norm"),
-          round(col("a").cast("double") / col("__ma"), 6).as("auth_norm"))
+          expr("h * 1000000L div __mh").as("hub_pm"),
+          expr("a * 1000000L div __ma").as("auth_pm"))
         .orderBy("node")
     }, Some("""
       WITH fe AS (
@@ -266,9 +270,9 @@ object SignalQueries {
         LEFT JOIN h2 ON h2.node = n.node
         LEFT JOIN a2 ON a2.node = n.node),
       m AS (SELECT max(hub) AS mh, max(auth) AS ma FROM r)
-      SELECT node, hub, auth,
-             round(CAST(hub AS DOUBLE) / mh, 6) AS hub_norm,
-             round(CAST(auth AS DOUBLE) / ma, 6) AS auth_norm
+      SELECT node, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth,
+             CAST(hub * 1000000 // mh AS BIGINT) AS hub_pm,
+             CAST(auth * 1000000 // ma AS BIGINT) AS auth_pm
       FROM r, m ORDER BY node""")),
 
     // DD21 — content-defined-chunking dedup audit

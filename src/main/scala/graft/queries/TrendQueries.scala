@@ -1362,12 +1362,16 @@ object TrendQueries {
     // split of a quantized feature (n_chars bucketed by 50) predicting
     // lang='en'. Per-bucket class counts come from ONE corpus aggregate;
     // the split search is cumulative sums + an argmin over the ~12-row
-    // bucket table. Impurity arithmetic uses only IEEE *,/,+ over exact
-    // integer counts, so the doubles are bit-identical across engines and
-    // the argmin ordering cannot drift; reported impurities are
-    // floor-scaled to 1e6 integers (the repo's round()-ban discipline).
-    // At 100 TB the feature grid is FIXED (thresholds = bucket edges),
-    // so the window runs over a bounded table regardless of corpus size.
+    // bucket table. The argmin is INTEGER-EXACT (r12 verdict): the Gini
+    // cost 2·pl(nl−pl)/nl + 2·pr(nr−pr)/nr is brought onto the common
+    // denominator nl·nr (icost = pl(nl−pl)nr + pr(nr−pr)nl, exact BIGINT)
+    // and ranked by key_e9 = floor(2e9·icost/(nl·nr)), computed with the
+    // two-step q·K + (r·K) div D trick so every intermediate stays in
+    // int64 — no double ever enters the ordering or the output (reported
+    // impurities are nested-floor-exact e6 integers: floor(floor(y)/m) =
+    // floor(y/m)). At 100 TB the feature grid is FIXED (thresholds =
+    // bucket edges), so the window runs over a bounded table regardless
+    // of corpus size.
     Q("ml10_decision_stump", (s, dir) => {
       val per = t(s, dir, "documents")
         .select(floor(col("n_chars") / 50).cast("long").as("b"),
@@ -1385,20 +1389,21 @@ object TrendQueries {
         .withColumn("nr", col("nt") - col("nl"))
         .withColumn("pr", col("pt") - col("pl"))
         .filter(col("nr") > 0)
-        .withColumn("cost",
-          lit(2.0) * col("pl") * (col("nl") - col("pl")) / col("nl")
-            + lit(2.0) * col("pr") * (col("nr") - col("pr")) / col("nr"))
+        .withColumn("icost",
+          expr("pl * (nl - pl) * nr + pr * (nr - pr) * nl"))
+        .withColumn("key_e9", expr(
+          "(icost div (nl * nr)) * 2000000000L" +
+            " + ((icost % (nl * nr)) * 2000000000L) div (nl * nr)"))
       scored
         .withColumn("__rn", row_number().over(
-          Window.orderBy(col("cost"), col("b"))))
+          Window.orderBy(col("key_e9"), col("b"))))
         .filter(col("__rn") === 1)
         .select(((col("b") + 1) * 50).as("split_below_chars"),
           col("nl").as("n_left"), col("pl").as("pos_left"),
           col("nr").as("n_right"), col("pr").as("pos_right"),
-          floor(lit(2.0e6) * col("pt") * (col("nt") - col("pt"))
-            / col("nt") / col("nt")).cast("long").as("base_gini_e6"),
-          floor(col("cost") * lit(1.0e6) / col("nt"))
-            .cast("long").as("split_gini_e6"))
+          expr("(2000000L * pt * (nt - pt)) div (nt * nt)")
+            .as("base_gini_e6"),
+          expr("key_e9 div (1000L * nt)").as("split_gini_e6"))
     }, Some("""
       WITH per AS (
         SELECT CAST(floor(n_chars / 50) AS BIGINT) AS b,
@@ -1407,23 +1412,26 @@ object TrendQueries {
         FROM documents GROUP BY b),
       cum AS (
         SELECT b,
-               sum(n) OVER (ORDER BY b) AS nl,
-               sum(pos) OVER (ORDER BY b) AS pl,
-               sum(n) OVER () AS nt,
-               sum(pos) OVER () AS pt
+               CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS nl,
+               CAST(sum(pos) OVER (ORDER BY b) AS BIGINT) AS pl,
+               CAST(sum(n) OVER () AS BIGINT) AS nt,
+               CAST(sum(pos) OVER () AS BIGINT) AS pt
         FROM per),
       sc AS (
-        SELECT b, nl, pl, nt, pt, nt - nl AS nr, pt - pl AS pr,
-               2.0 * pl * (nl - pl) / nl
-                 + 2.0 * (pt - pl) * ((nt - nl) - (pt - pl)) / (nt - nl)
-                 AS cost
-        FROM cum WHERE nt - nl > 0)
+        SELECT b, nl, pl, nt, pt, nt - nl AS nr, pt - pl AS pr
+        FROM cum WHERE nt - nl > 0),
+      ky AS (
+        SELECT b, nl, pl, nt, pt, nr, pr,
+               (icost // (nl * nr)) * 2000000000 +
+                 ((icost % (nl * nr)) * 2000000000) // (nl * nr) AS key_e9
+        FROM (SELECT *, pl * (nl - pl) * nr + pr * (nr - pr) * nl AS icost
+              FROM sc))
       SELECT (b + 1) * 50 AS split_below_chars,
              nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
-             CAST(floor(2.0e6 * pt * (nt - pt) / nt / nt) AS BIGINT)
+             CAST((2000000 * pt * (nt - pt)) // (nt * nt) AS BIGINT)
                AS base_gini_e6,
-             CAST(floor(cost * 1.0e6 / nt) AS BIGINT) AS split_gini_e6
-      FROM sc ORDER BY cost, b LIMIT 1""")),
+             CAST(key_e9 // (1000 * nt) AS BIGINT) AS split_gini_e6
+      FROM ky ORDER BY key_e9, b LIMIT 1""")),
 
     // K21 — k-anonymity audit: equivalence classes over the
     // quasi-identifier (nation, market segment, account-balance band of
@@ -1456,7 +1464,7 @@ object TrendQueries {
                   WHEN sz <= 4 THEN '2_size_2_4'
                   WHEN sz <= 9 THEN '3_size_5_9'
                   ELSE '4_size_10_plus' END AS risk_band,
-             count(*) AS n_classes, sum(sz) AS n_rows
+             count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows
       FROM cls GROUP BY 1 ORDER BY 1""")),
 
     // TX18 — PMI collocations: adjacent word pairs whose corpus lift
@@ -1665,7 +1673,7 @@ object TrendQueries {
                  row_number() OVER (PARTITION BY file_id
                                     ORDER BY bits, encoding) AS rn
           FROM costs) WHERE rn = 1 GROUP BY encoding)
-      SELECT c.encoding, sum(c.bits) AS total_bits,
+      SELECT c.encoding, CAST(sum(c.bits) AS BIGINT) AS total_bits,
              coalesce(any_value(b.files_best), 0) AS files_best
       FROM costs c LEFT JOIN best b ON c.encoding = b.encoding
       GROUP BY c.encoding ORDER BY c.encoding""")),
@@ -2903,7 +2911,7 @@ object TrendQueries {
         FROM zz GROUP BY w, blk
         HAVING w * max(qblk) - CAST(max(sblk) AS HUGEINT) * max(sblk) > 0),
       pw AS (
-        SELECT w, sum(rs_e6) // count(*) AS rs_avg_e6
+        SELECT w, CAST(sum(rs_e6) // count(*) AS BIGINT) AS rs_avg_e6
         FROM pb GROUP BY w),
       piv AS (
         SELECT max(CASE WHEN w = 8 THEN rs_avg_e6 END) AS rs8_e6,

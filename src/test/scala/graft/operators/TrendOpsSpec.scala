@@ -598,12 +598,16 @@ class TrendOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val nt = per.map(_._2).sum; val pt = per.map(_._3).sum
-    // brute-force: every prefix cut with a non-empty right side
+    // brute-force: every prefix cut with a non-empty right side, ranked by
+    // the query's integer-exact key floor(2e9·icost/(nl·nr)) — computed
+    // here via direct BigInt division, which independently validates the
+    // query's two-step q·K + (r·K) div D int64 formulation
     val best = (1 until per.length).map { k =>
       val pre = per.take(k)
       val nl = pre.map(_._2).sum; val pl = pre.map(_._3).sum
       val (nr, pr) = (nt - nl, pt - pl)
-      (2.0 * pl * (nl - pl) / nl + 2.0 * pr * (nr - pr) / nr, pre.last._1)
+      val icost = BigInt(pl) * (nl - pl) * nr + BigInt(pr) * (nr - pr) * nl
+      (icost * 2000000000L / (BigInt(nl) * nr), pre.last._1)
     }.minBy(identity)
     val got = run("ml10_decision_stump").collect().head
     assert(got.getAs[Long]("split_below_chars") == (best._2 + 1) * 50)

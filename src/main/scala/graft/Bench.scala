@@ -2,9 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark main: times every registered query at the given SF
-  * and prints one JSON line. Failures are reported per query (never folded
-  * into a fake fast timing). */
+/** Per-round benchmark main: times registered queries at the given SF and
+  * prints one JSON line per completed pass (cumulative best-so-far) plus a
+  * short summary line last. Failures are reported per query (never folded
+  * into a fake fast timing).
+  *
+  * Tiers (BENCH.md "Core tier", round 13 — the r12 driver run timed out at
+  * 463 queries × 4 executions):
+  *   - default (the per-round driver invocation sets no env): the
+  *     `BenchCore` representative core (127 queries), min of 2 timed passes
+  *     — sized to finish well inside the driver's window.
+  *   - `SPARK_GRAFT_BENCH_FULL=1`: the full registry, min of 3 — the
+  *     committed cross-round artifact (`bench/bench_r{N}.json`).
+  *   - `SPARK_GRAFT_BENCH_ONLY=q1,q2`: explicit subset for local
+  *     adjudication probes (artifact routed to `_probe.json`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,23 +43,30 @@ object Bench {
     // build cost lands in none of the timed queries
     try graft.queries.Fixtures.ensureAll(spark, sfDir)
     catch { case _: Throwable => () }
-    // Optional subset for targeted local adjudication runs (comma-separated
-    // query names); the per-round driver run never sets this, so the
-    // committed artifact always covers the full registry.
+    // Explicit subset for targeted local adjudication runs (comma-separated
+    // query names); the per-round driver run never sets this.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     // Audit-tier queries (full-corpus S-curve / copy-detection audits) are
-    // correctness-graded by Verify but skipped in the timed per-round bench
-    // — each has a registered sampled twin (dd17b/dd10b) carrying the bench
+    // correctness-graded by Verify but skipped in the timed bench — each
+    // has a registered sampled twin (dd17b/dd10b) carrying the bench
     // datapoint, per BENCH.md "audit tier". SPARK_GRAFT_BENCH_AUDIT=1 times
     // them too for ad-hoc audit-cost tracking.
     val auditTier: Set[String] =
       if (sys.env.get("SPARK_GRAFT_BENCH_AUDIT").contains("1")) Set.empty
       else Set("dd17_lsh_scurve", "dd10_fingerprint_matches")
+    val tier =
+      if (only.isDefined) "probe" else if (full) "full" else "core"
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filter { case (n, _) => only.isDefined || !auditTier.contains(n) }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+      .filter { case (n, _) => tier != "core" ||
+        graft.queries.BenchCore.names.contains(n) }
+    // min of N timed passes: 2 in core (driver) mode — the window is the
+    // binding constraint there — 3 otherwise, overridable for local runs.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+      .getOrElse(if (tier == "core") 2 else 3)
     // steady-state warmup: one untimed pass of every query AT THE
     // BENCHMARKED SF. This fills the codegen cache and — critically —
     // drives the per-document parse/hash methods past the C2 invocation
@@ -62,17 +81,41 @@ object Bench {
     }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // min of N timed runs (default 3), INTERLEAVED round-robin across the
-    // whole registry: pass 1 times every query, then pass 2, then pass 3.
-    // On a shared VM a noisy window (neighbor steal, GC storm, page-cache
-    // churn) spans minutes — back-to-back per-query repeats all land inside
-    // it and the "min" inherits the noise for exactly the queries that ran
-    // then, which is what made round 8's driver artifact uniformly inflated
-    // and query-correlated. Interleaving decorrelates session heat from
-    // query identity: a noisy window taxes one PASS, and every query keeps
-    // two samples from outside it. Each timed run still starts cold on the
-    // cache manager — queries that cache intermediates must not leave
-    // storage pinned for their successors.
+    val artifactPath = resolveArtifactPath(tier)
+    def emit(pass: Int): Unit = {
+      // Cumulative best-so-far after EVERY pass (monotone): even a
+      // timeout mid-pass leaves the previous pass's complete, bindable
+      // record on stdout and in the artifact file (r12's driver run
+      // timed out with nothing parseable — VERDICT r12 #1a).
+      val qs = timings.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}")
+      val total = timings.values.sum
+      val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+        s""","tier":"$tier","pass":$pass,"runs":$runs,"queries":$qs""" +
+        s""","errors":$es,"sf":"$sfDir"}"""
+      println(line)
+      val artifact = persist(artifactPath, line)
+      // Short summary line LAST each pass: the driver records the TAIL of
+      // stdout (~2 KB), which the ~4 KB per-query line above always
+      // overruns — printed after it, this line is whole inside any tail
+      // window. Named "total_summary" (not "total") so no consumer —
+      // first-match, last-match, or tail — can bind it as the complete
+      // record; it also names the committed artifact with the full map.
+      println(s"""{"metric":"total_summary","value":$total,"unit":"sec"""" +
+        s""","n":${timings.size},"tier":"$tier","pass":$pass""" +
+        s""","runs":$runs,"sf":"$sfDir","artifact":"$artifact"}""")
+    }
+    // min of N timed runs, INTERLEAVED round-robin across the selection:
+    // pass 1 times every query, then pass 2, … On a shared VM a noisy
+    // window (neighbor steal, GC storm, page-cache churn) spans minutes —
+    // back-to-back per-query repeats all land inside it and the "min"
+    // inherits the noise for exactly the queries that ran then (round 8's
+    // uniformly inflated artifact). Interleaving decorrelates session heat
+    // from query identity. Each timed run still starts cold on the cache
+    // manager — queries that cache intermediates must not leave storage
+    // pinned for their successors.
     (1 to runs).foreach { pass =>
       selected.foreach { case (name, fn) =>
         spark.sharedState.cacheManager.clearCache()
@@ -89,48 +132,41 @@ object Bench {
         }
       }
       System.err.println(s"bench pass $pass/$runs done")
+      emit(pass)
     }
-    val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val total = timings.values.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
-    println(line)
-    val artifact = persist(line)
-    // Short summary line LAST: the driver records the TAIL of stdout
-    // (~2 KB), which the ~4 KB per-query line above always overruns —
-    // r9's before-the-long-line placement left the tail starting mid-way
-    // through the long line and "parsed" null. Printed last, this line is
-    // whole inside any tail window. Named "total_summary" (not "total") so
-    // no consumer — first-match, last-match, or tail — can bind it as the
-    // complete record; it also names the committed artifact carrying the
-    // full per-query map.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${timings.size},"runs":$runs,"sf":"$sfDir","artifact":"$artifact"}""")
     spark.stop()
   }
 
-  /** Write the complete timing map to `bench/bench_r{N}.json` in-repo. The
-    * driver's BENCH tail truncates the stdout line at ~2 KB, which hides half
-    * the registry; the committed artifact is the durable record (BENCH.md).
-    * N = max round seen in existing BENCH_r\*.json artifacts + 1, overridable
-    * via SPARK_GRAFT_BENCH_OUT (full path) for ad-hoc local runs. Returns the
-    * written path (or "unpersisted" on failure) for the stdout summary. */
-  private def persist(line: String): String = {
-    import java.nio.file.{Files, Paths}
-    try {
-      val repo = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_)).getOrElse {
-        val rounds = Option(repo.toFile.list()).getOrElse(Array.empty[String])
-          .flatMap { n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
-        val n = if (rounds.isEmpty) 0 else rounds.max + 1
-        // a BENCH_ONLY-filtered run is a sanity probe, not the round
-        // artifact — writing it to bench_r{N}.json would clobber the
-        // full-coverage record the anchor protocol diffs against (it
-        // did, twice); probes land in a side file instead
-        if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
-          repo.resolve(f"bench/bench_r$n%02d_probe.json")
-        else repo.resolve(f"bench/bench_r$n%02d.json")
+  /** Artifact destination under `bench/` in-repo. The driver's BENCH tail
+    * truncates the stdout line at ~2 KB, which hides half the registry; the
+    * committed artifact is the durable record (BENCH.md). N = max round seen
+    * in existing BENCH_r\*.json artifacts + 1, overridable via
+    * SPARK_GRAFT_BENCH_OUT (full path) for ad-hoc local runs. Tier-suffixed
+    * so runs cannot clobber each other's records: a BENCH_ONLY probe landed
+    * on the round artifact twice in r12 before the `_probe` split, and the
+    * driver's core-tier run must not overwrite the committed full-coverage
+    * `bench_r{N}.json`. */
+  private def resolveArtifactPath(tier: String): java.nio.file.Path = {
+    import java.nio.file.Paths
+    val repo = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_)).getOrElse {
+      val rounds = Option(repo.toFile.list()).getOrElse(Array.empty[String])
+        .flatMap { n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt) }
+      val n = if (rounds.isEmpty) 0 else rounds.max + 1
+      val suffix = tier match {
+        case "probe" => "_probe"
+        case "core"  => "_core"
+        case _       => ""
       }
+      repo.resolve(f"bench/bench_r$n%02d$suffix.json")
+    }
+  }
+
+  /** Write (overwrite) the timing line to the artifact path; returns the
+    * written path (or "unpersisted" on failure) for the stdout summary. */
+  private def persist(out: java.nio.file.Path, line: String): String = {
+    import java.nio.file.Files
+    try {
       Files.createDirectories(out.getParent)
       Files.write(out, (line + "\n").getBytes("UTF-8"))
       System.err.println(s"bench artifact written: $out")

@@ -56,10 +56,15 @@ object AsOfJoin {
         col(factTime).as("__t") :+ lit(0).as("__side") :+
         factStruct.as("__f"): _*)
 
-    // at equal times a fact sorts before the probe (>=) unless strict (>)
+    // at equal times a fact sorts before the probe (>=) unless strict (>);
+    // among facts sharing (key, time) the fact STRUCT itself is the final
+    // sort key, so the carried payload is deterministic across runs and
+    // partitionings — the greatest struct wins (r12 ADVICE; struct ordering
+    // is lexicographic over (__ft, payload...), so this only disambiguates
+    // true same-time ties)
     val sideOrder = if (strict) col("__side").desc else col("__side").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, sideOrder)
+      .orderBy(col("__t").asc, sideOrder, col("__f").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val joined = pSide.unionByName(fSide)
@@ -106,8 +111,11 @@ object AsOfJoin {
         col(factTime).as("__t") :+ lit(0).as("__side") :+
         factStruct.as("__f"): _*)
     // equal-time facts sort before the probe: they land in the PREV frame
-    // at distance 0 and win every tie
-    val ord = Seq(col("__t").asc, col("__side").asc)
+    // at distance 0 and win every tie; among facts sharing (key, time) the
+    // fact struct is the final sort key so the carried payload is
+    // deterministic across runs and partitionings (r12 ADVICE) — last()
+    // picks the greatest struct backward, first() the least forward
+    val ord = Seq(col("__t").asc, col("__side").asc, col("__f").asc)
     val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)

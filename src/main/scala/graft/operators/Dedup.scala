@@ -501,7 +501,6 @@ object Dedup {
       .agg(sum("bitval").as("simhash"))
   }
 
-  /** The 32-bit oracle-graded simhash (dd4's shape). */
   /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
     * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every pair
     * with shingle-set Jaccard >= minNum/minDen, with NO approximation and
@@ -550,6 +549,7 @@ object Dedup {
     verifiedPairs(cand, sh, idCol, "doc_a", "doc_b", minNum, minDen)
   }
 
+  /** The 32-bit oracle-graded simhash (dd4's shape). */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhash(docs, idCol, textCol, bits = 32)
 }

@@ -28,6 +28,11 @@ object FeatureOps {
     * fact table never shuffles. Singleton categories (n_cat = 1) fall
     * back to the smoothed prior with the row excluded: m·prior / m =
     * prior exactly.
+    *
+    * NULL categories are a category of their own: the probe joins
+    * null-safely (`<=>`), so rows with a NULL `cat` encode against the
+    * NULL group's leave-one-out statistics instead of silently dropping
+    * out of the output (r12 ADVICE).
     */
   def looTargetEncode(df: DataFrame, cat: Column, target: Column,
                       smoothing: Double = 20.0): DataFrame = {
@@ -37,7 +42,7 @@ object FeatureOps {
       .agg(sum(y).as("__cat_sum"), count(lit(1)).as("__cat_n"))
     val glob = df.agg(sum(y).as("__tot_sum"), count(lit(1)).as("__tot_n"))
     df.withColumn("__y", y)
-      .join(broadcast(byCat), cat === col("__cat"))
+      .join(broadcast(byCat), cat <=> col("__cat"))
       .crossJoin(broadcast(glob))
       .withColumn("__prior", col("__tot_sum") / col("__tot_n"))
       .withColumn("target_enc",

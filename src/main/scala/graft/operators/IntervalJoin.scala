@@ -51,6 +51,13 @@ object IntervalJoin {
     * definition of overlap — making the output exactly-once with a
     * residual filter, no dedup shuffle. Expansion is span/bucketDays rows
     * per interval; both sides co-partition on the bucket key.
+    *
+    * Malformed intervals (end < start) are DROPPED before the explode:
+    * Spark's `sequence(a, b)` with a > b generates a DESCENDING sequence
+    * instead of an empty one, so an inverted interval would otherwise
+    * still emit bucket rows and could pass the overlap residual (r12
+    * ADVICE) — and an interval that cannot overlap anything by its own
+    * definition has no correct output row anyway.
     */
   def bucketedOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
                           right: DataFrame, rStart: String, rEnd: String,
@@ -59,9 +66,9 @@ object IntervalJoin {
     val epoch = to_date(lit("1970-01-01"))
     def bkt(c: org.apache.spark.sql.Column) =
       (datediff(c, epoch) / bucketDays).cast("long")
-    val l = left.withColumn("__bkt",
+    val l = left.filter(col(lStart) <= col(lEnd)).withColumn("__bkt",
       explode(sequence(bkt(col(lStart)), bkt(col(lEnd)))))
-    val r = right.withColumn("__bkt",
+    val r = right.filter(col(rStart) <= col(rEnd)).withColumn("__bkt",
       explode(sequence(bkt(col(rStart)), bkt(col(rEnd)))))
     l.join(r, Seq("__bkt"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))

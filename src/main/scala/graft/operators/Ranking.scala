@@ -28,7 +28,22 @@ object Ranking {
                       bucket: Long = 64L, rankCol: String = "rn")
       : DataFrame = {
     require(bucket > 0, "bucket must be positive")
-    val withShard = df.withColumn("__key", key.cast("long"))
+    // the monotonicity contract holds only for non-negative integral keys:
+    // a fractional key silently truncates under cast-to-long and a negative
+    // one breaks div-sharding order — reject the first at plan build, the
+    // second in-plan on the first offending row (r12 ADVICE)
+    val keyType = df.select(key).schema.head.dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(keyType),
+      s"globalRowNumber: key must be an integral column, got $keyType")
+    val keyL = key.cast("long")
+    val guarded = when(keyL >= 0, keyL).otherwise(raise_error(concat(
+      lit("globalRowNumber: key must be non-negative, got "),
+      keyL.cast("string"))))
+    val withShard = df.withColumn("__key", guarded)
       .withColumn("__shard", expr(s"__key div ${bucket}L"))
     val inShard = Window.partitionBy("__shard").orderBy(col("__key"), tie)
     val local = withShard.withColumn("__local_rn",

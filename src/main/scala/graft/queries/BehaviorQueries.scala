@@ -142,9 +142,10 @@ object BehaviorQueries {
         FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
       tot AS (SELECT sum(n) AS t FROM d),
       exp AS (SELECT * FROM (VALUES
-        ('1', 0.30103), ('2', 0.17609), ('3', 0.12494), ('4', 0.09691),
-        ('5', 0.07918), ('6', 0.06695), ('7', 0.05799), ('8', 0.05115),
-        ('9', 0.04576)) AS v(digit, expected))
+        ('1', 0.30103e0), ('2', 0.17609e0), ('3', 0.12494e0),
+        ('4', 0.09691e0), ('5', 0.07918e0), ('6', 0.06695e0),
+        ('7', 0.05799e0), ('8', 0.05115e0),
+        ('9', 0.04576e0)) AS v(digit, expected))
       SELECT d.digit, d.n, round(d.n / t, 4) AS share, exp.expected,
              round(round(d.n / t, 4) - exp.expected, 4) AS dev
       FROM d, tot JOIN exp ON exp.digit = d.digit

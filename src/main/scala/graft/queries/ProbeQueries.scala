@@ -128,6 +128,22 @@ object ProbeQueries {
     }, Some("""
       SELECT k, round(num / den, 6) AS r
       FROM (VALUES (1, 1.0e0, 3.0e0), (2, 2.0e0, 7.0e0)) t(k, num, den)
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+    // PB9 — TIMESTAMP-typed output control: the compare canon renders
+    // datetime64 via strftime but `object` values via str(), which differ
+    // for timestamps ("2024-03-01" vs "2024-03-01 06:00:00") — a red here
+    // fingerprints a timestamp→pandas mapping drift that would hit every
+    // TIMESTAMP-emitting query (j7, cs7, at1, …).
+    Q("pb9_timestamp_output_probe", (s, _) => {
+      import s.implicits._
+      Seq(("2024-03-01 06:00:00", 1L), ("1999-12-31 23:59:59", 2L))
+        .toDF("tss", "k")
+        .select(col("k"), to_timestamp(col("tss")).as("ts"))
+        .orderBy("k")
+    }, Some("""
+      SELECT k, CAST(tss AS TIMESTAMP) AS ts
+      FROM (VALUES ('2024-03-01 06:00:00', 1), ('1999-12-31 23:59:59', 2))
+        t(tss, k) ORDER BY k"""))
   )
 }

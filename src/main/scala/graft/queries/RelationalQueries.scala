@@ -1352,7 +1352,7 @@ object RelationalQueries {
                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
                CAST(sum(cnt) OVER () AS BIGINT) AS n
         FROM c),
-      probes AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+      probes AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS q)
       SELECT q,
              arg_min(round(0.0 + 10.0 * (bin + (q * n - (cum - cnt)) / cnt),
                6), bin) AS est
@@ -1387,7 +1387,7 @@ object RelationalQueries {
                  AS BIGINT) AS cum,
                CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
         FROM c),
-      probes AS (SELECT unnest([0.5, 0.95]) AS q)
+      probes AS (SELECT unnest([0.5e0, 0.95e0]) AS q)
       SELECT lang, q,
              arg_min(round(0.0 + 4.0 * (bin + (q * n - (cum - cnt)) / cnt),
                6), bin) AS est

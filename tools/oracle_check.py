@@ -64,13 +64,14 @@ def main():
             # with a HUGEINT OUTPUT column hash-passes locally and fails on
             # any harness running a different DuckDB (the r12 12-red class).
             # CAST such outputs AS BIGINT; intermediates may stay HUGEINT.
-            hug = [c for c, ty, *_ in
+            hug = [(c, ty) for c, ty, *_ in
                    con.execute("DESCRIBE " + oracles[name]).fetchall()
-                   if "HUGEINT" in ty]
+                   if "HUGEINT" in ty or ty.startswith("DECIMAL")]
             # the pb probe family carries HUGEINT outputs ON PURPOSE — their
             # grade measures the harness's HUGEINT mapping (ProbeQueries)
             if hug and not name.startswith("pb"):
-                print(f"{name}: HUGEINT OUTPUT {hug} — CAST AS BIGINT")
+                print(f"{name}: VERSION-HAZARD OUTPUT {hug} — "
+                      f"CAST AS BIGINT/DOUBLE")
                 failures += 1
                 continue
             ora_df = con.execute(oracles[name]).df()

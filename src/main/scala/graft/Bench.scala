@@ -30,7 +30,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's BENCH record is a TAIL of the merged
+    // stdout+stderr (~2 KB), and WindowExec's per-query single-partition
+    // warnings are prolific enough to push the cumulative total/summary
+    // lines out of that window — the per-pass emission only helps if the
+    // lines stay in the tail. The same warnings remain visible in Verify
+    // runs and ad-hoc locals, which WARN elsewhere.
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: open every table once so the first timed query does
     // not absorb file-listing/footer-read/codegen costs that belong to none
     // of them

@@ -75,4 +75,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("equal-(key, time) facts carry a deterministic payload across " +
+    "partitionings: the greatest fact struct wins (r12 ADVICE)") {
+    val t = ts("2024-01-01 08:00:00")
+    val tied = df(factSchema,
+      Row("x", t, 1.0, "pA"), Row("x", t, 2.0, "pB"),
+      Row("x", t, 2.0, "pA")) // struct order: (ft, a, b) — pB is greatest
+    val oneProbe = df(probeSchema, Row("x", 1L, ts("2024-01-01 10:00:00")))
+    val got = (1 to 8).map { n =>
+      AsOfJoin.asOf(oneProbe, tied.repartition(n), Seq("k"), "pt", "ft",
+        Seq("a", "b")).head()
+    }
+    assert(got.forall(r => r.getDouble(4) == 2.0 && r.getString(5) == "pB"),
+      s"nondeterministic tie payload: ${got.map(r => (r.getDouble(4), r.getString(5))).distinct}")
+    // asOfNearest: same tie, same determinism through the numeric-time path
+    val p2 = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("x", 1L, 100L))), StructType(Seq(StructField("k", StringType),
+      StructField("pid", LongType), StructField("pt", LongType))))
+    val f2 = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("x", 90L, 1.0), Row("x", 90L, 2.0))),
+      StructType(Seq(StructField("k", StringType),
+        StructField("ft", LongType), StructField("a", DoubleType))))
+    val near = (1 to 8).map { n =>
+      AsOfJoin.asOfNearest(p2, f2.repartition(n), Seq("k"), "pt", "ft",
+        Seq("a")).head().getDouble(4)
+    }
+    assert(near.distinct == Seq(2.0), s"asOfNearest tie drifted: $near")
+  }
 }

@@ -91,6 +91,21 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted intervals (end < start) are dropped, not exploded — " +
+    "Spark sequence(a, b) descends when a > b, so a malformed interval " +
+    "would otherwise emit bucket rows and could pass the raw overlap " +
+    "residual (r12 ADVICE)") {
+    // a_id 2 is inverted but its RAW endpoints satisfy the overlap
+    // predicate against b_id 1 (30 <= 40 && 15 <= 25) — kept, it would
+    // emit a bogus pair; b_id 2 is inverted on the right side
+    val a = Seq((1L, d(10), d(20)), (2L, d(30), d(25))).toDF("a_id", "s", "e")
+    val b = Seq((1L, d(15), d(40)), (2L, d(28), d(26))).toDF("b_id", "bs", "be")
+    val got = IntervalJoin.bucketedOverlapJoin(a, "s", "e", b, "bs", "be", 7)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L)))
+  }
+
   test("overlap boundaries: touching endpoints overlap, disjoint do not") {
     val a = Seq((1L, d(10), d(20))).toDF("a_id", "s", "e")
     val b = Seq((1L, d(20), d(30)), (2L, d(21), d(30)), (3L, d(1), d(10)),

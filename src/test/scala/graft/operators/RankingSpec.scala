@@ -36,4 +36,29 @@ class RankingSpec extends AnyFunSuite {
       assert(got == naive, s"bucket=$b diverged from the naive rank")
     }
   }
+
+  test("non-integral key type is rejected at plan build (r12 ADVICE: " +
+    "cast-to-long truncation broke monotonicity silently)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1.5, 1L), (2.0, 2L)).toDF("key", "id")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.globalRowNumber(df, col("key"), col("id"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("negative key fails in-plan with a named error, not a wrong rank") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((-1L, 1L), (3L, 2L)).toDF("key", "id")
+    val e = intercept[Exception] {
+      Ranking.globalRowNumber(df, col("key"), col("id")).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-negative")),
+      s"expected the raise_error text in: ${msgs(e)}")
+  }
 }

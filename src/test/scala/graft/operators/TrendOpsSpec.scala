@@ -960,4 +960,24 @@ class TrendOpsSpec extends AnyFunSuite {
       .toMap
     assert(jac == Map((1L, 3L) -> 1.0, (2L, 4L) -> 1.0))
   }
+
+  test("looTargetEncode: NULL categories encode against the NULL group " +
+    "instead of dropping from the output (r12 ADVICE — null-safe join)") {
+    val s = spark
+    import s.implicits._
+    // NULL group: ys (1, 0) — leave-one-out for the y=1 row sees
+    // (sum 0, n 1), so enc = (0 + m·prior) / (1 + m); prior = 3/6
+    val df = Seq((Some("a"), 1L), (Some("a"), 0L), (Some("a"), 1L),
+      (Option.empty[String], 1L), (Option.empty[String], 0L),
+      (Some("b"), 0L)).toDF("cat", "y")
+    val out = graft.operators.FeatureOps.looTargetEncode(
+      df, col("cat"), col("y"), smoothing = 2.0)
+    assert(out.count() == 6L, "a NULL category row was dropped")
+    val nullRows = out.filter(col("cat").isNull)
+      .select("y", "target_enc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prior = 3.0 / 6.0
+    assert(math.abs(nullRows(1L) - (0 + 2.0 * prior) / (1 + 2.0)) < 1e-12)
+    assert(math.abs(nullRows(0L) - (1 + 2.0 * prior) / (1 + 2.0)) < 1e-12)
+  }
 }

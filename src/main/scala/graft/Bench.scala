@@ -93,6 +93,25 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Core mode: targeted untimed warm of ONLY the JIT-sensitive family
+    // (VERDICT r13 #2 / OPTIMIZATION_r14.md "measurement fix"). Pass-1-as-
+    // warmup leaves the per-document parse/hash methods short of the C2
+    // invocation threshold for exactly the u*/pipe* queries — the r13
+    // driver artifact recorded pipe1f at 11.09 s vs the same code's 1.31 s
+    // steady state, and pass 2's min() can still land mid-tier-up
+    // compilation. One untimed execution of this ~30-query family (tens of
+    // seconds — NOT the full-registry warm that overran the r12 window)
+    // reaches steady state; every timed number below still includes all
+    // data-proportional work at this SF.
+    if (tier == "core") selected
+      .filter { case (n, _) =>
+        n.startsWith("u") || n.startsWith("pipe") ||
+          n.startsWith("k2") || n.startsWith("s5") }
+      .foreach { case (_, fn) =>
+        spark.sharedState.cacheManager.clearCache()
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val artifactPath = resolveArtifactPath(tier)

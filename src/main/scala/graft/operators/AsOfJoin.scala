@@ -29,6 +29,14 @@ object AsOfJoin {
     * `inner = false` = `ASOF LEFT JOIN`).
     *
     * `factPayload` names must not collide with probe columns.
+    *
+    * Orderability requirement (r13 ADVICE): the fact struct `__ft +
+    * factPayload` is part of the window ORDER BY (the deterministic
+    * same-time tie-break), so every payload column must be an ORDERABLE
+    * type — a MapType payload fails analysis, and a very large payload
+    * column widens the sort key. Callers with un-orderable or bulky
+    * payloads should pass a compact proxy (e.g. a precomputed digest
+    * column) and re-attach the payload after the join.
     */
   def asOf(probes: DataFrame, facts: DataFrame, keys: Seq[String],
            probeTime: String, factTime: String, factPayload: Seq[String],

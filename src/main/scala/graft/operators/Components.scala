@@ -81,22 +81,36 @@ object Components {
       // Large-star: every neighbor of u that is LARGER than u re-points at
       // the minimum of u's closed neighborhood. Tall components flatten by
       // ~half their height per round.
+      //
+      // r14 (guide §2.4): each star's per-node minimum rides a partition-
+      // wide window over the SAME exchange that delivers the edges, instead
+      // of a groupBy(min) + equi-join back — the join form moved the edge
+      // set through two exchanges per star (one to aggregate, one to
+      // probe); the window form moves it once and reads the min in place.
+      // Per round that is 3 exchanges instead of ~5 at identical shuffle
+      // keys, and the same plan at 100 TB: the window partitions by node id
+      // exactly like the groupBy did, and a per-node neighbor-list
+      // partition spills gracefully where the old build side buffered the
+      // same rows in the join hash table. Row multisets entering the final
+      // distinct() are unchanged (the second union arm carries one (u, m)
+      // row per dir edge rather than per node; distinct() collapses both
+      // to the identical edge SET), so results and the convergence trace
+      // are bit-identical.
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = sym.filter(col("v") > col("u"))
-        .join(lmin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
+      val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      val large = sym
+        .withColumn("__m", least(min(col("v")).over(byU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
         .filter(col("u") =!= col("v"))
       // Small-star: direct each edge large→small, then point every small
       // neighbor AND u itself at the minimum small neighbor — merges the
       // partial stars large-star leaves behind.
       val dir = large.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val smin = dir.groupBy("u").agg(min("v").as("m"))
-      val small = dir.join(smin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smin.select(col("u"), col("m").as("v")))
+        .withColumn("__m", min(col("v")).over(byU))
+      val small = dir.select(col("v").as("u"), col("__m").as("v"))
+        .union(dir.select(col("u"), col("__m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(eager = false)

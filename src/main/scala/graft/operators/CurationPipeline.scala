@@ -69,9 +69,10 @@ object CurationPipeline {
         min(col("doc_id")).over(Window.partitionBy(col("__canon"))))
       .filter(col("doc_id") === col("__m"))
       .drop("__canon", "__m")
-    // 4. whole-document exact dedup on the cleaned text
+    // 4. whole-document exact dedup on the cleaned text (internal group
+    // key only — xxhash64, 8-byte window key, r14 guide §2.3)
     val exact = urlKept
-      .withColumn("__h", md5(col("text_clean").cast("binary")))
+      .withColumn("__h", xxhash64(col("text_clean")))
       .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
       .filter(col("doc_id") === col("__m")).drop("__h", "__m")
       .localCheckpoint(eager = false)

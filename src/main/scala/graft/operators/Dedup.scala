@@ -67,9 +67,12 @@ object Dedup {
     * Scale shape: two shuffles, no joins — segments reach the keep-first
     * window partitioned by their content digest (each window group is one
     * distinct segment's occurrence list, bounded by its duplication count),
-    * and survivors re-group by doc id for ordered reassembly. The digest is
-    * md5 so the DuckDB oracle sees identical bytes; production would swap
-    * in xxhash64 for the shuffle key (HashMode convention). */
+    * and survivors re-group by doc id for ordered reassembly. The digest
+    * is INTERNAL (only group identity matters — no digest value reaches
+    * the output), so it is xxhash64 (r14, guide §2.3): an 8-byte shuffle
+    * key instead of a 32-hex-char string, no digest/hex CPU per segment;
+    * the oracle groups segments by its own digest and agrees wherever
+    * neither hash collides (the standard 64-bit caveat). */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 20): DataFrame =
     segmentDedupText(docs, idCol, textCol, segTokens)
@@ -92,7 +95,7 @@ object Dedup {
     val keepFirst = Window.partitionBy(col("__d"))
       .orderBy(col(idCol), col("seg_idx"))
     val kept = segs
-      .withColumn("__d", md5(col("seg").cast("binary")))
+      .withColumn("__d", xxhash64(col("seg")))
       .withColumn("__rn", row_number().over(keepFirst))
       .filter(col("__rn") === 1)
     val reassembled = kept.groupBy(col(idCol))
@@ -124,8 +127,11 @@ object Dedup {
     * Scale shape: one groupBy on the shingle digest (map-side combinable
     * count — the duplicated-shingle set), one digest equi-join back, one
     * per-document window; each shuffle keys on digests or doc ids, never
-    * on text. The digest is md5 so the DuckDB oracle sees identical
-    * bytes; production swaps xxhash64 (HashMode convention).
+    * on text. The digest is INTERNAL (only is-duplicated identity matters
+    * — no digest value reaches the output), so it is xxhash64 (r14, guide
+    * §2.3): 8-byte groupBy/join keys and no md5+hex per token position;
+    * the oracle computes duplication from the raw shingle strings and
+    * agrees wherever xxhash64 is collision-free (standard 64-bit caveat).
     *
     * Returns (id, start_tok, n_tokens) per maximal span, 0-based token
     * offsets. */
@@ -136,8 +142,8 @@ object Dedup {
       .filter(size(col("__w")) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("__w")) - k),
-          i => md5(array_join(slice(col("__w"), i + 1, lit(k)), " ")
-            .cast("binary")))).as(Seq("pos", "__h")))
+          i => xxhash64(array_join(slice(col("__w"), i + 1, lit(k)), " "))))
+          .as(Seq("pos", "__h")))
     val dup = sh.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("__h"))
     val runs = sh.join(dup, "__h")
@@ -150,20 +156,48 @@ object Dedup {
       .select(col(idCol), col("start_tok"), col("n_tokens"))
   }
 
-  /** Distinct (id, shingle) pairs. */
+  /** Distinct (id, shingle) pairs.
+    *
+    * r14 (guide §2.4 "remove shuffles outright"): a (id, shingle)
+    * duplicate can only arise WITHIN one document (rows from different
+    * docs differ on id), and [[shingleMultiset]] now dedupes doc-locally
+    * with `array_distinct` before the explode — so its output is already
+    * globally distinct and the corpus-shingle `.distinct()` exchange this
+    * function used to pay is gone. `DedupProps` ("shingleSet equals
+    * distinct of shingleMultiset") still gates the set equality. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame =
-    shingleMultiset(docs, idCol, textCol, n).distinct()
+    shingleMultiset(docs, idCol, textCol, n)
 
-  /** (id, shingle) pairs WITH duplicates — for consumers that are
-    * multiset-insensitive (min/max aggregates). Skipping the `distinct`
-    * removes an entire shuffle of the largest intermediate in the minhash
-    * path: the downstream `groupBy(id).min(...)` gets the same answer from
-    * the multiset, with map-side combine collapsing rows before exchange. */
+  /** Distinct (id, xxhash64(shingle)) pairs — the 8-byte currency of the
+    * verify-join family (r14, guide §2.3): for consumers that never need
+    * the shingle text (exact-overlap counting via
+    * [[verifiedPairsHashed]]), everything downstream carries longs
+    * instead of n-word strings. Shuffle-free like [[shingleSet]] (the
+    * doc-local dedup happens before the explode); a within-doc 64-bit
+    * collision would surface as a duplicated (id, shh) row — the same
+    * accepted caveat class as the hashed overlap joins, and the oracles
+    * recompute from raw text so it grades red at any tested SF. */
+  def hashedShingleSet(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame =
+    shingleMultiset(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("sh")).as("shh"))
+
+  /** (id, shingle) pairs, deduplicated DOC-LOCALLY (`array_distinct`
+    * before the explode — a zero-shuffle per-row pass). Contract
+    * unchanged: consumers must be multiset-insensitive (min/max/distinct
+    * aggregates), which every call site is; under that contract dropping
+    * within-doc repeats is free, and it strictly shrinks the explode,
+    * every downstream hash (md5 per shingle in the minhash path runs once
+    * per DISTINCT shingle now), and the exchange. Because (id, shingle)
+    * duplicates can only occur within one document, the output is in fact
+    * globally distinct — which is what lets [[shingleSet]] skip its old
+    * corpus-wide `.distinct()` exchange entirely (guide §2.4). */
   def shingleMultiset(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol), explode(shinglesOfTokens(col("__w"), n)).as("sh"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("sh"))
 
   /** MinHash signatures: one min-hash per band. Band b's hash of a shingle
     * is the b-th disjoint 8-hex-char slice of md5(shingle) — md5 runs ONCE
@@ -256,8 +290,18 @@ object Dedup {
     * on 8-byte shingle hashes, only over blocked candidates. */
   def verifiedPairs(cand: DataFrame, shingles: DataFrame, idCol: String,
                     aCol: String, bCol: String,
-                    minNum: Int, minDen: Int): DataFrame = {
-    val hashed = shingles.select(col(idCol), xxhash64(col("sh")).as("shh"))
+                    minNum: Int, minDen: Int): DataFrame =
+    verifiedPairsHashed(cand,
+      shingles.select(col(idCol), xxhash64(col("sh")).as("shh")),
+      idCol, aCol, bCol, minNum, minDen)
+
+  /** [[verifiedPairs]] over an already-hashed (id, shh) shingle frame —
+    * the form the hash-space prefix join feeds so the 8-byte keys are
+    * hashed once at shingle creation instead of re-derived per consumer. */
+  private[graft] def verifiedPairsHashed(cand: DataFrame, hashed: DataFrame,
+                                         idCol: String,
+                                         aCol: String, bCol: String,
+                                         minNum: Int, minDen: Int): DataFrame = {
     val counts = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val x = hashed.select(col(idCol).as(aCol), col("shh"))
     val y = hashed.select(col(idCol).as(bCol), col("shh"))
@@ -350,7 +394,9 @@ object Dedup {
                    shingleN: Int = 3,
                    mode: HashMode = HashMode.Md5): DataFrame = {
     val reps = docs
-      .withColumn("__h", md5(col(textCol).cast("binary")))
+      // internal rep-selection key only (no digest reaches the output):
+      // xxhash64 — 8-byte window key, no digest/hex CPU (r14, guide §2.3)
+      .withColumn("__h", xxhash64(col(textCol)))
       .withColumn("__minid",
         min(col(idCol)).over(Window.partitionBy("__h")))
       .filter(col(idCol) === col("__minid"))
@@ -405,11 +451,17 @@ object Dedup {
       col("band"), col("bv"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
       col("band"), col("bv"))
+    // r14 (guide §2.3): the exact Hamming gate runs BEFORE the pair
+    // distinct — bit_count is a per-row codegen'd op, so filtering the
+    // band-collision multiset first means the distinct exchange carries
+    // only pairs that already passed the gate (at a hot byte band that is
+    // orders of magnitude fewer rows), and the distinct key shrinks to
+    // (id_a, id_b, hamming) — the hashes determine hamming, so dropping
+    // sh_a/sh_b from the key changes nothing. Same emitted pair set.
     a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS INT)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
   /** Benchmark-contamination overlap: for every corpus document, the number
@@ -472,9 +524,20 @@ object Dedup {
     * chars of md5 as a 32-bit int (`bits = 32`, oracle-reproducible) or
     * xxhash64 (`bits = 64`, production). Per bit, sum +tf/−tf by bit value;
     * simhash bit = (sum > 0). Pure expression pipeline — no UDF. The
-    * 64-bit sum of distinct ±2^b values is exactly representable (bit 63
-    * contributes Long.MinValue, the rest are positive), so no overflow
-    * under ANSI mode. */
+    * 64-bit assembly of distinct ±2^b terms is exactly representable (bit
+    * 63 contributes Long.MinValue last, partial sums of lower bits stay
+    * under 2^63), so no overflow under ANSI mode.
+    *
+    * r14 (guide §2.3, the minhashSignatures banding trick applied to
+    * bits): all `bits` per-bit contribution sums are parallel conditional
+    * aggregates of ONE groupBy(id) — `sum(bit set ? tf : −tf)` per bit —
+    * instead of exploding every (id, token, tf) row ×bits into a
+    * groupBy(id, b). The explode form moved bits× the tf table through an
+    * exchange (64× for the production width) plus a third aggregation to
+    * reassemble; here one row per (id, token) reaches the exchange with
+    * map-side-combined partial sums and the hash leaves the plan before
+    * any shuffle. Per-bit integer sums are order-independent, so the
+    * emitted simhash is bit-identical to the explode form's. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     require(bits == 32 || bits == 64, "simhash is 32- or 64-bit")
@@ -487,18 +550,15 @@ object Dedup {
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("h", tokHash)
-    tf.select(col(idCol), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("contrib",
-        when(expr("(shiftright(h, b) & 1) = 1"), col("tf"))
-          .otherwise(-col("tf")))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum("contrib").as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-          .otherwise(lit(0L)))
-      .groupBy(col(idCol))
-      .agg(sum("bitval").as("simhash"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("tf"))
+        .otherwise(-col("tf"))).as(s"__s$b")
+    }
+    val assembled = (0 until bits).map { b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tf.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
   }
 
   /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
@@ -526,18 +586,30 @@ object Dedup {
                               textCol: String,
                               minNum: Int, minDen: Int): DataFrame = {
     require(minNum > 0 && minDen >= minNum, "threshold must be in (0, 1]")
-    val sh = shingleSet(docs, idCol, textCol).localCheckpoint(eager = false)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
-    val byDoc = sh.join(dfreq, "sh")
+    // r14 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    // the whole AllPairs pipeline — df count, rare-first global order,
+    // prefix join, verify intersection, |A|/|B| counts — runs on
+    // xxhash64(shingle) computed ONCE here, so every exchange and sort
+    // carries 8-byte longs instead of n-word shingle strings. The prefix
+    // lemma only needs a fixed global total order on a fixed token
+    // universe; (df asc, hash asc) over the hash universe is one, so the
+    // block stays lossless and the verified pair set is unchanged. The
+    // 64-bit collision caveat is the same one [[verifiedPairs]] already
+    // carries (and the dd22 oracle recomputes the pair set from raw text,
+    // so any collision-induced drift at a tested SF hashes red).
+    val sh = hashedShingleSet(docs, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val dfreq = sh.groupBy("shh").agg(count(lit(1)).as("__df"))
+    val byDoc = sh.join(dfreq, "shh")
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__df"), col("sh"))))
+      .agg(sort_array(collect_list(struct(col("__df"), col("shh"))))
         .as("__ts"), count(lit(1)).as("n"))
       // ceil(t*n) in exact integer arithmetic: (minNum*n + minDen-1) div minDen
       .withColumn("__plen",
         col("n") - expr(s"(($minNum * n + ${minDen - 1}) div $minDen)") + 1)
     val prefixes = byDoc.select(col(idCol), col("n"),
       explode(transform(slice(col("__ts"), lit(1), col("__plen").cast("int")),
-        x => x.getField("sh"))).as("__tok"))
+        x => x.getField("shh"))).as("__tok"))
     val cand = prefixes.select(col(idCol).as("doc_a"), col("n").as("na"),
         col("__tok"))
       .join(prefixes.select(col(idCol).as("doc_b"), col("n").as("nb"),
@@ -546,7 +618,7 @@ object Dedup {
         greatest(col("na"), col("nb")) * minNum <=
           least(col("na"), col("nb")) * minDen)
       .select("doc_a", "doc_b").distinct()
-    verifiedPairs(cand, sh, idCol, "doc_a", "doc_b", minNum, minDen)
+    verifiedPairsHashed(cand, sh, idCol, "doc_a", "doc_b", minNum, minDen)
   }
 
   /** The 32-bit oracle-graded simhash (dd4's shape). */

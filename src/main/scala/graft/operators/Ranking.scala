@@ -40,9 +40,12 @@ object Ranking {
       org.apache.spark.sql.types.LongType).contains(keyType),
       s"globalRowNumber: key must be an integral column, got $keyType")
     val keyL = key.cast("long")
+    // NULL keys take the otherwise-branch too; coalesce the rendered key so
+    // raise_error carries the crafted message instead of throwing on a NULL
+    // concat argument with no context (r13 ADVICE)
     val guarded = when(keyL >= 0, keyL).otherwise(raise_error(concat(
-      lit("globalRowNumber: key must be non-negative, got "),
-      keyL.cast("string"))))
+      lit("globalRowNumber: key must be non-negative and non-null, got "),
+      coalesce(keyL.cast("string"), lit("NULL")))))
     val withShard = df.withColumn("__key", guarded)
       .withColumn("__shard", expr(s"__key div ${bucket}L"))
     val inShard = Window.partitionBy("__shard").orderBy(col("__key"), tie)

@@ -303,10 +303,16 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.tokens(col(textCol))).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // r14 (guide §2.4): df derives FROM the tf table — tf already holds
+    // exactly one row per (doc, tok), so the old `toks.distinct()` pass
+    // re-ran the whole tokenize+explode+distinct shuffle to compute the
+    // same counts; tf feeds two consumers, so it is pinned once (lazy
+    // localCheckpoint convention). Identical integer tf/df/n.
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
@@ -519,19 +525,31 @@ object TextAnalysis {
     */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int, shingle: Int = 3): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.wordShingles(col(textCol), shingle)).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // r14 (guide §2.3): terms are xxhash64'd at the explode so the tf
+    // aggregation, the df dictionary, and the postings self-join all key
+    // on 8-byte longs instead of n-word shingle strings (the biggest
+    // exchanges of this plan), and df derives FROM the tf table — tf
+    // already holds exactly one row per (doc, term), so the old second
+    // full tokenize + distinct pass over the corpus computed the same
+    // counts twice. tf feeds two consumers (dfreq and the weights), so it
+    // is pinned once with the lazy-localCheckpoint convention. Same
+    // 64-bit collision caveat as the dedup family's hashed joins; tf, df
+    // and n are integer-exact, so weights and cosines are unchanged.
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(col(textCol), shingle)).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
     val n = docs.agg(count(lit(1)).as("n"))
-    val w = tf.join(dfreq, "tok").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("tok"),
+    val w = tf.join(dfreq, "th").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("th"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("w"))
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = w.as("a").join(w.as("b"),
-      col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
     dots

@@ -512,7 +512,10 @@ object LlmQueries {
         mode = graft.operators.HashMode.XxHash64)
         .localCheckpoint(eager = false)
       val cand = Dedup.lshCandidatePairs(sig, "doc_id")
-      Dedup.verifiedPairs(cand, Dedup.shingleSet(docs, "doc_id", "text"),
+      // r14: the verify side never needs shingle TEXT — hash before the
+      // distinct so the dedup exchange and the overlap joins carry longs
+      Dedup.verifiedPairsHashed(cand,
+          Dedup.hashedShingleSet(docs, "doc_id", "text"),
           "doc_id", "doc_a", "doc_b", minNum = 1, minDen = 2)
         .orderBy("doc_a", "doc_b")
     }, Some(s"""
@@ -864,7 +867,10 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       val cand = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
         maxHamming = 7, bits = 64)
-      Dedup.verifiedPairs(cand, Dedup.shingleSet(docs, "doc_id", "text"),
+      // r14: hashed verify side (see dd2b) — longs, not strings, through
+      // the distinct and overlap exchanges
+      Dedup.verifiedPairsHashed(cand,
+          Dedup.hashedShingleSet(docs, "doc_id", "text"),
           "doc_id", "id_a", "id_b", minNum = 1, minDen = 2)
         .orderBy("id_a", "id_b")
     }, Some(s"""
@@ -3089,7 +3095,9 @@ object LlmQueries {
       // quality+langId+window lineage once (lazy localCheckpoint:
       // ContextCleaner-freed, never pinned in the cache manager)
       val exact = quality
-        .withColumn("__h", md5(col("text").cast("binary")))
+        // internal group key only (oracle partitions by its own digest;
+        // group identity is all that matters): xxhash64, r14 guide §2.3
+        .withColumn("__h", xxhash64(col("text")))
         .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
         .filter(col("doc_id") === col("__m")).drop("__h", "__m")
         .localCheckpoint(eager = false)
@@ -4105,7 +4113,8 @@ object LlmQueries {
         .localCheckpoint(eager = false)
       val cc = Components.connectedComponents(
         Dedup.lshCandidatePairs(sig, "doc_id"), "doc_a", "doc_b")
-      val assign = docs.select(col("doc_id"), md5(col("text")).as("tkey"))
+      // class identity only (never emitted): xxhash64 key, r14 guide §2.3
+      val assign = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"))
         .join(cc, docs("doc_id") === cc("node"), "left")
         .select(docs("doc_id"),
           coalesce(col("component"), docs("doc_id")).as("cluster_id"),

@@ -3394,8 +3394,10 @@ object MetricQueries {
     Q("tx27_char_bigram_entropy", (s, dir) => {
       val pairs = t(s, dir, "documents")
         .select(col("source"),
-          posexplode(expr("transform(sequence(1, length(text) - 1), " +
-            "i -> substring(text, i, 2))")).as(Seq("i", "bg")))
+          // explode, not posexplode: the position was never consumed and
+          // every exploded row carried it through the projection (r14)
+          explode(expr("transform(sequence(1, length(text) - 1), " +
+            "i -> substring(text, i, 2))")).as("bg"))
         .select(col("source"), substring(col("bg"), 1, 1).as("c"),
           substring(col("bg"), 2, 1).as("nx"))
         .filter(length(col("nx")) === 1)

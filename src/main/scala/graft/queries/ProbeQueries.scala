@@ -21,8 +21,12 @@ import org.apache.spark.sql.SparkSession
   *
   *   - pb1 RED + pb2 GREEN  → HUGEINT dtype-mapping drift confirmed (the
   *     r12 class); any residual red query needs a BIGINT cast, nothing else.
-  *   - pb3 mirrors pb1 without an aggregate (a bare HUGEINT literal), so
-  *     pb1-red/pb3-green would instead indict sum()'s result TYPE change.
+  *   - pb3 exercises the literal/no-aggregate output path. (Until r13 its
+  *     oracle emitted a bare HUGEINT literal to split "sum() result type
+  *     changed" from "HUGEINT mapping changed"; the r13 driver run answered
+  *     that — pb1 and pb3 flipped together, confirming the mapping class —
+  *     so per VERDICT r13 #2 its oracle is BIGINT-cast from r14 on and pb1
+  *     remains the single intentional canary.)
   *   - pb4/pb5 are expected-green controls for the two constructs the r11
   *     forensics wrongly suspected (DATE-typed output columns; global
   *     ORDER BY … ROWS window sums) — green here exonerates them.
@@ -60,11 +64,17 @@ object ProbeQueries {
       FROM (VALUES (1, 10), (1, 20), (2, 30)) t(k, v)
       GROUP BY k ORDER BY k""")),
 
-    // PB3 — a bare HUGEINT literal: mapping drift without any aggregate.
+    // PB3 — literal-path control, BIGINT-cast (r14: formerly a bare
+    // HUGEINT literal that duplicated pb1's red signal — the r13 driver
+    // bisect showed pb1+pb3 flip TOGETHER on the newer-DuckDB HUGEINT
+    // mapping, so pb3 carried no independent information as a second
+    // permanent red. Per VERDICT r13 #2 the oracle now casts, keeping pb1
+    // as the single documented HUGEINT canary; pb3 still exercises the
+    // literal/no-aggregate output path).
     Q("pb3_hugeint_literal_probe", (s, _) => {
       import s.implicits._
       Seq((1L, 7L)).toDF("k", "h")
-    }, Some("SELECT 1 AS k, CAST(7 AS HUGEINT) AS h")),
+    }, Some("SELECT 1 AS k, CAST(7 AS BIGINT) AS h")),
 
     // PB4 — DATE-typed output control (r11's suspected-then-exonerated
     // dimension): date literals straight through both engines' pandas path.

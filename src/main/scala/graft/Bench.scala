@@ -99,14 +99,15 @@ object Bench {
     // invocation threshold for exactly the u*/pipe* queries — the r13
     // driver artifact recorded pipe1f at 11.09 s vs the same code's 1.31 s
     // steady state, and pass 2's min() can still land mid-tier-up
-    // compilation. One untimed execution of this ~30-query family (tens of
+    // compilation. One untimed execution of this 23-query family (tens of
     // seconds — NOT the full-registry warm that overran the r12 window)
     // reaches steady state; every timed number below still includes all
-    // data-proportional work at this SF.
+    // data-proportional work at this SF. r15 (ADVICE r14): the family is
+    // the EXPLICIT BenchCore.warmNames list — the exact set the r14 name
+    // prefixes matched — so a future query sharing a prefix cannot
+    // silently join it, nor a renamed member silently leave it.
     if (tier == "core") selected
-      .filter { case (n, _) =>
-        n.startsWith("u") || n.startsWith("pipe") ||
-          n.startsWith("k2") || n.startsWith("s5") }
+      .filter { case (n, _) => graft.queries.BenchCore.warmNames.contains(n) }
       .foreach { case (_, fn) =>
         spark.sharedState.cacheManager.clearCache()
         try fn(spark, sfDir).count()

@@ -4,15 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Per-query formatted-plan dump for the optimization-round deliverables:
-  * writes `plans/r14/<query>_<suffix>.txt` with the `.explain("formatted")`
-  * output of each named registered query, captured AFTER execution so the
-  * AQE-final plan (join strategy, coalesced exchanges) is what lands in the
-  * file — the judge checks optimization claims against these artifacts.
+  * writes `plans/<round>/<query>_<suffix>.txt` with the
+  * `.explain("formatted")` output of each named registered query, captured
+  * AFTER execution so the AQE-final plan (join strategy, coalesced
+  * exchanges) is what lands in the file — the judge checks optimization
+  * claims against these artifacts.
   *
   *   sbt "runMain graft.PlanDump <suffix> <queryName ...>"
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1 — the bench SF, so plan claims
-  * match the benched shapes), SPARK_GRAFT_CPUS (default 32, bench parity).
+  * match the benched shapes), SPARK_GRAFT_CPUS (default 32, bench parity),
+  * SPARK_GRAFT_PLANS_DIR (round subdir, default r15).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -22,7 +24,8 @@ object PlanDump {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outDir = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "plans", "r14")
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "r15"))
     java.nio.file.Files.createDirectories(outDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -51,8 +51,8 @@ object ScaleSweep {
     // fail fast on a typo'd mode: an unrecognized argument must not fall
     // through the guards below and silently run only the tail sections
     require(Set("llm", "load", "dup", "inc", "vec", "pipe",
-        "graph", "behavior", "skew", "prefix").contains(mode),
-      s"unknown mode '$mode' (expected llm|load|dup|inc|vec|pipe|graph|behavior|skew|prefix)")
+        "graph", "behavior", "skew", "prefix", "cchub").contains(mode),
+      s"unknown mode '$mode' (expected llm|load|dup|inc|vec|pipe|graph|behavior|skew|prefix|cchub)")
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     if (mode == "load") {
       graft.queries.LoadSweep.run(spark, sfDir)
@@ -72,6 +72,9 @@ object ScaleSweep {
     }
     if (mode == "prefix") {
       SweepExtras.runPrefix(spark, sfDir, factor0, only); spark.stop(); return
+    }
+    if (mode == "cchub") {
+      SweepExtras.runCcHub(spark, sfDir, factor0); spark.stop(); return
     }
 
     if (mode == "pipe") {

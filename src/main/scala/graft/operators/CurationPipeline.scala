@@ -41,17 +41,18 @@ object CurationPipeline {
     * out of the corpus and used as the decontamination reference. */
   def stages(docs: DataFrame): Seq[(String, DataFrame)] = {
     val base = docs.filter(col("doc_id") % 41 =!= 0)
-    // 1. Gopher gate
-    val gated = base.join(
-      TA.gopherRules(base, "doc_id", "text").filter(col("keep"))
-        .select(col("doc_id").as("__gid")),
-      base("doc_id") === col("__gid")).drop("__gid")
+    // 1. Gopher gate — applied as a FILTER (the rules are per-row
+    // expressions), not the old gate-frame self-join: one scan, zero
+    // exchanges, identical survivors (r15, guide §2.4)
+    val gated = TA.gopherFilter(base, "text")
       .select(col("doc_id"), col("source"), col("text"))
       .localCheckpoint(eager = false)
-    // 2. segment dedup; docs hollowed to zero surviving segments drop
-    val seg = Dedup.segmentDedupText(gated, "doc_id", "text", segTokens = 20)
+    // 2. segment dedup; docs hollowed to zero surviving segments drop.
+    // `source` rides the reassembly join (carry) instead of a second
+    // corpus join on doc_id (r15)
+    val seg = Dedup.segmentDedupText(gated, "doc_id", "text", segTokens = 20,
+        carry = Seq("source"))
       .filter(col("kept_segs") > 0)
-      .join(gated.select(col("doc_id"), col("source")), "doc_id")
       .localCheckpoint(eager = false)
     // 3. URL canonicalization dedup (dd12's planted messy URLs: scheme /
     // WWW case noise, utm_ params, per-doc cache-buster; min-id survives
@@ -70,9 +71,10 @@ object CurationPipeline {
       .filter(col("doc_id") === col("__m"))
       .drop("__canon", "__m")
     // 4. whole-document exact dedup on the cleaned text (internal group
-    // key only — xxhash64, 8-byte window key, r14 guide §2.3)
+    // key only — hash128: the whole-text key universe is corpus-sized,
+    // where a 64-bit collision silently drops a distinct doc; r15)
     val exact = urlKept
-      .withColumn("__h", xxhash64(col("text_clean")))
+      .withColumn("__h", Dedup.hash128(col("text_clean")))
       .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
       .filter(col("doc_id") === col("__m")).drop("__h", "__m")
       .localCheckpoint(eager = false)

@@ -21,6 +21,31 @@ object Dedup {
   /** Split into whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** 128-bit two-seed content key: `struct(xxhash64(c), xxhash64(1, c))` —
+    * the identity hash for CORPUS-SIZED key universes (r15, VERDICT r14
+    * item 1). Both halves are codegen'd single-pass hashes (no md5/hex
+    * CPU); the struct is a 16-byte shuffle/window/join key.
+    *
+    * Why 64 bits are not enough at the declared scale — expected colliding
+    * key pairs is ~k²/2^(bits+1) for k distinct keys (birthday bound):
+    *
+    *   | distinct keys k | E[collisions] @64-bit | @128-bit  |
+    *   |-----------------|----------------------:|----------:|
+    *   | 10^9            | 0.03                  | ~1.5e-21  |
+    *   | 10^11 (segments/shingles at ~100 TB) | ~270 | ~1.5e-17 |
+    *   | 10^12 (k-gram positions at ~100 TB)  | ~27,000 | ~1.5e-15 |
+    *
+    * A collision silently MERGES two distinct texts/segments/shingles —
+    * a semantics change no tested SF can surface — so every key whose
+    * universe grows with the corpus (segment dedup, span k-grams, CDC
+    * chunks, whole-text exact-dedup keys, the hashed shingle space of the
+    * verify joins, sparse-cosine terms) uses this. Keys whose universe is
+    * doc-local/bounded, and SIGNATURES that are approximate by design
+    * (minhash band minima, simhash, winnowing fingerprints), stay 64-bit.
+    */
+  def hash128(c: Column): Column =
+    struct(xxhash64(c).as("h1"), xxhash64(lit(1), c).as("h2"))
+
   /** Shingle array from an already-materialized token-array column. The
     * token array MUST be a bound attribute, not an inline `split(...)`:
     * this expression references it ~n+2 times inside the `transform`
@@ -69,10 +94,10 @@ object Dedup {
     * distinct segment's occurrence list, bounded by its duplication count),
     * and survivors re-group by doc id for ordered reassembly. The digest
     * is INTERNAL (only group identity matters — no digest value reaches
-    * the output), so it is xxhash64 (r14, guide §2.3): an 8-byte shuffle
-    * key instead of a 32-hex-char string, no digest/hex CPU per segment;
-    * the oracle groups segments by its own digest and agrees wherever
-    * neither hash collides (the standard 64-bit caveat). */
+    * the output), so it is [[hash128]] (r15): a 16-byte window key — the
+    * segment universe is corpus-sized, where 64 bits collide in
+    * expectation at the 100 TB design point (see the [[hash128]] bound
+    * table) and a collision silently drops a distinct segment. */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 20): DataFrame =
     segmentDedupText(docs, idCol, textCol, segTokens)
@@ -81,9 +106,13 @@ object Dedup {
 
   /** [[segmentDedup]] with the reassembled text itself (`text_clean`)
     * instead of its digest — the form downstream curation stages consume
-    * (pipe9); the graded dd11 entry hashes it so the grade stays small. */
+    * (pipe9); the graded dd11 entry hashes it so the grade stays small.
+    * `carry`: extra `docs` columns passed through to the output (r15 —
+    * saves the caller a second corpus join on `idCol` for columns the
+    * final reassembly join can carry for free). */
   def segmentDedupText(docs: DataFrame, idCol: String, textCol: String,
-                       segTokens: Int = 20): DataFrame = {
+                       segTokens: Int = 20,
+                       carry: Seq[String] = Nil): DataFrame = {
     val nSegsOf = (w: Column) =>
       greatest(ceil(size(w) / lit(segTokens.toDouble)).cast("int"), lit(1))
     val segs = docs
@@ -95,7 +124,7 @@ object Dedup {
     val keepFirst = Window.partitionBy(col("__d"))
       .orderBy(col(idCol), col("seg_idx"))
     val kept = segs
-      .withColumn("__d", xxhash64(col("seg")))
+      .withColumn("__d", hash128(col("seg")))
       .withColumn("__rn", row_number().over(keepFirst))
       .filter(col("__rn") === 1)
     val reassembled = kept.groupBy(col(idCol))
@@ -104,11 +133,12 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("seg_idx"),
             col("seg")))), s => s.getField("seg")), " ").as("__clean"))
-    docs.select(col(idCol), nSegsOf(tokens(col(textCol))).as("n_segs"))
+    docs.select(col(idCol) +: carry.map(col) :+
+        nSegsOf(tokens(col(textCol))).as("n_segs"): _*)
       .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol), col("n_segs"),
-        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
-        coalesce(col("__clean"), lit("")).as("text_clean"))
+      .select(col(idCol) +: carry.map(col) :+ col("n_segs") :+
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs") :+
+        coalesce(col("__clean"), lit("")).as("text_clean"): _*)
   }
 
   /** ExactSubstr-style maximal duplicated-span report (Lee et al.,
@@ -128,10 +158,13 @@ object Dedup {
     * count — the duplicated-shingle set), one digest equi-join back, one
     * per-document window; each shuffle keys on digests or doc ids, never
     * on text. The digest is INTERNAL (only is-duplicated identity matters
-    * — no digest value reaches the output), so it is xxhash64 (r14, guide
-    * §2.3): 8-byte groupBy/join keys and no md5+hex per token position;
-    * the oracle computes duplication from the raw shingle strings and
-    * agrees wherever xxhash64 is collision-free (standard 64-bit caveat).
+    * — no digest value reaches the output), so it is [[hash128]] (r15):
+    * the k-gram-position universe is the largest in the engine (~corpus
+    * token count), exactly where the 64-bit birthday bound fails at
+    * 100 TB — see the [[hash128]] table. The k-gram string is exploded
+    * (stage-local, no exchange carries it) and hashed once in the next
+    * projection, so the 16-byte key costs two xxhash64 calls per position
+    * and no string ever reaches a shuffle.
     *
     * Returns (id, start_tok, n_tokens) per maximal span, 0-based token
     * offsets. */
@@ -142,8 +175,9 @@ object Dedup {
       .filter(size(col("__w")) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("__w")) - k),
-          i => xxhash64(array_join(slice(col("__w"), i + 1, lit(k)), " "))))
-          .as(Seq("pos", "__h")))
+          i => array_join(slice(col("__w"), i + 1, lit(k)), " ")))
+          .as(Seq("pos", "__s")))
+      .select(col(idCol), col("pos"), hash128(col("__s")).as("__h"))
     val dup = sh.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("__h"))
     val runs = sh.join(dup, "__h")
@@ -164,24 +198,41 @@ object Dedup {
     * with `array_distinct` before the explode — so its output is already
     * globally distinct and the corpus-shingle `.distinct()` exchange this
     * function used to pay is gone. `DedupProps` ("shingleSet equals
-    * distinct of shingleMultiset") still gates the set equality. */
+    * distinct of shingleMultiset") still gates the set equality.
+    *
+    * PRECONDITION (r15, ADVICE r14): `idCol` must be unique per document.
+    * The global-distinctness argument above holds ONLY then — a frame with
+    * duplicated ids (join fan-out, unioned batches, re-ingested docs)
+    * yields duplicated (id, shingle) rows that inflate n/df/shared counts
+    * in every downstream consumer ([[verifiedPairsHashed]],
+    * [[lshScurveAudit]], [[prefixFilterJaccardJoin]]). Every graft id
+    * column (doc_id, vec_id) is unique by construction; callers feeding
+    * external frames must dedup ids first. `DedupProps` pins the
+    * duplicated-id behavior so a silent change flags. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame =
     shingleMultiset(docs, idCol, textCol, n)
 
-  /** Distinct (id, xxhash64(shingle)) pairs — the 8-byte currency of the
-    * verify-join family (r14, guide §2.3): for consumers that never need
-    * the shingle text (exact-overlap counting via
-    * [[verifiedPairsHashed]]), everything downstream carries longs
-    * instead of n-word strings. Shuffle-free like [[shingleSet]] (the
-    * doc-local dedup happens before the explode); a within-doc 64-bit
-    * collision would surface as a duplicated (id, shh) row — the same
-    * accepted caveat class as the hashed overlap joins, and the oracles
-    * recompute from raw text so it grades red at any tested SF. */
+  /** Distinct (id, [[hash128]](shingle)) pairs — the 16-byte currency of
+    * the verify-join family: for consumers that never need the shingle
+    * text (exact-overlap counting via [[verifiedPairsHashed]]),
+    * everything downstream carries two longs instead of n-word strings.
+    * 128-bit because the shingle universe is corpus-sized (r15, see the
+    * [[hash128]] table — a cross-doc collision inflates a candidate
+    * pair's `shared` count, a within-doc one duplicates an (id, shh)
+    * row); still shuffle-free like [[shingleSet]] (the doc-local dedup
+    * happens before the explode). */
   def hashedShingleSet(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3): DataFrame =
-    shingleMultiset(docs, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("sh")).as("shh"))
+    hashShingles(shingleMultiset(docs, idCol, textCol, n), idCol)
+
+  /** [[hash128]] projection of an (id, sh) shingle frame — exposed so a
+    * caller that already pinned a shingle frame for other consumers
+    * (dd23: the minhash arm needs shingle TEXT) can derive the hashed
+    * verify currency from it instead of re-running the tokenize+shingle
+    * pass (r15, VERDICT r14 item 2). */
+  def hashShingles(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol), hash128(col("sh")).as("shh"))
 
   /** (id, shingle) pairs, deduplicated DOC-LOCALLY (`array_distinct`
     * before the explode — a zero-shuffle per-row pass). Contract
@@ -238,7 +289,23 @@ object Dedup {
             min(xxhash64(lit(b), col("sh"))).as(s"__mh$b")
           })
     }
-    val wide = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val wide0 = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // r15 (guide §2.3, VERDICT r14 item 3): md5-mode signatures leave this
+    // function as LONGs — `conv(hex, 16, 10)` runs once per (doc, band)
+    // SIGNATURE row (the tiny post-aggregate table, never per shingle), so
+    // every downstream band self-join ([[lshCandidatePairs]], dd13's
+    // store join, dd26's agreement count) keys on 8-byte bigints instead
+    // of 8-hex-char strings. The min still aggregates the hex slices
+    // (lexicographic min on fixed-width hex == numeric min, so converting
+    // after the min is value-identical to converting before), and no
+    // graded query emits the signature value itself — consumers compare
+    // signatures for EQUALITY only, which conv (injective on fixed-width
+    // hex) preserves exactly.
+    val wide = mode match {
+      case HashMode.Md5 => wide0.select(col(idCol) +: (0 until bands)
+        .map(b => conv(col(s"__mh$b"), 16, 10).cast("long").as(s"__mh$b")): _*)
+      case HashMode.XxHash64 => wide0
+    }
     val unpivot = (0 until bands).map(b => s"$b, __mh$b").mkString(", ")
     wide.select(col(idCol),
       expr(s"stack($bands, $unpivot) AS (band, mh)"))
@@ -256,14 +323,13 @@ object Dedup {
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|),
     * computed set-wise via a shingle equi-join restricted to candidates.
     *
-    * The intersection join runs on `xxhash64(shingle)` rather than the
-    * shingle text: 8-byte shuffle keys instead of ~n-word strings (~4×
-    * less exchange volume, cheaper sort/probe). Distinct-set cardinalities
-    * are preserved up to 64-bit collisions (~|pairs|·|shingles|/2⁶⁴ —
-    * negligible at any corpus size this plan reaches). */
+    * The intersection join runs on [[hash128]](shingle) rather than the
+    * shingle text: 16-byte shuffle keys instead of ~n-word strings (~2×
+    * less exchange volume, cheaper sort/probe), with the corpus-universe
+    * collision margin the [[hash128]] table documents. */
   def jaccardOnCandidates(cand: DataFrame, shingles: DataFrame,
                           idCol: String): DataFrame = {
-    val hashed = shingles.select(col(idCol), xxhash64(col("sh")).as("shh"))
+    val hashed = hashShingles(shingles, idCol)
     val counts = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val x = hashed.select(col(idCol).as("doc_a"), col("shh"))
     val y = hashed.select(col(idCol).as("doc_b"), col("shh"))
@@ -291,8 +357,7 @@ object Dedup {
   def verifiedPairs(cand: DataFrame, shingles: DataFrame, idCol: String,
                     aCol: String, bCol: String,
                     minNum: Int, minDen: Int): DataFrame =
-    verifiedPairsHashed(cand,
-      shingles.select(col(idCol), xxhash64(col("sh")).as("shh")),
+    verifiedPairsHashed(cand, hashShingles(shingles, idCol),
       idCol, aCol, bCol, minNum, minDen)
 
   /** [[verifiedPairs]] over an already-hashed (id, shh) shingle frame —
@@ -363,7 +428,7 @@ object Dedup {
     * never all pairs. */
   def containmentOnCandidates(cand: DataFrame, shingles: DataFrame,
                               idCol: String): DataFrame = {
-    val hashed = shingles.select(col(idCol), xxhash64(col("sh")).as("shh"))
+    val hashed = hashShingles(shingles, idCol)
     val counts = hashed.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val x = hashed.select(col(idCol).as("doc_a"), col("shh"))
     val y = hashed.select(col(idCol).as("doc_b"), col("shh"))
@@ -395,12 +460,30 @@ object Dedup {
                    mode: HashMode = HashMode.Md5): DataFrame = {
     val reps = docs
       // internal rep-selection key only (no digest reaches the output):
-      // xxhash64 — 8-byte window key, no digest/hex CPU (r14, guide §2.3)
-      .withColumn("__h", xxhash64(col(textCol)))
+      // hash128 — whole-text keys are a corpus-sized universe (r15; a
+      // 64-bit collision here silently merges two DISTINCT texts onto one
+      // representative, dropping the other from the pair scan entirely)
+      .withColumn("__h", hash128(col(textCol)))
       .withColumn("__minid",
         min(col(idCol)).over(Window.partitionBy("__h")))
       .filter(col(idCol) === col("__minid"))
       .select(col(idCol), col(textCol))
+    nearDupPairsOnReps(reps, idCol, textCol, threshold, bands, shingleN,
+      mode)
+  }
+
+  /** [[nearDupPairs]] minus its exact-dup rep collapse — for inputs whose
+    * text values are ALREADY unique per row (e.g. the survivor frame of a
+    * preceding whole-document exact-dedup stage, pipe6). On such input the
+    * collapse window is the identity (every doc is its own min-id rep), so
+    * skipping it removes one full corpus window shuffle while emitting the
+    * bit-identical pair set (r15, VERDICT r14 item 7). Precondition: one
+    * row per distinct text; feeding duplicated texts re-creates the hot
+    * LSH buckets the collapse exists to bound — use [[nearDupPairs]]. */
+  def nearDupPairsOnReps(reps: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, bands: Int = 4,
+                         shingleN: Int = 3,
+                         mode: HashMode = HashMode.Md5): DataFrame = {
     // the distinct shingle set feeds the signature AND all three Jaccard
     // consumers — materialize it once instead of re-tokenizing per
     // consumer; lazy localCheckpoint so the blocks are ContextCleaner-freed
@@ -495,8 +578,9 @@ object Dedup {
     * inject identical banners before distinct bodies); `None` is exact
     * whole-text duplication.
     *
-    * Scale shape: self-equi-join on an 8-byte content hash (never the text
-    * bytes, never all-pairs) — shuffle carries (hash, id, source) rows, and
+    * Scale shape: self-equi-join on a 16-byte [[hash128]] content key
+    * (never the text bytes, never all-pairs — whole-text keys are a
+    * corpus-sized universe, r15) — shuffle carries (hash, id, source) rows, and
     * pair expansion is Σ g² over duplicate-group sizes g, the same bound as
     * every bucketed-join family member. The matrix output is ≤ |sources|².
     * Same-source pairs are kept (source_a = source_b): intra-feed
@@ -509,7 +593,7 @@ object Dedup {
       case None => col(textCol)
     }
     val base = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"),
-      xxhash64(key).as("__h"))
+      hash128(key).as("__h"))
     val a = base.select(col("__h"), col("__id").as("__ida"),
       col("__src").as("__sa"))
     val b = base.select(col("__h"), col("__id").as("__idb"),
@@ -584,21 +668,32 @@ object Dedup {
     * tokens — never on the corpus-wide boilerplate that caps dd17/dd10. */
   def prefixFilterJaccardJoin(docs: DataFrame, idCol: String,
                               textCol: String,
-                              minNum: Int, minDen: Int): DataFrame = {
-    require(minNum > 0 && minDen >= minNum, "threshold must be in (0, 1]")
+                              minNum: Int, minDen: Int): DataFrame =
     // r14 (guide §2.3 "shuffle keys and metadata instead of payloads"):
     // the whole AllPairs pipeline — df count, rare-first global order,
     // prefix join, verify intersection, |A|/|B| counts — runs on
-    // xxhash64(shingle) computed ONCE here, so every exchange and sort
-    // carries 8-byte longs instead of n-word shingle strings. The prefix
-    // lemma only needs a fixed global total order on a fixed token
-    // universe; (df asc, hash asc) over the hash universe is one, so the
-    // block stays lossless and the verified pair set is unchanged. The
-    // 64-bit collision caveat is the same one [[verifiedPairs]] already
-    // carries (and the dd22 oracle recomputes the pair set from raw text,
-    // so any collision-induced drift at a tested SF hashes red).
-    val sh = hashedShingleSet(docs, idCol, textCol)
-      .localCheckpoint(eager = false)
+    // hash128(shingle) computed ONCE here, so every exchange and sort
+    // carries 16-byte keys instead of n-word shingle strings (128-bit
+    // since r15: the shingle universe is corpus-sized, see [[hash128]]).
+    // The prefix lemma only needs a fixed global total order on a fixed
+    // token universe; (df asc, (h1, h2) asc) over the hash universe is
+    // one, so the block stays lossless and the verified pair set is
+    // unchanged (and the dd22 oracle recomputes the pair set from raw
+    // text, so any collision-induced drift at a tested SF hashes red).
+    prefixFilterJaccardJoinHashed(
+      hashedShingleSet(docs, idCol, textCol).localCheckpoint(eager = false),
+      idCol, minNum, minDen)
+
+  /** [[prefixFilterJaccardJoin]] over an already-hashed (id, shh) shingle
+    * frame ([[hashShingles]]' currency) — exposed so a caller holding a
+    * pinned shingle frame for OTHER consumers can feed this join without
+    * a second tokenize+shingle corpus pass (dd23 derives its exact-truth
+    * arm AND its MinHash blocker from one shingle frame; r15, VERDICT r14
+    * item 2). `sh` must be pinned by the caller (it feeds the df count,
+    * the per-doc sort, and the verify intersection). */
+  def prefixFilterJaccardJoinHashed(sh: DataFrame, idCol: String,
+                                    minNum: Int, minDen: Int): DataFrame = {
+    require(minNum > 0 && minDen >= minNum, "threshold must be in (0, 1]")
     val dfreq = sh.groupBy("shh").agg(count(lit(1)).as("__df"))
     val byDoc = sh.join(dfreq, "shh")
       .groupBy(col(idCol))

@@ -266,27 +266,56 @@ object TextAnalysis {
     * the single-space token convention for free: `length(text) − (n − 1)`.
     * All pure codegen'd expressions over one split. */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val stops = Seq("the", "a", "of", "and", "to", "in")
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
-      .withColumn("w", split(col("t"), " "))
-      .withColumn("n", size(col("w")).cast("long"))
-      .withColumn("sum_chars", (length(col("t")) - (col("n") - 1)).cast("long"))
-      .withColumn("alpha_cnt",
-        size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("long"))
-      .withColumn("num_cnt",
-        size(filter(col("w"), x => x.rlike("^[0-9]+$"))).cast("long"))
-      .withColumn("stop_cnt", size(array_intersect(
-        array_distinct(col("w")), array(stops.map(lit): _*))).cast("long"))
+      : DataFrame =
+    withGopherStats(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("t")), "t")
       .select(col("doc_id"),
-        (col("n") >= 5 && col("n") <= 5000).as("r_len"),
-        (col("sum_chars") >= col("n") * 3 &&
-          col("sum_chars") <= col("n") * 10).as("r_word_len"),
-        (col("alpha_cnt") * 5 >= col("n") * 4).as("r_alpha"),
-        (col("num_cnt") * 5 <= col("n")).as("r_numeric"),
-        (col("stop_cnt") >= 2).as("r_stop"))
+        (col("__gn") >= 5 && col("__gn") <= 5000).as("r_len"),
+        (col("__gsum") >= col("__gn") * 3 &&
+          col("__gsum") <= col("__gn") * 10).as("r_word_len"),
+        (col("__galpha") * 5 >= col("__gn") * 4).as("r_alpha"),
+        (col("__gnum") * 5 <= col("__gn")).as("r_numeric"),
+        (col("__gstop") >= 2).as("r_stop"))
       .withColumn("keep", col("r_len") && col("r_word_len") &&
         col("r_alpha") && col("r_numeric") && col("r_stop"))
+
+  /** The Gopher gate applied IN PLACE: keeps exactly the rows whose
+    * [[gopherRules]] `keep` flag is true, preserving `docs`' columns — the
+    * pipeline form (pipe8/pipe10). The rules are pure per-row expressions,
+    * so gating is a FILTER, not the
+    * `docs.join(gopherRules(docs).filter(keep), id)` corpus self-join the
+    * pipelines used to pay (two exchanges + a second scan of `docs` —
+    * r15, guide §2.4 "remove shuffles outright"); survivors are identical
+    * whenever ids are unique (and a filter, unlike the join, cannot
+    * duplicate rows when they are not). */
+  def gopherFilter(docs: DataFrame, textCol: String): DataFrame = {
+    val keep = docs.columns
+    withGopherStats(docs, textCol)
+      .filter((col("__gn") >= 5 && col("__gn") <= 5000) &&
+        (col("__gsum") >= col("__gn") * 3 &&
+          col("__gsum") <= col("__gn") * 10) &&
+        (col("__galpha") * 5 >= col("__gn") * 4) &&
+        (col("__gnum") * 5 <= col("__gn")) &&
+        (col("__gstop") >= 2))
+      .select(keep.head, keep.tail: _*)
+  }
+
+  /** The shared per-row Gopher statistics ([[gopherRules]] /
+    * [[gopherFilter]]): one split, integer counts, `__g`-prefixed
+    * intermediates so they cannot collide with caller columns. */
+  private def withGopherStats(df: DataFrame, textCol: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    df.withColumn("__gw", split(col(textCol), " "))
+      .withColumn("__gn", size(col("__gw")).cast("long"))
+      .withColumn("__gsum",
+        (length(col(textCol)) - (col("__gn") - 1)).cast("long"))
+      .withColumn("__galpha",
+        size(filter(col("__gw"), x => x.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("__gnum",
+        size(filter(col("__gw"), x => x.rlike("^[0-9]+$"))).cast("long"))
+      .withColumn("__gstop", size(array_intersect(
+        array_distinct(col("__gw")),
+        array(stops.map(lit): _*))).cast("long"))
   }
 
   /** Top-k characteristic terms per document by smoothed-free TF-IDF:
@@ -525,19 +554,22 @@ object TextAnalysis {
     */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxDf: Int, shingle: Int = 3): DataFrame = {
-    // r14 (guide §2.3): terms are xxhash64'd at the explode so the tf
+    // r14 (guide §2.3): terms are hashed at the explode so the tf
     // aggregation, the df dictionary, and the postings self-join all key
-    // on 8-byte longs instead of n-word shingle strings (the biggest
+    // on fixed 16-byte keys instead of n-word shingle strings (the biggest
     // exchanges of this plan), and df derives FROM the tf table — tf
     // already holds exactly one row per (doc, term), so the old second
     // full tokenize + distinct pass over the corpus computed the same
     // counts twice. tf feeds two consumers (dfreq and the weights), so it
-    // is pinned once with the lazy-localCheckpoint convention. Same
-    // 64-bit collision caveat as the dedup family's hashed joins; tf, df
-    // and n are integer-exact, so weights and cosines are unchanged.
+    // is pinned once with the lazy-localCheckpoint convention. r15: the
+    // term hash widened to the two-seed 128-bit key (Dedup.hash128) — the
+    // shingle-term universe is corpus-sized, and a 64-bit collision MERGES
+    // two terms (changes tf/df, hence weights and cosines) invisibly at
+    // untestable SFs. tf, df and n are integer-exact, so weights and
+    // cosines are unchanged wherever the hash is collision-free.
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(Dedup.wordShingles(col(textCol), shingle)).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .select(col("doc_id"), Dedup.hash128(col("tok")).as("th"))
       .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))

@@ -1199,16 +1199,30 @@ object BehaviorQueries {
     // counted against baskets. mb1's gates (item support, basket cap)
     // still run first.
     Q("mb2_frequent_triples", (s, dir) => {
-      val b = t(s, dir, "lineitem")
+      // r15 (guide §2.4, same moves as Basket.associationRules): one
+      // groupBy(k).collect_set replaces the (k, i) distinct (collect_set
+      // dedupes per basket); the frequent-pair stage expands each basket's
+      // sorted frequent-item array locally instead of self-joining bf on
+      // the basket id (the join emitted exactly these C(k,2) rows while
+      // exchanging bf twice). The TRIPLE counting keeps the Apriori
+      // candidate-join shape — generating all C(k,3) per-basket triples
+      // would be the naive counting Apriori exists to avoid.
+      val baskets = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
-        .distinct().localCheckpoint(eager = false)
-      val items = b.groupBy("i").agg(count(lit(1)).as("cnt"))
+        .groupBy("k").agg(collect_set(col("i")).as("xs"))
+        .localCheckpoint(eager = false) // feeds item counts AND bf
+      val items = baskets.select(explode(col("xs")).as("i"))
+        .groupBy("i").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 20).select("i")
-      val bf = b.join(items, "i").select("k", "i")
+      val bf = baskets.select(col("k"), explode(col("xs")).as("i"))
+        .join(items, "i").select("k", "i")
         .localCheckpoint(eager = false)
-      val l = bf.select(col("k"), col("i").as("p1"))
-      val r = bf.select(col("k"), col("i").as("p2"))
-      val fp = l.join(r, Seq("k")).filter(col("p1") < col("p2"))
+      val fb = bf.groupBy("k").agg(sort_array(collect_set(col("i"))).as("fs"))
+      val fp = fb.select(explode(expr(
+        """flatten(transform(fs, (x, i) ->
+             transform(slice(fs, i + 2, size(fs)), y ->
+               named_struct('p1', x, 'p2', y))))""")).as("p"))
+        .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2).select("p1", "p2")
         .localCheckpoint(eager = false)

@@ -74,4 +74,24 @@ object BenchCore {
     "u7_cash_flow_2024_cells", "vq1_scalar_quantization",
     "vq2_product_quantization", "w10_session_paths", "w2_keep_latest",
     "zo1_zorder_layout", "zo2_hilbert_layout")
+
+  /** The JIT-sensitive core-tier warm family (Bench core mode runs ONE
+    * untimed execution of these before the timed passes — the r14
+    * measurement fix). r15 (ADVICE r14): frozen as an EXPLICIT list —
+    * previously selected by name prefix (u, pipe, k2, s5), which would
+    * silently warm any future query sharing a prefix and silently miss a
+    * renamed one. This list is exactly the set the r14 prefixes matched
+    * within [[names]]: the HTML-parse/document pipelines whose per-doc
+    * parse methods need ~15k invocations to reach C2 steady state. */
+  val warmNames: Set[String] = Set(
+    "pipe10_curation_full", "pipe11_temporal_target_encoding",
+    "pipe1_estimates_eps_load", "pipe1b_rank_score", "pipe1c_sales_estimate",
+    "pipe1d_eps_revision", "pipe1e_eps_perception", "pipe1f_eps_history",
+    "pipe2_income_stmt_load", "pipe2b_income_strict_load",
+    "pipe3_balance_equity_load", "pipe3b_balance_assets_load",
+    "pipe3c_balance_liabilities_load", "pipe4_cash_flow_load",
+    "pipe4b_cash_flow_legacy_load", "pipe5_earnings_calendar_pipeline",
+    "pipe6_curation", "pipe7_dividend_calendar_pipeline",
+    "pipe8_curation_v2", "pipe9_curation_v3", "s5_raw_zone_scan",
+    "u4_balance_sheet_cells", "u7_cash_flow_2024_cells")
 }

@@ -3096,12 +3096,16 @@ object LlmQueries {
       // ContextCleaner-freed, never pinned in the cache manager)
       val exact = quality
         // internal group key only (oracle partitions by its own digest;
-        // group identity is all that matters): xxhash64, r14 guide §2.3
-        .withColumn("__h", xxhash64(col("text")))
+        // group identity is all that matters): hash128 — whole-text keys
+        // are a corpus-sized universe (r15)
+        .withColumn("__h", Dedup.hash128(col("text")))
         .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
         .filter(col("doc_id") === col("__m")).drop("__h", "__m")
         .localCheckpoint(eager = false)
-      val losers = Dedup.nearDupPairs(exact, "doc_id", "text",
+      // `exact` is already one row per distinct text, so nearDupPairs'
+      // own rep-collapse window would be the identity — the OnReps form
+      // skips that second full corpus window (r15, guide §2.4)
+      val losers = Dedup.nearDupPairsOnReps(exact, "doc_id", "text",
         threshold = 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       val survivors = exact.join(losers, Seq("doc_id"), "left_anti")
@@ -3214,10 +3218,9 @@ object LlmQueries {
     // them (with keep_p < 0.8 every kept doc would land in 'train').
     Q("pipe8_curation_v2", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val gated = docs.join(
-        TA.gopherRules(docs, "doc_id", "text").filter(col("keep"))
-          .select(col("doc_id").as("__gid")),
-        docs("doc_id") === col("__gid")).drop("__gid")
+      // Gopher gate as a FILTER (per-row rules), not the old gate-frame
+      // self-join — one scan, zero exchanges, same survivors (r15 §2.4)
+      val gated = TA.gopherFilter(docs, "text")
         .select(col("doc_id"), col("source"), col("text"))
         .localCheckpoint(eager = false)
       val sh = Dedup.shingleMultiset(gated, "doc_id", "text")
@@ -3308,9 +3311,11 @@ object LlmQueries {
     // counts, and the split — every stage's decisions feed the hash.
     Q("pipe9_curation_v3", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val seg = Dedup.segmentDedupText(docs, "doc_id", "text", segTokens = 20)
+      // `source` rides segmentDedupText's reassembly join (carry) instead
+      // of a second corpus join on doc_id (r15, guide §2.4)
+      val seg = Dedup.segmentDedupText(docs, "doc_id", "text", segTokens = 20,
+          carry = Seq("source"))
         .filter(col("kept_segs") > 0)
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .localCheckpoint(eager = false)
       val plantedUrl = concat(
         when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
@@ -4113,8 +4118,10 @@ object LlmQueries {
         .localCheckpoint(eager = false)
       val cc = Components.connectedComponents(
         Dedup.lshCandidatePairs(sig, "doc_id"), "doc_a", "doc_b")
-      // class identity only (never emitted): xxhash64 key, r14 guide §2.3
-      val assign = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"))
+      // class identity only (never emitted): hash128 — whole-text class
+      // keys are a corpus-sized universe (r15)
+      val assign = docs.select(col("doc_id"),
+          Dedup.hash128(col("text")).as("tkey"))
         .join(cc, docs("doc_id") === cc("node"), "left")
         .select(docs("doc_id"),
           coalesce(col("component"), docs("doc_id")).as("cluster_id"),

@@ -3393,14 +3393,21 @@ object MetricQueries {
     // discipline), and ln→bits is one division by ln(2).
     Q("tx27_char_bigram_entropy", (s, dir) => {
       val pairs = t(s, dir, "documents")
+        // r15 (guide step 4, per-task work): explode POSITIONS and slice
+        // (c, nx) straight off the text column — the r14 form first
+        // materialized an array of n−1 two-char STRINGS per doc, exploded
+        // it, then re-substringed each row twice and length-filtered the
+        // stragglers; this allocates one int array per doc and exactly two
+        // 1-char slices per position, with the same (source, c, nx)
+        // multiset (the length-2 guard replaces the old nx-length filter:
+        // only docs with ≥ 2 chars produce bigrams either way, and
+        // sequence() is never called with a descending range)
+        .filter(length(col("text")) >= 2)
+        .select(col("source"), col("text"),
+          explode(expr("sequence(1, length(text) - 1)")).as("i"))
         .select(col("source"),
-          // explode, not posexplode: the position was never consumed and
-          // every exploded row carried it through the projection (r14)
-          explode(expr("transform(sequence(1, length(text) - 1), " +
-            "i -> substring(text, i, 2))")).as("bg"))
-        .select(col("source"), substring(col("bg"), 1, 1).as("c"),
-          substring(col("bg"), 2, 1).as("nx"))
-        .filter(length(col("nx")) === 1)
+          col("text").substr(col("i"), lit(1)).as("c"),
+          col("text").substr(col("i") + 1, lit(1)).as("nx"))
         .groupBy("source", "c", "nx").agg(count(lit(1)).as("n"))
         .localCheckpoint(eager = false) // feeds margins + fold
       val cm = pairs.groupBy(col("source").as("s2"), col("c").as("c2"))

@@ -143,10 +143,15 @@ object Profile {
             .localCheckpoint(eager = false)
           Dedup.lshCandidatePairs(sig, "doc_id").orderBy("doc_a", "doc_b")
         }
-      time("dd2: shingle multiset explode")(
-        Dedup.shingleMultiset(d, "doc_id", "text"))
-      time("dd2: shingle distinct set")(
+      // r15 (ADVICE r14): shingleSet IS shingleMultiset since r14's
+      // doc-local dedup, so the old explode-vs-distinct rows timed two
+      // identical plans. Price the CURRENT shape against the retired
+      // corpus-wide distinct instead, so the exchange r14 deleted stays
+      // visible in the profile.
+      time("dd2: doc-distinct shingles (current)")(
         Dedup.shingleSet(d, "doc_id", "text"))
+      time("dd2: + corpus-wide distinct (retired r13 shape)")(
+        Dedup.shingleSet(d, "doc_id", "text").distinct())
       time("dd2: signatures (multiset)")(
         Dedup.minhashSignatures(
           Dedup.shingleMultiset(d, "doc_id", "text"), "doc_id"))

@@ -468,10 +468,17 @@ object TrendQueries {
     // 1-row aggregates.
     Q("dd23_blocking_quality", (s, dir) => {
       val docs = t(s, dir, "documents")
-      val truth = Dedup.prefixFilterJaccardJoin(docs, "doc_id", "text", 2, 5)
+      // ONE shingle frame feeds BOTH arms (r15, guide §2.4): the exact
+      // truth arm consumes its hash128 projection, the MinHash blocker
+      // consumes the shingle text — previously each arm re-ran the full
+      // tokenize+shingle corpus pass inside its own operator call
+      val sh = Dedup.shingleSet(docs, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val truth = Dedup.prefixFilterJaccardJoinHashed(
+        Dedup.hashShingles(sh, "doc_id").localCheckpoint(eager = false),
+        "doc_id", 2, 5)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager = false) // counted AND intersected below
-      val sh = Dedup.shingleSet(docs, "doc_id", "text")
       val cand = Dedup.lshCandidatePairs(
         Dedup.minhashSignatures(sh, "doc_id", bands = 4), "doc_id")
         .localCheckpoint(eager = false)

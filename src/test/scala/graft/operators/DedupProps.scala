@@ -142,4 +142,47 @@ class DedupProps extends AnyFunSuite {
     // doc 2 is an exact dup of doc 0 — only the min id may appear
     assert(pairs.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
   }
+
+  test("nearDupPairsOnReps on an exact-deduped frame equals nearDupPairs " +
+    "(the skipped collapse is the identity there)") {
+    // collapse exactly as pipe6's exact stage does, then compare both forms
+    val reps = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.1)
+    val exact = docs
+      .withColumn("__h", Dedup.hash128(col("text")))
+      .withColumn("__m", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+      .filter(col("doc_id") === col("__m")).select("doc_id", "text")
+    val onReps = Dedup.nearDupPairsOnReps(exact, "doc_id", "text",
+      threshold = 0.1)
+    def setOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(setOf(onReps) == setOf(reps))
+  }
+
+  test("documented unique-id precondition: a duplicated id yields " +
+    "duplicated (id, shingle) rows — callers dedup ids first") {
+    // shingleSet's zero-shuffle distinctness holds only for unique ids
+    // (ADVICE r14): pin the duplicated-id behavior so a silent contract
+    // change flags here instead of inflating verify counts downstream.
+    val dup = docs.unionByName(docs.filter(col("doc_id") === 0L))
+    val rows = Dedup.shingleSet(dup, "doc_id", "text")
+      .filter(col("doc_id") === 0L)
+    assert(rows.count() === 2 * rows.distinct().count(),
+      "duplicate-id input must surface as duplicated shingle rows")
+    // and the distinct-set law still holds on the unique-id corpus
+    val a = Dedup.shingleSet(docs, "doc_id", "text").count()
+    assert(a == Dedup.shingleSet(docs, "doc_id", "text").distinct().count())
+  }
+
+  test("hash128 keys: no within-fixture collisions, and equal text means " +
+    "equal key (crossSourceDupMatrix/segmentDedup identity class)") {
+    val keys = docs.filter(length(col("text")) > 0)
+      .select(col("text"), Dedup.hash128(col("text")).as("k")).distinct()
+    val nTexts = keys.select("text").distinct().count()
+    assert(keys.select("k").distinct().count() == nTexts,
+      "distinct texts must map to distinct 128-bit keys here")
+    val perText = keys.groupBy("text").count().filter(col("count") > 1)
+    assert(perText.count() == 0, "one key per text value")
+  }
 }

@@ -131,7 +131,9 @@ class SignalOpsSpec extends AnyFunSuite {
     val ch = Chunking.cdcChunks(docs, "doc_id", "text")
       .select("doc_id", "chunk_hash").collect()
       .groupBy(_.getLong(0)).map { case (k, v) =>
-        k -> v.map(_.getLong(1)).toSeq } // r14: chunk_hash is xxhash64 (long)
+        // r15: chunk_hash is a two-seed 128-bit struct<h1, h2>
+        k -> v.map { r =>
+          val h = r.getStruct(1); (h.getLong(0), h.getLong(1)) }.toSeq }
     val h1 = ch(1L); val h2 = ch(2L)
     // the edit shifts at most the first chunk's content: everything after
     // the first boundary of the ORIGINAL doc re-synchronizes, so the two

@@ -88,14 +88,23 @@ object Components {
       // set through two exchanges per star (one to aggregate, one to
       // probe); the window form moves it once and reads the min in place.
       // Per round that is 3 exchanges instead of ~5 at identical shuffle
-      // keys, and the same plan at 100 TB: the window partitions by node id
-      // exactly like the groupBy did, and a per-node neighbor-list
-      // partition spills gracefully where the old build side buffered the
-      // same rows in the join hash table. Row multisets entering the final
-      // distinct() are unchanged (the second union arm carries one (u, m)
-      // row per dir edge rather than per node; distinct() collapses both
-      // to the identical edge SET), so results and the convergence trace
-      // are bit-identical.
+      // keys. Row multisets entering the round-final distinct() are
+      // unchanged, so results and the convergence trace are bit-identical.
+      //
+      // r15 skewed-hub decision (VERDICT r14 item 2, measured — SCALE.md
+      // "Round 15 cchub", ScaleSweep cchub mode): the window form BUFFERS
+      // a hub's whole neighbor list in one WindowExec group where the old
+      // aggregate enjoyed map-side partial min and a streamed probe. On
+      // the 2M-node fixture the window form is equal-or-faster up to a
+      // 250k-degree hub (3.15 s vs 3.37 s) and 1.2× SLOWER only at a
+      // 1e6-degree hub (9.12 s vs 7.61 s) — a bounded straggler, not a
+      // pathological spill (WindowExec spills the one oversized group to
+      // disk past the 4096-row in-memory threshold and completes). Kept
+      // as-is: every CC call site here feeds candidate graphs whose hot
+      // buckets are pre-collapsed (exact-dedup-first composition), so
+      // realistic hub degrees sit where the window form wins; a corpus
+      // with an adversarial >1e6-degree hub should swap this body back to
+      // groupBy+join (reference copy: SweepExtras.ccOldShape).
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val byU = org.apache.spark.sql.expressions.Window.partitionBy("u")
       val large = sym

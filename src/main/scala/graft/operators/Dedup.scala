@@ -36,12 +36,15 @@ object Dedup {
     *   | 10^12 (k-gram positions at ~100 TB)  | ~27,000 | ~1.5e-15 |
     *
     * A collision silently MERGES two distinct texts/segments/shingles —
-    * a semantics change no tested SF can surface — so every key whose
-    * universe grows with the corpus (segment dedup, span k-grams, CDC
-    * chunks, whole-text exact-dedup keys, the hashed shingle space of the
-    * verify joins, sparse-cosine terms) uses this. Keys whose universe is
-    * doc-local/bounded, and SIGNATURES that are approximate by design
-    * (minhash band minima, simhash, winnowing fingerprints), stay 64-bit.
+    * a semantics change no tested SF can surface — so every IDENTITY key
+    * whose universe grows with the corpus (segment dedup, span k-grams,
+    * CDC chunks, whole-text exact-dedup/rep/class keys, the hashed
+    * shingle space of the verify joins) uses this. Keys whose universe
+    * is doc-local/bounded, SIGNATURES that are approximate by design
+    * (minhash band minima, simhash, winnowing fingerprints), and WEIGHT
+    * keys where a collision only wobbles a score
+    * ([[TextAnalysis.sparseCosinePairs]] terms — 128-bit there is an
+    * opt-in, `hash128Terms`) stay 64-bit.
     */
   def hash128(c: Column): Column =
     struct(xxhash64(c).as("h1"), xxhash64(lit(1), c).as("h2"))

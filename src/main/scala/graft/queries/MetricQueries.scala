@@ -3393,21 +3393,23 @@ object MetricQueries {
     // discipline), and ln→bits is one division by ln(2).
     Q("tx27_char_bigram_entropy", (s, dir) => {
       val pairs = t(s, dir, "documents")
-        // r15 (guide step 4, per-task work): explode POSITIONS and slice
-        // (c, nx) straight off the text column — the r14 form first
-        // materialized an array of n−1 two-char STRINGS per doc, exploded
-        // it, then re-substringed each row twice and length-filtered the
-        // stragglers; this allocates one int array per doc and exactly two
-        // 1-char slices per position, with the same (source, c, nx)
-        // multiset (the length-2 guard replaces the old nx-length filter:
-        // only docs with ≥ 2 chars produce bigrams either way, and
-        // sequence() is never called with a descending range)
+        // r15 (guide step 4, per-task work): split each document to a char
+        // ARRAY once (O(n)) and read both bigram chars with element_at
+        // (O(1) array index). The r14 form called substring(text, i, 2)
+        // per position inside a transform — UTF8String.substring(i) scans
+        // from the string start to find the codepoint offset, so the
+        // per-doc cost was Σi = O(n²/2) scans plus an n-string array —
+        // then re-substringed every exploded row twice more. Same
+        // (source, c, nx) multiset: split('', -1)-semantics yield exactly
+        // the n chars, and only docs with ≥ 2 chars produce bigrams in
+        // either form (sequence() is never called with a descending range)
         .filter(length(col("text")) >= 2)
-        .select(col("source"), col("text"),
-          explode(expr("sequence(1, length(text) - 1)")).as("i"))
+        .select(col("source"), split(col("text"), "").as("cs"))
+        .select(col("source"), col("cs"),
+          explode(expr("sequence(1, size(cs) - 1)")).as("i"))
         .select(col("source"),
-          col("text").substr(col("i"), lit(1)).as("c"),
-          col("text").substr(col("i") + 1, lit(1)).as("nx"))
+          element_at(col("cs"), col("i")).as("c"),
+          element_at(col("cs"), col("i") + 1).as("nx"))
         .groupBy("source", "c", "nx").agg(count(lit(1)).as("n"))
         .localCheckpoint(eager = false) // feeds margins + fold
       val cm = pairs.groupBy(col("source").as("s2"), col("c").as("c2"))

@@ -70,8 +70,10 @@ object Chunking {
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(length(col("__t")) > 0)
       .withColumn("__n", length(col("__t")).cast("int"))
-      .withColumn("__codes",
-        expr("transform(sequence(1, __n), i -> ascii(substring(__t, i, 1)))"))
+      // r15 (the tx27 move): char codes from ONE split (O(n)) — the
+      // substring(__t, i, 1)-per-position form scanned O(i) bytes each,
+      // Σi ≈ n²/2 per document, to build the identical int array
+      .withColumn("__codes", expr("transform(split(__t, ''), c -> ascii(c))"))
       .withColumn("__bounds", expr(s"""
         concat(array(0),
                case when __n > 4 then

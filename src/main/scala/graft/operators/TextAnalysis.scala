@@ -505,7 +505,6 @@ object TextAnalysis {
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, w: Int = 4,
                             mode: HashMode = HashMode.Md5): DataFrame = {
-    val text = col(textCol)
     def hashOf(g: Column): Column = mode match {
       case HashMode.Md5 => substring(md5(g.cast("binary")), 1, 8)
       case HashMode.XxHash64 => xxhash64(g)
@@ -514,14 +513,24 @@ object TextAnalysis {
       case HashMode.Md5 => array().cast("array<string>")
       case HashMode.XxHash64 => array().cast("array<bigint>")
     }
+    // r15 (guide step 4, the tx27 move): the k-gram at position p is
+    // rebuilt from a per-doc char ARRAY (split once, O(n); slice+join is
+    // O(k) per position) instead of `text.substr(p, k)` —
+    // UTF8String.substring scans from the string start to locate the
+    // codepoint offset, so the per-position form cost Σp ≈ n²/2 byte
+    // scans per document. The rebuilt gram is the IDENTICAL string, so
+    // the graded md5/xxhash fingerprint VALUES are unchanged.
+    val cs = col("__cs")
     // #k-grams = len-k+1; a doc needs >= w of them for one full window.
     // Guard BEFORE sequence(): sequence(1, n) counts DOWN for n <= 0.
-    val nGrams = length(text) - (k - 1)
+    val nGrams = size(cs) - (k - 1)
     val grams = when(nGrams >= w,
-      transform(sequence(lit(1), nGrams), p => hashOf(text.substr(p, lit(k)))))
+      transform(sequence(lit(1), nGrams),
+        p => hashOf(array_join(slice(cs, p, lit(k)), ""))))
       .otherwise(emptyArr)
     val g = col("__g")
     docs
+      .select(col(idCol), split(col(textCol), "").as("__cs"))
       .select(col(idCol), grams.as("__g"))
       .select(col(idCol),
         // same sequence() down-count guard as above: only docs with at

@@ -1005,11 +1005,15 @@ object PipelineQueries {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val g11 = when(length(col("text")) >= 11,
-        array_distinct(transform(sequence(lit(1), length(col("text")) - 10),
-          p => col("text").substr(p, lit(11)))))
+      // r15 (the tx27/winnowing move): 11-grams rebuilt from a per-doc
+      // char array — substr(p, 11) per position scanned O(p) bytes each
+      val g11 = when(size(col("__cs")) >= 11,
+        array_distinct(transform(sequence(lit(1), size(col("__cs")) - 10),
+          p => array_join(slice(col("__cs"), p, lit(11)), ""))))
         .otherwise(array().cast("array<string>"))
-      val grams = docs.select(col("doc_id"), explode(g11).as("g"))
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), "").as("__cs"))
+        .select(col("doc_id"), explode(g11).as("g"))
         .select(col("doc_id"), xxhash64(col("g")).as("gh"))
         .localCheckpoint(eager = false)
       val rare = grams.join(
